@@ -1,0 +1,21 @@
+"""Pure-numpy mergeable sketch kernels (no Ray dependency).
+
+The reference implements one kernel — Count-Min with conservative update
+(reference src/sketch.cpp:144-158) — in seven physical variants. Here the
+kernel layer is a registry of mergeable sketches sharing one protocol
+(SURVEY.md §2.8): CountMin, CountMinCU, HLL, BloomFilter, KLL, TDigest.
+"""
+
+from .base import MergeableSketch, SketchBase, make_sketch, registry, sketch_from_bytes
+from .bloom import BloomFilter
+from .countmin import CountMin, CountMinCU
+from .hashing import hash_arrow_strings, hash_ints, hash_strings, row_hashes, splitmix64
+from .hll import HLL
+from .kll import KLL
+from .tdigest import TDigest
+
+__all__ = [
+    "MergeableSketch", "SketchBase", "make_sketch", "registry", "sketch_from_bytes",
+    "CountMin", "CountMinCU", "HLL", "BloomFilter", "KLL", "TDigest",
+    "hash_strings", "hash_arrow_strings", "hash_ints", "row_hashes", "splitmix64",
+]

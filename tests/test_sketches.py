@@ -1,0 +1,192 @@
+"""Property tests for HLL, Bloom, KLL, t-digest (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from sketch_ray.kernels import HLL, KLL, BloomFilter, TDigest, sketch_from_bytes
+
+
+def keys_range(a, b, prefix="key"):
+    return np.array([f"{prefix}{i:08d}" for i in range(a, b)])
+
+
+# ---------------------------------------------------------------- HLL
+
+
+@pytest.mark.parametrize("n", [100, 5000, 200000])
+def test_hll_relative_error(n):
+    sk = HLL(p=14, seed=42)
+    sk.update(keys_range(0, n))
+    est = sk.estimate()
+    bound = 4 * sk.rel_error_bound()  # ~4 sigma
+    assert abs(est - n) <= max(bound * n, 3), f"est={est} n={n}"
+
+
+def test_hll_duplicates_do_not_inflate():
+    sk = HLL(p=12, seed=42)
+    ks = keys_range(0, 1000)
+    for _ in range(5):
+        sk.update(ks)
+    est = sk.estimate()
+    assert abs(est - 1000) <= 4 * sk.rel_error_bound() * 1000 + 3
+
+
+def test_hll_merge_byte_identical_any_order():
+    parts = [keys_range(i * 1000, (i + 1) * 1000) for i in range(6)]
+    def build(order):
+        acc = HLL(p=12, seed=42)
+        for i in order:
+            s = HLL(p=12, seed=42)
+            s.update(parts[i])
+            acc.merge(s)
+        return acc
+    ref = build(range(6))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        assert ref.to_bytes() == build(rng.permutation(6)).to_bytes()
+    # merged == single-pass over the union
+    single = HLL(p=12, seed=42)
+    single.update(np.concatenate(parts))
+    assert ref.to_bytes() == single.to_bytes()
+
+
+# ---------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives():
+    sk = BloomFilter.for_capacity(5000, fp_rate=0.01, seed=42)
+    present = keys_range(0, 5000)
+    sk.update(present)
+    assert sk.contains(present).all(), "Bloom false negative"
+
+
+def test_bloom_fp_rate_within_bound():
+    sk = BloomFilter.for_capacity(5000, fp_rate=0.01, seed=42)
+    sk.update(keys_range(0, 5000))
+    absent = keys_range(100000, 120000)
+    fp = sk.contains(absent).mean()
+    assert fp <= 0.03, f"observed FP rate {fp}"
+
+
+def test_bloom_merge_or_byte_identical():
+    a = BloomFilter(n_bits=1 << 14, n_hashes=5, seed=1)
+    b = BloomFilter(n_bits=1 << 14, n_hashes=5, seed=1)
+    a.update(keys_range(0, 500))
+    b.update(keys_range(500, 1000))
+    ab = a.copy().merge(b)
+    ba = b.copy().merge(a)
+    assert (ab.bits == ba.bits).all()
+    single = BloomFilter(n_bits=1 << 14, n_hashes=5, seed=1)
+    single.update(keys_range(0, 1000))
+    assert (ab.bits == single.bits).all()
+    assert ab.contains(keys_range(0, 1000)).all()
+
+
+# ---------------------------------------------------------------- KLL
+
+
+def test_kll_rank_error_bound():
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=50000)
+    sk = KLL(k=200, seed=42)
+    for chunk in np.array_split(data, 23):
+        sk.update(chunk)
+    assert sk.n == len(data)
+    qs = np.array([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    est = sk.quantile(qs)
+    sorted_ = np.sort(data)
+    true_ranks = np.searchsorted(sorted_, est, side="right") / len(data)
+    # published normalized rank error ~ O(1/k); generous 3.5/k slack
+    assert np.abs(true_ranks - qs).max() <= 3.5 / 200
+
+
+def test_kll_merge_rank_error():
+    rng = np.random.default_rng(12)
+    data = rng.exponential(size=40000)
+    parts = np.array_split(data, 8)
+    sks = []
+    for p in parts:
+        s = KLL(k=200, seed=42)
+        s.update(p)
+        sks.append(s)
+    order = rng.permutation(8)
+    acc = sks[order[0]]
+    for i in order[1:]:
+        acc.merge(sks[i])
+    assert acc.n == len(data)
+    qs = np.array([0.1, 0.5, 0.9])
+    est = acc.quantile(qs)
+    sorted_ = np.sort(data)
+    true_ranks = np.searchsorted(sorted_, est, side="right") / len(data)
+    assert np.abs(true_ranks - qs).max() <= 5.0 / 200
+
+
+def test_kll_weighted_update():
+    sk = KLL(k=100, seed=1)
+    sk.update([1.0, 2.0, 3.0], [5, 5, 90])
+    assert sk.n == 100
+    assert sk.quantile(0.5) == 3.0
+
+
+# ---------------------------------------------------------------- t-digest
+
+
+def test_tdigest_quantile_accuracy():
+    rng = np.random.default_rng(13)
+    data = rng.gamma(2.0, size=60000)
+    sk = TDigest(delta=200, seed=42)
+    for chunk in np.array_split(data, 31):
+        sk.update(chunk)
+    qs = np.array([0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999])
+    est = sk.quantile(qs)
+    sorted_ = np.sort(data)
+    true_ranks = np.searchsorted(sorted_, est, side="right") / len(data)
+    err = np.abs(true_ranks - qs)
+    # t-digest: tight at tails, ~O(1/delta) mid-range
+    assert err.max() <= 0.02
+    assert err[0] <= 0.002 and err[-1] <= 0.002
+
+
+def test_tdigest_merge_accuracy():
+    rng = np.random.default_rng(14)
+    data = rng.normal(size=40000)
+    parts = np.array_split(data, 10)
+    acc = TDigest(delta=200, seed=42)
+    for p in parts:
+        s = TDigest(delta=200, seed=42)
+        s.update(p)
+        acc.merge(s)
+    assert abs(acc.n - len(data)) < 1e-9
+    sorted_ = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        est = acc.quantile(q)
+        tr = np.searchsorted(sorted_, est, side="right") / len(data)
+        assert abs(tr - q) <= 0.03
+
+
+def test_tdigest_bounded_size():
+    sk = TDigest(delta=100, seed=42)
+    rng = np.random.default_rng(15)
+    sk.update(rng.random(100000))
+    sk._flush()
+    assert len(sk.means) <= 2 * 100  # centroids bounded ~ delta
+
+
+# ---------------------------------------------------------------- serialization
+
+
+@pytest.mark.parametrize("factory", [
+    lambda: HLL(p=10, seed=3),
+    lambda: BloomFilter(n_bits=1 << 12, n_hashes=4, seed=3),
+    lambda: KLL(k=128, seed=3),
+    lambda: TDigest(delta=100, seed=3),
+])
+def test_roundtrip(factory):
+    sk = factory()
+    if sk.kind in ("kll", "tdigest"):
+        sk.update(np.arange(1000, dtype=np.float64))
+    else:
+        sk.update(keys_range(0, 1000))
+    back = sketch_from_bytes(sk.to_bytes())
+    assert back == sk
+    assert back.to_bytes() == sk.to_bytes()
