@@ -1,0 +1,116 @@
+"""End-to-end spine: pages fixture → read_parquet → extract → tokenize →
+sketch-build actor pool → tree merge → queries vs exact oracle (SURVEY.md §7.1
+step 2)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from sketch_ray.sources.pages import HOT_EMERGING, HOT_PERSISTENT, generate_pages, write_pages_fixture
+from sketch_ray.stages.extract import extract_text_array
+from sketch_ray.stages.sketch_build import SketchSpec, build_sketches
+from sketch_ray.stages.tokenize import ngrams, token_counts
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("pages")
+    return write_pages_fixture(str(out), n_rows=400, seed=42, n_files=4)
+
+
+@pytest.fixture(scope="module")
+def pages_table(pages_dir):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(pages_dir)
+
+
+def exact_token_counts(table: pa.Table) -> dict[str, int]:
+    vc = pc.value_counts(pc.list_flatten(pc.split_pattern(table["text"].combine_chunks(), " ")))
+    return dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
+
+
+def test_extractor_invariant(pages_table):
+    ext = extract_text_array(pages_table["html"])
+    assert ext.to_pylist() == pages_table["text"].to_pylist()
+
+
+def test_ngrams_within_rows_only():
+    t = pa.table({"text": pa.array(["a b c", "d e"], pa.large_string())})
+    grams = ngrams(t["text"], 2).to_pylist()
+    assert grams == ["a b", "b c", "d e"]
+    grams3 = ngrams(t["text"], 3).to_pylist()
+    assert grams3 == ["a b c"]
+
+
+def test_token_counts_match_exact(pages_table):
+    keys, counts = token_counts(pages_table["text"])
+    exact = exact_token_counts(pages_table)
+    got = dict(zip(keys.to_pylist(), counts.tolist()))
+    assert got == exact
+
+
+def test_e2e_sketch_build(ray_session, pages_dir, pages_table):
+    import ray.data as rd
+
+    ds = rd.read_parquet(pages_dir)
+    specs = [
+        SketchSpec("tok_cmcu", "cmcu", "text", mode="tokens", params={"width": 1 << 14, "seed": 42}),
+        SketchSpec("url_hll", "hll", "url", mode="column", params={"p": 12, "seed": 42}),
+        SketchSpec("len_kll", "kll", "text", mode="numeric_len", params={"k": 200, "seed": 42}),
+    ]
+    # numeric_len isn't a mode; use n_chars computed upstream instead
+    specs[2] = SketchSpec("len_kll", "kll", "n_chars", mode="numeric", params={"k": 200, "seed": 42})
+    ds = ds.map_batches(
+        lambda b: b.append_column("n_chars", pc.cast(pc.utf8_length(b["text"]), pa.int64())),
+        batch_format="pyarrow",
+    )
+    sketches = build_sketches(ds, specs, batch_size=64, concurrency=2)
+    assert set(sketches) == {"tok_cmcu", "url_hll", "len_kll"}
+
+    exact = exact_token_counts(pages_table)
+    keys = list(exact)
+    est = sketches["tok_cmcu"].query(keys)
+    true = np.array([exact[k] for k in keys])
+    assert (est >= true).all(), "distributed CM-CU undercounted"
+    n = int(true.sum())
+    eps_n = np.e / (1 << 14) * n
+    assert ((est - true) <= eps_n).mean() > 0.98
+
+    n_urls = len(set(pages_table["url"].to_pylist()))
+    hll = sketches["url_hll"]
+    assert abs(hll.estimate() - n_urls) <= 4 * hll.rel_error_bound() * n_urls + 3
+
+    lens = pc.utf8_length(pages_table["text"]).to_numpy()
+    med = sketches["len_kll"].quantile(0.5)
+    sorted_ = np.sort(lens)
+    r = np.searchsorted(sorted_, med, side="right") / len(lens)
+    assert abs(r - 0.5) <= 0.05
+
+
+def test_e2e_deterministic_across_parallelism(ray_session, pages_dir):
+    """Same global sketch bytes at different batch sizes is NOT required
+    (partials differ), but query answers for hot tokens must be stable and
+    never undercount; HLL/Bloom global state must be byte-identical since
+    max/or-merge is partition-invariant."""
+    import ray.data as rd
+
+    def run(batch_size):
+        ds = rd.read_parquet(pages_dir)
+        specs = [SketchSpec("url_hll", "hll", "url", mode="column", params={"p": 12, "seed": 42})]
+        return build_sketches(ds, specs, batch_size=batch_size)["url_hll"]
+
+    a, b = run(50), run(200)
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_planted_hot_tokens_present():
+    t = generate_pages(400, seed=42, snapshot="test")
+    exact = exact_token_counts(t)
+    for k in HOT_EMERGING + HOT_PERSISTENT:
+        assert exact.get(k, 0) > 0
+    c = generate_pages(400, seed=43, snapshot="control")
+    exact_c = exact_token_counts(c)
+    for k in HOT_EMERGING:
+        assert exact_c.get(k, 0) == 0
