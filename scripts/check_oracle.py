@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and compare against oracle_sql() via DuckDB (row count + schema + value
+equality, column-name-sorted, order-insensitive).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    raise TypeError(type(obj))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok   {name}: rows-only ({len(got)} rows, {dt:.1f}s)")
+            continue
+        want = canon(con.execute(sqls[name]).df())
+        status = []
+        if len(got) != len(want):
+            status.append(f"rows {len(got)} != {len(want)}")
+        if list(got.columns) != list(want.columns):
+            status.append(f"cols {list(got.columns)} != {list(want.columns)}")
+        elif len(got) == len(want):
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+            except AssertionError as e:
+                status.append("values differ: " + str(e).splitlines()[-1][:160])
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)} ({dt:.1f}s)")
+            if len(got) and len(want) and list(got.columns) == list(want.columns):
+                merged = got.merge(want, how="outer", indicator=True, on=list(got.columns))
+                diff = merged[merged["_merge"] != "both"]
+                print(diff.head(6).to_string())
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(got)} rows ({dt:.1f}s)")
+    ray.shutdown()
+    return n_fail
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

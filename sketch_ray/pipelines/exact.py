@@ -1,0 +1,212 @@
+"""Exact distributed pipelines with DuckDB-oracle-checkable outputs.
+
+These are the correctness gate: every query here has a matching ANSI-SQL
+string in ``__ray_entry__.oracle_sql`` producing identical rows (names,
+schema, values). They double as the exact-verification half of the sketch
+pipelines (the reference validates sketches against exact scans the same way
+— SURVEY.md §5).
+
+Scale pattern used throughout: per-batch ``value_counts`` pre-aggregation
+inside ``map_batches`` (hot keys → one row per batch), then a ``groupby``
+over the *partial counts*, never over raw rows (SURVEY.md §4 skew row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.tokenize import flat_tokens, ngram_counts, token_counts
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _token_partials(batch: pa.Table) -> pa.Table:
+    keys, counts = token_counts(batch["text"])
+    return pa.table(
+        {
+            "token": keys.cast(pa.large_string()),
+            "partial": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def token_counts_ds(sf_dir: str):
+    """Distributed exact token counts: batch-local value_counts → groupby sum
+    over partials (the shuffle carries ≤ vocab rows per batch, not tokens)."""
+    ds = _read(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(_token_partials, batch_format="pyarrow", batch_size=8192)
+    return partials.groupby("token").aggregate(Sum("partial", alias_name="cnt"))
+
+
+def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
+    """Exact top-k tokens, deterministic tie-break (cnt desc, token asc)."""
+    counts = token_counts_ds(sf_dir)
+    df = counts.to_pandas()  # vocab-sized, small by construction
+    df = df.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def heavy_hitter_tokens(sf_dir: str, rel_threshold: float = 0.02) -> pa.Table:
+    """Exact heavy hitters via the two-pass sketch pipeline
+    (pipelines/heavy_hitters.py): CM-CU candidates then exact verification.
+    Threshold = rel_threshold × total token count (scale-invariant)."""
+    import ray.data as rd
+
+    from ..stages.sketch_build import SketchSpec
+    from .heavy_hitters import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    total = ds.map_batches(
+        lambda b: pa.table({"n": pa.array([pc.sum(pc.list_value_length(pc.split_pattern(b["text"].combine_chunks(), " "))).as_py()], pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=8192,
+    ).sum("n")
+    threshold = int(np.ceil(rel_threshold * total))
+    spec = SketchSpec("hh", "cmcu", "text", mode="tokens", params={"width": 1 << 14, "seed": 42})
+    out = heavy_hitters(_read(sf_dir, "documents", ["text"]), spec, threshold)
+    df = out.to_pandas().sort_values("token").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def bigram_counts_min(sf_dir: str, min_cnt: int = 25) -> pa.Table:
+    """Exact word-bigram counts ≥ min_cnt (multi-length n-gram operator M3)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys, counts = ngram_counts(batch["text"], (2,))
+        return pa.table(
+            {"bigram": keys.cast(pa.large_string()), "partial": pa.array(counts, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("bigram")
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+    df = agg.to_pandas()
+    df = df[df["cnt"] >= min_cnt].sort_values("bigram").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def tokens_per_lang(sf_dir: str) -> pa.Table:
+    """Total token count per language (groupby over per-batch partial sums)."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(batch["text"].combine_chunks(), " "))
+        t = pa.table({"lang": batch["lang"], "ntok": ntok.cast(pa.int64())})
+        g = t.group_by("lang").aggregate([("ntok", "sum")])
+        return g.rename_columns(["lang", "partial"])
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("lang")
+        .aggregate(Sum("partial", alias_name="n_tokens"))
+    )
+    df = agg.to_pandas().sort_values("lang").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def distinct_sources_per_lang(sf_dir: str) -> pa.Table:
+    """Exact count(distinct source) per lang: batch-local dedup →
+    global dedup groupby → count (A5/A6 distinct operators)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["lang", "source"]).aggregate([])
+
+    pairs = ds.map_batches(local_dedup, batch_format="pyarrow", batch_size=8192)
+    uniq = pairs.groupby(["lang", "source"]).aggregate(Count(alias_name="_c"))
+    agg = uniq.groupby("lang").aggregate(Count(alias_name="n_sources"))
+    df = agg.to_pandas().sort_values("lang").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["lang", "n_sources"]], preserve_index=False)
+
+
+def doc_token_stats(sf_dir: str) -> pa.Table:
+    """Per-document token count + char count (text-analysis: token counting).
+    Exact, SQL-checkable; vectorized utf8 kernels only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        ntok = pc.list_value_length(pc.split_pattern(text, " ")).cast(pa.int64())
+        nchr = pc.utf8_length(text).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": ntok, "n_chars_computed": nchr})
+
+    out = ds.map_batches(stats, batch_format="pyarrow", batch_size=8192)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def len_histogram(sf_dir: str) -> pa.Table:
+    """Exact histogram of n_chars (the bounded-cardinality exact-quantile
+    base; groupby over a numeric key)."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    agg = ds.groupby("n_chars").aggregate(Count(alias_name="cnt"))
+    df = agg.to_pandas().sort_values("n_chars").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def quantiles_exact(sf_dir: str) -> pa.Table:
+    """EXACT quantiles of n_chars from the distributed histogram
+    (quantile_disc semantics: smallest value with cum_count ≥ ceil(q·n))."""
+    hist = len_histogram(sf_dir).to_pandas()
+    values = hist["n_chars"].to_numpy()
+    cum = hist["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    out_v = []
+    for q in qs:
+        target = int(np.ceil(q * n))
+        idx = int(np.searchsorted(cum, max(target, 1)))
+        out_v.append(int(values[min(idx, len(values) - 1)]))
+    return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(out_v, pa.int64())})
+
+
+def events_per_type(sf_dir: str) -> pa.Table:
+    """Event counts + distinct users per event type."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "user_id", "partial"])
+
+    pairs = ds.map_batches(local, batch_format="pyarrow", batch_size=16384)
+    per_user = pairs.groupby(["event_type", "user_id"]).aggregate(Sum("partial", alias_name="cnt"))
+    agg = per_user.groupby("event_type").aggregate(
+        Count(alias_name="n_users"), Sum("cnt", alias_name="n_events")
+    )
+    df = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["event_type", "n_users", "n_events"]], preserve_index=False)
+
+
+def heavy_users(sf_dir: str, rel_threshold: float = 0.002) -> pa.Table:
+    """Heavy-hitter user_ids in events via the CM-CU two-pass pipeline over an
+    int key column."""
+    import ray.data as rd
+
+    from ..stages.sketch_build import SketchSpec
+    from .heavy_hitters import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = ds.count()
+    threshold = max(2, int(np.ceil(rel_threshold * n)))
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_key": batch["user_id"].cast(pa.string())})
+
+    sds = _read(sf_dir, "events", ["user_id"]).map_batches(to_str, batch_format="pyarrow", batch_size=16384)
+    spec = SketchSpec("hu", "cmcu", "user_key", mode="column", params={"width": 1 << 14, "seed": 42})
+    out = heavy_hitters(sds, spec, threshold)
+    df = out.to_pandas()
+    df["user_id"] = df["token"].astype("int64")
+    df = df[["user_id", "cnt"]].sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

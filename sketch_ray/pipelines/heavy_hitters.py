@@ -1,0 +1,169 @@
+"""Heavy-hitter and emerging-heavy-hitter pipelines (the reference's flagship).
+
+Reference semantics (src/sketch.cpp:48-289): scan the test corpus updating a
+CM-CU sketch; keys whose estimate crosses a threshold become candidates; scale
+candidate estimates by 1/growth (integer division, src/sketch.cpp:179-183);
+scan the control corpus decrementing candidates on each hit
+(src/sketch.cpp:186-235); drop candidates ≤ 0 (src/sketch.cpp:238-245).
+
+Ray-Data-first re-expression (SURVEY.md §2.4 J1/J2, §7.1 step 4) — distributed,
+partition-order-independent, and *exact* in its final output:
+
+  pass 1  build the global CM-CU sketch (streaming partial-sketch build +
+          tiny tree-merge shuffle; never undercounts).
+  pass 2  re-scan: broadcast the merged sketch once via ``ray.put``; each
+          batch pre-aggregates its tokens and keeps only tokens with
+          sketch-estimate ≥ threshold  ⇒  candidate superset of the true
+          heavy hitters (no-undercount guarantee), with per-batch partial
+          counts attached.
+  reduce  groupby(token).sum(partial_count) over candidates only — the only
+          key shuffle, and it carries just candidate tokens (threshold-
+          selected, small by construction), pre-aggregated per batch so a
+          hot token contributes one row per batch regardless of frequency
+          (skew handling, SURVEY.md §4).
+  filter  exact count ≥ threshold  ⇒  exactly the true heavy-hitter set
+          (sketch false positives pruned; false negatives impossible).
+
+The emerging variant runs the candidate reduce over BOTH corpora and applies
+the reference's prune: ``floor(exact_test / growth) − exact_control > 0``.
+
+At 10^12-document scale this is two streaming scans of the corpus (same scan
+count as the reference) plus sketch-sized and candidate-sized shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..kernels import sketch_from_bytes
+from ..stages.sketch_build import SketchSpec, build_sketches
+from ..stages.tokenize import ngram_counts, token_counts
+
+
+def _spec_counts(spec: SketchSpec, batch: pa.Table):
+    """(unique keys, counts) for the spec's key mode over one batch."""
+    col = batch[spec.column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if spec.mode == "tokens":
+        return token_counts(col, spec.lowercase)
+    if spec.mode == "ngrams":
+        return ngram_counts(col, spec.lengths, lowercase=spec.lowercase)
+    if spec.mode == "column":
+        vc = pc.value_counts(col)
+        return vc.field("values"), vc.field("counts").to_numpy()
+    raise ValueError(f"unsupported mode for heavy hitters: {spec.mode}")
+
+
+class _CandidateCounts:
+    """Actor-pool stage for pass 2: batch → (token, partial_count) rows for
+    tokens whose broadcast-sketch estimate ≥ threshold. The sketch is fetched
+    from the object store once per actor (broadcast pattern, SURVEY.md §2.3 T4),
+    not per batch."""
+
+    def __init__(self, sketch_ref, spec: SketchSpec, threshold: int):
+        self.sketch = sketch_from_bytes(ray.get(sketch_ref))
+        self.spec = spec
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, counts = _spec_counts(self.spec, batch)
+        if len(keys) == 0:
+            return pa.table({"token": pa.array([], pa.large_string()),
+                             "partial_count": pa.array([], pa.int64())})
+        est = self.sketch.query(keys)
+        mask_np = est >= self.threshold
+        return pa.table(
+            {
+                "token": keys.filter(pa.array(mask_np)).cast(pa.large_string()),
+                "partial_count": pa.array(np.asarray(counts)[mask_np], pa.int64()),
+            }
+        )
+
+
+def exact_candidate_counts(
+    ds,
+    sketch_bytes: bytes,
+    spec: SketchSpec,
+    threshold: int,
+    concurrency: int | None = None,
+    batch_size: int = 4096,
+):
+    """Dataset of (token, cnt) with *exact* counts for every key whose sketch
+    estimate ≥ threshold (superset of true heavy hitters)."""
+    ref = ray.put(sketch_bytes)
+    kw: dict[str, Any] = dict(batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+    if concurrency is not None:
+        kw["concurrency"] = concurrency
+    else:
+        # autoscaling actor pool: min=1 so the stage can always start even
+        # when the read/aggregate stages hold the remaining CPUs (a fixed
+        # pool equal to the CPU count deadlocks the streaming executor)
+        kw["concurrency"] = (1, 4)
+    partials = ds.map_batches(
+        _CandidateCounts, fn_constructor_args=(ref, spec, threshold), **kw
+    )
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("token").aggregate(Sum("partial_count", alias_name="cnt"))
+
+
+def heavy_hitters(
+    ds,
+    spec: SketchSpec,
+    threshold: int,
+    concurrency: int | None = None,
+    batch_size: int = 4096,
+):
+    """Exact heavy hitters (count ≥ threshold) of a key spec over ``ds``.
+
+    Returns a Dataset with columns (token: large_string, cnt: int64), the
+    exact analog of the reference's report sink (src/sketch.cpp:266-284) with
+    the baseline ``>=``-threshold semantics (SURVEY.md §2.2 M8).
+    """
+    sketches = build_sketches(ds, [spec], batch_size=batch_size, concurrency=concurrency)
+    sk = sketches[spec.name]
+    counts = exact_candidate_counts(ds, sk.to_bytes(), spec, threshold, concurrency, batch_size)
+    return counts.filter(expr=f"cnt >= {int(threshold)}")
+
+
+def emerging_heavy_hitters(
+    test_ds,
+    control_ds,
+    spec: SketchSpec,
+    threshold: int,
+    growth: int = 2,
+    concurrency: int | None = None,
+    batch_size: int = 4096,
+):
+    """Emerging heavy hitters: test-count ≥ threshold AND
+    floor(test_count / growth) − control_count > 0 (reference semantics:
+    scale src/sketch.cpp:179-183, probe-decrement src/sketch.cpp:222-227,
+    prune src/sketch.cpp:238-245 — here with exact verified counts).
+
+    Returns (token, test_cnt, control_cnt)."""
+    sketches = build_sketches(test_ds, [spec], batch_size=batch_size, concurrency=concurrency)
+    sk_bytes = sketches[spec.name].to_bytes()
+    test_counts = exact_candidate_counts(
+        test_ds, sk_bytes, spec, threshold, concurrency, batch_size
+    ).filter(expr=f"cnt >= {int(threshold)}")
+    # control side: count ONLY candidate keys (same sketch, threshold acts as
+    # the candidate filter — anything below can't be a candidate)
+    control_counts = exact_candidate_counts(
+        control_ds, sk_bytes, spec, threshold, concurrency, batch_size
+    )
+    test_t = test_counts.to_pandas().rename(columns={"cnt": "test_cnt"})
+    ctrl_t = control_counts.to_pandas().rename(columns={"cnt": "control_cnt"})
+    # candidate sets are threshold-selected (small); a driver-side join is the
+    # broadcast-join analog of the reference's candidate-map probe (J1)
+    merged = test_t.merge(ctrl_t, on="token", how="left")
+    merged["control_cnt"] = merged["control_cnt"].fillna(0).astype("int64")
+    keep = (merged["test_cnt"] // growth - merged["control_cnt"]) > 0
+    out = merged[keep].reset_index(drop=True)
+    return out[["token", "test_cnt", "control_cnt"]]

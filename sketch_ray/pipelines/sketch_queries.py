@@ -1,0 +1,88 @@
+"""Query-layer pipelines: global sketches over the testdata tables and their
+point/quantile/cardinality/membership answers (north_star query surface).
+
+Each returns a small Arrow table; estimates are approximate (bounded by the
+kernel's published guarantees) so these are rows-only-checked by the driver,
+while the *exact* counterparts in pipelines/exact.py carry DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.sketch_build import SketchSpec, build_sketches
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def cmcu_token_estimates(sf_dir: str, top: int = 50) -> pa.Table:
+    """CM-CU point estimates for the ``top`` most frequent document tokens
+    (reference A1 point query, src/sketch.cpp:145-152). Estimates at this
+    width are exact with overwhelming probability (verified vs oracle in
+    tests), but gated rows-only because the guarantee is a bound."""
+    from .exact import top_tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+    spec = SketchSpec("tok", "cmcu", "text", mode="tokens", params={"width": 1 << 14, "seed": 42})
+    sk = build_sketches(ds, [spec], batch_size=4096)["tok"]
+    keys = top_tokens(sf_dir, k=top).column("token").to_pylist()  # distributed top-k
+    est = sk.query(keys)
+    return pa.table({"token": pa.array(keys, pa.string()), "est": pa.array(est, pa.int64())})
+
+
+def hll_cardinalities(sf_dir: str) -> pa.Table:
+    """Approximate distinct counts across tables in ONE streaming pass per
+    table (north_star: distinct url/host cardinality)."""
+    specs_docs = [
+        SketchSpec("documents.source", "hll", "source", mode="column", params={"p": 14, "seed": 42}),
+        SketchSpec("documents.text", "hll", "text", mode="column", params={"p": 14, "seed": 42}),
+    ]
+    docs = build_sketches(_read(sf_dir, "documents", ["source", "text"]), specs_docs, batch_size=8192)
+    ev = build_sketches(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        [
+            SketchSpec("events.user_id", "hll", "user_id", mode="column", params={"p": 14, "seed": 42}),
+            SketchSpec("events.event_type", "hll", "event_type", mode="column", params={"p": 14, "seed": 42}),
+        ],
+        batch_size=8192,
+    )
+    all_sk = {**docs, **ev}
+    names = sorted(all_sk)
+    return pa.table(
+        {
+            "scope": pa.array(names, pa.string()),
+            "estimate": pa.array([round(all_sk[n].estimate()) for n in names], pa.int64()),
+        }
+    )
+
+
+def quantile_sketches(sf_dir: str, kind: str = "kll") -> pa.Table:
+    """n_chars quantiles of documents via KLL or t-digest."""
+    params = {"k": 200, "seed": 42} if kind == "kll" else {"delta": 200, "seed": 42}
+    spec = SketchSpec("len", kind, "n_chars", mode="numeric", params=params)
+    sk = build_sketches(_read(sf_dir, "documents", ["n_chars"]), [spec], batch_size=8192)["len"]
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = sk.quantile(np.array(qs))
+    return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(np.asarray(vals, dtype=np.float64))})
+
+
+def bloom_membership(sf_dir: str) -> pa.Table:
+    """Bloom filter over document texts' tokens; probe a mix of present and
+    absent keys. Zero false negatives guaranteed; false positives bounded."""
+    ds = _read(sf_dir, "documents", ["text"])
+    spec = SketchSpec(
+        "tok_bloom", "bloom", "text", mode="tokens",
+        params={"n_bits": 1 << 20, "n_hashes": 7, "seed": 42},
+    )
+    sk = build_sketches(ds, [spec], batch_size=8192)["tok_bloom"]
+    probes = ["the", "data", "join", "absent_key_1", "absent_key_2", "zz_never"]
+    hits = sk.contains(probes)
+    return pa.table(
+        {"key": pa.array(probes, pa.string()), "maybe_present": pa.array(hits.tolist(), pa.bool_())}
+    )
