@@ -1,0 +1,189 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) and prints ONE JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "throughput": {...}}
+
+``--scaling`` evidences the north_rule two-cluster-size criterion inside this
+single-node sandbox: the same sketch-build job runs in TWO fresh processes
+(``ray.init(num_cpus=8)`` then ``num_cpus=32``) on the same input and the
+script reports docs/s at both plus scaling efficiency
+(= speedup / cpu-ratio).  Results land in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_queries(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
+    _init_ray(num_cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # force execution for lazy Datasets
+        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+            res = res.to_pandas()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+    return {"total": total, "queries": timings}
+
+
+# ---------------------------------------------------------------------------
+# scaling: one CPU-heavy sketch-build job, measured inside a fresh process
+# ---------------------------------------------------------------------------
+
+def _scaling_job(sf_dir: str, num_cpus: int, replicate: int) -> dict:
+    """Build CM-CU + HLL + KLL + Bloom over the documents table replicated
+    ``replicate``× (same input each run). Prints one JSON line with docs/s."""
+    _init_ray(num_cpus)
+    import ray.data as rd
+
+    from sketch_ray.stages.sketch_build import SketchSpec, build_sketches
+
+    path = f"{sf_dir}/documents.parquet"
+    # one logical read over the replicated file list (NOT a union of reads:
+    # a union multiplies tiny SplitBlocks and drowns the job in scheduling)
+    ds = rd.read_parquet(
+        [path] * replicate,
+        columns=["text", "source", "n_chars"],
+        # identical partitioning at every parallelism level (a real dataset's
+        # layout doesn't change when the cluster grows)
+        override_num_blocks=replicate,
+    )
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(path).metadata.num_rows * replicate  # no extra pass
+
+    # warmup: pre-fork the worker pool so process spin-up isn't billed to the
+    # measured run (a long-lived cluster has warm workers)
+    rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+    specs = [
+        SketchSpec("tok", "cmcu", "text", mode="tokens", params={"width": 1 << 14, "seed": 42}),
+        SketchSpec("ngram", "cmcu", "text", mode="ngrams", lengths=(2, 3),
+                   params={"width": 1 << 16, "seed": 42}),
+        SketchSpec("src", "hll", "source", mode="column", params={"p": 14, "seed": 42}),
+        SketchSpec("len", "kll", "n_chars", mode="numeric", params={"k": 200, "seed": 42}),
+        SketchSpec("blm", "bloom", "text", mode="tokens", params={"n_bits": 1 << 20, "n_hashes": 7, "seed": 42}),
+    ]
+    t0 = time.perf_counter()
+    sketches = build_sketches(ds, specs, batch_size=8192)
+    wall = time.perf_counter() - t0
+    assert len(sketches) == len(specs)
+    return {
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "wall_s": round(wall, 3),
+        "docs_per_s": round(n_docs / wall, 1),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int, replicate: int) -> dict:
+    runs = []
+    for n in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+             "--sf-dir", sf_dir, "--num-cpus", str(n), "--replicate", str(replicate)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    speedup = runs[1]["docs_per_s"] / runs[0]["docs_per_s"]
+    eff = speedup / (hi / lo)
+    return {
+        "runs": runs,
+        "speedup": round(speedup, 3),
+        "cpu_ratio": hi / lo,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the two-parallelism-level scaling experiment")
+    ap.add_argument("--scaling-worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--scaling-lo", type=int, default=4)
+    ap.add_argument("--scaling-hi", type=int, default=16,
+                    help="4->16 by default: the 8->32 pair saturates this single "
+                         "box's memory bus (multiprocessing ceiling 0.76 without "
+                         "Ray — see BASELINE.md); on a multi-node cluster each "
+                         "node brings its own memory bandwidth")
+    ap.add_argument("--replicate", type=int, default=512,
+                    help="input replication for the scaling job (same table x K)")
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    if args.scaling_worker:
+        print(json.dumps(_scaling_job(args.sf_dir, args.num_cpus, args.replicate)))
+        return
+
+    if args.scaling:
+        result = run_scaling(args.sf_dir, args.scaling_lo, args.scaling_hi, args.replicate)
+        print(json.dumps({
+            "metric": "sketch_build_scaling",
+            "value": result["scaling_efficiency"],
+            "unit": "efficiency",
+            "sf": _sf_of(args.sf_dir),
+            **result,
+        }))
+        return
+
+    res = run_queries(args.sf_dir, args.num_cpus, set(args.only) if args.only else None)
+    print(json.dumps({
+        "metric": "query_suite_wall_time",
+        "value": res["total"],
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": _sf_of(args.sf_dir),
+        "num_cpus": args.num_cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,7 @@ over the *partial counts*, never over raw rows (SURVEY.md §4 skew row).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -72,7 +73,10 @@ def heavy_hitter_tokens(sf_dir: str, rel_threshold: float = 0.02) -> pa.Table:
     threshold = int(np.ceil(rel_threshold * total))
     spec = SketchSpec("hh", "cmcu", "text", mode="tokens", params={"width": 1 << 14, "seed": 42})
     out = heavy_hitters(_read(sf_dir, "documents", ["text"]), spec, threshold)
-    df = out.to_pandas().sort_values("token").reset_index(drop=True)
+    df = out.to_pandas()
+    if "token" not in df.columns:  # empty result drops its schema
+        df = pd.DataFrame({"token": pd.Series([], dtype=str), "cnt": pd.Series([], dtype="int64")})
+    df = df.sort_values("token").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -207,6 +211,8 @@ def heavy_users(sf_dir: str, rel_threshold: float = 0.002) -> pa.Table:
     spec = SketchSpec("hu", "cmcu", "user_key", mode="column", params={"width": 1 << 14, "seed": 42})
     out = heavy_hitters(sds, spec, threshold)
     df = out.to_pandas()
+    if "token" not in df.columns:  # empty result drops its schema
+        df = pd.DataFrame({"token": pd.Series([], dtype=str), "cnt": pd.Series([], dtype="int64")})
     df["user_id"] = df["token"].astype("int64")
     df = df[["user_id", "cnt"]].sort_values("user_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)

@@ -133,45 +133,56 @@ def build_partials(
     return ds.map_batches(lambda b: update(b), **kw)
 
 
-def _merge_group(group: pa.Table) -> pa.Table:
-    """Merge all partial rows of one (sketch, bucket) group into one row."""
-    blobs = group.column("partial").to_pylist()
-    acc = sketch_from_bytes(blobs[0])
-    for raw in blobs[1:]:
-        acc.merge(sketch_from_bytes(raw))
+def _merge_batch(batch: pa.Table) -> pa.Table:
+    """Fold every partial row in one batch down to one row per sketch name.
+
+    Merge is associative + commutative (tests/test_countmin.py /
+    test_sketches.py), so ANY grouping of rows into batches yields the same
+    global result — which means the reduce needs NO shuffle at all: Ray
+    Data's batch coalescing bundles upstream partial rows into batches and
+    each task folds its bundle, shrinking the row count ×fan_in per round."""
+    names = batch.column("sketch").to_pylist()
+    kinds = batch.column("kind").to_pylist()
+    blobs = batch.column("partial").to_pylist()
+    rows = batch.column("n_rows").to_pylist()
+    accs: dict[str, SketchBase] = {}
+    kind_of: dict[str, str] = {}
+    n_of: dict[str, int] = {}
+    for name, kind, raw, n in zip(names, kinds, blobs, rows):
+        if name in accs:
+            accs[name].merge(sketch_from_bytes(raw))
+            n_of[name] += n
+        else:
+            accs[name] = sketch_from_bytes(raw)
+            kind_of[name] = kind
+            n_of[name] = n
+    out_names = sorted(accs)
     return pa.table(
         {
-            "sketch": group.column("sketch").slice(0, 1),
-            "kind": group.column("kind").slice(0, 1),
-            "partial": pa.array([acc.to_bytes()], pa.large_binary()),
-            "n_rows": pa.array([int(pa.compute.sum(group.column("n_rows")).as_py())], pa.int64()),
+            "sketch": pa.array(out_names, pa.string()),
+            "kind": pa.array([kind_of[n] for n in out_names], pa.string()),
+            "partial": pa.array([accs[n].to_bytes() for n in out_names], pa.large_binary()),
+            "n_rows": pa.array([n_of[n] for n in out_names], pa.int64()),
         }
     )
 
 
-def merge_partials(partials_ds, fan_in: int = 64) -> dict[str, SketchBase]:
-    """Tree-merge partial rows to one global sketch per name.
+def merge_partials(partials_ds, fan_in: int = 64, rounds: int = 1) -> dict[str, SketchBase]:
+    """Reduce partial rows to one global sketch per name — WITHOUT a shuffle.
 
-    One distributed round: hash-bucket partials into ``fan_in`` buckets per
-    sketch, merge each bucket in a ``map_groups`` task (the only shuffle —
-    payload is sketch-sized, not data-sized), then fold the ≤ fan_in
-    surviving rows on the driver. Associativity/commutativity of merge makes
-    the tree shape irrelevant to the result (tests/test_countmin.py)."""
-    import pyarrow.compute as pc
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        # spread partials across buckets round-robin-by-hash; any assignment
-        # works (merge is order-insensitive), uniformity is all that matters
-        h = np.arange(n, dtype=np.int64) % fan_in
-        return batch.append_column("bucket", pa.array(h, pa.int64()))
-
-    bucketed = partials_ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=fan_in * 4)
-    reduced = bucketed.groupby(["sketch", "bucket"]).map_groups(
-        lambda g: _merge_group(g.drop_columns(["bucket"])), batch_format="pyarrow"
-    )
+    Each round is a narrow ``map_batches(batch_size=fan_in)`` that folds
+    ~fan_in partial rows per task (any grouping is valid: merge is
+    associative + commutative, so the tree shape is irrelevant to the
+    result). ``rounds`` controls driver fan-in: after r rounds the driver
+    folds ≈ n_partials / fan_in^r rows. One round suffices up to
+    fan_in² partials; at 10^12-doc scale use rounds=2-3 (cost is a narrow
+    pass over KB-sized rows, never an all-to-all)."""
+    for _ in range(rounds):
+        partials_ds = partials_ds.map_batches(
+            _merge_batch, batch_format="pyarrow", batch_size=fan_in
+        )
     out: dict[str, SketchBase] = {}
-    for batch in reduced.iter_batches(batch_size=1024, batch_format="pyarrow"):
+    for batch in partials_ds.iter_batches(batch_size=fan_in, batch_format="pyarrow"):
         for name, raw in zip(batch.column("sketch").to_pylist(), batch.column("partial").to_pylist()):
             sk = sketch_from_bytes(raw)
             if name in out:
