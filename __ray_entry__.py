@@ -24,9 +24,17 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sketch_ray.pipelines import exact, sketch_queries
+    from sketch_ray.pipelines import dedup, exact, similarity, sketch_queries
 
     return {
+        # --- dedup / similarity (training-data ops; exact ones oracle-gated) ---
+        "exact_dedup_docs": dedup.exact_dedup_docs,
+        "jaccard_near_dups": lambda sf: dedup.jaccard_near_dups(sf, k=3, tau=0.5),
+        "minhash_lsh_near_dups": lambda sf: dedup.minhash_lsh_near_dups(sf, k=3, tau=0.8),
+        "simhash_near_dups": lambda sf: dedup.simhash_near_dups(sf, max_hamming=3),
+        "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
+        "ann_topk": lambda sf: similarity.ann_topk(sf, k=5, n_queries=8),
+        "lsh_ann_topk": lambda sf: similarity.lsh_ann_topk(sf, k=5, n_queries=8),
         # --- exact, oracle-gated (operator coverage: M1/M3/M8, A1-A6, T1-T2, J1) ---
         "top_tokens": lambda sf: exact.top_tokens(sf, k=20),
         "heavy_hitter_tokens": lambda sf: exact.heavy_hitter_tokens(sf, rel_threshold=0.02),
@@ -49,7 +57,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     tok = "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+    jaccard = """
+        WITH sh AS (
+            SELECT doc_id, unnest(range(len(string_split(text, ' ')) - 2)) AS i,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ), shing AS (
+            SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS s
+            FROM sh
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY da, db
+        )
+        SELECT da AS doc_a, db AS doc_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {tau}
+        ORDER BY doc_a, doc_b
+    """
+    cos = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
     return {
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "jaccard_near_dups": jaccard.format(tau=0.5),
+        "minhash_lsh_near_dups": jaccard.format(tau=0.8),
+        "embedding_near_dups": f"""
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id AND {cos} >= 0.4
+            ORDER BY vec_a, vec_b
+        """,
+        "ann_topk": f"""
+            SELECT a.vec_id AS query_id,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, b.vec_id) AS "rank",
+                   b.vec_id AS vec_id, round({cos}, 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
+            QUALIFY "rank" <= 5 ORDER BY query_id, "rank"
+        """,
         "top_tokens": f"""
             SELECT token, count(*) AS cnt FROM ({tok}) GROUP BY token
             ORDER BY cnt DESC, token ASC LIMIT 20

@@ -1,0 +1,218 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``embedding_near_dups``  exact all-pairs cosine >= tau: each batch does one
+  float64 matmul against the broadcast full matrix (``ray.put`` once, fetched
+  once per task, NOT per batch). Oracle-gated vs DuckDB
+  ``list_cosine_similarity``.
+- ``ann_topk``             brute-force top-k for a fixed query set: query
+  matrix broadcast, per-batch matmul + partial top-k, final exact top-k on
+  the (n_queries × k × n_batches)-sized partials. Oracle-gated.
+- ``lsh_ann_topk``         the scale path: random-hyperplane LSH buckets ->
+  search only the query's buckets (rows-only: approximate recall).
+
+Scale notes: brute force is O(N·d) per query batch and exists as the exact
+baseline/oracle anchor; at 10^9+ vectors the LSH variant bounds the scanned
+fraction, trading recall (multi-probe tables raise it). Vectors travel as
+zero-copy Arrow fixed-size lists; scores are float64 for cross-engine
+comparability, rounded to 6dp at the boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..kernels.hashing import splitmix64
+
+_U64 = np.uint64
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids int64[n], unit-normalized float64[n, d]) from a batch."""
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    d = len(flat) // max(len(ids), 1)
+    mat = flat.reshape(len(ids), d)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def _full_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _batch_matrix(t)
+
+
+def embedding_near_dups(sf_dir: str, tau: float = 0.4) -> pa.Table:
+    """EXACT pairs (vec_a < vec_b) with cosine similarity >= tau.
+
+    The full unit-normalized matrix is broadcast once via ``ray.put`` (small
+    side: N×d float64; at 5M×256 ≈ 10 GB you would switch to the LSH-bucketed
+    variant); each batch computes batch × matrixᵀ and emits qualifying pairs
+    with a<b so every pair appears exactly once."""
+    ids_all, mat_all = _full_matrix(sf_dir)
+    ref = ray.put((ids_all, mat_all))
+
+    class PairFinder:
+        def __init__(self, ref, tau):
+            self.ids_all, self.mat_all = ray.get(ref)
+            self.tau = tau
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _batch_matrix(batch)
+            sims = mat @ self.mat_all.T
+            ia, ib = np.nonzero(sims >= self.tau)
+            a, b = ids[ia], self.ids_all[ib]
+            keep = a < b
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[keep], pa.int64()),
+                    "vec_b": pa.array(b[keep], pa.int64()),
+                    "cosine": pa.array(np.round(sims[ia, ib][keep], 6), pa.float64()),
+                }
+            )
+
+    out = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        PairFinder, fn_constructor_args=(ref, tau), concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    df = out.to_pandas()
+    if "vec_a" not in df.columns:
+        df = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                           "vec_b": pd.Series([], dtype="int64"),
+                           "cosine": pd.Series([], dtype="float64")})
+    df = df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
+    """Exact top-k cosine neighbors for query vectors vec_id < n_queries
+    (self excluded). Per-batch partial top-k + driver merge of the
+    (n_queries × k)-sized partials — the distributed top-k pattern.
+    Returns (query_id, rank, vec_id, cosine)."""
+    ids_all, mat_all = _full_matrix(sf_dir)
+    qmask = ids_all < n_queries
+    q_ids, q_mat = ids_all[qmask], mat_all[qmask]
+    ref = ray.put((q_ids, q_mat))
+
+    class TopK:
+        def __init__(self, ref, k):
+            self.q_ids, self.q_mat = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _batch_matrix(batch)
+            sims = self.q_mat @ mat.T  # (nq, nb)
+            nq, nb = sims.shape
+            kk = min(self.k + 1, nb)  # +1: self may be in this batch
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(self.q_ids, kk)
+            cols = ids[part.reshape(-1)]
+            vals = np.take_along_axis(sims, part, axis=1).reshape(-1)
+            return pa.table(
+                {
+                    "query_id": pa.array(rows, pa.int64()),
+                    "vec_id": pa.array(cols, pa.int64()),
+                    "cosine64": pa.array(vals, pa.float64()),
+                }
+            )
+
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        TopK, fn_constructor_args=(ref, k), concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=4096,
+    ).to_pandas()
+    out_rows = []
+    for q, g in partials.groupby("query_id"):
+        g = g[g["vec_id"] != q]
+        g = g.sort_values(["cosine64", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            out_rows.append((int(q), rank, int(r["vec_id"]), round(float(r["cosine64"]), 6)))
+    df = pd.DataFrame(out_rows, columns=["query_id", "rank", "vec_id", "cosine"])
+    df = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64"}),
+                                preserve_index=False)
+
+
+def _hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from counter-hash bits
+    (no np.random: every worker regenerates the identical planes)."""
+    n = d * n_bits
+    h = splitmix64(np.arange(n, dtype=_U64) + _U64(seed) * _U64(0x9E3779B1))
+    # map uint64 -> approx N(0,1) via sum of 4 uniform 16-bit fields (CLT)
+    parts = np.stack([((h >> _U64(16 * i)) & _U64(0xFFFF)).astype(np.float64) for i in range(4)])
+    g = (parts.sum(axis=0) / 65535.0 - 2.0) * np.sqrt(3.0)
+    return g.reshape(n_bits, d)
+
+
+def lsh_ann_topk(
+    sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 8, seed: int = 42
+) -> pa.Table:
+    """Approximate top-k: random-hyperplane signatures bucket the corpus; each
+    query searches only its own bucket (single-probe, one table — the
+    honest-scale baseline; recall rises with multi-probe/multi-table).
+    Returns (query_id, rank, vec_id, cosine) — rows-only gated."""
+    ids_all, mat_all = _full_matrix(sf_dir)
+    planes = _hyperplanes(mat_all.shape[1], n_bits, seed)
+    qmask = ids_all < n_queries
+    q_ids, q_mat = ids_all[qmask], mat_all[qmask]
+    q_sig = ((q_mat @ planes.T) > 0) @ (1 << np.arange(n_bits))
+    ref = ray.put((q_ids, q_mat, q_sig, planes))
+
+    class BucketTopK:
+        def __init__(self, ref, k):
+            self.q_ids, self.q_mat, self.q_sig, self.planes = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _batch_matrix(batch)
+            sig = ((mat @ self.planes.T) > 0) @ (1 << np.arange(self.planes.shape[0]))
+            rows_q, rows_v, rows_c = [], [], []
+            for qi, qs in zip(range(len(self.q_ids)), self.q_sig):
+                sel = sig == qs
+                if not sel.any():
+                    continue
+                sims = mat[sel] @ self.q_mat[qi]
+                cand_ids = ids[sel]
+                kk = min(self.k + 1, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                rows_q.extend([self.q_ids[qi]] * kk)
+                rows_v.extend(cand_ids[top].tolist())
+                rows_c.extend(sims[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int64()),
+                    "vec_id": pa.array(rows_v, pa.int64()),
+                    "cosine64": pa.array(rows_c, pa.float64()),
+                }
+            )
+
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        BucketTopK, fn_constructor_args=(ref, k), concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=4096,
+    ).to_pandas()
+    out_rows = []
+    if len(partials):
+        for q, g in partials.groupby("query_id"):
+            g = g[g["vec_id"] != q]
+            g = g.sort_values(["cosine64", "vec_id"], ascending=[False, True]).head(k)
+            for rank, (_, r) in enumerate(g.iterrows(), start=1):
+                out_rows.append((int(q), rank, int(r["vec_id"]), round(float(r["cosine64"]), 6)))
+    df = pd.DataFrame(out_rows, columns=["query_id", "rank", "vec_id", "cosine"])
+    df = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64", "cosine": "float64"}),
+        preserve_index=False)

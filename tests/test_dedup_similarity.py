@@ -1,0 +1,171 @@
+"""Dedup + similarity-search pipeline tests (sf0.001, DuckDB cross-checks)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+# -- kernels (no Ray) --------------------------------------------------------
+
+def test_shingle_hashes_window_semantics():
+    from sketch_ray.pipelines.dedup import _shingle_hashes
+
+    th = np.arange(10, dtype=np.uint64)
+    offsets = np.array([0, 5, 10], dtype=np.int64)  # two docs of 5 tokens
+    sh, di = _shingle_hashes(th, offsets, k=3)
+    assert len(sh) == 6  # 3 windows per doc, none across the boundary
+    assert (di == np.array([0, 0, 0, 1, 1, 1])).all()
+
+
+def test_minhash_estimates_jaccard():
+    from sketch_ray.pipelines.dedup import _minhash_signatures
+
+    rng = np.random.default_rng(0)
+    base = [f"tok{i}" for i in range(60)]
+    a = " ".join(base)
+    b = " ".join(base[:48] + [f"other{i}" for i in range(12)])  # J ~ 0.48/0.6
+    batch = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array([a, b])})
+    ids, sig = _minhash_signatures(batch, k=3, num_perm=256, seed=42)
+    est = (sig[0] == sig[1]).mean()
+    # true jaccard of 3-shingles of these token streams
+    sa = {tuple(base[i:i + 3]) for i in range(58)}
+    toks_b = base[:48] + [f"other{i}" for i in range(12)]
+    sb = {tuple(toks_b[i:i + 3]) for i in range(58)}
+    true_j = len(sa & sb) / len(sa | sb)
+    assert abs(est - true_j) < 0.12  # 256 perms -> s.e. ~ 0.03
+
+
+def test_simhash_identical_and_different():
+    from sketch_ray.pipelines.dedup import _simhash
+
+    t = "the quick brown fox jumps over the lazy dog"
+    batch = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "text": pa.array([t, t, "completely different words entirely unrelated"])})
+    ids, sigs = _simhash(batch)
+    assert sigs[0] == sigs[1]
+    assert bin(int(sigs[0] ^ sigs[2])).count("1") > 10
+
+
+# -- pipelines vs DuckDB (exact semantics) -----------------------------------
+
+def test_exact_dedup_matches_duckdb(ray_session):
+    from sketch_ray.pipelines.dedup import exact_dedup_docs
+
+    got = exact_dedup_docs(SF).to_pandas()
+    want = _duck().execute(
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
+        "GROUP BY text ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype({"n_copies": got["n_copies"].dtype}))
+
+
+def test_jaccard_near_dups_matches_duckdb(ray_session):
+    from sketch_ray.pipelines.dedup import jaccard_near_dups
+
+    got = jaccard_near_dups(SF, k=3, tau=0.5).to_pandas()
+    want = _duck().execute("""
+        WITH sh AS (
+            SELECT doc_id, unnest(range(len(string_split(text,' '))-2)) AS i,
+                   string_split(text,' ') AS toks FROM documents
+        ), shing AS (
+            SELECT DISTINCT doc_id, array_to_string(list_slice(toks,i+1,i+3),' ') AS s FROM sh
+        ), sizes AS (SELECT doc_id, count(*) n FROM shing GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id da, b.doc_id db, count(*) i FROM shing a JOIN shing b
+            ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY da, db)
+        SELECT da AS doc_a, db AS doc_b, round(i*1.0/(sa.n+sb.n-i),6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id=da JOIN sizes sb ON sb.doc_id=db
+        WHERE round(i*1.0/(sa.n+sb.n-i),6) >= 0.5 ORDER BY doc_a, doc_b
+    """).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(ray_session):
+    from sketch_ray.pipelines.dedup import jaccard_near_dups, minhash_lsh_near_dups
+
+    exact = jaccard_near_dups(SF, k=3, tau=0.8).to_pandas()
+    lsh = minhash_lsh_near_dups(SF, k=3, tau=0.8).to_pandas()
+    pd.testing.assert_frame_equal(lsh, exact.astype(lsh.dtypes.to_dict()))
+
+
+def test_simhash_near_dups_deterministic(ray_session):
+    from sketch_ray.pipelines.dedup import simhash_near_dups
+
+    a = simhash_near_dups(SF).to_pandas()
+    b = simhash_near_dups(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # symmetric sanity: doc_a < doc_b everywhere, hamming within bound
+    if len(a):
+        assert (a["doc_a"] < a["doc_b"]).all()
+        assert (a["hamming"] <= 3).all()
+
+
+def test_embedding_near_dups_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.similarity import embedding_near_dups
+
+    got = embedding_near_dups(SF, tau=0.35).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ia, ib = np.nonzero(np.triu(sims >= 0.35, 1))
+    want = pd.DataFrame({
+        "vec_a": ids[ia], "vec_b": ids[ib], "cosine": np.round(sims[ia, ib], 6)
+    }).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_ann_topk_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.similarity import ann_topk
+
+    got = ann_topk(SF, k=3, n_queries=4).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    rows = []
+    for q in range(4):
+        qi = np.flatnonzero(ids == q)[0]
+        sims = m @ m[qi]
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        order = [i for i in order if ids[i] != q][:3]
+        for rank, i in enumerate(order, 1):
+            rows.append((q, rank, int(ids[i]), round(float(sims[i]), 6)))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_lsh_ann_is_subset_with_exact_scores(ray_session):
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.similarity import lsh_ann_topk
+
+    got = lsh_ann_topk(SF, k=3, n_queries=4).to_pandas()
+    # every reported neighbor's cosine must equal the true cosine
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for _, r in got.iterrows():
+        true = float(m[idx[int(r["query_id"])]] @ m[idx[int(r["vec_id"])]])
+        assert abs(round(true, 6) - r["cosine"]) < 1e-9
