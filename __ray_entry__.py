@@ -24,9 +24,18 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sketch_ray.pipelines import dedup, exact, similarity, sketch_queries
+    from sketch_ray.pipelines import dedup, exact, similarity, sketch_queries, text_analysis
+    from sketch_ray.stages import multimodal
 
     return {
+        # --- text analysis (exact ones oracle-gated) ---
+        "quality_scores": text_analysis.quality_scores,
+        "regex_token_stats": text_analysis.regex_token_stats,
+        "lang_id": text_analysis.lang_id,
+        "doc_fingerprints": text_analysis.doc_fingerprints,
+        # --- multimodal plumbing ---
+        "payload_stats": multimodal.payload_stats,
+        "multimodal_features": multimodal.multimodal_features,
         # --- dedup / similarity (training-data ops; exact ones oracle-gated) ---
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "jaccard_near_dups": lambda sf: dedup.jaccard_near_dups(sf, k=3, tau=0.5),
@@ -79,7 +88,25 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_a, doc_b
     """
     cos = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    stop_list = ", ".join(f"'{w}'" for w in ("the", "a", "and", "of", "to", "in", "is", "it"))
     return {
+        "quality_scores": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   round(len(list_filter(string_split(text, ' '), t -> t IN ({stop_list})))
+                         * 1.0 / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+                   round((length(text) - (len(string_split(text, ' ')) - 1))
+                         * 1.0 / greatest(len(string_split(text, ' ')), 1), 6) AS mean_token_len
+            FROM documents ORDER BY doc_id
+        """,
+        "regex_token_stats": """
+            SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_regex_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "payload_stats": """
+            SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_bytes
+            FROM documents ORDER BY doc_id
+        """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id

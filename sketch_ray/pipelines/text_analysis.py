@@ -1,0 +1,183 @@
+"""Text-analysis operators over ``documents``: quality scoring, regex token
+counting, language ID, document fingerprinting.
+
+All hot paths are vectorized Arrow/numpy kernels inside ``map_batches``
+(``pc.split_pattern`` / ``pc.count_substring_regex`` / columnar hashing) —
+no per-row Python in any per-token stage. Quality and regex stats are exact
+and SQL-oracle-gated; language ID and fingerprints are deterministic
+(seeded) and rows-only gated with pytest-pinned behavior.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernels.hashing import hash_arrow_strings, splitmix64
+from ..stages.tokenize import flat_tokens
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+WORD_RE = "[a-z]+|[0-9]+"
+
+_U64 = np.uint64
+
+# tiny deterministic per-language marker profiles (n-gram-heuristic stand-in;
+# a real model would load in an actor's __init__ — same plumbing)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def quality_scores(sf_dir: str) -> pa.Table:
+    """Per-document quality features (exact, oracle-gated):
+    n_tokens, stopword_ratio, mean_token_len — the standard cheap quality
+    filters of a web-corpus pipeline, all from two vectorized kernels."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stop_set = pa.array(list(STOPWORDS), pa.large_string())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nchr = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=stop_set.cast(flat.type)).to_numpy(zero_copy_only=False)
+        doc_index = np.repeat(np.arange(len(ntok)), ntok)
+        n_stop = np.zeros(len(ntok), dtype=np.int64)
+        np.add.at(n_stop, doc_index, is_stop.astype(np.int64))
+        denom = np.maximum(ntok, 1)
+        stop_ratio = np.round(n_stop / denom, 6)
+        # tokens are single-space joined => total token chars = n_chars - (n_tokens - 1)
+        mean_len = np.round((nchr - (ntok - 1)) / denom, 6)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+                "mean_token_len": pa.array(mean_len, pa.float64()),
+            }
+        )
+
+    df = ds.map_batches(stats, batch_format="pyarrow", batch_size=8192).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def regex_token_stats(sf_dir: str) -> pa.Table:
+    """BPE-ish regex token counting (exact, oracle-gated): number of
+    ``[a-z]+|[0-9]+`` matches per document via the vectorized RE2 kernel."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        n = pc.count_substring_regex(text, WORD_RE).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_regex_tokens": n})
+
+    df = ds.map_batches(stats, batch_format="pyarrow", batch_size=8192).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+class LangId:
+    """Actor-pool language-ID stage: marker tables built once per actor in
+    ``__init__`` (the load-model-once pattern, SURVEY.md §2.3 T4), scoring
+    vectorized per batch. Deterministic; ties break by language name."""
+
+    def __init__(self):
+        self.langs = sorted(LANG_MARKERS)
+        self.marker_sets = [
+            pa.array(list(LANG_MARKERS[lang]), pa.large_string()) for lang in self.langs
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_index = np.repeat(np.arange(len(ntok)), ntok)
+        scores = np.zeros((len(ntok), len(self.langs)), dtype=np.int64)
+        for j, markers in enumerate(self.marker_sets):
+            hit = pc.is_in(flat, value_set=markers.cast(flat.type)).to_numpy(zero_copy_only=False)
+            np.add.at(scores[:, j], doc_index, hit.astype(np.int64))
+        best = scores.argmax(axis=1)  # argmax takes first max -> ties by lang name order
+        conf = np.round(scores[np.arange(len(ntok)), best] / np.maximum(ntok, 1), 6)
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[scores.max(axis=1) == 0] = "und"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(pred.tolist(), pa.string()),
+                "confidence": pa.array(conf, pa.float64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    """Predicted language per document (rows-only: heuristic output)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = ds.map_batches(LangId, concurrency=(1, 4), batch_format="pyarrow",
+                        batch_size=8192).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _char_ngram_hashes(text: pa.Array, n: int, seed: int):
+    """Rolling char-n-gram hashes per doc: (hashes uint64[m], doc_index)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    # byte-level rolling hash over the utf8 buffer, windows clipped per doc
+    buffers = text.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(text.type) else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype, count=len(text) + 1 + text.offset)
+    offsets = offsets[text.offset : text.offset + len(text) + 1].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    lens = np.diff(offsets)
+    total = int(offsets[-1] - offsets[0])
+    if total < n:
+        return np.empty(0, _U64), np.empty(0, np.int64)
+    vals = data[offsets[0]: offsets[-1]].astype(_U64)
+    m = total - n + 1
+    acc = vals[:m].copy()
+    for j in range(1, n):
+        acc = acc * _U64(0x100000001B3) + vals[j : j + m]
+    doc_index = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    valid = doc_index[:m] == doc_index[n - 1 :]
+    return splitmix64(acc[valid] ^ splitmix64(np.array([seed], _U64))[0]), doc_index[:m][valid]
+
+
+def doc_fingerprints(sf_dir: str, n: int = 5, seed: int = 42) -> pa.Table:
+    """64-bit content fingerprints (rows-only): min-hash of rolling char
+    n-grams (winnowing-style robust fingerprint — stable under small edits)
+    plus the exact content hash. Deterministic given (n, seed)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        h_exact = hash_arrow_strings(text, seed=1)
+        grams, doc_index = _char_ngram_hashes(text, n, seed)
+        fp_min = np.full(len(batch), np.iinfo(np.uint64).max, dtype=_U64)
+        if len(grams):
+            np.minimum.at(fp_min, doc_index, grams)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(fp_min.astype(np.int64), pa.int64()),
+                "content_hash": pa.array(h_exact.astype(np.int64), pa.int64()),
+            }
+        )
+
+    df = ds.map_batches(fp, batch_format="pyarrow", batch_size=8192).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -1,0 +1,101 @@
+"""Text-analysis + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lang_id_marker_semantics():
+    from sketch_ray.pipelines.text_analysis import LangId
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog of the house is here",
+                    "el que la de los gatos",
+                    "der hund und die katze das ist",
+                    "xyzzy qwerty plugh",  # no markers -> und
+                ]
+            ),
+        }
+    )
+    out = LangId()(batch).to_pandas()
+    assert out["pred_lang"].tolist() == ["en", "es", "de", "und"]
+    assert (out["confidence"][:3] > 0).all()
+
+
+def test_fingerprint_stable_under_identity_and_sensitive_to_edits():
+    from sketch_ray.pipelines.text_analysis import _char_ngram_hashes
+
+    t1 = pa.array(["abcdefghij klmnop qrstuv"], pa.string())
+    h1, _ = _char_ngram_hashes(t1.combine_chunks() if isinstance(t1, pa.ChunkedArray) else t1, 5, 42)
+    h2, _ = _char_ngram_hashes(t1, 5, 42)
+    assert (h1 == h2).all()
+    t3 = pa.array(["abcdefghij klmnop qrstuX"], pa.string())
+    h3, _ = _char_ngram_hashes(t3, 5, 42)
+    # rolling window: only the trailing windows change
+    assert (np.sort(h1) != np.sort(h3)).any()
+    assert len(np.intersect1d(h1, h3)) > len(h1) // 2
+
+
+def test_quality_scores_formulae(ray_session):
+    from sketch_ray.pipelines.text_analysis import quality_scores
+
+    out = quality_scores(SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    row = docs.iloc[0]
+    toks = row["text"].split(" ")
+    got = out[out["doc_id"] == row["doc_id"]].iloc[0]
+    assert got["n_tokens"] == len(toks)
+    from sketch_ray.pipelines.text_analysis import STOPWORDS
+
+    assert got["stopword_ratio"] == round(sum(t in STOPWORDS for t in toks) / len(toks), 6)
+    assert got["mean_token_len"] == round(sum(len(t) for t in toks) / len(toks), 6)
+
+
+def test_multimodal_decode_stub_modes():
+    from sketch_ray.stages.multimodal import DecodeImage, attach_payload
+
+    batch = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["hello world", "another doc"])})
+    mm = attach_payload(batch)
+    assert mm.column("payload").type == pa.large_binary()
+    assert mm.column("media_type")[0].as_py() == "image/fake"
+
+    dec = DecodeImage(mode="fake", side=8)
+    out = dec(mm)
+    assert out.column("pixels").type.list_size == 64
+    # deterministic: same payload -> same pixels
+    out2 = DecodeImage(mode="fake", side=8)(mm)
+    assert out.column("pixels").to_pylist() == out2.column("pixels").to_pylist()
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(mode="real")(mm)
+
+
+def test_frame_sampling():
+    from sketch_ray.stages.multimodal import sample_frames
+
+    batch = pa.table({"doc_id": pa.array(list(range(10)), pa.int64())})
+    out = sample_frames(batch, every=3)
+    assert out.column("doc_id").to_pylist() == [0, 3, 6, 9]
+
+
+def test_multimodal_pipeline_end_to_end(ray_session):
+    from sketch_ray.stages.multimodal import multimodal_features
+
+    a = multimodal_features(SF).to_pandas()
+    b = multimodal_features(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)  # deterministic across runs
+    assert set(a.columns) == {"doc_id", "feat_mean", "feat_std", "feat_edge"}
+    assert len(a) > 0 and a["feat_std"].gt(0).all()
