@@ -1,0 +1,5 @@
+"""Checkpoint / resume / lineage for long-running distributed builds."""
+
+from .checkpoint import CheckpointedBuild
+
+__all__ = ["CheckpointedBuild"]
