@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- exact, oracle-gated (operator coverage: M1/M3/M8, A1-A6, T1-T2, J1) ---
         "top_tokens": lambda sf: exact.top_tokens(sf, k=20),
         "heavy_hitter_tokens": lambda sf: exact.heavy_hitter_tokens(sf, rel_threshold=0.02),
+        "emerging_tokens": lambda sf: exact.emerging_tokens(sf, rel_threshold=0.01, growth=2),
         "bigram_counts_min": lambda sf: exact.bigram_counts_min(sf, min_cnt=25),
         "tokens_per_lang": exact.tokens_per_lang,
         "distinct_sources_per_lang": exact.distinct_sources_per_lang,
@@ -135,6 +136,25 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS ({tok}), total AS (SELECT count(*) AS n FROM t)
             SELECT token, count(*) AS cnt FROM t GROUP BY token
             HAVING count(*) >= (SELECT ceil(0.02 * n) FROM total)
+            ORDER BY token
+        """,
+        "emerging_tokens": """
+            WITH test_t AS (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE n_chars >= 300
+            ), ctrl_t AS (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE n_chars < 300
+            ), thr AS (
+                SELECT greatest(1, ceil(0.01 * count(*))) AS t FROM test_t
+            ), tc AS (
+                SELECT token, count(*) AS test_cnt FROM test_t GROUP BY token
+                HAVING count(*) >= (SELECT t FROM thr)
+            ), cc AS (
+                SELECT token, count(*) AS control_cnt FROM ctrl_t GROUP BY token
+            )
+            SELECT tc.token, tc.test_cnt,
+                   coalesce(cc.control_cnt, 0) AS control_cnt
+            FROM tc LEFT JOIN cc USING (token)
+            WHERE tc.test_cnt // 2 - coalesce(cc.control_cnt, 0) > 0
             ORDER BY token
         """,
         "bigram_counts_min": """

@@ -69,6 +69,7 @@ def exact_dedup_docs(sf_dir: str) -> pa.Table:
 
     agg = (
         ds.map_batches(hashes, batch_format="pyarrow", batch_size=8192)
+        .repartition(32)  # sort-shuffle groupby degrades on few blocks
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )
@@ -143,12 +144,15 @@ def _shared_group_rows(rows_ds, key_col: str, max_df: int):
 
     Returns the filtered rows as pandas — sized by duplicated content, not
     by the corpus."""
-    counts = rows_ds.groupby(key_col).aggregate(Count(alias_name="df"))
-    hot = counts.filter(expr=f"df >= 2 and df <= {int(max_df)}")
-    hot_keys = hot.to_pandas()[key_col].to_numpy().astype(np.int64)
-    n_capped = counts.filter(expr=f"df > {int(max_df)}").count()
+    # Ray's sort-based groupby degrades badly on low block counts (measured
+    # 15s -> 3s on 160k rows); spread the rows before the shuffle
+    counts = rows_ds.repartition(32).groupby(key_col).aggregate(Count(alias_name="df"))
+    shared_df = counts.filter(expr="df >= 2").to_pandas()  # dup clusters only
+    n_capped = int((shared_df["df"] > max_df).sum()) if len(shared_df) else 0
     if n_capped:
         print(f"[dedup] dropped {n_capped} {key_col} groups with df > {max_df} (boilerplate cap)")
+        shared_df = shared_df[shared_df["df"] <= max_df]
+    hot_keys = shared_df[key_col].to_numpy().astype(np.int64)
     value_set = pa.array(hot_keys, pa.int64())
 
     def semi(batch: pa.Table) -> pa.Table:
@@ -157,24 +161,43 @@ def _shared_group_rows(rows_ds, key_col: str, max_df: int):
     return rows_ds.map_batches(semi, batch_format="pyarrow", batch_size=65536).to_pandas()
 
 
+def _concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized concatenation of ranges start_i .. start_i+len_i-1."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.repeat(starts, lens) + (np.arange(total) - np.repeat(offs, lens))
+
+
 def _pairs_by_key(rows: pd.DataFrame, key_col: str) -> pd.DataFrame:
     """(doc_id, key) rows -> all within-key doc pairs (doc_a < doc_b),
-    one row per (pair, key) occurrence. Vectorized per group."""
-    out_a, out_b = [], []
-    if len(rows):
-        rows = rows.sort_values([key_col, "doc_id"])
-        keys = rows[key_col].to_numpy()
-        docs = rows["doc_id"].to_numpy()
-        bounds = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1], [True]]))
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            g = np.unique(docs[s:e])
-            if len(g) > 1:
-                ia, ib = np.triu_indices(len(g), 1)
-                out_a.append(g[ia]); out_b.append(g[ib])
-    if not out_a:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+    one row per (pair, key) occurrence. Fully vectorized: no per-group loop
+    (pair index arrays built with a repeat/cumsum range expansion)."""
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64")})
+    if not len(rows):
+        return empty
+    order = np.lexsort((rows["doc_id"].to_numpy(), rows[key_col].to_numpy()))
+    keys = rows[key_col].to_numpy()[order]
+    docs = rows["doc_id"].to_numpy()[order]
+    # dedup (key, doc) repeats (shingle rows are distinct by construction,
+    # but band/block rows may not be)
+    first = np.concatenate([[True], (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1])])
+    keys, docs = keys[first], docs[first]
+    n = len(docs)
+    group_start_mask = np.concatenate([[True], keys[1:] != keys[:-1]])
+    group_id = np.cumsum(group_start_mask) - 1
+    starts = np.flatnonzero(group_start_mask)
+    g_sizes = np.diff(np.concatenate([starts, [n]]))
+    group_end = (starts + g_sizes)[group_id]          # end index of own group
+    idx = np.arange(n)
+    c = group_end - idx - 1                            # partners after me
+    if int(c.sum()) == 0:
+        return empty
+    left = np.repeat(idx, c)
+    right = _concat_ranges(idx + 1, c)
+    return pd.DataFrame({"doc_a": docs[left], "doc_b": docs[right]})
 
 
 def jaccard_near_dups(
@@ -188,10 +211,12 @@ def jaccard_near_dups(
     J = i / (|A| + |B| - i) with sizes from a parallel distributed
     aggregate. Any pair with J > 0 shares a shingle => coverage is exact."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialize: three consumers (sizes, df-counts, semi-filter) would
+    # otherwise re-run the shingling scan three times; rows are 16 B/shingle
+    # (hash + doc id), spillable, ~linear in corpus token count
     shingles = ds.map_batches(
         lambda b: _shingle_rows(b, k), batch_format="pyarrow", batch_size=4096
-    )
-    sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
+    ).materialize()
 
     shared = _shared_group_rows(shingles, "shingle", max_df)
     pair_rows = _pairs_by_key(shared, "shingle")
@@ -199,14 +224,20 @@ def jaccard_near_dups(
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
     pairs = pair_rows.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "n_inter"})
-    # sizes only for docs that appear in a pair (semi-filter, stays small)
+    # shingle-set sizes only for docs that appear in a pair: narrow semi-
+    # filtered pass over the materialized rows, partial counts summed on the
+    # driver (candidate count is pair-bounded, small) — no groupby shuffle
     cand_docs = pa.array(np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])), pa.int64())
+
+    def size_partials(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.is_in(b["doc_id"], value_set=cand_docs))
+        vc = pc.value_counts(sub["doc_id"].combine_chunks())
+        return pa.table({"doc_id": vc.field("values"),
+                         "partial": vc.field("counts").cast(pa.int64())})
+
     sizes = (
-        sizes_ds.map_batches(
-            lambda b: b.filter(pc.is_in(b["doc_id"], value_set=cand_docs)),
-            batch_format="pyarrow", batch_size=65536,
-        )
-        .to_pandas().set_index("doc_id")["n_shingles"]
+        shingles.map_batches(size_partials, batch_format="pyarrow", batch_size=65536)
+        .to_pandas().groupby("doc_id")["partial"].sum()
     )
     na = sizes.loc[pairs["doc_a"]].to_numpy()
     nb = sizes.loc[pairs["doc_b"]].to_numpy()
@@ -234,13 +265,16 @@ def _minhash_signatures(batch: pa.Table, k: int, num_perm: int, seed: int):
         order = np.argsort(d, kind="stable")
         d_sorted, s_sorted = d[order], s[order]
         uniq_docs, starts = np.unique(d_sorted, return_index=True)
-        row_of = {int(doc): i for i, doc in enumerate(doc_ids)}
-        rows = np.array([row_of[int(x)] for x in uniq_docs], dtype=np.int64)
+        rows = np.searchsorted(doc_ids, uniq_docs) if np.all(np.diff(doc_ids) > 0) else np.array(
+            [{int(x): i for i, x in enumerate(doc_ids)}[int(u)] for u in uniq_docs], dtype=np.int64)
         seeds = splitmix64(np.arange(num_perm, dtype=_U64) + _U64(seed) * _U64(0x100000001B3))
-        for j in range(num_perm):
-            pj = splitmix64(s_sorted ^ seeds[j])
-            mins = np.minimum.reduceat(pj, starts)
-            sig[rows, j] = mins
+        # chunk permutations so the (n_shingles × chunk) matrix stays small;
+        # 2-D reduceat does the per-doc segmented min for all chunk columns
+        chunk = 16
+        for c0 in range(0, num_perm, chunk):
+            cs = seeds[c0 : c0 + chunk]
+            pj = splitmix64((s_sorted[:, None] ^ cs[None, :]).reshape(-1)).reshape(len(s_sorted), len(cs))
+            sig[rows, c0 : c0 + chunk] = np.minimum.reduceat(pj, starts, axis=0)
     return doc_ids, sig
 
 
@@ -289,11 +323,13 @@ def minhash_lsh_near_dups(
     # the bucket hash is salted with the band index, so `bucket` alone is the
     # group key (a cross-band collision only adds a candidate pair, which
     # exact verification then prunes)
+    # materialize: signature computation is the expensive stage and the df
+    # count + semi-filter would re-run it; band rows are 16 B × bands per doc
     band_ds = ds.map_batches(
         lambda b: _band_rows(b, k, num_perm, bands, seed),
         batch_format="pyarrow",
         batch_size=4096,
-    ).select_columns(["doc_id", "bucket"])
+    ).select_columns(["doc_id", "bucket"]).materialize()
 
     shared = _shared_group_rows(band_ds, "bucket", max_bucket)
     cand_df = _pairs_by_key(shared, "bucket").drop_duplicates(["doc_a", "doc_b"])
@@ -341,13 +377,15 @@ def _simhash(batch: pa.Table, seed: int = 11) -> tuple[np.ndarray, np.ndarray]:
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     n_docs = len(doc_ids)
     doc_index = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
-    # bit matrix contributions: +1 where bit set, -1 where clear
-    bits = ((th[:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)).astype(np.int64)
-    contrib = 2 * bits - 1
-    sums = np.zeros((n_docs, 64), dtype=np.int64)
-    np.add.at(sums, doc_index, contrib)
-    sig = (sums > 0).astype(np.uint64) << np.arange(64, dtype=_U64)[None, :]
-    return doc_ids, sig.sum(axis=1, dtype=np.uint64)
+    # unpack hash bits as uint8 (little-endian within each uint64) and
+    # accumulate per-doc set-bit counts; sign test: ones > n_tokens/2
+    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    ones = np.zeros((n_docs, 64), dtype=np.int64)
+    np.add.at(ones, doc_index, bits.astype(np.int64))
+    ntok_per_doc = np.diff(offsets)
+    sig_bits = (2 * ones > ntok_per_doc[:, None]).astype(np.uint64)
+    sig = (sig_bits << np.arange(64, dtype=_U64)[None, :]).sum(axis=1, dtype=np.uint64)
+    return doc_ids, sig
 
 
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
@@ -373,7 +411,8 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
             }
         )
 
-    sig_ds = ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=8192)
+    # materialize: 4 narrow rows per doc; consumed by df-count + semi-filter
+    sig_ds = ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=8192).materialize()
 
     shared = _shared_group_rows(sig_ds.select_columns(["doc_id", "sig", "blockkey"]),
                                 "blockkey", max_df=100000)

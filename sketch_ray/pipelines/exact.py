@@ -80,6 +80,38 @@ def heavy_hitter_tokens(sf_dir: str, rel_threshold: float = 0.02) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def emerging_tokens(sf_dir: str, rel_threshold: float = 0.01, growth: int = 2) -> pa.Table:
+    """The reference's flagship emerging-heavy-hitter pipeline
+    (src/sketch.cpp:48-289) over a deterministic snapshot split: test corpus =
+    long documents (n_chars >= 300), control = the rest. A token is *emerging*
+    iff its exact test count >= threshold AND
+    floor(test_cnt / growth) - control_cnt > 0 (scale src/sketch.cpp:179-183,
+    probe src/sketch.cpp:222-227, prune src/sketch.cpp:238-245).
+    Returns (token, test_cnt, control_cnt)."""
+    from ..stages.sketch_build import SketchSpec
+    from .heavy_hitters import emerging_heavy_hitters
+
+    def side(is_test: bool):
+        def pick(batch: pa.Table) -> pa.Table:
+            long_doc = pc.greater_equal(batch["n_chars"].combine_chunks(), 300)
+            keep = long_doc if is_test else pc.invert(long_doc)
+            return batch.filter(keep).select(["text"])
+
+        return _read(sf_dir, "documents", ["n_chars", "text"]).map_batches(
+            pick, batch_format="pyarrow", batch_size=8192
+        )
+
+    total = side(True).map_batches(
+        lambda b: pa.table({"n": pa.array([pc.sum(pc.list_value_length(pc.split_pattern(b["text"].combine_chunks(), " "))).as_py() or 0], pa.int64())}),
+        batch_format="pyarrow", batch_size=8192,
+    ).sum("n")
+    threshold = max(1, int(np.ceil(rel_threshold * total)))
+    spec = SketchSpec("em", "cmcu", "text", mode="tokens", params={"width": 1 << 14, "seed": 42})
+    out = emerging_heavy_hitters(side(True), side(False), spec, threshold, growth=growth)
+    out = out.sort_values("token").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def bigram_counts_min(sf_dir: str, min_cnt: int = 25) -> pa.Table:
     """Exact word-bigram counts ≥ min_cnt (multi-length n-gram operator M3)."""
     ds = _read(sf_dir, "documents", ["text"])
@@ -154,7 +186,17 @@ def len_histogram(sf_dir: str) -> pa.Table:
     """Exact histogram of n_chars (the bounded-cardinality exact-quantile
     base; groupby over a numeric key)."""
     ds = _read(sf_dir, "documents", ["n_chars"])
-    agg = ds.groupby("n_chars").aggregate(Count(alias_name="cnt"))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["n_chars"].combine_chunks())
+        return pa.table({"n_chars": vc.field("values"),
+                         "partial": vc.field("counts").cast(pa.int64())})
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+        .groupby("n_chars")
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
     df = agg.to_pandas().sort_values("n_chars").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
