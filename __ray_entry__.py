@@ -24,10 +24,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sketch_ray.pipelines import dedup, exact, similarity, sketch_queries, text_analysis
+    from sketch_ray.pipelines import dedup, exact, relational, similarity, sketch_queries, text_analysis
     from sketch_ray.stages import multimodal
 
     return {
+        # --- relational: broadcast joins, windows, sessionization ---
+        "revenue_per_nation": relational.revenue_per_nation,
+        "pricing_summary": relational.pricing_summary,
+        "events_daily_windows": relational.events_daily_windows,
+        "sessionize_users": lambda sf: relational.sessionize_users(sf, gap_minutes=30),
         # --- text analysis (exact ones oracle-gated) ---
         "quality_scores": text_analysis.quality_scores,
         "regex_token_stats": text_analysis.regex_token_stats,
@@ -91,6 +96,47 @@ def oracle_sql() -> dict[str, str]:
     cos = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
     stop_list = ", ".join(f"'{w}'" for w in ("the", "a", "and", "of", "to", "in", "is", "it"))
     return {
+        "revenue_per_nation": """
+            SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "events_daily_windows": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   round(sum(value), 4) AS value_sum, count(*) AS n_events
+            FROM events GROUP BY day, event_type ORDER BY day, event_type
+        """,
+        "sessionize_users": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+                FROM e
+            ), per AS (
+                SELECT user_id, sess, count(*) AS c FROM s GROUP BY user_id, sess
+            )
+            SELECT user_id, count(*) AS n_sessions, max(c) AS max_session_events
+            FROM per GROUP BY user_id ORDER BY user_id
+        """,
         "quality_scores": f"""
             SELECT doc_id,
                    len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -1,0 +1,212 @@
+"""Relational pipelines over the TPC-H-ish tables: broadcast joins, windowed
+aggregation, pricing-summary scan — the wide-operator patterns of the engine.
+
+Join strategy at scale: dimension tables (customer/nation: thousands of
+rows) are broadcast ONCE via ``ray.put`` and probed inside ``map_batches``
+on the fact side (lineitem/orders) — no all-to-all shuffle ever touches the
+fact table; the only shuffle is the final groupby over pre-aggregated
+partial rows (bounded by group cardinality × batches, not fact rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _broadcast_map(sf_dir: str) -> "ray.ObjectRef":
+    """custkey -> nation name lookup (customer ⋈ nation built driver-side:
+    both are dimension tables, KBs here / MBs at any realistic scale)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    ck = cust.column("c_custkey").to_numpy()
+    cn = cust.column("c_nationkey").to_numpy()
+    # dense lookup array keyed by custkey (custkeys are dense-ish ints)
+    size = int(ck.max()) + 1
+    nation_code = np.full(size, -1, dtype=np.int32)
+    codes, names = {}, []
+    for nk in sorted(set(nmap)):
+        codes[nk] = len(names)
+        names.append(nmap[nk])
+    nation_code[ck] = np.array([codes[int(x)] for x in cn], dtype=np.int32)
+    return ray.put((nation_code, names))
+
+
+def revenue_per_nation(sf_dir: str) -> pa.Table:
+    """Revenue (sum o_totalprice) and order count per customer nation:
+    orders (fact) probes the broadcast custkey→nation map per batch, partial
+    sums per batch, tiny groupby at the end. The broadcast-join analog of
+    the reference's candidate-map probe (src/sketch.cpp:222-227)."""
+    ref = _broadcast_map(sf_dir)
+
+    class Probe:
+        def __init__(self, ref):
+            self.nation_code, self.names = ray.get(ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            code = self.nation_code[cust]
+            n_codes = len(self.names)
+            sums = np.zeros(n_codes, dtype=np.float64)
+            cnts = np.zeros(n_codes, dtype=np.int64)
+            np.add.at(sums, code, price)
+            np.add.at(cnts, code, 1)
+            nz = np.flatnonzero(cnts)
+            return pa.table(
+                {
+                    "n_name": pa.array([self.names[i] for i in nz], pa.string()),
+                    "rev_partial": pa.array(sums[nz], pa.float64()),
+                    "cnt_partial": pa.array(cnts[nz], pa.int64()),
+                }
+            )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(Probe, fn_constructor_args=(ref,), concurrency=(1, 4),
+                     batch_format="pyarrow", batch_size=16384)
+        .groupby("n_name")
+        .aggregate(Sum("rev_partial", alias_name="revenue"),
+                   Sum("cnt_partial", alias_name="n_orders"))
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df[["n_name", "revenue", "n_orders"]].sort_values("n_name").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style pricing summary over lineitem (returnflag × linestatus):
+    pure per-batch partial aggregation + 4-group groupby — the canonical
+    pre-aggregate-then-tiny-shuffle scan."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": batch["l_quantity"],
+                "price": batch["l_extendedprice"],
+                "disc_price": disc_price,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_p", "sum_price_p", "sum_disc_p", "cnt_p"]
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_p", alias_name="sum_qty"),
+            Sum("sum_price_p", alias_name="sum_base_price"),
+            Sum("sum_disc_p", alias_name="sum_disc_price"),
+            Sum("cnt_p", alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        df[c] = df[c].round(2)
+    df = df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
+    return pa.Table.from_pandas(df[cols], preserve_index=False)
+
+
+def events_daily_windows(sf_dir: str) -> pa.Table:
+    """Tumbling 1-day windowed aggregate over the events stream: per
+    (day, event_type) event count + value sum. Window assignment is a
+    vectorized timestamp floor inside map_batches; the shuffle carries one
+    row per (window, type, batch) — the streaming-window operator expressed
+    batch-first (reference's chunked streaming scan, SURVEY.md §2.7)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        t = pa.table(
+            {
+                "day": day,
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+        g = t.group_by(["day", "event_type"]).aggregate([("value", "sum"), ([], "count_all")])
+        return g.rename_columns(["day", "event_type", "val_p", "cnt_p"])
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("val_p", alias_name="value_sum"), Sum("cnt_p", alias_name="n_events"))
+    )
+    df = agg.to_pandas()
+    df["value_sum"] = df["value_sum"].round(4)
+    df = df.sort_values(["day", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df[["day", "event_type", "value_sum", "n_events"]], preserve_index=False)
+
+
+def sessionize_users(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Sessionization (stateful per-key streaming op the Dataset API lacks):
+    per user, events sorted by ts split into sessions at gaps > gap_minutes.
+    Expressed as repartition-by-key + per-group vectorized session assembly
+    (groupby().map_groups would call Python per user; instead whole
+    partitions sessionize in one numpy pass). Returns per-user session
+    stats: n_sessions, max_session_events."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_batch_sessions(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_sessions": pd.Series([], dtype="int64"),
+                                 "max_session_events": pd.Series([], dtype="int64")})
+        b = batch.sort_values(["user_id", "ts"])
+        uid = b["user_id"].to_numpy()
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[0], np.diff(ts)]) > gap_minutes * 60_000_000
+        new_session = new_user | gap
+        sess_id = np.cumsum(new_session) - 1
+        df = pd.DataFrame({"user_id": uid, "sess": sess_id})
+        per_sess = df.groupby(["user_id", "sess"], as_index=False).size()
+        out = per_sess.groupby("user_id", as_index=False).agg(
+            n_sessions=("sess", "nunique"), max_session_events=("size", "max"))
+        return out.astype({"user_id": "int64", "n_sessions": "int64",
+                           "max_session_events": "int64"})
+
+    # hash-partition by a coarse user bucket so each task sessionizes MANY
+    # whole users in one vectorized pass (groupby(user_id).map_groups would
+    # pay one Python call per user); per-key completeness still holds
+    # because bucket(user) is a function of user_id alone
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(batch["user_id"].combine_chunks(), 63)
+        return batch.append_column("bucket", b.cast(pa.int64()))
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(lambda g: per_batch_sessions(g.drop(columns=["bucket"])),
+                    batch_format="pandas")
+    )
+    df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

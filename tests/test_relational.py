@@ -1,0 +1,58 @@
+"""Relational pipeline tests: broadcast join, windows, sessionization."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_revenue_per_nation(ray_session):
+    from sketch_ray.pipelines.relational import revenue_per_nation
+
+    got = revenue_per_nation(SF).to_pandas()
+    want = _duck().execute("""
+        SELECT n.n_name, round(sum(o.o_totalprice),2) AS revenue, count(*) AS n_orders
+        FROM orders o JOIN customer c ON c.c_custkey=o.o_custkey
+        JOIN nation n ON n.n_nationkey=c.c_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_sessionize_users(ray_session):
+    from sketch_ray.pipelines.relational import sessionize_users
+
+    got = sessionize_users(SF, gap_minutes=30).to_pandas()
+    want = _duck().execute("""
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS sess FROM e
+        ), per AS (SELECT user_id, sess, count(*) c FROM s GROUP BY user_id, sess)
+        SELECT user_id, count(*) AS n_sessions, max(c) AS max_session_events
+        FROM per GROUP BY user_id ORDER BY user_id""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_daily_windows(ray_session):
+    from sketch_ray.pipelines.relational import events_daily_windows
+
+    got = events_daily_windows(SF).to_pandas()
+    want = _duck().execute("""
+        SELECT date_trunc('day', ts) AS day, event_type,
+               round(sum(value),4) AS value_sum, count(*) AS n_events
+        FROM events GROUP BY day, event_type ORDER BY day, event_type""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
