@@ -114,3 +114,39 @@ def test_planted_hot_tokens_present():
     exact_c = exact_token_counts(c)
     for k in HOT_EMERGING:
         assert exact_c.get(k, 0) == 0
+
+
+def test_emerging_pipeline_finds_planted_keys(ray_session, tmp_path):
+    """North-star conformance: test/control snapshot pair with planted
+    emerging + persistent hot tokens -> the emerging-heavy-hitter pipeline
+    must report exactly the planted-emerging set (reference analog: the
+    planted 20-bp motif recovered identically by all three binaries,
+    BASELINE.md)."""
+    import ray.data as rd
+
+    from sketch_ray.pipelines.heavy_hitters import emerging_heavy_hitters
+    from sketch_ray.sources.pages import write_pages_fixture
+
+    test_dir = write_pages_fixture(str(tmp_path / "test"), n_rows=400, seed=42,
+                                   snapshot="test", hot_rate=0.05)
+    ctrl_dir = write_pages_fixture(str(tmp_path / "ctrl"), n_rows=400, seed=42,
+                                   snapshot="control", hot_rate=0.05)
+
+    spec = SketchSpec("em", "cmcu", "text", mode="tokens", params={"width": 1 << 14, "seed": 42})
+    test_ds = rd.read_parquet(test_dir, columns=["text"])
+    ctrl_ds = rd.read_parquet(ctrl_dir, columns=["text"])
+
+    # threshold low enough that every planted hot token qualifies
+    exact = exact_token_counts(__import__("pyarrow.parquet", fromlist=["pq"]).read_table(test_dir, columns=["text"]))
+    threshold = min(exact[t] for t in HOT_EMERGING + HOT_PERSISTENT)
+    out = emerging_heavy_hitters(test_ds, ctrl_ds, spec, threshold, growth=2)
+
+    reported = set(out["token"])
+    assert set(HOT_EMERGING) <= reported, f"missing emerging keys: {set(HOT_EMERGING) - reported}"
+    assert not (set(HOT_PERSISTENT) & reported), "persistent keys must be pruned by the control scan"
+    # every reported token really is emerging per the exact rule
+    ctrl_exact = exact_token_counts(__import__("pyarrow.parquet", fromlist=["pq"]).read_table(ctrl_dir, columns=["text"]))
+    for _, r in out.iterrows():
+        assert exact[r["token"]] == r["test_cnt"]
+        assert ctrl_exact.get(r["token"], 0) == r["control_cnt"]
+        assert r["test_cnt"] // 2 - r["control_cnt"] > 0
