@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles": lambda sf: sketch_queries.quantile_sketches(sf, "kll"),
         "tdigest_quantiles": lambda sf: sketch_queries.quantile_sketches(sf, "tdigest"),
         "bloom_membership": sketch_queries.bloom_membership,
+        "grouped_sketch_stats": sketch_queries.grouped_sketch_stats,
     }
 
 

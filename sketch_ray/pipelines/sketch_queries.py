@@ -72,6 +72,24 @@ def quantile_sketches(sf_dir: str, kind: str = "kll") -> pa.Table:
     return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(np.asarray(vals, dtype=np.float64))})
 
 
+def grouped_sketch_stats(sf_dir: str) -> pa.Table:
+    """Per-language sketches via the native aggregate API
+    (``ds.groupby("lang").aggregate(SketchAgg(...))``): HLL distinct-source
+    estimate + KLL median n_chars per group, one shuffle, no custom merge
+    plumbing. Rows-only gated (estimates); exactness bounds in pytest."""
+    from ..stages.agg import SketchAgg
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        SketchAgg(SketchSpec("s", "hll", "source", mode="column", params={"p": 12, "seed": 42}),
+                  alias_name="est_sources", finalize="estimate"),
+        SketchAgg(SketchSpec("q", "kll", "n_chars", mode="numeric", params={"k": 200, "seed": 42}),
+                  alias_name="median_chars", finalize=("quantile", 0.5)),
+    )
+    df = out.to_pandas().sort_values("lang").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def bloom_membership(sf_dir: str) -> pa.Table:
     """Bloom filter over document texts' tokens; probe a mix of present and
     absent keys. Zero false negatives guaranteed; false positives bounded."""

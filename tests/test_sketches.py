@@ -190,3 +190,38 @@ def test_roundtrip(factory):
     back = sketch_from_bytes(sk.to_bytes())
     assert back == sk
     assert back.to_bytes() == sk.to_bytes()
+
+
+def test_sketch_agg_grouped(ray_session):
+    """SketchAgg rides ds.groupby().aggregate(): per-group HLL/KLL answers
+    must sit within the kernels' published bounds vs exact groupby."""
+    import duckdb
+    import ray.data as rd
+
+    from sketch_ray.stages.agg import SketchAgg
+    from sketch_ray.stages.sketch_build import SketchSpec
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "source", "n_chars"])
+    got = ds.groupby("lang").aggregate(
+        SketchAgg(SketchSpec("s", "hll", "source", mode="column", params={"p": 12, "seed": 42}),
+                  alias_name="est_sources", finalize="estimate"),
+        SketchAgg(SketchSpec("q", "kll", "n_chars", mode="numeric", params={"k": 200, "seed": 42}),
+                  alias_name="median_chars", finalize=("quantile", 0.5)),
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    want = duckdb.query(
+        f"SELECT lang, count(DISTINCT source) d, count(*) n FROM "
+        f"read_parquet('{sf}/documents.parquet') GROUP BY lang ORDER BY lang"
+    ).df()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    for _, (g, w) in enumerate(zip(got.itertuples(), want.itertuples())):
+        # HLL p=12: sigma ~ 1.04/sqrt(4096) ~ 1.6%; allow 5 sigma + small-n slack
+        assert abs(g.est_sources - w.d) <= max(3, 0.09 * w.d)
+    # KLL k=200 on n<=few hundred values: rank error ~ 1%; median within
+    # the exact value range per group
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["lang", "n_chars"]).to_pandas()
+    for _, r in got.iterrows():
+        vals = sorted(t[t["lang"] == r["lang"]]["n_chars"])
+        lo, hi = vals[max(0, int(0.4 * len(vals)))], vals[min(len(vals) - 1, int(0.6 * len(vals)))]
+        assert lo <= r["median_chars"] <= hi
