@@ -140,6 +140,50 @@ def run_scaling(sf_dir: str, lo: int, hi: int, replicate: int) -> dict:
     }
 
 
+def run_error_sweep(sf_dir: str) -> dict:
+    """CM-CU point-query error vs the published eps-delta bound
+    (eps = e/width, observed over every distinct token; kernel-level, no
+    Ray). For each width: max/mean overestimate and the bound eps*N."""
+    import math
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sketch_ray.kernels import CountMin, CountMinCU
+
+    from sketch_ray.stages.tokenize import ngram_counts
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    # multi-length n-grams: the corpus vocabulary is tiny, so use the
+    # 1/2/3-gram key space (~30k keys) to actually exercise collisions
+    keys, exact = ngram_counts(t.column("text"), lengths=(1, 2, 3))
+    exact = exact.astype("int64")
+    n = int(exact.sum())
+    out = []
+    for log_w in (10, 12, 14, 16):
+        w = 1 << log_w
+        cu = CountMinCU(depth=4, width=w, seed=42)
+        cm = CountMin(depth=4, width=w, seed=42)
+        cu.update(keys, exact)
+        cm.update(keys, exact)
+        est_cu = cu.query(keys)
+        est_cm = cm.query(keys)
+        err_cu = est_cu - exact
+        err_cm = est_cm - exact
+        assert (err_cu >= 0).all() and (err_cm >= 0).all()  # no undercount
+        assert (est_cu <= est_cm).all()  # CU tightness
+        bound = math.e / w * n
+        out.append({
+            "width": w,
+            "bound_epsN": round(bound, 1),
+            "cu_max_err": int(err_cu.max()),
+            "cu_mean_err": round(float(err_cu.mean()), 3),
+            "cm_max_err": int(err_cm.max()),
+            "frac_within_bound_cu": round(float((err_cu <= bound).mean()), 6),
+        })
+    return {"n_updates": n, "n_keys": len(exact), "sweep": out}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -156,8 +200,16 @@ def main() -> None:
                          "node brings its own memory bandwidth")
     ap.add_argument("--replicate", type=int, default=512,
                     help="input replication for the scaling job (same table x K)")
+    ap.add_argument("--error-sweep", action="store_true",
+                    help="CM/CM-CU observed error vs eps-delta bound (no Ray)")
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
+
+    if args.error_sweep:
+        res = run_error_sweep(args.sf_dir)
+        print(json.dumps({"metric": "cmcu_error_sweep", "value": res["sweep"][-1]["cu_max_err"],
+                          "unit": "count", "sf": _sf_of(args.sf_dir), **res}))
+        return
 
     if args.scaling_worker:
         print(json.dumps(_scaling_job(args.sf_dir, args.num_cpus, args.replicate)))
