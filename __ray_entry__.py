@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "events_daily_windows": relational.events_daily_windows,
         "sessionize_users": lambda sf: relational.sessionize_users(sf, gap_minutes=30),
+        "asof_latest_order": relational.asof_latest_order,
         # --- text analysis (exact ones oracle-gated) ---
         "quality_scores": text_analysis.quality_scores,
         "regex_token_stats": text_analysis.regex_token_stats,
@@ -118,6 +119,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day, event_type,
                    round(sum(value), 4) AS value_sum, count(*) AS n_events
             FROM events GROUP BY day, event_type ORDER BY day, event_type
+        """,
+        "asof_latest_order": """
+            SELECT e.event_id, e.user_id, o.o_orderdate AS matched_orderdate
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_orderdate <= e.ts - INTERVAL 9131 DAY
+            ORDER BY e.event_id
         """,
         "sessionize_users": """
             WITH e AS (

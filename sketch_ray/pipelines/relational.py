@@ -166,6 +166,67 @@ def events_daily_windows(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["day", "event_type", "value_sum", "n_events"]], preserve_index=False)
 
 
+def asof_latest_order(sf_dir: str) -> pa.Table:
+    """As-of join (an operator Ray Data lacks): for every event, the latest
+    order of customer ``user_id`` with o_orderdate <= event ts − 9131 days
+    (the shift interleaves the two tables' time ranges).
+
+    Physical plan: the orders side (small here; at scale hash-partition both
+    sides by key and as-of within partitions — the partitioning assumption)
+    is broadcast once as (composite-sorted keys) where
+    ``composite = custkey·(n_ranks+1) + date_rank``; each event batch then
+    resolves in ONE vectorized ``np.searchsorted`` — no per-row or per-key
+    Python. Ties on (custkey, date) are unambiguous because the matched
+    *date* is emitted. Returns (event_id, user_id, matched_orderdate)."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    ock = orders.column("o_custkey").to_numpy()
+    odt = orders.column("o_orderdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+    date_ranks = np.unique(odt)  # global date→rank table (small)
+    n_ranks = len(date_ranks)
+    orank = np.searchsorted(date_ranks, odt)
+    comp = ock * np.int64(n_ranks + 1) + orank
+    order_sorted = np.sort(comp)
+    ref = ray.put((order_sorted, date_ranks, n_ranks))
+
+    SHIFT_US = np.int64(9131) * 86400 * 1_000_000  # fixed 9131-day shift (~25 y)
+
+    class AsOf:
+        def __init__(self, ref):
+            self.order_sorted, self.date_ranks, self.n_ranks = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy(zero_copy_only=False)
+            uid = batch["user_id"].to_numpy(zero_copy_only=False)
+            ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            ts_shift = ts - SHIFT_US
+            # rank of the latest order date <= shifted ts
+            ts_rank = np.searchsorted(self.date_ranks, ts_shift, side="right") - 1
+            comp_q = uid * np.int64(self.n_ranks + 1) + np.maximum(ts_rank, 0)
+            pos = np.searchsorted(self.order_sorted, comp_q, side="right") - 1
+            cand = self.order_sorted[np.maximum(pos, 0)]
+            ok = (pos >= 0) & (cand // (self.n_ranks + 1) == uid) & (ts_rank >= 0)
+            matched = np.where(ok, self.date_ranks[np.where(ok, cand % (self.n_ranks + 1), 0)], 0)
+            out_dt = matched.astype("datetime64[us]")
+            dt_arr = pa.array(out_dt, pa.timestamp("us"))
+            dt_arr = pc.if_else(pa.array(ok), dt_arr, pa.scalar(None, pa.timestamp("us")))
+            return pa.table(
+                {
+                    "event_id": pa.array(eid, pa.int64()),
+                    "user_id": pa.array(uid, pa.int64()),
+                    "matched_orderdate": dt_arr,
+                }
+            )
+
+    out = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        AsOf, fn_constructor_args=(ref,), concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=32768,
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def sessionize_users(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     """Sessionization (stateful per-key streaming op the Dataset API lacks):
     per user, events sorted by ts split into sessions at gaps > gap_minutes.
