@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_quantiles": lambda sf: sketch_queries.quantile_sketches(sf, "tdigest"),
         "bloom_membership": sketch_queries.bloom_membership,
         "grouped_sketch_stats": sketch_queries.grouped_sketch_stats,
+        "mg_top_tokens": lambda sf: sketch_queries.mg_top_tokens(sf, k=256, top=20),
     }
 
 
@@ -185,6 +186,10 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY "rank" <= 5 ORDER BY query_id, "rank"
         """,
         "top_tokens": f"""
+            SELECT token, count(*) AS cnt FROM ({tok}) GROUP BY token
+            ORDER BY cnt DESC, token ASC LIMIT 20
+        """,
+        "mg_top_tokens": f"""
             SELECT token, count(*) AS cnt FROM ({tok}) GROUP BY token
             ORDER BY cnt DESC, token ASC LIMIT 20
         """,

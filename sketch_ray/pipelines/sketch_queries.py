@@ -72,6 +72,23 @@ def quantile_sketches(sf_dir: str, kind: str = "kll") -> pa.Table:
     return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(np.asarray(vals, dtype=np.float64))})
 
 
+def mg_top_tokens(sf_dir: str, k: int = 256, top: int = 20) -> pa.Table:
+    """Distributed Misra-Gries top tokens: per-batch MG partials, merged via
+    the same shuffle-free fold as every sketch. Lower bounds are exact
+    whenever distinct keys <= k (true for this corpus's vocabulary), so the
+    query is oracle-gated against the exact top-k; on an open vocabulary the
+    same pipeline degrades gracefully to the N/(k+1) bound (pytest)."""
+    spec = SketchSpec("mgt", "mg", "text", mode="tokens", params={"k": k, "seed": 42})
+    sk = build_sketches(_read(sf_dir, "documents", ["text"]), [spec], batch_size=4096)["mgt"]
+    items = sk.top(top)
+    return pa.table(
+        {
+            "token": pa.array([t for t, _ in items], pa.string()),
+            "cnt": pa.array([c for _, c in items], pa.int64()),
+        }
+    )
+
+
 def grouped_sketch_stats(sf_dir: str) -> pa.Table:
     """Per-language sketches via the native aggregate API
     (``ds.groupby("lang").aggregate(SketchAgg(...))``): HLL distinct-source

@@ -225,3 +225,70 @@ def test_sketch_agg_grouped(ray_session):
         vals = sorted(t[t["lang"] == r["lang"]]["n_chars"])
         lo, hi = vals[max(0, int(0.4 * len(vals)))], vals[min(len(vals) - 1, int(0.6 * len(vals)))]
         assert lo <= r["median_chars"] <= hi
+
+
+# -- Misra-Gries -------------------------------------------------------------
+
+def _mg_stream(seed=3, n=20000, vocab=400):
+    rng = np.random.default_rng(seed)
+    ranks = np.minimum(rng.zipf(1.3, size=n), vocab)
+    return [f"k{r}" for r in ranks]
+
+
+def test_mg_lower_bound_and_error():
+    from collections import Counter
+
+    from sketch_ray.kernels import MisraGries
+
+    stream = _mg_stream()
+    exact = Counter(stream)
+    mg = MisraGries(k=64)
+    mg.update(stream)
+    n = len(stream)
+    assert mg.err <= n / (64 + 1) * (64 + 1)  # err is a tracked quantity
+    keys = list(exact)
+    lower = mg.query(keys)
+    for key, lo in zip(keys, lower):
+        assert lo <= exact[key]                     # never overcount
+        assert exact[key] - lo <= mg.err            # undercount bounded by err
+    assert mg.err <= n // (64 + 1) + 1              # MG bound N/(k+1)
+    # guaranteed presence of true heavy keys
+    for key, c in exact.items():
+        if c > n / (64 + 1):
+            assert mg.query([key])[0] > 0
+
+
+def test_mg_merge_bound_holds():
+    from collections import Counter
+
+    from sketch_ray.kernels import MisraGries
+
+    stream = _mg_stream(seed=9, n=30000)
+    exact = Counter(stream)
+    n = len(stream)
+    parts = [stream[i::5] for i in range(5)]
+    sketches = []
+    for p in parts:
+        mg = MisraGries(k=64)
+        mg.update(p)
+        sketches.append(mg)
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc.merge(s)
+    assert acc.n_updates == n
+    for key, c in exact.items():
+        lo = acc.query([key])[0]
+        assert lo <= c and c - lo <= acc.err
+    # mergeable-summaries bound: err <= N/(k+1) for the combined stream
+    assert acc.err <= n / (64 + 1)
+
+
+def test_mg_weighted_updates():
+    from sketch_ray.kernels import MisraGries
+
+    mg = MisraGries(k=4)
+    mg.update(["a", "b", "c"], np.array([100, 50, 10]))
+    mg.update(["d", "e"], np.array([5, 3]))  # forces eviction pressure
+    assert mg.query(["a"])[0] >= 100 - mg.err
+    top = mg.top(2)
+    assert top[0][0] == "a"
