@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
         "ann_topk": lambda sf: similarity.ann_topk(sf, k=5, n_queries=8),
         "lsh_ann_topk": lambda sf: similarity.lsh_ann_topk(sf, k=5, n_queries=8),
+        "ivf_ann_topk": lambda sf: similarity.ivf_ann_topk(sf, k=5, n_queries=8),
         # --- exact, oracle-gated (operator coverage: M1/M3/M8, A1-A6, T1-T2, J1) ---
         "top_tokens": lambda sf: exact.top_tokens(sf, k=20),
         "heavy_hitter_tokens": lambda sf: exact.heavy_hitter_tokens(sf, rel_threshold=0.02),

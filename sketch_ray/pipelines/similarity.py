@@ -147,6 +147,88 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
                                 preserve_index=False)
 
 
+def _kmeans_centroids(mat: np.ndarray, n_cells: int, seed: int, iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd k-means on unit vectors (cosine ≡ dot): seeded
+    farthest-point-ish init from hashed row order, fixed iteration count.
+    At 10^9+ vectors this trains on a seeded sample; cost here is trivial."""
+    order = np.argsort(splitmix64(np.arange(len(mat), dtype=_U64) + _U64(seed)))
+    centroids = mat[order[:n_cells]].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_ann_topk(
+    sf_dir: str, k: int = 5, n_queries: int = 8, n_cells: int = 16,
+    nprobe: int = 4, seed: int = 42,
+) -> pa.Table:
+    """IVF (inverted-file) approximate top-k: a deterministic k-means coarse
+    quantizer cells the corpus; each query scans only its ``nprobe`` nearest
+    cells (expected fraction ≈ nprobe/n_cells of the corpus). The second
+    scale path next to LSH; exact scores for whatever it retrieves.
+    Returns (query_id, rank, vec_id, cosine) — rows-only gated; recall vs
+    brute force pinned in pytest."""
+    ids_all, mat_all = _full_matrix(sf_dir)
+    centroids = _kmeans_centroids(mat_all, n_cells, seed)
+    qmask = ids_all < n_queries
+    q_ids, q_mat = ids_all[qmask], mat_all[qmask]
+    # nprobe nearest cells per query
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, q_mat, q_cells, centroids))
+
+    class IVFTopK:
+        def __init__(self, ref, k):
+            self.q_ids, self.q_mat, self.q_cells, self.centroids = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _batch_matrix(batch)
+            cell = np.argmax(mat @ self.centroids.T, axis=1)
+            rows_q, rows_v, rows_c = [], [], []
+            for qi in range(len(self.q_ids)):
+                sel = np.isin(cell, self.q_cells[qi])
+                if not sel.any():
+                    continue
+                sims = mat[sel] @ self.q_mat[qi]
+                cand_ids = ids[sel]
+                kk = min(self.k + 1, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                rows_q.extend([self.q_ids[qi]] * kk)
+                rows_v.extend(cand_ids[top].tolist())
+                rows_c.extend(sims[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int64()),
+                    "vec_id": pa.array(rows_v, pa.int64()),
+                    "cosine64": pa.array(rows_c, pa.float64()),
+                }
+            )
+
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        IVFTopK, fn_constructor_args=(ref, k), concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=4096,
+    ).to_pandas()
+    out_rows = []
+    if len(partials):
+        for q, g in partials.groupby("query_id"):
+            g = g[g["vec_id"] != q]
+            g = g.sort_values(["cosine64", "vec_id"], ascending=[False, True]).head(k)
+            for rank, (_, r) in enumerate(g.iterrows(), start=1):
+                out_rows.append((int(q), rank, int(r["vec_id"]), round(float(r["cosine64"]), 6)))
+    df = pd.DataFrame(out_rows, columns=["query_id", "rank", "vec_id", "cosine"])
+    df = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64", "cosine": "float64"}),
+        preserve_index=False)
+
+
 def _hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from counter-hash bits
     (no np.random: every worker regenerates the identical planes)."""

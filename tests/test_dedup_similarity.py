@@ -169,3 +169,23 @@ def test_lsh_ann_is_subset_with_exact_scores(ray_session):
     for _, r in got.iterrows():
         true = float(m[idx[int(r["query_id"])]] @ m[idx[int(r["vec_id"])]])
         assert abs(round(true, 6) - r["cosine"]) < 1e-9
+
+
+def test_ivf_ann_recall_vs_bruteforce(ray_session):
+    from sketch_ray.pipelines.similarity import ann_topk, ivf_ann_topk
+
+    exact = ann_topk(SF, k=5, n_queries=6).to_pandas()
+    ivf = ivf_ann_topk(SF, k=5, n_queries=6, n_cells=8, nprobe=4).to_pandas()
+    # deterministic across runs
+    ivf2 = ivf_ann_topk(SF, k=5, n_queries=6, n_cells=8, nprobe=4).to_pandas()
+    pd.testing.assert_frame_equal(ivf, ivf2)
+    # recall@5 with half the cells probed should be high on clustered data
+    hits = tot = 0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        g = set(ivf[ivf["query_id"] == q]["vec_id"])
+        hits += len(e & g); tot += len(e)
+    assert hits / tot >= 0.6, f"IVF recall too low: {hits}/{tot}"
+    # scores it does return are exact (same rounding as brute force)
+    merged = ivf.merge(exact, on=["query_id", "vec_id"], suffixes=("_ivf", "_bf"))
+    assert (merged["cosine_ivf"] == merged["cosine_bf"]).all()
