@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_windows": relational.events_daily_windows,
         "sessionize_users": lambda sf: relational.sessionize_users(sf, gap_minutes=30),
         "asof_latest_order": relational.asof_latest_order,
+        "revenue_per_priority": relational.revenue_per_priority,
+        "top_orders": lambda sf: relational.top_orders(sf, k=100),
         # --- text analysis (exact ones oracle-gated) ---
         "quality_scores": text_analysis.quality_scores,
         "regex_token_stats": text_analysis.regex_token_stats,
@@ -121,6 +123,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day, event_type,
                    round(sum(value), 4) AS value_sum, count(*) AS n_events
             FROM events GROUP BY day, event_type ORDER BY day, event_type
+        """,
+        "revenue_per_priority": """
+            SELECT o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
         """,
         "asof_latest_order": """
             SELECT e.event_id, e.user_id, o.o_orderdate AS matched_orderdate

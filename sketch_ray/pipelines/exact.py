@@ -39,12 +39,32 @@ def _token_partials(batch: pa.Table) -> pa.Table:
     )
 
 
-def token_counts_ds(sf_dir: str):
-    """Distributed exact token counts: batch-local value_counts → groupby sum
-    over partials (the shuffle carries ≤ vocab rows per batch, not tokens)."""
+def token_counts_ds(sf_dir: str, n_salt: int = 16):
+    """Distributed exact token counts with SALTED two-level aggregation
+    (SURVEY.md §7.3 skew handling):
+
+    1. batch-local value_counts → one (token, partial) row per token per
+       batch (a token with 10^9 occurrences costs one row per batch);
+    2. groupby((token, salt)) where salt is a deterministic per-batch value
+       — a hot token's partial rows spread over ≤ n_salt reducers instead
+       of landing on one (at 10^12 docs a single hot key would otherwise
+       send every batch's row to the same reducer);
+    3. groupby(token) over the ≤ n_salt subtotal rows per token."""
     ds = _read(sf_dir, "documents", ["text"])
-    partials = ds.map_batches(_token_partials, batch_format="pyarrow", batch_size=8192)
-    return partials.groupby("token").aggregate(Sum("partial", alias_name="cnt"))
+
+    from ..kernels.hashing import splitmix64
+
+    def partials_salted(batch: pa.Table) -> pa.Table:
+        t = _token_partials(batch)
+        # deterministic per-batch salt from batch content (total token count
+        # varies per batch), spreading a hot token's rows across reducers
+        total = int(pc.sum(t["partial"]).as_py() or 0)
+        salt = int(splitmix64(np.array([total * 1315423911 + t.num_rows], np.uint64))[0] % n_salt)
+        return t.append_column("salt", pa.array(np.full(t.num_rows, salt), pa.int64()))
+
+    partials = ds.map_batches(partials_salted, batch_format="pyarrow", batch_size=8192)
+    sub = partials.groupby(["token", "salt"]).aggregate(Sum("partial", alias_name="sub"))
+    return sub.groupby("token").aggregate(Sum("sub", alias_name="cnt"))
 
 
 def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:

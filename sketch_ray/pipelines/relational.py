@@ -166,6 +166,43 @@ def events_daily_windows(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["day", "event_type", "value_sum", "n_events"]], preserve_index=False)
 
 
+def revenue_per_priority(sf_dir: str) -> pa.Table:
+    """Fact-fact join via Ray Data's native hash-shuffle ``Dataset.join``
+    (the genuinely wide case where neither side broadcasts): lineitem ⋈
+    orders on orderkey, then discounted revenue per order priority.
+    Lineitem is pre-projected to 3 columns and pre-aggregated per orderkey
+    inside map_batches BEFORE the join, so the shuffle carries one row per
+    (orderkey, batch) instead of one per lineitem."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_p"])
+
+    li_agg = li.map_batches(li_partials, batch_format="pyarrow", batch_size=65536)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li_agg.join(orders, join_type="inner", num_partitions=32,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby("o_orderpriority").aggregate(Sum("rev_p", alias_name="revenue"))
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values("o_orderpriority").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["o_orderpriority", "revenue"]], preserve_index=False)
+
+
+def top_orders(sf_dir: str, k: int = 100) -> pa.Table:
+    """Distributed top-k by value via ``ds.sort(descending).limit(k)`` —
+    the sort/limit operator pair (absent from the reference, SURVEY.md §2.6)
+    with a deterministic (price desc, orderkey asc) tie-break."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    df = out.to_pandas().reset_index(drop=True)
+    return pa.Table.from_pandas(df[["o_orderkey", "o_totalprice"]], preserve_index=False)
+
+
 def asof_latest_order(sf_dir: str) -> pa.Table:
     """As-of join (an operator Ray Data lacks): for every event, the latest
     order of customer ``user_id`` with o_orderdate <= event ts − 9131 days
