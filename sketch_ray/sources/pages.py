@@ -133,3 +133,60 @@ def write_pages_fixture(
         part = table.slice(bounds[i], bounds[i + 1] - bounds[i])
         pq.write_table(part, os.path.join(out_dir, f"part-{i:05d}.parquet"))
     return out_dir
+
+
+def write_pages_jsonl(out_dir: str, n_rows: int = 500, seed: int = 42,
+                      n_files: int = 4, **kw) -> str:
+    """JSONL flavor of the fixture (html base64-encoded, warc_ts ISO-8601) —
+    exercises the non-Parquet ingest path."""
+    import base64
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    table = generate_pages(n_rows, seed=seed, **kw)
+    bounds = np.linspace(0, n_rows, n_files + 1).astype(int)
+    rows = table.to_pylist()
+    for i in range(n_files):
+        with open(os.path.join(out_dir, f"part-{i:05d}.jsonl"), "w") as f:
+            for r in rows[bounds[i]: bounds[i + 1]]:
+                f.write(json.dumps({
+                    "url": r["url"],
+                    "warc_ts": r["warc_ts"].isoformat(),
+                    "html_b64": base64.b64encode(r["html"]).decode("ascii"),
+                    "text": r["text"],
+                    "lang": r["lang"],
+                }) + "\n")
+    return out_dir
+
+
+def read_pages_jsonl(path: str):
+    """ray.data.read_json over the JSONL fixture, normalized back to the
+    canonical pages schema (url, warc_ts: timestamp[us], html: binary,
+    text: large_string, lang) in a vectorized map_batches — the ingest
+    adapter pattern for non-Parquet source formats."""
+    import base64
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        html = pa.array(
+            [base64.b64decode(x) for x in batch["html_b64"].to_pylist()],
+            pa.binary(),
+        )
+        ts_col = batch["warc_ts"].combine_chunks()
+        if pa.types.is_timestamp(ts_col.type):  # read_json may pre-parse ISO strings
+            ts = ts_col.cast(pa.timestamp("us"))
+        else:
+            ts = pc.strptime(ts_col, format="%Y-%m-%dT%H:%M:%S", unit="us")
+        return pa.table(
+            {
+                "url": batch["url"].combine_chunks().cast(pa.string()),
+                "warc_ts": ts,
+                "html": html,
+                "text": batch["text"].combine_chunks().cast(pa.large_string()),
+                "lang": batch["lang"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    return rd.read_json(path).map_batches(normalize, batch_format="pyarrow", batch_size=4096)

@@ -150,3 +150,27 @@ def test_emerging_pipeline_finds_planted_keys(ray_session, tmp_path):
         assert exact[r["token"]] == r["test_cnt"]
         assert ctrl_exact.get(r["token"], 0) == r["control_cnt"]
         assert r["test_cnt"] // 2 - r["control_cnt"] > 0
+
+
+def test_jsonl_source_roundtrip(ray_session, tmp_path):
+    """JSONL ingest normalizes back to the exact canonical pages schema and
+    content (source-format coverage beyond Parquet)."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.sources.pages import read_pages_jsonl, write_pages_jsonl, write_pages_fixture
+
+    jd = write_pages_jsonl(str(tmp_path / "jsonl"), n_rows=60, seed=42)
+    pd_dir = write_pages_fixture(str(tmp_path / "parq"), n_rows=60, seed=42)
+    got = read_pages_jsonl(jd).to_pandas().sort_values("url").reset_index(drop=True)
+    want = pq.read_table(pd_dir).to_pandas().sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    assert [bytes(x) for x in got["html"]] == [bytes(x) for x in want["html"]]
+    assert got["warc_ts"].tolist() == want["warc_ts"].tolist()
+
+    # and the extractor invariant holds over the JSONL-ingested corpus too
+    from sketch_ray.stages.extract import extract_text_array
+
+    t = read_pages_jsonl(jd).to_pandas()
+    ext = extract_text_array(pa.array([bytes(x) for x in t["html"]], pa.binary()))
+    assert ext.to_pylist() == t["text"].tolist()
