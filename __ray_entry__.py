@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": relational.asof_latest_order,
         "revenue_per_priority": relational.revenue_per_priority,
         "top_orders": lambda sf: relational.top_orders(sf, k=100),
+        "events_hopping_windows": relational.events_hopping_windows,
+        "bloom_semi_join": relational.bloom_semi_join,
         # --- text analysis (exact ones oracle-gated) ---
         "quality_scores": text_analysis.quality_scores,
         "regex_token_stats": text_analysis.regex_token_stats,
@@ -73,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": sketch_queries.bloom_membership,
         "grouped_sketch_stats": sketch_queries.grouped_sketch_stats,
         "mg_top_tokens": lambda sf: sketch_queries.mg_top_tokens(sf, k=256, top=20),
+        "kmv_sample_sources": lambda sf: sketch_queries.kmv_sample_sources(sf, k=16),
     }
 
 
@@ -133,6 +136,27 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "events_hopping_windows": """
+            WITH w AS (
+                SELECT unnest([
+                           to_timestamp((epoch_us(ts) // 43200000000) * 43200)::TIMESTAMP,
+                           to_timestamp((epoch_us(ts) // 43200000000 - 1) * 43200)::TIMESTAMP
+                       ]) AS window_start,
+                       event_type
+                FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM w GROUP BY window_start, event_type
+            ORDER BY window_start, event_type
+        """,
+        "bloom_semi_join": """
+            SELECT l.l_returnflag, count(*) AS n_items,
+                   round(sum(l.l_quantity), 2) AS sum_qty
+            FROM lineitem l
+            WHERE l.l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l.l_returnflag ORDER BY l.l_returnflag
         """,
         "asof_latest_order": """
             SELECT e.event_id, e.user_id, o.o_orderdate AS matched_orderdate

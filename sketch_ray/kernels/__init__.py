@@ -8,6 +8,7 @@ kernel layer is a registry of mergeable sketches sharing one protocol
 
 from .base import MergeableSketch, SketchBase, make_sketch, registry, sketch_from_bytes
 from .bloom import BloomFilter
+from .bottomk import BottomK
 from .countmin import CountMin, CountMinCU
 from .hashing import hash_arrow_strings, hash_ints, hash_strings, row_hashes, splitmix64
 from .hll import HLL
@@ -17,6 +18,6 @@ from .tdigest import TDigest
 
 __all__ = [
     "MergeableSketch", "SketchBase", "make_sketch", "registry", "sketch_from_bytes",
-    "CountMin", "CountMinCU", "HLL", "BloomFilter", "KLL", "MisraGries", "TDigest",
+    "CountMin", "CountMinCU", "HLL", "BloomFilter", "BottomK", "KLL", "MisraGries", "TDigest",
     "hash_strings", "hash_arrow_strings", "hash_ints", "row_hashes", "splitmix64",
 ]

@@ -264,6 +264,82 @@ def asof_latest_order(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def events_hopping_windows(sf_dir: str) -> pa.Table:
+    """Hopping-window aggregate (1-day windows, 12-hour hop): every event
+    contributes to the two windows covering it, assigned vectorized (flat-map
+    ×2 inside the batch), then the same partial-aggregate + tiny groupby as
+    the tumbling case. Returns (window_start, event_type, n_events)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    HOP = np.int64(12 * 3600 * 1_000_000)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        w1 = (ts // HOP) * HOP            # window starting at the last hop
+        w0 = w1 - HOP                     # the previous overlapping window
+        starts = np.concatenate([w0, w1]).astype("datetime64[us]")
+        etype = pa.concat_arrays([batch["event_type"].combine_chunks()] * 2)
+        t = pa.table({"window_start": pa.array(starts, pa.timestamp("us")), "event_type": etype})
+        g = t.group_by(["window_start", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["window_start", "event_type", "cnt_p"])
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("cnt_p", alias_name="n_events"))
+    )
+    df = agg.to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df[["window_start", "event_type", "n_events"]], preserve_index=False)
+
+
+def bloom_semi_join(sf_dir: str) -> pa.Table:
+    """Semi-join with a Bloom-filter pre-pass (the scale pattern for
+    fact-to-fact semi-joins): lineitem rows whose orderkey belongs to an
+    URGENT order. A Bloom filter over the urgent orderkeys is broadcast and
+    prunes ~FP-rate-close-to-everything before the exact verification
+    (broadcast exact set here; at scale a shuffle join over survivors).
+    Exactness is unaffected by Bloom false positives — oracle-gated.
+    Returns (l_returnflag, n_items, sum_qty)."""
+    import pyarrow.parquet as pq
+
+    from ..kernels import BloomFilter
+
+    urgent = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    mask = pc.equal(urgent.column("o_orderpriority").combine_chunks(), "1-URGENT")
+    keys = urgent.filter(mask).column("o_orderkey").to_numpy()
+    bloom = BloomFilter(n_bits=1 << 20, n_hashes=7, seed=42)
+    bloom.update(pa.array(keys, pa.int64()).cast(pa.string()))  # vectorized hash
+    exact_set = pa.array(keys, pa.int64())
+    ref = ray.put((bloom.to_bytes(), exact_set))
+
+    class Semi:
+        def __init__(self, ref):
+            from ..kernels import sketch_from_bytes
+
+            raw, self.exact_set = ray.get(ref)
+            self.bloom = sketch_from_bytes(raw)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch["l_orderkey"].combine_chunks()
+            maybe = self.bloom.contains(ok.cast(pa.string()))  # vectorized
+            pruned = batch.filter(pa.array(maybe))          # Bloom pre-pass
+            keep = pc.is_in(pruned["l_orderkey"], value_set=self.exact_set)
+            sub = pruned.filter(keep)                       # exact verify
+            g = sub.group_by("l_returnflag").aggregate([([], "count_all"), ("l_quantity", "sum")])
+            return g.rename_columns(["l_returnflag", "cnt_p", "qty_p"])
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+        .map_batches(Semi, fn_constructor_args=(ref,), concurrency=(1, 4),
+                     batch_format="pyarrow", batch_size=32768)
+        .groupby("l_returnflag")
+        .aggregate(Sum("cnt_p", alias_name="n_items"), Sum("qty_p", alias_name="sum_qty"))
+    )
+    df = agg.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df = df.sort_values("l_returnflag").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["l_returnflag", "n_items", "sum_qty"]], preserve_index=False)
+
+
 def sessionize_users(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     """Sessionization (stateful per-key streaming op the Dataset API lacks):
     per user, events sorted by ts split into sessions at gaps > gap_minutes.

@@ -72,6 +72,23 @@ def quantile_sketches(sf_dir: str, kind: str = "kll") -> pa.Table:
     return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(np.asarray(vals, dtype=np.float64))})
 
 
+def kmv_sample_sources(sf_dir: str, k: int = 16) -> pa.Table:
+    """Deterministic distinct sample of `source` values via the mergeable
+    bottom-k (KMV) sketch — the engine's seeded-sampling primitive. Same
+    sample for any run/parallelism (union-merge is order-independent).
+    Returns (rank, source) plus the KMV distinct estimate as a column."""
+    spec = SketchSpec("kmv", "bottomk", "source", mode="column", params={"k": k, "seed": 42})
+    sk = build_sketches(_read(sf_dir, "documents", ["source"]), [spec], batch_size=8192)["kmv"]
+    sample = sk.sample()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(sample) + 1), pa.int64()),
+            "source": pa.array(sample, pa.string()),
+            "est_distinct": pa.array([round(sk.estimate())] * len(sample), pa.int64()),
+        }
+    )
+
+
 def mg_top_tokens(sf_dir: str, k: int = 256, top: int = 20) -> pa.Table:
     """Distributed Misra-Gries top tokens: per-batch MG partials, merged via
     the same shuffle-free fold as every sketch. Lower bounds are exact

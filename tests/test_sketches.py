@@ -292,3 +292,47 @@ def test_mg_weighted_updates():
     assert mg.query(["a"])[0] >= 100 - mg.err
     top = mg.top(2)
     assert top[0][0] == "a"
+
+
+# -- BottomK (KMV) -----------------------------------------------------------
+
+def test_bottomk_merge_byte_identical_and_deterministic():
+    from sketch_ray.kernels import BottomK
+
+    keys = [f"u{i}" for i in range(5000)]
+    whole = BottomK(k=128)
+    whole.update(keys)
+
+    import itertools
+    parts = [keys[i::7] for i in range(7)]
+    for perm in (range(7), reversed(range(7))):
+        acc = BottomK(k=128)
+        for i in perm:
+            p = BottomK(k=128)
+            p.update(parts[i])
+            acc.merge(p)
+        assert acc.to_bytes() == whole.to_bytes()
+    # duplicates change nothing (distinct sample)
+    dup = BottomK(k=128)
+    dup.update(keys * 3)
+    assert dup.to_bytes() == whole.to_bytes()
+
+
+def test_bottomk_kmv_estimate():
+    from sketch_ray.kernels import BottomK
+
+    for n in (500, 5000, 50000):
+        bk = BottomK(k=256)
+        bk.update([f"key{i}" for i in range(n)])
+        est = bk.estimate()
+        # KMV relative error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+        assert abs(est - n) / n < 0.25, (n, est)
+
+
+def test_bottomk_exact_below_k():
+    from sketch_ray.kernels import BottomK
+
+    bk = BottomK(k=64)
+    bk.update([f"x{i}" for i in range(40)] * 5)
+    assert bk.estimate() == 40.0
+    assert len(bk.sample()) == 40
