@@ -3,7 +3,8 @@
 The reference implements one kernel — Count-Min with conservative update
 (reference src/sketch.cpp:144-158) — in seven physical variants. Here the
 kernel layer is a registry of mergeable sketches sharing one protocol
-(SURVEY.md §2.8): CountMin, CountMinCU, HLL, BloomFilter, KLL, TDigest.
+(SURVEY.md §2.8): CountMin, CountMinCU, HLL, BloomFilter, KLL, TDigest,
+MisraGries (top-k), BottomK (KMV distinct sample).
 """
 
 from .base import MergeableSketch, SketchBase, make_sketch, registry, sketch_from_bytes

@@ -184,7 +184,10 @@ def revenue_per_priority(sf_dir: str) -> pa.Table:
 
     li_agg = li.map_batches(li_partials, batch_format="pyarrow", batch_size=65536)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li_agg.join(orders, join_type="inner", num_partitions=32,
+    # num_partitions sized to the shuffled bytes (KB-scale pre-aggregated
+    # rows here): each hash-shuffle partition costs an aggregator actor,
+    # and 32 of them pay ~45s of spin-up for no benefit at this volume
+    joined = li_agg.join(orders, join_type="inner", num_partitions=8,
                          on=("l_orderkey",), right_on=("o_orderkey",))
     agg = joined.groupby("o_orderpriority").aggregate(Sum("rev_p", alias_name="revenue"))
     df = agg.to_pandas()
