@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Min, Sum
 
 from ..kernels.hashing import hash_arrow_strings, splitmix64
+from ._util import ensure_columns
 from ..stages.tokenize import flat_tokens
 
 _U64 = np.uint64
@@ -73,7 +74,8 @@ def exact_dedup_docs(sf_dir: str) -> pa.Table:
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )
-    df = agg.to_pandas()[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
+    df = ensure_columns(agg.to_pandas(), {"text_hash": "int64", "doc_id": "int64", "n_copies": "int64"})
+    df = df[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -147,7 +149,8 @@ def _shared_group_rows(rows_ds, key_col: str, max_df: int):
     # Ray's sort-based groupby degrades badly on low block counts (measured
     # 15s -> 3s on 160k rows); spread the rows before the shuffle
     counts = rows_ds.repartition(32).groupby(key_col).aggregate(Count(alias_name="df"))
-    shared_df = counts.filter(expr="df >= 2").to_pandas()  # dup clusters only
+    shared_df = ensure_columns(counts.filter(expr="df >= 2").to_pandas(),
+                               {key_col: "int64", "df": "int64"})  # dup clusters only
     n_capped = int((shared_df["df"] > max_df).sum()) if len(shared_df) else 0
     if n_capped:
         print(f"[dedup] dropped {n_capped} {key_col} groups with df > {max_df} (boilerplate cap)")
@@ -158,7 +161,8 @@ def _shared_group_rows(rows_ds, key_col: str, max_df: int):
     def semi(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch[key_col], value_set=value_set))
 
-    return rows_ds.map_batches(semi, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = rows_ds.map_batches(semi, batch_format="pyarrow", batch_size=65536).to_pandas()
+    return ensure_columns(out, {"doc_id": "int64", key_col: "int64"})
 
 
 def _concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:

@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 
 from ..kernels.hashing import hash_arrow_strings, splitmix64
 from ..stages.tokenize import flat_tokens
+from ._util import ensure_columns
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 WORD_RE = "[a-z]+|[0-9]+"
@@ -70,7 +71,10 @@ def quality_scores(sf_dir: str) -> pa.Table:
             }
         )
 
-    df = ds.map_batches(stats, batch_format="pyarrow", batch_size=8192).to_pandas()
+    df = ensure_columns(
+        ds.map_batches(stats, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_tokens": "int64", "stopword_ratio": "float64",
+         "mean_token_len": "float64"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -85,7 +89,9 @@ def regex_token_stats(sf_dir: str) -> pa.Table:
         n = pc.count_substring_regex(text, WORD_RE).cast(pa.int64())
         return pa.table({"doc_id": batch["doc_id"], "n_regex_tokens": n})
 
-    df = ds.map_batches(stats, batch_format="pyarrow", batch_size=8192).to_pandas()
+    df = ensure_columns(
+        ds.map_batches(stats, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_regex_tokens": "int64"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -178,6 +184,8 @@ def doc_fingerprints(sf_dir: str, n: int = 5, seed: int = 42) -> pa.Table:
             }
         )
 
-    df = ds.map_batches(fp, batch_format="pyarrow", batch_size=8192).to_pandas()
+    df = ensure_columns(
+        ds.map_batches(fp, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "fingerprint": "int64", "content_hash": "int64"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)

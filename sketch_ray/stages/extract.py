@@ -47,3 +47,18 @@ def extract_text_array(html: pa.Array | pa.ChunkedArray) -> pa.Array:
 def extract_text(batch: pa.Table, html_col: str = "html", out_col: str = "extracted_text") -> pa.Table:
     """map_batches(batch_format="pyarrow") stage: adds the extracted column."""
     return batch.append_column(out_col, extract_text_array(batch[html_col]))
+
+
+def host_of_url(url: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized url → host (north_star: distinct-host cardinality; the
+    host is parsed in a stateless map, RE2 kernel, no per-row Python)."""
+    col = url
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ext = pc.extract_regex(col, r"^[a-z][a-z0-9+.-]*://(?P<host>[^/:?#]+)")
+    return pc.struct_field(ext, "host")
+
+
+def add_host(batch: pa.Table, url_col: str = "url", out_col: str = "host") -> pa.Table:
+    """map_batches stage: append the parsed host column."""
+    return batch.append_column(out_col, host_of_url(batch[url_col]))

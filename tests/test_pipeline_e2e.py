@@ -174,3 +174,50 @@ def test_jsonl_source_roundtrip(ray_session, tmp_path):
     t = read_pages_jsonl(jd).to_pandas()
     ext = extract_text_array(pa.array([bytes(x) for x in t["html"]], pa.binary()))
     assert ext.to_pylist() == t["text"].tolist()
+
+
+def test_host_hll_cardinality(ray_session, pages_dir, pages_table):
+    """north_star: distinct url/host cardinality via HLL with host parsed
+    from url in a stateless map — estimates vs exact within HLL bounds."""
+    import ray.data as rd
+
+    from sketch_ray.stages.extract import add_host, host_of_url
+
+    ds = rd.read_parquet(pages_dir, columns=["url"]).map_batches(
+        add_host, batch_format="pyarrow", batch_size=4096
+    )
+    specs = [
+        SketchSpec("urls", "hll", "url", mode="column", params={"p": 12, "seed": 42}),
+        SketchSpec("hosts", "hll", "host", mode="column", params={"p": 12, "seed": 42}),
+    ]
+    sk = build_sketches(ds, specs, batch_size=4096)
+    exact_urls = len(set(pages_table["url"].to_pylist()))
+    exact_hosts = len(set(host_of_url(pages_table["url"]).to_pylist()))
+    assert abs(sk["urls"].estimate() - exact_urls) <= max(3, 0.05 * exact_urls)
+    assert abs(sk["hosts"].estimate() - exact_hosts) <= max(3, 0.05 * exact_hosts)
+    # parse sanity
+    hosts = host_of_url(pa.array(["https://host00001.example/a/b", "http://x.y:8080/q?z"]))
+    assert hosts.to_pylist() == ["host00001.example", "x.y"]
+
+
+def test_pipelines_tolerate_empty_input(ray_session, tmp_path):
+    """Hardening: every documents-driven pipeline must handle a 0-row table
+    (empty partitions are routine at scale)."""
+    import pyarrow.parquet as pq
+
+    import pyarrow as _pa
+
+    schema = _pa.schema([("doc_id", _pa.int64()), ("text", _pa.string()),
+                         ("lang", _pa.string()), ("source", _pa.string()),
+                         ("n_chars", _pa.int64())])
+    d = tmp_path / "empty"
+    d.mkdir()
+    pq.write_table(schema.empty_table(), str(d / "documents.parquet"))
+
+    from sketch_ray.pipelines import dedup, text_analysis
+
+    assert dedup.exact_dedup_docs(str(d)).num_rows == 0
+    assert dedup.jaccard_near_dups(str(d)).num_rows == 0
+    assert dedup.simhash_near_dups(str(d)).num_rows == 0
+    assert text_analysis.quality_scores(str(d)).num_rows == 0
+    assert text_analysis.doc_fingerprints(str(d)).num_rows == 0
