@@ -48,6 +48,29 @@ def _spec_lineage(spec: SketchSpec) -> dict[str, Any]:
     }
 
 
+def _ensure_thread_safe_fs_imports() -> None:
+    """Ray's path resolution re-imports ``fsspec.implementations.http`` on
+    EVERY read; when aiohttp is absent that import fails, and two driver
+    threads racing the failed import can observe a half-initialized module
+    (ImportError: cannot import name 'HTTPFileSystem'), which Ray does not
+    catch. Install a deterministic stub once so concurrent shard threads
+    never race the import. The stub class matches nothing in isinstance
+    checks, which is exactly the no-HTTP-filesystem behavior."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - stub for isinstance only
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
 class CheckpointedBuild:
     """Orchestrates a resumable multi-shard sketch build.
 
@@ -100,7 +123,10 @@ class CheckpointedBuild:
         info = manifest["shards"].get(shard_id)
         return bool(info and info.get("status") == "done" and os.path.exists(self._partial_path(shard_id)))
 
-    def _run_shard(self, shard_id: str, path: str, manifest: dict[str, Any]) -> None:
+    def _run_shard(self, shard_id: str, path: str, manifest: dict[str, Any],
+                   lock=None) -> None:
+        import contextlib
+
         import ray.data as rd
 
         t0 = time.perf_counter()
@@ -125,32 +151,56 @@ class CheckpointedBuild:
         pq.write_table(table, tmp)
         os.replace(tmp, out)  # atomic: a crash never leaves a half partial
 
-        manifest["shards"][shard_id] = {
-            "input": path,
-            "rows": int(n_rows),
-            "bytes": int(os.path.getsize(path)),
-            "wall_s": round(wall, 3),
-            "rows_per_s": round(n_rows / wall, 1) if wall > 0 else None,
-            "status": "done",
-        }
-        self._save_manifest(manifest)
+        guard = lock if lock is not None else contextlib.nullcontext()
+        with guard:
+            manifest["shards"][shard_id] = {
+                "input": path,
+                "rows": int(n_rows),
+                "bytes": int(os.path.getsize(path)),
+                "wall_s": round(wall, 3),
+                "rows_per_s": round(n_rows / wall, 1) if wall > 0 else None,
+                "status": "done",
+            }
+            self._save_manifest(manifest)
 
     # -- driver ------------------------------------------------------------
-    def run(self, max_shards: int | None = None) -> dict[str, SketchBase]:
+    def run(self, max_shards: int | None = None,
+            concurrent_shards: int = 2) -> dict[str, SketchBase]:
         """Process missing shards (optionally at most ``max_shards`` — used
         by tests to simulate a crash), then fold all completed partials in
         sorted shard order. Returns the global sketches once every shard is
-        done; partial progress returns the fold of what exists."""
+        done; partial progress returns the fold of what exists.
+
+        ``concurrent_shards`` driver threads keep the cluster busy across
+        shard boundaries (each thread drives its own streaming Dataset
+        execution; Ray schedules them jointly). Manifest writes are
+        lock-serialized; each shard's partial file stays atomic, so crash
+        semantics are unchanged."""
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ensure_thread_safe_fs_imports()
         manifest = self._load_manifest()
-        ran = 0
+        todo = []
         for i, path in enumerate(self.files):
             sid = self._shard_id(i)
-            if self._shard_done(manifest, sid):
-                continue
-            if max_shards is not None and ran >= max_shards:
-                break
-            self._run_shard(sid, path, manifest)
-            ran += 1
+            if not self._shard_done(manifest, sid):
+                todo.append((sid, path))
+        if max_shards is not None:
+            todo = todo[:max_shards]
+        if todo:
+            lock = threading.Lock()
+
+            def work(item):
+                sid, path = item
+                self._run_shard(sid, path, manifest, lock)
+
+            if concurrent_shards <= 1 or len(todo) == 1:
+                for item in todo:
+                    work(item)
+            else:
+                with ThreadPoolExecutor(max_workers=concurrent_shards) as ex:
+                    list(ex.map(work, todo))
 
         done = [self._shard_id(i) for i in range(len(self.files))
                 if self._shard_done(manifest, self._shard_id(i))]
