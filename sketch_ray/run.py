@@ -51,11 +51,44 @@ def parse_spec(s: str):
     return SketchSpec(name, kind, column, mode=mode, params=params)
 
 
+def run_config(cfg_path: str) -> list[dict]:
+    """Config-file job registry (the analog of the reference's
+    ``datasets.json``, run_eval.py:59-90): a JSON file with
+    ``{"jobs": [{"name", "input": [...], "ckpt", "specs": [...],
+    "columns": [...], "batch_size"}]}`` — each job is a resumable
+    checkpointed build; returns one summary dict per job."""
+    import glob as _glob
+
+    from .state.checkpoint import CheckpointedBuild
+
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    out = []
+    for job in cfg["jobs"]:
+        files: list[str] = []
+        for pat in job["input"]:
+            hits = sorted(_glob.glob(pat))
+            files.extend(hits if hits else [pat])
+        specs = [parse_spec(s) for s in job.get("specs", DEFAULT_SPECS)]
+        cb = CheckpointedBuild(files, specs, job["ckpt"],
+                               columns=job.get("columns"),
+                               batch_size=int(job.get("batch_size", 8192)))
+        sketches = cb.run()
+        with open(os.path.join(job["ckpt"], "manifest.json")) as f:
+            manifest = json.load(f)
+        out.append({"name": job["name"], "status": manifest["status"],
+                    "n_done": manifest["n_done"], "totals": manifest["totals"],
+                    "sketches": sorted(sketches)})
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m sketch_ray.run")
-    ap.add_argument("--input", nargs="+", required=True,
+    ap.add_argument("--input", nargs="+",
                     help="parquet file(s) or glob(s); one file = one resumable shard")
-    ap.add_argument("--ckpt", required=True, help="checkpoint directory")
+    ap.add_argument("--config", default=None,
+                    help="JSON job registry: {jobs: [{name, input, ckpt, specs, ...}]}")
+    ap.add_argument("--ckpt", help="checkpoint directory")
     ap.add_argument("--out", default=None, help="write global sketches parquet here")
     ap.add_argument("--spec", action="append", default=None,
                     help="name:kind:column:mode (repeatable); default document suite")
@@ -70,6 +103,12 @@ def main(argv=None) -> int:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  num_cpus=args.num_cpus, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
+
+    if args.config:
+        print(json.dumps(run_config(args.config)))
+        return 0
+    if not args.input or not args.ckpt:
+        ap.error("--input and --ckpt are required without --config")
 
     files: list[str] = []
     for pat in args.input:
