@@ -140,6 +140,46 @@ def run_scaling(sf_dir: str, lo: int, hi: int, replicate: int) -> dict:
     }
 
 
+def _text_job(sf_dir: str, num_cpus: int, replicate: int) -> dict:
+    """Text-analysis throughput: quality scoring -> language ID -> minhash
+    band signatures in one streaming pipeline over the replicated documents
+    table (the training-data-ops hot path)."""
+    _init_ray(num_cpus)
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sketch_ray.pipelines.dedup import _band_rows
+    from sketch_ray.pipelines.text_analysis import LangId
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.ParquetFile(path).metadata.num_rows * replicate
+    ds = rd.read_parquet([path] * replicate, columns=["doc_id", "text"],
+                         override_num_blocks=replicate)
+    t0 = time.perf_counter()
+    n = (
+        ds.map_batches(LangId, concurrency=(1, num_cpus), batch_format="pyarrow",
+                       batch_size=4096)
+        .map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+        .count()
+    )
+    lang_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m = (
+        rd.read_parquet([path] * replicate, columns=["doc_id", "text"],
+                        override_num_blocks=replicate)
+        .map_batches(lambda b: _band_rows(b, 3, 128, 32, 42),
+                     batch_format="pyarrow", batch_size=4096)
+        .count()
+    )
+    mh_wall = time.perf_counter() - t0
+    return {
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "langid_docs_per_s": round(n_docs / lang_wall, 1),
+        "minhash_docs_per_s": round(n_docs / mh_wall, 1),
+    }
+
+
 def run_error_sweep(sf_dir: str) -> dict:
     """CM-CU point-query error vs the published eps-delta bound
     (eps = e/width, observed over every distinct token; kernel-level, no
@@ -202,8 +242,17 @@ def main() -> None:
                     help="input replication for the scaling job (same table x K)")
     ap.add_argument("--error-sweep", action="store_true",
                     help="CM/CM-CU observed error vs eps-delta bound (no Ray)")
+    ap.add_argument("--text-throughput", action="store_true",
+                    help="language-ID + minhash-signature docs/s on replicated input")
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
+
+    if args.text_throughput:
+        res = _text_job(args.sf_dir, args.num_cpus, args.replicate)
+        print(json.dumps({"metric": "text_ops_throughput",
+                          "value": res["langid_docs_per_s"], "unit": "docs/s",
+                          "sf": _sf_of(args.sf_dir), **res}))
+        return
 
     if args.error_sweep:
         res = run_error_sweep(args.sf_dir)

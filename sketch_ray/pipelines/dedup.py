@@ -110,14 +110,17 @@ def _shingle_hashes(th: np.ndarray, offsets: np.ndarray, k: int):
 
 
 def _distinct_doc_shingles(batch: pa.Table, k: int):
-    """-> (doc_id int64[m], shingle uint64[m]) with per-doc DISTINCT shingles."""
+    """-> (doc_id int64[m], shingle uint64[m]) with per-doc DISTINCT shingles,
+    sorted by (doc, shingle). lexsort + first-occurrence mask — much cheaper
+    than np.unique(axis=0)'s void-view sort on a 2-column stack."""
     doc_ids, th, offsets = _doc_token_hashes(batch)
     sh, di = _shingle_hashes(th, offsets, k)
     if len(sh) == 0:
         return np.empty(0, np.int64), np.empty(0, _U64)
-    pairkey = np.stack([di.astype(np.uint64), sh], axis=1)
-    uniq = np.unique(pairkey, axis=0)
-    return doc_ids[uniq[:, 0].astype(np.int64)], uniq[:, 1]
+    order = np.lexsort((sh, di))
+    di_s, sh_s = di[order], sh[order]
+    first = np.concatenate([[True], (di_s[1:] != di_s[:-1]) | (sh_s[1:] != sh_s[:-1])])
+    return doc_ids[di_s[first]], sh_s[first]
 
 
 def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
