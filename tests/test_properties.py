@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for the mergeable-sketch kernel layer.
+
+These generalize the seeded unit tests: for ARBITRARY streams and ARBITRARY
+partitionings, the mergeable-summary contracts must hold (north_rule: merge
+associativity over arbitrary partition orderings; published error bounds).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+KEYS = st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=400)
+SPLITS = st.integers(min_value=1, max_value=7)
+SEED = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+def _partition(keys: list[str], n: int) -> list[list[str]]:
+    return [keys[i::n] for i in range(n)]
+
+
+@settings(max_examples=40, deadline=None)
+@given(KEYS, SPLITS, SEED)
+def test_cm_sum_merge_order_invariant(raw, n_parts, seed):
+    """Sum-merged CM state is byte-identical for any partition ordering,
+    and never undercounts any key."""
+    from sketch_ray.kernels import CountMin
+
+    keys = [f"k{x}" for x in raw]
+    exact = Counter(keys)
+    parts = _partition(keys, n_parts)
+
+    def build(order):
+        acc = CountMin(depth=3, width=256, seed=seed)
+        for i in order:
+            p = CountMin(depth=3, width=256, seed=seed)
+            if parts[i]:
+                p.update(parts[i])
+            acc.merge(p)
+        return acc
+
+    fwd = build(range(n_parts))
+    rev = build(reversed(range(n_parts)))
+    assert fwd.to_bytes() == rev.to_bytes()
+    if exact:
+        est = fwd.query(list(exact))
+        assert all(e >= exact[k] for k, e in zip(exact, est))
+
+
+@settings(max_examples=40, deadline=None)
+@given(KEYS, SPLITS, SEED)
+def test_cmcu_merged_never_undercounts(raw, n_parts, seed):
+    from sketch_ray.kernels import CountMinCU
+
+    keys = [f"k{x}" for x in raw]
+    exact = Counter(keys)
+    acc = CountMinCU(depth=3, width=256, seed=seed)
+    for part in _partition(keys, n_parts):
+        p = CountMinCU(depth=3, width=256, seed=seed)
+        if part:
+            p.update(part)
+        acc.merge(p)
+    if exact:
+        est = acc.query(list(exact))
+        assert all(e >= exact[k] for k, e in zip(exact, est))
+
+
+@settings(max_examples=40, deadline=None)
+@given(KEYS, SPLITS)
+def test_hll_bloom_bottomk_merge_idempotent_commutative(raw, n_parts):
+    """max/or/union-merge sketches: byte-identical under reordering AND
+    under double-merging the same partial (idempotence)."""
+    from sketch_ray.kernels import HLL, BloomFilter, BottomK
+
+    keys = [f"k{x}" for x in raw]
+    parts = _partition(keys, n_parts)
+    for factory in (
+        lambda: HLL(p=6, seed=1),
+        lambda: BloomFilter(n_bits=1 << 10, n_hashes=3, seed=1),
+        lambda: BottomK(k=32, seed=1),
+    ):
+        partials = []
+        for part in parts:
+            p = factory()
+            if part:
+                p.update(part)
+            partials.append(p)
+        a = factory()
+        for p in partials:
+            a.merge(p)
+        b = factory()
+        for p in reversed(partials):
+            b.merge(p)
+        assert a.to_bytes() == b.to_bytes()  # commutativity: byte identity
+        # idempotence on the SEMANTIC state (max/or/union structures; the
+        # n_added diagnostic counter legitimately double-counts)
+        c = factory()
+        for p in partials:
+            c.merge(p)
+            c.merge(p)
+        sa, sc = a.state(), c.state()
+        for field in ("registers", "bits", "hashes"):
+            if field in sa:
+                assert (np.asarray(sa[field]) == np.asarray(sc[field])).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(KEYS, SPLITS)
+def test_mg_bound_any_partitioning(raw, n_parts):
+    from sketch_ray.kernels import MisraGries
+
+    keys = [f"k{x}" for x in raw]
+    exact = Counter(keys)
+    acc = MisraGries(k=16)
+    for part in _partition(keys, n_parts):
+        p = MisraGries(k=16)
+        if part:
+            p.update(part)
+        acc.merge(p)
+    assert acc.err <= len(keys) / (16 + 1)
+    for k, c in exact.items():
+        lo = acc.query([k])[0]
+        assert lo <= c and c - lo <= acc.err
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=1, max_size=300), SPLITS)
+def test_kll_merged_quantiles_within_range(vals, n_parts):
+    """Merged KLL quantiles always lie within [min, max] of the data and
+    the median's rank error respects the summary's epsilon."""
+    from sketch_ray.kernels import KLL
+
+    acc = KLL(k=64, seed=1)
+    for part in [vals[i::n_parts] for i in range(n_parts)]:
+        p = KLL(k=64, seed=1)
+        if part:
+            p.update(np.array(part))
+        acc.merge(p)
+    q = float(np.asarray(acc.quantile(np.array([0.5])))[0])
+    assert min(vals) <= q <= max(vals)
+    # rank of a value with duplicates is an interval [left, right]; the
+    # median estimate passes if that interval touches 0.5 ± eps
+    s = np.sort(vals)
+    lo = np.searchsorted(s, q, side="left") / len(vals)
+    hi = np.searchsorted(s, q, side="right") / len(vals)
+    eps = 0.35  # loose: tiny k, tiny n
+    assert lo - eps <= 0.5 <= hi + eps
