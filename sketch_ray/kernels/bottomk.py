@@ -43,13 +43,16 @@ class BottomK(SketchBase):
         self.keys = [str(x) for x in state["keys"]]
 
     def _absorb(self, h: np.ndarray, ks: list[str]) -> None:
+        """Dedup FIRST, then trim: trimming before dedup can evict a distinct
+        hash in favor of a duplicate pair (np.unique sorts ascending, which
+        is exactly bottom-k order)."""
         if len(h) == 0:
             return
         all_h = np.concatenate([self.hashes, h])
         all_k = self.keys + ks
-        order = np.argsort(all_h, kind="stable")[: self.k]
-        self.hashes = all_h[order]
-        self.keys = [all_k[i] for i in order]
+        uh, idx = np.unique(all_h, return_index=True)
+        self.hashes = uh[: self.k]
+        self.keys = [all_k[i] for i in idx[: self.k]]
 
     def update(self, keys, counts=None) -> None:
         ks = [str(x) for x in (keys.to_pylist() if hasattr(keys, "to_pylist") else keys)]
@@ -60,11 +63,7 @@ class BottomK(SketchBase):
 
     def merge(self, other: "BottomK") -> "BottomK":
         assert self.config() == other.config(), "sketch configs differ"
-        self._absorb(other.hashes, other.keys)
-        # a key present in both partials appears twice -> dedup (hash equality)
-        uh, idx = np.unique(self.hashes, return_index=True)
-        self.hashes = uh[: self.k]
-        self.keys = [self.keys[i] for i in idx[: self.k]]
+        self._absorb(other.hashes, other.keys)  # union + dedup + trim
         return self
 
     # -- queries -----------------------------------------------------------
