@@ -16,6 +16,7 @@ atomics).
 from __future__ import annotations
 
 import pickle
+import zlib
 from typing import Any, Protocol, runtime_checkable
 
 import numpy as np
@@ -57,11 +58,14 @@ class SketchBase:
                 for k, v in self.state().items()
             },
         }
-        return pickle.dumps(payload, protocol=4)
+        # zlib level 1: partial-sketch rows are the merge-shuffle payload
+        # and real partials compress 4-85x (sparse counter tables); the
+        # b"Z1" frame keeps decoding self-describing and deterministic
+        return b"Z1" + zlib.compress(pickle.dumps(payload, protocol=4), 1)
 
     @classmethod
     def from_bytes(cls, raw: bytes) -> "SketchBase":
-        payload = pickle.loads(raw)
+        payload = pickle.loads(_unframe(raw))
         obj = cls(**payload["config"])
         obj.load_state(payload["state"])
         return obj
@@ -95,9 +99,13 @@ def register(cls):
     return cls
 
 
+def _unframe(raw: bytes) -> bytes:
+    return zlib.decompress(raw[2:]) if raw[:2] == b"Z1" else raw
+
+
 def sketch_from_bytes(raw: bytes) -> SketchBase:
     """Deserialize any registered sketch kind."""
-    payload = pickle.loads(raw)
+    payload = pickle.loads(_unframe(raw))
     cls = _REGISTRY[payload["kind"]]
     obj = cls(**payload["config"])
     obj.load_state(payload["state"])
