@@ -1,0 +1,63 @@
+"""Skew stress: a pathological hot key must not break correctness, and the
+merge fold must stay exact over multiple reduce rounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(tmp_path_factory):
+    """20k docs where ONE token carries ~50% of total mass (worse than any
+    real Zipf head) plus a uniform tail."""
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(20000):
+        toks = ["hotkey"] * 10 + [f"t{rng.integers(0, 2000)}" for _ in range(10)]
+        texts.append(" ".join(toks))
+    d = tmp_path_factory.mktemp("skew")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(20000), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_hot_key_exact_counts_and_heavy_hitters(ray_session, skewed_docs):
+    from sketch_ray.pipelines.exact import token_counts_ds
+    from sketch_ray.pipelines.heavy_hitters import heavy_hitters
+    from sketch_ray.stages.sketch_build import SketchSpec
+
+    counts = token_counts_ds(skewed_docs).to_pandas().set_index("token")["cnt"]
+    assert counts["hotkey"] == 200000  # exact despite 50% skew
+
+    spec = SketchSpec("hh", "cmcu", "text", mode="tokens",
+                      params={"width": 1 << 14, "seed": 42})
+    hh = heavy_hitters(
+        __import__("ray.data", fromlist=["rd"]).read_parquet(
+            f"{skewed_docs}/documents.parquet", columns=["text"]),
+        spec, threshold=100000,
+    ).to_pandas()
+    assert hh["token"].tolist() == ["hotkey"]
+    assert hh["cnt"].tolist() == [200000]
+
+
+def test_merge_multi_round_exact(ray_session, skewed_docs):
+    """rounds=2 fold (the 10^12-scale path) gives the identical global
+    sketch as rounds=1."""
+    import ray.data as rd
+
+    from sketch_ray.stages.sketch_build import SketchSpec, build_partials, merge_partials
+
+    spec = SketchSpec("tok", "cmcu", "text", mode="tokens",
+                      params={"width": 1 << 12, "seed": 42})
+    ds = rd.read_parquet(f"{skewed_docs}/documents.parquet", columns=["text"])
+    p1 = build_partials(ds, [spec], batch_size=1024).materialize()
+    one = merge_partials(p1, fan_in=8, rounds=1)["tok"]
+    two = merge_partials(p1, fan_in=8, rounds=2)["tok"]
+    assert one.to_bytes() == two.to_bytes()
+    assert one.query(["hotkey"])[0] >= 200000
