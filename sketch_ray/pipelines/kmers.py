@@ -1,0 +1,251 @@
+"""Multi-length DNA k-mer emerging-heavy-hitter pipeline — the reference's
+actual workload (src/sketch.cpp:48-289), re-expressed Ray-Data-first and
+EXACT in its final output.
+
+Semantics parity with the reference CLI ``sketch test control min max th...``:
+
+- windows of every length L in [min_len, max_len] at every byte offset,
+  resetting at non-ACGT bytes and line boundaries (src/sketch.cpp:103-171);
+- per-length threshold: candidate iff count >= threshold[L]
+  (baseline ``>=`` semantics, src/sketch.cpp:160-162);
+- emerging: floor(test_cnt / growth) − control_cnt > 0 (scale
+  src/sketch.cpp:179-183, probe src/sketch.cpp:222-227, prune
+  src/sketch.cpp:238-245); reported frequency is the raw test count
+  (snapshot before scaling, src/sketch.cpp:176).
+
+Physical plan: pass 1 streams batches through a per-length *incremental*
+rolling hash (the reference's M7 hash-extension trick, sketch_pipelined.cu:
+51-76, vectorized: hash_{L+1} = hash_L · B + code) into one CM-CU sketch
+(hashes salted by L); pass 2 re-streams, queries the broadcast sketch, and
+materializes ONLY threshold-crossing windows as strings — so k-mer strings
+exist just for candidates, never for the corpus (the reference's
+candidate-map discipline). A tiny groupby over candidate hashes gives exact
+counts; control occurrences come from a broadcast candidate-hash probe.
+Cross-implementation conformance vs the compiled reference binary is tested
+in tests/test_kmers.py (the reference's own test strategy, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Sum
+
+from ..kernels import CountMinCU, sketch_from_bytes
+from ..kernels.hashing import splitmix64
+
+_U64 = np.uint64
+_BASE = _U64(0x100000001B3)
+
+# byte -> 2-bit code; 255 = invalid (window terminator), matching the
+# reference's symbol encoder semantics (src/sketch.cpp:113-129)
+_CODE = np.full(256, 255, dtype=np.uint8)
+for _b, _c in zip(b"ACTG", range(4)):  # reference order A=0 C=1 T=2 G=3
+    _CODE[_b] = _c
+
+
+def _seq_bytes(batch: pa.Table, col: str = "seq"):
+    """batch -> (bytes uint8[n], row_index int64[n] per byte)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    buffers = arr.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    data = data[offsets[0]: offsets[-1]]
+    row_index = np.repeat(np.arange(len(arr), dtype=np.int64), np.diff(offsets))
+    return data, row_index
+
+
+def _window_hashes(data: np.ndarray, row_index: np.ndarray, lengths: range):
+    """Incremental multi-length window hashing.
+
+    Yields (L, start_positions int64[mL], hashes uint64[mL]) for each L,
+    where start positions index into ``data`` and every window is valid
+    (all ACGT, single row). hash_{L+1} extends hash_L — one multiply-add
+    per extra symbol, the vectorized analog of the reference's
+    per-symbol hash extension (src/sketch.cpp:136-138)."""
+    n = len(data)
+    codes = _CODE[data]
+    valid = codes != 255
+    inv_cum = np.concatenate([[0], np.cumsum(~valid)])
+    acc = None
+    for L in lengths:
+        m = n - L + 1
+        if m <= 0:
+            return
+        if acc is None:
+            acc = np.zeros(m, dtype=_U64)
+            for j in range(L):
+                acc = acc * _BASE + codes[j: j + m]
+        else:
+            acc = acc[:m] * _BASE + codes[L - 1: L - 1 + m]
+        ok = (
+            (inv_cum[L:] - inv_cum[:-L] == 0)       # all symbols valid
+            & (row_index[:m] == row_index[L - 1:])  # window inside one row
+        )
+        starts = np.flatnonzero(ok)
+        yield L, starts, splitmix64(acc[starts] ^ (_U64(L) * _U64(0x9E3779B97F4A7C15)))
+
+
+class _KmerSketch:
+    """Pass-1 actor: one CM-CU over all lengths (hashes are length-salted)."""
+
+    def __init__(self, min_len: int, max_len: int, width: int, seed: int):
+        self.lengths = range(min_len, max_len + 1)
+        self.width = width
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sk = CountMinCU(depth=4, width=self.width, seed=self.seed)
+        data, row_index = _seq_bytes(batch)
+        for L, starts, hashes in _window_hashes(data, row_index, self.lengths):
+            uniq, counts = np.unique(hashes, return_counts=True)
+            sk.update_hashed(uniq, counts)
+        return pa.table(
+            {
+                "sketch": pa.array(["kmer"], pa.string()),
+                "kind": pa.array([sk.kind], pa.string()),
+                "partial": pa.array([sk.to_bytes()], pa.large_binary()),
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+
+class _CandidateKmers:
+    """Pass-2 actor: emit (khash, kmer, length, partial) for windows whose
+    sketch estimate crosses the per-length threshold; strings materialize
+    for candidates only."""
+
+    def __init__(self, sketch_ref, min_len: int, thresholds: list[int]):
+        self.sketch = sketch_from_bytes(ray.get(sketch_ref))
+        self.min_len = min_len
+        self.thresholds = thresholds
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, row_index = _seq_bytes(batch)
+        out_h, out_s, out_l, out_c = [], [], [], []
+        lengths = range(self.min_len, self.min_len + len(self.thresholds))
+        for L, starts, hashes in _window_hashes(data, row_index, lengths):
+            uniq, counts = np.unique(hashes, return_counts=True)
+            est = self.sketch.query_hashed(uniq)
+            mask = est >= self.thresholds[L - self.min_len]
+            if not mask.any():
+                continue
+            hot = uniq[mask]
+            # one representative start per hot hash, vectorized: hashes
+            # sorted once, searchsorted per hot value
+            order = np.argsort(hashes, kind="stable")
+            pos = starts[order[np.searchsorted(hashes[order], hot)]]
+            out_h.extend(hot.view(np.int64).tolist())  # bit-reinterpret
+            out_s.extend(bytes(data[p: p + L]).decode("ascii") for p in pos.tolist())
+            out_l.extend([L] * len(hot))
+            out_c.extend(counts[mask].tolist())
+        return pa.table(
+            {
+                "khash": pa.array(out_h, pa.int64()),
+                "kmer": pa.array(out_s, pa.large_string()),
+                "length": pa.array(out_l, pa.int64()),
+                "partial": pa.array(out_c, pa.int64()),
+            }
+        )
+
+
+class _ProbeCounts:
+    """Control-side probe (J1 broadcast semi-join): count occurrences of the
+    candidate hash set, no strings."""
+
+    def __init__(self, cand_ref, min_len: int, n_lengths: int):
+        self.cand = np.sort(ray.get(cand_ref))  # uint64 sorted
+        self.min_len = min_len
+        self.n_lengths = n_lengths
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, row_index = _seq_bytes(batch)
+        out_h, out_c = [], []
+        lengths = range(self.min_len, self.min_len + self.n_lengths)
+        for L, starts, hashes in _window_hashes(data, row_index, lengths):
+            uniq, counts = np.unique(hashes, return_counts=True)
+            idx = np.searchsorted(self.cand, uniq)
+            idx = np.minimum(idx, len(self.cand) - 1)
+            hit = self.cand[idx] == uniq if len(self.cand) else np.zeros(len(uniq), bool)
+            if hit.any():
+                out_h.extend(uniq[hit].view(np.int64).tolist())  # bit-reinterpret
+                out_c.extend(counts[hit].tolist())
+        return pa.table({"khash": pa.array(out_h, pa.int64()),
+                         "partial": pa.array(out_c, pa.int64())})
+
+
+def _build_kmer_sketch(ds, min_len, max_len, width, seed, batch_size):
+    from ..stages.sketch_build import merge_partials
+
+    partials = ds.map_batches(
+        _KmerSketch, fn_constructor_args=(min_len, max_len, width, seed),
+        concurrency=(1, 8), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return merge_partials(partials)["kmer"]
+
+
+def heavy_kmers(
+    ds, min_len: int, max_len: int, thresholds: list[int],
+    width: int = 1 << 14, seed: int = 42, batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Exact per-length heavy-hitter k-mers: (kmer, length, cnt) with
+    cnt >= threshold[length]."""
+    assert len(thresholds) == max_len - min_len + 1
+    sk = _build_kmer_sketch(ds, min_len, max_len, width, seed, batch_size)
+    ref = ray.put(sk.to_bytes())
+    cand = ds.map_batches(
+        _CandidateKmers, fn_constructor_args=(ref, min_len, thresholds),
+        concurrency=(1, 8), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).materialize()  # two consumers (counts + metadata): don't re-run pass 2
+    agg = cand.groupby("khash").aggregate(Sum("partial", alias_name="cnt"))
+    counts = agg.to_pandas()
+    meta = cand.map_batches(
+        lambda b: b.select(["khash", "kmer", "length"]),
+        batch_format="pyarrow", batch_size=65536,
+    ).to_pandas().drop_duplicates("khash")
+    if len(counts) == 0 or len(meta) == 0:
+        return pd.DataFrame({"kmer": pd.Series([], dtype=str),
+                             "length": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    df = counts.merge(meta, on="khash")
+    thr = {min_len + i: t for i, t in enumerate(thresholds)}
+    df = df[df["cnt"] >= df["length"].map(thr)]
+    return df[["kmer", "length", "cnt", "khash"]].sort_values(["length", "kmer"]).reset_index(drop=True)
+
+
+def emerging_kmers(
+    test_ds, control_ds, min_len: int, max_len: int, thresholds: list[int],
+    growth: int = 2, width: int = 1 << 14, seed: int = 42, batch_size: int = 4096,
+) -> pd.DataFrame:
+    """The reference's full program: per-length heavy hitters of the test
+    corpus, pruned by floor(cnt/growth) − control_cnt > 0. Returns
+    (kmer, length, cnt) where cnt is the RAW test count (reference snapshot
+    semantics, src/sketch.cpp:176)."""
+    hh = heavy_kmers(test_ds, min_len, max_len, thresholds, width, seed, batch_size)
+    if len(hh) == 0:
+        return hh.drop(columns=["khash"], errors="ignore")
+    cand_hashes = hh["khash"].to_numpy().astype(np.int64).view(np.uint64)  # bit-reinterpret
+    cref = ray.put(cand_hashes)
+    probe = control_ds.map_batches(
+        _ProbeCounts, fn_constructor_args=(cref, min_len, len(thresholds)),
+        concurrency=(1, 8), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    ctrl = probe.groupby("khash").aggregate(Sum("partial", alias_name="control_cnt")).to_pandas()
+    if "khash" not in ctrl.columns:
+        ctrl = pd.DataFrame({"khash": pd.Series([], dtype="int64"),
+                             "control_cnt": pd.Series([], dtype="int64")})
+    df = hh.merge(ctrl, on="khash", how="left")
+    df["control_cnt"] = df["control_cnt"].fillna(0).astype("int64")
+    keep = df["cnt"] // growth - df["control_cnt"] > 0
+    df = df[keep]
+    return df[["kmer", "length", "cnt"]].sort_values(["length", "kmer"]).reset_index(drop=True)
