@@ -180,6 +180,84 @@ def _text_job(sf_dir: str, num_cpus: int, replicate: int) -> dict:
     }
 
 
+def run_kmer_bench(num_cpus: int, n_seqs: int = 50000) -> dict:
+    """Head-to-head on the reference's own workload (BASELINE.md config:
+    n_seqs × 100 bp, planted 20-bp motif in 2% of test seqs, k-mer lengths
+    10-20, canonical thresholds): run the Ray pipeline, and — when g++ is
+    available — build + run the reference `sketch` binary on the SAME files
+    and compare output sets + wall time."""
+    import random
+    import shutil
+    import subprocess
+    import tempfile
+
+    _init_ray(num_cpus)
+    MOTIF = "ACGTACGTTGCAACGTTGCA"
+    THRESHOLDS = [365, 308, 257, 161, 150, 145, 145, 145, 145, 145, 145]
+
+    d = tempfile.mkdtemp(prefix="kmer_bench_")
+
+    def write(path, plant_rate, seed):
+        rng = random.Random(seed)
+        with open(path, "w") as f:
+            for i in range(n_seqs):
+                f.write(f">s{i}\n")
+                s = "".join(rng.choice("ACGT") for _ in range(100))
+                if rng.random() < plant_rate:
+                    pos = rng.randint(0, 80)
+                    s = s[:pos] + MOTIF + s[pos + 20:]
+                f.write(s + "\n")
+
+    test, ctrl = os.path.join(d, "test.fasta"), os.path.join(d, "control.fasta")
+    write(test, 0.02, 42)
+    write(ctrl, 0.0, 43)
+
+    from sketch_ray.pipelines.kmers import emerging_kmers
+    from sketch_ray.sources.fasta import read_fasta
+
+    t0 = time.perf_counter()
+    ours = emerging_kmers(read_fasta(test), read_fasta(ctrl), 10, 20, THRESHOLDS,
+                          batch_size=4096)
+    our_wall = time.perf_counter() - t0
+    result = {
+        "num_cpus": num_cpus,
+        "n_seqs": n_seqs,
+        "ray_wall_s": round(our_wall, 3),
+        "ray_seqs_per_s": round(2 * n_seqs / our_wall, 1),  # test+control scans
+        "n_heavy_hitters": int(len(ours)),
+    }
+
+    if shutil.which("g++"):
+        ref_bin = os.path.join(d, "sketch_ref")
+        src = "/root/reference/src"
+        build = subprocess.run(
+            ["g++", "-std=c++11", "-pthread", "-O3", f"{src}/sketch.cpp",
+             f"{src}/fasta.cpp", f"{src}/MappedFile.cpp", "-o", ref_bin],
+            capture_output=True, text=True)
+        if build.returncode == 0:
+            t0 = time.perf_counter()
+            ref = subprocess.run(
+                [ref_bin, test, ctrl, "10", "20", *map(str, THRESHOLDS)],
+                capture_output=True, text=True, check=True)
+            ref_wall = time.perf_counter() - t0
+            ref_set = sorted(x for x in ref.stdout.splitlines() if x.strip())
+            our_set = sorted(f"{r['kmer']} {r['cnt']}" for _, r in ours.iterrows())
+            ref_kmers = {x.split()[0] for x in ref_set}
+            our_kmers = {x.split()[0] for x in our_set}
+            result.update({
+                "ref_wall_s": round(ref_wall, 3),
+                "ref_seqs_per_s": round(2 * n_seqs / ref_wall, 1),
+                "speedup_vs_reference": round(ref_wall / our_wall, 2),
+                "output_identical_to_reference": our_set == ref_set,
+                "n_ref": len(ref_set), "n_ours": len(our_set),
+                # ours is exact; extras on the reference side are CU-estimate
+                # false positives at this sketch load
+                "ref_only_kmers": len(ref_kmers - our_kmers),
+                "ours_only_kmers": len(our_kmers - ref_kmers),
+            })
+    return result
+
+
 def run_error_sweep(sf_dir: str) -> dict:
     """CM-CU point-query error vs the published eps-delta bound
     (eps = e/width, observed over every distinct token; kernel-level, no
@@ -244,8 +322,17 @@ def main() -> None:
                     help="CM/CM-CU observed error vs eps-delta bound (no Ray)")
     ap.add_argument("--text-throughput", action="store_true",
                     help="language-ID + minhash-signature docs/s on replicated input")
+    ap.add_argument("--kmer", action="store_true",
+                    help="head-to-head vs the reference binary on its own workload")
+    ap.add_argument("--kmer-seqs", type=int, default=50000)
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
+
+    if args.kmer:
+        res = run_kmer_bench(args.num_cpus, args.kmer_seqs)
+        print(json.dumps({"metric": "kmer_emerging_hh", "value": res["ray_wall_s"],
+                          "unit": "sec", **res}))
+        return
 
     if args.text_throughput:
         res = _text_job(args.sf_dir, args.num_cpus, args.replicate)

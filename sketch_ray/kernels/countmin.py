@@ -77,9 +77,15 @@ class _CMBase(SketchBase):
     def _dedup(hashes: np.ndarray, counts) -> tuple[np.ndarray, np.ndarray]:
         hashes = np.asarray(hashes, dtype=np.uint64)
         if counts is None:
-            counts = np.ones(len(hashes), dtype=np.int64)
-        else:
-            counts = np.asarray(counts, dtype=np.int64)
+            # unweighted fast path: one sort + run-length counts (unique's
+            # return_inverse + add.at costs ~3x more)
+            if len(hashes) == 0:
+                return hashes, np.zeros(0, dtype=np.int64)
+            h_sorted = np.sort(hashes)
+            first = np.flatnonzero(np.concatenate([[True], h_sorted[1:] != h_sorted[:-1]]))
+            agg = np.diff(np.concatenate([first, [len(h_sorted)]]))
+            return h_sorted[first], agg.astype(np.int64)
+        counts = np.asarray(counts, dtype=np.int64)
         uniq, inv = np.unique(hashes, return_inverse=True)
         if len(uniq) == len(hashes):
             return hashes, counts

@@ -40,6 +40,17 @@ from ..kernels.hashing import splitmix64
 _U64 = np.uint64
 _BASE = _U64(0x100000001B3)
 
+
+def _pool():
+    """Actor-pool sizing: autoscaling up to half the cluster CPUs per stage
+    (two k-mer stages can run concurrently; a fixed pool larger than the
+    cluster deadlocks the streaming executor)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(1, min(16, cpus // 2)))
+
 # byte -> 2-bit code; 255 = invalid (window terminator), matching the
 # reference's symbol encoder semantics (src/sketch.cpp:113-129)
 _CODE = np.full(256, 255, dtype=np.uint8)
@@ -105,8 +116,8 @@ class _KmerSketch:
         sk = CountMinCU(depth=4, width=self.width, seed=self.seed)
         data, row_index = _seq_bytes(batch)
         for L, starts, hashes in _window_hashes(data, row_index, self.lengths):
-            uniq, counts = np.unique(hashes, return_counts=True)
-            sk.update_hashed(uniq, counts)
+            # no pre-unique: update_hashed's _dedup does the one sort needed
+            sk.update_hashed(hashes)
         return pa.table(
             {
                 "sketch": pa.array(["kmer"], pa.string()),
@@ -156,24 +167,27 @@ class _CandidateKmers:
         )
 
 
-class _ProbeCounts:
-    """Control-side probe (J1 broadcast semi-join): count occurrences of the
-    candidate hash set, no strings."""
+class _SketchProbe:
+    """Control-side probe: count occurrences of every window whose TEST
+    sketch estimate crosses the threshold (a superset of the exact
+    candidates, so the control scan needs no dependency on pass-2 output
+    and can run CONCURRENTLY with it; non-candidate rows are discarded by
+    the final join). The sketch plays the reference's candidate-map role
+    (J1, src/sketch.cpp:222-227) with no strings materialized."""
 
-    def __init__(self, cand_ref, min_len: int, n_lengths: int):
-        self.cand = np.sort(ray.get(cand_ref))  # uint64 sorted
+    def __init__(self, sketch_ref, min_len: int, thresholds: list[int]):
+        self.sketch = sketch_from_bytes(ray.get(sketch_ref))
         self.min_len = min_len
-        self.n_lengths = n_lengths
+        self.thresholds = thresholds
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data, row_index = _seq_bytes(batch)
         out_h, out_c = [], []
-        lengths = range(self.min_len, self.min_len + self.n_lengths)
+        lengths = range(self.min_len, self.min_len + len(self.thresholds))
         for L, starts, hashes in _window_hashes(data, row_index, lengths):
             uniq, counts = np.unique(hashes, return_counts=True)
-            idx = np.searchsorted(self.cand, uniq)
-            idx = np.minimum(idx, len(self.cand) - 1)
-            hit = self.cand[idx] == uniq if len(self.cand) else np.zeros(len(uniq), bool)
+            est = self.sketch.query_hashed(uniq)
+            hit = est >= self.thresholds[L - self.min_len]
             if hit.any():
                 out_h.extend(uniq[hit].view(np.int64).tolist())  # bit-reinterpret
                 out_c.extend(counts[hit].tolist())
@@ -186,7 +200,7 @@ def _build_kmer_sketch(ds, min_len, max_len, width, seed, batch_size):
 
     partials = ds.map_batches(
         _KmerSketch, fn_constructor_args=(min_len, max_len, width, seed),
-        concurrency=(1, 8), batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_pool(), batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
     return merge_partials(partials)["kmer"]
@@ -194,16 +208,29 @@ def _build_kmer_sketch(ds, min_len, max_len, width, seed, batch_size):
 
 def heavy_kmers(
     ds, min_len: int, max_len: int, thresholds: list[int],
-    width: int = 1 << 14, seed: int = 42, batch_size: int = 4096,
+    width: int | None = None, seed: int = 42, batch_size: int = 1024,
 ) -> pd.DataFrame:
     """Exact per-length heavy-hitter k-mers: (kmer, length, cnt) with
-    cnt >= threshold[length]."""
+    cnt >= threshold[length].
+
+    ``width=None`` scales the single length-salted sketch to the reference's
+    per-length budget (src/sketch.cpp:28-31: one 2^14-wide sketch PER
+    length): width = next_pow2(2^14 × n_lengths). An undersized sketch
+    stays exact (false candidates are pruned by verification) but floods
+    pass 2 with candidates."""
     assert len(thresholds) == max_len - min_len + 1
+    if width is None:
+        n_lengths = max_len - min_len + 1
+        width = 1 << (14 + max(0, int(np.ceil(np.log2(n_lengths)))))
     sk = _build_kmer_sketch(ds, min_len, max_len, width, seed, batch_size)
     ref = ray.put(sk.to_bytes())
+    return _exact_candidates(ds, ref, min_len, thresholds, batch_size)
+
+
+def _exact_candidates(ds, sketch_ref, min_len, thresholds, batch_size) -> pd.DataFrame:
     cand = ds.map_batches(
-        _CandidateKmers, fn_constructor_args=(ref, min_len, thresholds),
-        concurrency=(1, 8), batch_format="pyarrow", batch_size=batch_size,
+        _CandidateKmers, fn_constructor_args=(sketch_ref, min_len, thresholds),
+        concurrency=_pool(), batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).materialize()  # two consumers (counts + metadata): don't re-run pass 2
     agg = cand.groupby("khash").aggregate(Sum("partial", alias_name="cnt"))
@@ -224,26 +251,51 @@ def heavy_kmers(
 
 def emerging_kmers(
     test_ds, control_ds, min_len: int, max_len: int, thresholds: list[int],
-    growth: int = 2, width: int = 1 << 14, seed: int = 42, batch_size: int = 4096,
+    growth: int = 2, width: int | None = None, seed: int = 42, batch_size: int = 1024,
 ) -> pd.DataFrame:
     """The reference's full program: per-length heavy hitters of the test
     corpus, pruned by floor(cnt/growth) − control_cnt > 0. Returns
     (kmer, length, cnt) where cnt is the RAW test count (reference snapshot
-    semantics, src/sketch.cpp:176)."""
-    hh = heavy_kmers(test_ds, min_len, max_len, thresholds, width, seed, batch_size)
+    semantics, src/sketch.cpp:176).
+
+    The test-candidate scan and the control probe both key off the pass-1
+    sketch only, so they run CONCURRENTLY (two driver threads, one Ray
+    scheduler) — the control side counts a candidate SUPERSET and the final
+    join discards non-candidates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..state.checkpoint import _ensure_thread_safe_fs_imports
+
+    assert len(thresholds) == max_len - min_len + 1
+    if width is None:
+        n_lengths = max_len - min_len + 1
+        width = 1 << (14 + max(0, int(np.ceil(np.log2(n_lengths)))))
+    _ensure_thread_safe_fs_imports()
+    sk = _build_kmer_sketch(test_ds, min_len, max_len, width, seed, batch_size)
+    ref = ray.put(sk.to_bytes())
+
+    def run_test() -> pd.DataFrame:
+        return _exact_candidates(test_ds, ref, min_len, thresholds, batch_size)
+
+    def run_ctrl() -> pd.DataFrame:
+        probe = control_ds.map_batches(
+            _SketchProbe, fn_constructor_args=(ref, min_len, thresholds),
+            concurrency=_pool(), batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        out = probe.groupby("khash").aggregate(Sum("partial", alias_name="control_cnt")).to_pandas()
+        if "khash" not in out.columns:
+            out = pd.DataFrame({"khash": pd.Series([], dtype="int64"),
+                                "control_cnt": pd.Series([], dtype="int64")})
+        return out
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_test = ex.submit(run_test)
+        f_ctrl = ex.submit(run_ctrl)
+        hh, ctrl = f_test.result(), f_ctrl.result()
+
     if len(hh) == 0:
         return hh.drop(columns=["khash"], errors="ignore")
-    cand_hashes = hh["khash"].to_numpy().astype(np.int64).view(np.uint64)  # bit-reinterpret
-    cref = ray.put(cand_hashes)
-    probe = control_ds.map_batches(
-        _ProbeCounts, fn_constructor_args=(cref, min_len, len(thresholds)),
-        concurrency=(1, 8), batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True,
-    )
-    ctrl = probe.groupby("khash").aggregate(Sum("partial", alias_name="control_cnt")).to_pandas()
-    if "khash" not in ctrl.columns:
-        ctrl = pd.DataFrame({"khash": pd.Series([], dtype="int64"),
-                             "control_cnt": pd.Series([], dtype="int64")})
     df = hh.merge(ctrl, on="khash", how="left")
     df["control_cnt"] = df["control_cnt"].fillna(0).astype("int64")
     keep = df["cnt"] // growth - df["control_cnt"] > 0
