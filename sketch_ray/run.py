@@ -95,7 +95,42 @@ def main(argv=None) -> int:
     ap.add_argument("--columns", nargs="*", default=None)
     ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--load", default=None,
+                    help="load a sketch artifact parquet (written via --out) "
+                         "and answer queries instead of building")
+    ap.add_argument("--query-keys", nargs="*", default=None,
+                    help="with --load: point-query/membership keys")
+    ap.add_argument("--quantiles", nargs="*", type=float, default=None,
+                    help="with --load: quantiles to evaluate on quantile sketches")
     args = ap.parse_args(argv)
+
+    if args.load:  # artifact query path needs no Ray at all
+        from .kernels import sketch_from_bytes
+
+        t = pq.read_table(args.load)
+        out: dict = {}
+        for name, kind, raw in zip(t.column("sketch").to_pylist(),
+                                   t.column("kind").to_pylist(),
+                                   t.column("data").to_pylist()):
+            sk = sketch_from_bytes(raw)
+            entry: dict = {"kind": kind}
+            if hasattr(sk, "estimate"):
+                entry["estimate"] = round(float(sk.estimate()), 1)
+            if args.query_keys and hasattr(sk, "query"):
+                entry["counts"] = dict(zip(args.query_keys,
+                                           [int(x) for x in sk.query(args.query_keys)]))
+            if args.query_keys and hasattr(sk, "contains"):
+                entry["membership"] = dict(zip(args.query_keys,
+                                               [bool(x) for x in sk.contains(args.query_keys)]))
+            if args.quantiles and hasattr(sk, "quantile"):
+                import numpy as np
+
+                vals = sk.quantile(np.asarray(args.quantiles, dtype=float))
+                entry["quantiles"] = dict(zip(map(str, args.quantiles),
+                                              [float(v) for v in np.asarray(vals)]))
+            out[name] = entry
+        print(json.dumps(out))
+        return 0
 
     import ray
 
