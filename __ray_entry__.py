@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_histogram": exact.len_histogram,
         "quantiles_exact": exact.quantiles_exact,
         "events_per_type": exact.events_per_type,
+        "top_token_per_lang": lambda sf: exact.top_token_per_lang(sf, k=3),
+        "users_without_orders": exact.users_without_orders,
         "heavy_users": lambda sf: exact.heavy_users(sf, rel_threshold=0.002),
         # --- sketch estimates, rows-only (published-bound guarantees tested in pytest) ---
         "cmcu_token_estimates": lambda sf: sketch_queries.cmcu_token_estimates(sf, top=50),
@@ -286,6 +288,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {q}::DOUBLE AS q, quantile_disc(n_chars, {q})::BIGINT AS value FROM documents"
             for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
         ),
+        "top_token_per_lang": f"""
+            WITH tc AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+            ), counts AS (
+                SELECT lang, token, count(*) AS cnt FROM tc GROUP BY lang, token
+            )
+            SELECT lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS "rank",
+                   token, cnt
+            FROM counts QUALIFY "rank" <= 3 ORDER BY lang, "rank"
+        """,
+        "users_without_orders": """
+            SELECT user_id, count(*) AS n_events FROM events
+            WHERE user_id NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY user_id ORDER BY user_id
+        """,
         "events_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events

@@ -237,6 +237,74 @@ def quantiles_exact(sf_dir: str) -> pa.Table:
     return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(out_v, pa.int64())})
 
 
+def top_token_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k: the k most frequent tokens per language (exact,
+    deterministic ties by token). Per-batch (lang, token) pre-aggregation ->
+    groupby sum -> per-lang top-k on the driver over the vocab-sized result
+    (at open-vocabulary scale the last step becomes
+    groupby(lang).map_groups(top-k), same semantics)."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].combine_chunks()
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        lang_rep = lang.take(pa.array(np.repeat(np.arange(len(lang)), ntok)))
+        t = pa.table({"lang": lang_rep, "token": flat})
+        g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "token", "partial"])
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby(["lang", "token"])
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+    df = agg.to_pandas()
+    df = df.sort_values(["lang", "cnt", "token"], ascending=[True, False, True])
+    out = df.groupby("lang", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("lang").cumcount() + 1
+    return pa.Table.from_pandas(out[["lang", "rank", "token", "cnt"]], preserve_index=False)
+
+
+def users_without_orders(sf_dir: str) -> pa.Table:
+    """Broadcast ANTI-join: event users with no URGENT customer order
+    (user_id not in the urgent-order custkeys). The small side's key set
+    broadcasts once; the fact side filters per batch — no shuffle. Returns
+    (user_id, n_events)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    keys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    keys = keys.filter(pc.equal(keys.column("o_orderpriority").combine_chunks(), "1-URGENT"))
+    custkeys = pa.array(np.unique(keys.column("o_custkey").to_numpy()), pa.int64())
+    ref = ray.put(custkeys)
+
+    class Anti:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(batch["user_id"], value_set=self.keys))
+            sub = batch.filter(keep)
+            g = sub.group_by("user_id").aggregate([([], "count_all")])
+            return g.rename_columns(["user_id", "partial"])
+
+    agg = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(Anti, fn_constructor_args=(ref,), concurrency=(1, 4),
+                     batch_format="pyarrow", batch_size=32768)
+        .groupby("user_id")
+        .aggregate(Sum("partial", alias_name="n_events"))
+    )
+    df = agg.to_pandas()
+    if "user_id" not in df.columns:
+        df = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                           "n_events": pd.Series([], dtype="int64")})
+    df = df.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["user_id", "n_events"]], preserve_index=False)
+
+
 def events_per_type(sf_dir: str) -> pa.Table:
     """Event counts + distinct users per event type."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
