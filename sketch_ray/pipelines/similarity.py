@@ -42,8 +42,10 @@ def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     col = batch["embedding"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(ids) == 0:  # empty batch: report a 0-row matrix with a safe dim
+        return ids, np.empty((0, 1), dtype=np.float64)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    d = len(flat) // max(len(ids), 1)
+    d = len(flat) // len(ids)
     mat = flat.reshape(len(ids), d)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -73,6 +75,10 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.4) -> pa.Table:
             self.tau = tau
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"vec_a": pa.array([], pa.int64()),
+                                 "vec_b": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
             ids, mat = _batch_matrix(batch)
             sims = mat @ self.mat_all.T
             ia, ib = np.nonzero(sims >= self.tau)
@@ -115,6 +121,10 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine64": pa.array([], pa.float64())})
             ids, mat = _batch_matrix(batch)
             sims = self.q_mat @ mat.T  # (nq, nb)
             nq, nb = sims.shape
@@ -189,6 +199,10 @@ def ivf_ann_topk(
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine64": pa.array([], pa.float64())})
             ids, mat = _batch_matrix(batch)
             cell = np.argmax(mat @ self.centroids.T, axis=1)
             rows_q, rows_v, rows_c = [], [], []
@@ -260,6 +274,10 @@ def lsh_ann_topk(
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine64": pa.array([], pa.float64())})
             ids, mat = _batch_matrix(batch)
             sig = ((mat @ self.planes.T) > 0) @ (1 << np.arange(self.planes.shape[0]))
             rows_q, rows_v, rows_c = [], [], []
