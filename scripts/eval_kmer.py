@@ -1,0 +1,104 @@
+"""Comparative evaluation harness — the analog of the reference's
+run_eval.py (S6, SURVEY.md §2.1): run every registered program on every
+dataset, scrape times + heavy-hitter counts, write one CSV per program.
+
+    python scripts/eval_kmer.py --datasets /tmp/datasets.json --out /tmp/eval_out
+
+datasets.json (same shape as the reference's, readme.md:15-26):
+    {"name": {"test_file": ..., "control_file": ...,
+              "first_length": 10, "thresholds": [30, 30, 30]}}
+
+Programs: this engine's ``python -m sketch_ray.kmer`` plus, when g++ is
+available, the reference's CPU binaries built from /root/reference/src.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TIME_RE = re.compile(r"Total time: ([0-9.]+)")
+TOTAL_RE = re.compile(r"Heavy-hitters \(total\): (\d+)")
+
+
+def build_reference() -> dict[str, list[str]]:
+    """-> {program_name: argv_prefix}; includes reference binaries if buildable."""
+    programs = {"sketch_ray": [sys.executable, "-m", "sketch_ray.kmer"]}
+    if shutil.which("g++"):
+        d = tempfile.mkdtemp(prefix="eval_ref_")
+        src = "/root/reference/src"
+        for name, extra in (("sketch", []), ("sketch_multithread", [])):
+            out = os.path.join(d, name)
+            r = subprocess.run(
+                ["g++", "-std=c++11", "-pthread", "-O3", f"{src}/{name}.cpp",
+                 f"{src}/fasta.cpp", f"{src}/MappedFile.cpp", "-o", out],
+                capture_output=True, text=True)
+            if r.returncode == 0:
+                programs[name] = [out]
+    return programs
+
+
+def run_one(prefix: list[str], ds: dict) -> dict:
+    n_len = len(ds["thresholds"])
+    args = [ds["test_file"], ds["control_file"], str(ds["first_length"]),
+            str(ds["first_length"] + n_len - 1), *map(str, ds["thresholds"])]
+    t0 = time.perf_counter()
+    r = subprocess.run(prefix + args, capture_output=True, text=True,
+                       cwd=REPO, env={**os.environ, "PYTHONPATH": REPO})
+    wall = time.perf_counter() - t0
+    out = {"wall_s": round(wall, 3), "returncode": r.returncode}
+    m = TIME_RE.search(r.stderr)
+    if m:
+        out["reported_time_s"] = float(m.group(1))
+    m = TOTAL_RE.search(r.stderr)
+    if m:
+        out["heavy_hitters_total"] = int(m.group(1))
+    out["n_output_lines"] = len([x for x in r.stdout.splitlines() if x.strip()])
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    with open(args.datasets) as f:
+        datasets = json.load(f)
+    os.makedirs(args.out, exist_ok=True)
+    programs = build_reference()
+    summary = {}
+    for prog, prefix in programs.items():
+        rows = []
+        for name, ds in datasets.items():
+            res = run_one(prefix, ds)
+            rows.append({"dataset": name, **res})
+        path = os.path.join(args.out, f"result_{prog}.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=sorted({k for r in rows for k in r}))
+            w.writeheader()
+            w.writerows(rows)
+        summary[prog] = rows
+    # cross-implementation agreement (the reference's de-facto conformance):
+    agree = {}
+    for name in datasets:
+        counts = {p: next(r for r in summary[p] if r["dataset"] == name).get("heavy_hitters_total")
+                  for p in programs}
+        agree[name] = len(set(counts.values())) == 1
+    print(json.dumps({"programs": list(programs), "agreement": agree,
+                      "out_dir": args.out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
