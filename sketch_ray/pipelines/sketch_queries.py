@@ -39,19 +39,25 @@ def cmcu_token_estimates(sf_dir: str, top: int = 50) -> pa.Table:
 def hll_cardinalities(sf_dir: str) -> pa.Table:
     """Approximate distinct counts across tables in ONE streaming pass per
     table (north_star: distinct url/host cardinality)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..state.checkpoint import _ensure_thread_safe_fs_imports
+
+    _ensure_thread_safe_fs_imports()
     specs_docs = [
         SketchSpec("documents.source", "hll", "source", mode="column", params={"p": 14, "seed": 42}),
         SketchSpec("documents.text", "hll", "text", mode="column", params={"p": 14, "seed": 42}),
     ]
-    docs = build_sketches(_read(sf_dir, "documents", ["source", "text"]), specs_docs, batch_size=8192)
-    ev = build_sketches(
-        _read(sf_dir, "events", ["user_id", "event_type"]),
-        [
-            SketchSpec("events.user_id", "hll", "user_id", mode="column", params={"p": 14, "seed": 42}),
-            SketchSpec("events.event_type", "hll", "event_type", mode="column", params={"p": 14, "seed": 42}),
-        ],
-        batch_size=8192,
-    )
+    specs_ev = [
+        SketchSpec("events.user_id", "hll", "user_id", mode="column", params={"p": 14, "seed": 42}),
+        SketchSpec("events.event_type", "hll", "event_type", mode="column", params={"p": 14, "seed": 42}),
+    ]
+    with ThreadPoolExecutor(max_workers=2) as ex:  # independent tables: one pass each, concurrently
+        f_docs = ex.submit(build_sketches, _read(sf_dir, "documents", ["source", "text"]),
+                           specs_docs, 8192)
+        f_ev = ex.submit(build_sketches, _read(sf_dir, "events", ["user_id", "event_type"]),
+                         specs_ev, 8192)
+        docs, ev = f_docs.result(), f_ev.result()
     all_sk = {**docs, **ev}
     names = sorted(all_sk)
     return pa.table(

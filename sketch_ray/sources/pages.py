@@ -190,3 +190,53 @@ def read_pages_jsonl(path: str):
         )
 
     return rd.read_json(path).map_batches(normalize, batch_format="pyarrow", batch_size=4096)
+
+
+def write_pages_csv(out_dir: str, n_rows: int = 500, seed: int = 42,
+                    n_files: int = 4, **kw) -> str:
+    """CSV flavor of the fixture (html base64, ts ISO) — third ingest format."""
+    import base64
+    import csv as _csv
+
+    os.makedirs(out_dir, exist_ok=True)
+    table = generate_pages(n_rows, seed=seed, **kw)
+    bounds = np.linspace(0, n_rows, n_files + 1).astype(int)
+    rows = table.to_pylist()
+    for i in range(n_files):
+        with open(os.path.join(out_dir, f"part-{i:05d}.csv"), "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["url", "warc_ts", "html_b64", "text", "lang"])
+            for r in rows[bounds[i]: bounds[i + 1]]:
+                w.writerow([r["url"], r["warc_ts"].isoformat(),
+                            base64.b64encode(r["html"]).decode("ascii"),
+                            r["text"], r["lang"]])
+    return out_dir
+
+
+def read_pages_csv(path: str):
+    """ray.data.read_csv over the CSV fixture → canonical pages schema."""
+    import base64
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        html = pa.array(
+            [base64.b64decode(x) for x in batch["html_b64"].to_pylist()], pa.binary()
+        )
+        ts_col = batch["warc_ts"].combine_chunks()
+        if pa.types.is_timestamp(ts_col.type):
+            ts = ts_col.cast(pa.timestamp("us"))
+        else:
+            ts = pc.strptime(ts_col, format="%Y-%m-%dT%H:%M:%S", unit="us")
+        return pa.table(
+            {
+                "url": batch["url"].combine_chunks().cast(pa.string()),
+                "warc_ts": ts,
+                "html": html,
+                "text": batch["text"].combine_chunks().cast(pa.large_string()),
+                "lang": batch["lang"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    return rd.read_csv(path).map_batches(normalize, batch_format="pyarrow", batch_size=4096)

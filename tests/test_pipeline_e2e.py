@@ -221,3 +221,17 @@ def test_pipelines_tolerate_empty_input(ray_session, tmp_path):
     assert dedup.simhash_near_dups(str(d)).num_rows == 0
     assert text_analysis.quality_scores(str(d)).num_rows == 0
     assert text_analysis.doc_fingerprints(str(d)).num_rows == 0
+
+
+def test_csv_source_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from sketch_ray.sources.pages import read_pages_csv, write_pages_csv, write_pages_fixture
+
+    cd = write_pages_csv(str(tmp_path / "csv"), n_rows=60, seed=42)
+    pd_dir = write_pages_fixture(str(tmp_path / "parq2"), n_rows=60, seed=42)
+    got = read_pages_csv(cd).to_pandas().sort_values("url").reset_index(drop=True)
+    want = pq.read_table(pd_dir).to_pandas().sort_values("url").reset_index(drop=True)
+    assert got["text"].tolist() == want["text"].tolist()
+    assert [bytes(x) for x in got["html"]] == [bytes(x) for x in want["html"]]
+    assert got["warc_ts"].tolist() == want["warc_ts"].tolist()
