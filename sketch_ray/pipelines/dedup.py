@@ -68,15 +68,23 @@ def exact_dedup_docs(sf_dir: str) -> pa.Table:
             }
         )
 
-    agg = (
-        ds.map_batches(hashes, batch_format="pyarrow", batch_size=8192)
-        .repartition(32)  # sort-shuffle groupby degrades on few blocks
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
-    )
-    df = ensure_columns(agg.to_pandas(), {"text_hash": "int64", "doc_id": "int64", "n_copies": "int64"})
+    hashed = ds.map_batches(hashes, batch_format="pyarrow", batch_size=8192).materialize()
+    if hashed.count() < _SMALL_ROWS:
+        # adaptive small path: the distributed map already shrank rows to
+        # 16 bytes; fold them in one vectorized driver pass
+        df = ensure_columns(hashed.to_pandas(), {"doc_id": "int64", "text_hash": "int64"})
+        g = df.groupby("text_hash", as_index=False).agg(doc_id=("doc_id", "min"),
+                                                        n_copies=("doc_id", "size"))
+        df = g
+    else:
+        agg = (
+            hashed.repartition(32)  # sort-shuffle groupby degrades on few blocks
+            .groupby("text_hash")
+            .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        )
+        df = ensure_columns(agg.to_pandas(), {"text_hash": "int64", "doc_id": "int64", "n_copies": "int64"})
     df = df[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df.astype({"doc_id": "int64", "n_copies": "int64"}), preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -137,18 +145,38 @@ def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
 # exact n-gram Jaccard near-dups (inverted index)
 # ---------------------------------------------------------------------------
 
+_SMALL_ROWS = 2_000_000  # below this the distributed df-count is pure overhead
+
+
 def _shared_group_rows(rows_ds, key_col: str, max_df: int):
     """Distributed inverted-index core: keep only rows whose ``key_col``
     value is shared by 2..max_df docs.
 
+    Scale path (row count >= _SMALL_ROWS):
     1. groupby(key).count — distributed; the only pass over all keys.
     2. filter 2 <= df <= max_df — distributed; survivors are the duplicate
        clusters only (tiny unless the corpus is mostly duplicated; the
        ``max_df`` boilerplate cap bounds the worst case and is logged).
     3. broadcast the shared-key set; map_batches semi-filters the rows.
 
+    Small inputs take the same logic in one vectorized driver pass (the
+    rows are already materialized and bounded) — adaptive operator
+    selection; semantics identical.
+
     Returns the filtered rows as pandas — sized by duplicated content, not
     by the corpus."""
+    n = rows_ds.count()  # materialized upstream: metadata-only
+    if n < _SMALL_ROWS:
+        df = ensure_columns(rows_ds.to_pandas(), {"doc_id": "int64", key_col: "int64"})
+        keys = df[key_col].to_numpy()
+        uniq, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
+        df_of_row = cnt[inv]
+        n_capped = int((cnt > max_df).sum())
+        if n_capped:
+            print(f"[dedup] dropped {n_capped} {key_col} groups with df > {max_df} (boilerplate cap)")
+        keep = (df_of_row >= 2) & (df_of_row <= max_df)
+        return df[keep].reset_index(drop=True)
+
     # Ray's sort-based groupby degrades badly on low block counts (measured
     # 15s -> 3s on 160k rows); spread the rows before the shuffle
     counts = rows_ds.repartition(32).groupby(key_col).aggregate(Count(alias_name="df"))
