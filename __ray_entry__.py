@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sketch_stats": sketch_queries.grouped_sketch_stats,
         "mg_top_tokens": lambda sf: sketch_queries.mg_top_tokens(sf, k=256, top=20),
         "kmv_sample_sources": lambda sf: sketch_queries.kmv_sample_sources(sf, k=16),
+        "value_quantiles": sketch_queries.value_quantiles,
     }
 
 

@@ -130,6 +130,27 @@ def grouped_sketch_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def value_quantiles(sf_dir: str) -> pa.Table:
+    """KLL and t-digest quantiles of the continuous events.value column
+    (doubles — the harder case for digests vs the integer n_chars).
+    Rows-only gated; rank-error bounds pinned in pytest."""
+    specs = [
+        SketchSpec("kll", "kll", "value", mode="numeric", params={"k": 200, "seed": 42}),
+        SketchSpec("td", "tdigest", "value", mode="numeric", params={"delta": 200, "seed": 42}),
+    ]
+    sks = build_sketches(_read(sf_dir, "events", ["value"]), specs, batch_size=16384)
+    qs = np.array([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    kll_v = np.asarray(sks["kll"].quantile(qs), dtype=np.float64)
+    td_v = np.asarray(sks["td"].quantile(qs), dtype=np.float64)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "kll_value": pa.array(np.round(kll_v, 6), pa.float64()),
+            "tdigest_value": pa.array(np.round(td_v, 6), pa.float64()),
+        }
+    )
+
+
 def bloom_membership(sf_dir: str) -> pa.Table:
     """Bloom filter over document texts' tokens; probe a mix of present and
     absent keys. Zero false negatives guaranteed; false positives bounded."""

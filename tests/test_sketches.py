@@ -336,3 +336,25 @@ def test_bottomk_exact_below_k():
     bk.update([f"x{i}" for i in range(40)] * 5)
     assert bk.estimate() == 40.0
     assert len(bk.sample()) == 40
+
+
+def test_value_quantiles_rank_error(ray_session):
+    """Distributed KLL/t-digest over a continuous double column: every
+    reported quantile's true rank must sit within the summary's error."""
+    import duckdb
+
+    from sketch_ray.pipelines.sketch_queries import value_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    out = value_quantiles(sf).to_pandas()
+    vals = duckdb.query(
+        f"SELECT value FROM read_parquet('{sf}/events.parquet')"
+    ).df()["value"].to_numpy()
+    s = np.sort(vals)
+    n = len(s)
+    for _, r in out.iterrows():
+        for col, tol in (("kll_value", 0.03), ("tdigest_value", 0.05)):
+            v = r[col]
+            lo = np.searchsorted(s, v, side="left") / n
+            hi = np.searchsorted(s, v, side="right") / n
+            assert lo - tol <= r["q"] <= hi + tol, (col, r["q"], v, lo, hi)
