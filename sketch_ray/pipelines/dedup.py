@@ -363,7 +363,7 @@ def minhash_lsh_near_dups(
     band_ds = ds.map_batches(
         lambda b: _band_rows(b, k, num_perm, bands, seed),
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=512,  # signature compute is the hot stage: small batches -> parallelism
     ).select_columns(["doc_id", "bucket"]).materialize()
 
     shared = _shared_group_rows(band_ds, "bucket", max_bucket)
