@@ -411,12 +411,17 @@ def _simhash(batch: pa.Table, seed: int = 11) -> tuple[np.ndarray, np.ndarray]:
     th = hash_arrow_strings(flat, seed=seed)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     n_docs = len(doc_ids)
-    doc_index = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
-    # unpack hash bits as uint8 (little-endian within each uint64) and
-    # accumulate per-doc set-bit counts; sign test: ones > n_tokens/2
-    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    ones = np.zeros((n_docs, 64), dtype=np.int64)
-    np.add.at(ones, doc_index, bits.astype(np.int64))
+    # per-doc set-bit counts via segmented reduceat over the doc-ordered
+    # token stream, one hash byte at a time: peak temp is n_tokens x 8 int32
+    # (~20 MB/batch) — the previous n_tokens x 64 int64 temp (~360 MB)
+    # intermittently triggered tens-of-seconds allocator stalls in workers.
+    # (reduceat is safe here: every doc has >= 1 token, so no empty segment.)
+    starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    bytes_mat = th.view(np.uint8).reshape(-1, 8)
+    ones = np.empty((n_docs, 64), dtype=np.int64)
+    for b in range(8):
+        bits8 = np.unpackbits(bytes_mat[:, b: b + 1], axis=1, bitorder="little").astype(np.int32)
+        ones[:, 8 * b: 8 * b + 8] = np.add.reduceat(bits8, starts, axis=0)
     ntok_per_doc = np.diff(offsets)
     sig_bits = (2 * ones > ntok_per_doc[:, None]).astype(np.uint64)
     sig = (sig_bits << np.arange(64, dtype=_U64)[None, :]).sum(axis=1, dtype=np.uint64)
