@@ -15,3 +15,10 @@ caller (driver, bench.py, or the pytest fixture).
 """
 
 __version__ = "0.1.0"
+
+from ._alloc import tune_allocator as _tune_allocator
+
+# Applied in every process that imports sketch_ray — driver AND each Ray
+# worker (stage callables reference this package, so deserializing them
+# imports it). See _alloc.py for the measured rationale.
+_tune_allocator()

@@ -92,8 +92,15 @@ def exact_dedup_docs(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def _doc_token_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """batch -> (doc_ids int64[n_docs], token hashes uint64[n_tok], offsets)."""
-    flat, offsets = flat_tokens(batch["text"])
+    """batch -> (doc_ids int64[n_docs], token hashes uint64[n_tok], offsets).
+
+    Null text is treated as empty (fill_null): ``split_pattern('')`` yields
+    ``['']`` so every doc keeps >= 1 token — the invariant the segmented
+    reduceat kernels rely on (no empty segments)."""
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat, offsets = flat_tokens(pc.fill_null(col, ""))
     th = hash_arrow_strings(flat, seed=7)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     return doc_ids, th, offsets
@@ -194,6 +201,24 @@ def _shared_group_rows(rows_ds, key_col: str, max_df: int):
 
     out = rows_ds.map_batches(semi, batch_format="pyarrow", batch_size=65536).to_pandas()
     return ensure_columns(out, {"doc_id": "int64", key_col: "int64"})
+
+
+def _cap_pair_budget(rows: pd.DataFrame, key_col: str, budget: int = 20_000_000) -> pd.DataFrame:
+    """Bound the TOTAL within-key pair expansion (Σ C(df,2)) before
+    ``_pairs_by_key``, not just per-key df: one hot key shared by 1e5 docs is
+    ~5e9 pairs even under a df cap. Drops the largest groups (boilerplate)
+    until the budget holds, loudly."""
+    if not len(rows):
+        return rows
+    sizes = rows.groupby(key_col).size().sort_values()
+    budgets = (sizes * (sizes - 1) // 2).cumsum()
+    keep_keys = budgets[budgets <= budget].index
+    n_drop = len(sizes) - len(keep_keys)
+    if n_drop:
+        print(f"[dedup] pair budget {budget}: dropped {n_drop} largest {key_col} "
+              f"groups (boilerplate) — Σpairs would be {int(budgets.iloc[-1])}")
+        return rows[rows[key_col].isin(keep_keys)].reset_index(drop=True)
+    return rows
 
 
 def _concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -375,7 +400,6 @@ def minhash_lsh_near_dups(
     # exact verification restricted to candidate docs (small by construction):
     # gather their shingle sets in one filtered pass
     cand_docs = np.unique(np.concatenate([cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy()]))
-    cand_set = set(int(x) for x in cand_docs)
 
     def cand_shingles(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch["doc_id"], value_set=pa.array(cand_docs, pa.int64()))
@@ -383,19 +407,30 @@ def minhash_lsh_near_dups(
         return _shingle_rows(sub, k)
 
     rows = ds.map_batches(cand_shingles, batch_format="pyarrow", batch_size=4096).to_pandas()
-    sets: dict[int, set] = {
-        int(doc): set(g["shingle"].to_numpy().tolist()) for doc, g in rows.groupby("doc_id")
-    }
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy()):
-        sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
-        if not sa or not sb:
-            continue
-        i = len(sa & sb)
-        j = i / (len(sa) + len(sb) - i)
-        if round(j, 6) >= tau:
-            out_a.append(int(a)); out_b.append(int(b)); out_j.append(round(j, 6))
-    out = pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+    rows = ensure_columns(rows, {"doc_id": "int64", "shingle": "int64"})
+    # fully vectorized verification — the same intersection-count machinery
+    # as jaccard_near_dups: within-shingle pair expansion over candidate docs
+    # only, then an inner join against the LSH candidate pairs. No per-pair
+    # Python loop; work is bounded by the candidate docs' shingle rows.
+    sizes = rows.groupby("doc_id").size()  # per-doc distinct-shingle counts
+    inter = _pairs_by_key(rows, "shingle")
+    if len(inter):
+        n_inter = inter.groupby(["doc_a", "doc_b"], as_index=False).size().rename(
+            columns={"size": "n_inter"})
+        verified = cand_df.merge(n_inter, on=["doc_a", "doc_b"], how="inner")
+    else:
+        verified = cand_df.iloc[0:0].assign(n_inter=pd.Series([], dtype="int64"))
+    if len(verified):
+        na = sizes.reindex(verified["doc_a"]).to_numpy()
+        nb = sizes.reindex(verified["doc_b"]).to_numpy()
+        ni = verified["n_inter"].to_numpy()
+        jac = np.round(ni / (na + nb - ni), 6)
+        out = verified.assign(jaccard=jac)[["doc_a", "doc_b", "jaccard"]]
+        out = out[out["jaccard"] >= tau]
+    else:
+        out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                            "doc_b": pd.Series([], dtype="int64"),
+                            "jaccard": pd.Series([], dtype="float64")})
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}),
                                 preserve_index=False)
@@ -406,8 +441,12 @@ def minhash_lsh_near_dups(
 # ---------------------------------------------------------------------------
 
 def _simhash(batch: pa.Table, seed: int = 11) -> tuple[np.ndarray, np.ndarray]:
-    """64-bit SimHash over the token multiset -> (doc_id, sig uint64)."""
-    flat, offsets = flat_tokens(batch["text"])
+    """64-bit SimHash over the token multiset -> (doc_id, sig uint64).
+    Null text counts as empty (see _doc_token_hashes)."""
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat, offsets = flat_tokens(pc.fill_null(col, ""))
     th = hash_arrow_strings(flat, seed=seed)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     n_docs = len(doc_ids)
@@ -456,6 +495,9 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
     shared = _shared_group_rows(sig_ds.select_columns(["doc_id", "sig", "blockkey"]),
                                 "blockkey", max_df=100000)
+    # bound Σ C(df,2) across groups, not just per-group df (ADVICE r1: one
+    # common 16-bit block value shared by ~1e5 docs is ~5e9 pairs)
+    shared = _cap_pair_budget(shared, "blockkey")
     cand = _pairs_by_key(shared, "blockkey").drop_duplicates(["doc_a", "doc_b"])
     if len(cand) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),

@@ -32,7 +32,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
-from ray.data.aggregate import Sum
 
 from ..kernels import CountMinCU, sketch_from_bytes
 from ..kernels.hashing import splitmix64
@@ -40,16 +39,19 @@ from ..kernels.hashing import splitmix64
 _U64 = np.uint64
 _BASE = _U64(0x100000001B3)
 
+# Per-worker-process cache of the deserialized broadcast sketch: the pass-2 /
+# probe stages are STATELESS tasks (no actor-pool spin-up), but each worker
+# deserializes the sketch only once — the broadcast-once pattern without
+# paying actor-pool startup for every stage.
+_SK_CACHE: dict = {}
 
-def _pool():
-    """Actor-pool sizing: autoscaling up to half the cluster CPUs per stage
-    (two k-mer stages can run concurrently; a fixed pool larger than the
-    cluster deadlocks the streaming executor)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return (1, max(1, min(16, cpus // 2)))
+
+def _cached_sketch(ref):
+    sk = _SK_CACHE.get(ref)
+    if sk is None:
+        _SK_CACHE.clear()
+        sk = _SK_CACHE[ref] = sketch_from_bytes(ray.get(ref))
+    return sk
 
 # byte -> 2-bit code; 255 = invalid (window terminator), matching the
 # reference's symbol encoder semantics (src/sketch.cpp:113-129)
@@ -101,109 +103,118 @@ def _window_hashes(data: np.ndarray, row_index: np.ndarray, lengths: range):
             & (row_index[:m] == row_index[L - 1:])  # window inside one row
         )
         starts = np.flatnonzero(ok)
-        yield L, starts, splitmix64(acc[starts] ^ (_U64(L) * _U64(0x9E3779B97F4A7C15)))
+        salt = _U64((L * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        yield L, starts, splitmix64(acc[starts] ^ salt)
 
 
-class _KmerSketch:
-    """Pass-1 actor: one CM-CU over all lengths (hashes are length-salted)."""
-
-    def __init__(self, min_len: int, max_len: int, width: int, seed: int):
-        self.lengths = range(min_len, max_len + 1)
-        self.width = width
-        self.seed = seed
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sk = CountMinCU(depth=4, width=self.width, seed=self.seed)
-        data, row_index = _seq_bytes(batch)
-        for L, starts, hashes in _window_hashes(data, row_index, self.lengths):
-            # no pre-unique: update_hashed's _dedup does the one sort needed
-            sk.update_hashed(hashes)
-        return pa.table(
-            {
-                "sketch": pa.array(["kmer"], pa.string()),
-                "kind": pa.array([sk.kind], pa.string()),
-                "partial": pa.array([sk.to_bytes()], pa.large_binary()),
-                "n_rows": pa.array([batch.num_rows], pa.int64()),
-            }
-        )
+def _sketch_partial(batch: pa.Table, min_len: int, max_len: int,
+                    width: int, seed: int) -> pa.Table:
+    """Pass-1 stage (stateless task): per-batch CM-CU partial over all
+    lengths (hashes are length-salted). Stateless on purpose: the partial is
+    per batch either way, and task stages skip actor-pool spin-up entirely."""
+    sk = CountMinCU(depth=4, width=width, seed=seed)
+    data, row_index = _seq_bytes(batch)
+    for L, starts, hashes in _window_hashes(data, row_index, range(min_len, max_len + 1)):
+        # no pre-unique: update_hashed's _dedup does the one sort needed
+        sk.update_hashed(hashes)
+    return pa.table(
+        {
+            "sketch": pa.array(["kmer"], pa.string()),
+            "kind": pa.array([sk.kind], pa.string()),
+            "partial": pa.array([sk.to_bytes()], pa.large_binary()),
+            "n_rows": pa.array([batch.num_rows], pa.int64()),
+        }
+    )
 
 
-class _CandidateKmers:
-    """Pass-2 actor: emit (khash, kmer, length, partial) for windows whose
-    sketch estimate crosses the per-length threshold; strings materialize
-    for candidates only."""
-
-    def __init__(self, sketch_ref, min_len: int, thresholds: list[int]):
-        self.sketch = sketch_from_bytes(ray.get(sketch_ref))
-        self.min_len = min_len
-        self.thresholds = thresholds
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        data, row_index = _seq_bytes(batch)
-        out_h, out_s, out_l, out_c = [], [], [], []
-        lengths = range(self.min_len, self.min_len + len(self.thresholds))
-        for L, starts, hashes in _window_hashes(data, row_index, lengths):
-            uniq, counts = np.unique(hashes, return_counts=True)
-            est = self.sketch.query_hashed(uniq)
-            mask = est >= self.thresholds[L - self.min_len]
-            if not mask.any():
-                continue
-            hot = uniq[mask]
-            # one representative start per hot hash, vectorized: hashes
-            # sorted once, searchsorted per hot value
-            order = np.argsort(hashes, kind="stable")
-            pos = starts[order[np.searchsorted(hashes[order], hot)]]
-            out_h.extend(hot.view(np.int64).tolist())  # bit-reinterpret
-            out_s.extend(bytes(data[p: p + L]).decode("ascii") for p in pos.tolist())
-            out_l.extend([L] * len(hot))
-            out_c.extend(counts[mask].tolist())
-        return pa.table(
-            {
-                "khash": pa.array(out_h, pa.int64()),
-                "kmer": pa.array(out_s, pa.large_string()),
-                "length": pa.array(out_l, pa.int64()),
-                "partial": pa.array(out_c, pa.int64()),
-            }
-        )
+def _candidate_rows(batch: pa.Table, sketch_ref, min_len: int,
+                    thresholds: list[int]) -> pa.Table:
+    """Pass-2 stage (stateless task; sketch cached per worker): emit
+    (khash, kmer, length, partial) for windows whose sketch estimate crosses
+    the per-length threshold; strings materialize for candidates only."""
+    sketch = _cached_sketch(sketch_ref)
+    data, row_index = _seq_bytes(batch)
+    out_h, out_s, out_l, out_c = [], [], [], []
+    for L, starts, hashes in _window_hashes(data, row_index,
+                                            range(min_len, min_len + len(thresholds))):
+        # one sort serves dedup, counts, AND a representative position per
+        # distinct hash (first occurrence)
+        uniq, first_idx, counts = np.unique(hashes, return_index=True, return_counts=True)
+        est = sketch.query_hashed(uniq)
+        mask = est >= thresholds[L - min_len]
+        if not mask.any():
+            continue
+        hot = uniq[mask]
+        pos = starts[first_idx[mask]]
+        out_h.extend(hot.view(np.int64).tolist())  # bit-reinterpret
+        out_s.extend(bytes(data[p: p + L]).decode("ascii") for p in pos.tolist())
+        out_l.extend([L] * len(hot))
+        out_c.extend(counts[mask].tolist())
+    return pa.table(
+        {
+            "khash": pa.array(out_h, pa.int64()),
+            "kmer": pa.array(out_s, pa.large_string()),
+            "length": pa.array(out_l, pa.int64()),
+            "partial": pa.array(out_c, pa.int64()),
+        }
+    )
 
 
-class _SketchProbe:
-    """Control-side probe: count occurrences of every window whose TEST
-    sketch estimate crosses the threshold (a superset of the exact
-    candidates, so the control scan needs no dependency on pass-2 output
-    and can run CONCURRENTLY with it; non-candidate rows are discarded by
-    the final join). The sketch plays the reference's candidate-map role
-    (J1, src/sketch.cpp:222-227) with no strings materialized."""
+def _tagged(t: pa.Table, corpus: int) -> pa.Table:
+    return t.append_column("corpus", pa.array([corpus] * t.num_rows, pa.int8()))
 
-    def __init__(self, sketch_ref, min_len: int, thresholds: list[int]):
-        self.sketch = sketch_from_bytes(ray.get(sketch_ref))
-        self.min_len = min_len
-        self.thresholds = thresholds
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        data, row_index = _seq_bytes(batch)
-        out_h, out_c = [], []
-        lengths = range(self.min_len, self.min_len + len(self.thresholds))
-        for L, starts, hashes in _window_hashes(data, row_index, lengths):
-            uniq, counts = np.unique(hashes, return_counts=True)
-            est = self.sketch.query_hashed(uniq)
-            hit = est >= self.thresholds[L - self.min_len]
-            if hit.any():
-                out_h.extend(uniq[hit].view(np.int64).tolist())  # bit-reinterpret
-                out_c.extend(counts[hit].tolist())
-        return pa.table({"khash": pa.array(out_h, pa.int64()),
-                         "partial": pa.array(out_c, pa.int64())})
+def _probe_rows_full(batch: pa.Table, sketch_ref, min_len: int,
+                     thresholds: list[int]) -> pa.Table:
+    """Probe rows widened to the candidate-row schema so the test and
+    control scans can union into ONE streaming execution."""
+    t = _probe_rows(batch, sketch_ref, min_len, thresholds)
+    n = t.num_rows
+    return pa.table(
+        {
+            "khash": t["khash"],
+            "kmer": pa.array([""] * n, pa.large_string()),
+            "length": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "partial": t["partial"],
+        }
+    )
+
+
+def _probe_rows(batch: pa.Table, sketch_ref, min_len: int,
+                thresholds: list[int]) -> pa.Table:
+    """Control-side probe (stateless task; sketch cached per worker): count
+    occurrences of every window whose TEST sketch estimate crosses the
+    threshold (a superset of the exact candidates, so the control scan needs
+    no dependency on pass-2 output and can run CONCURRENTLY with it;
+    non-candidate rows are discarded by the final join). The sketch plays
+    the reference's candidate-map role (J1, src/sketch.cpp:222-227) with no
+    strings materialized."""
+    sketch = _cached_sketch(sketch_ref)
+    data, row_index = _seq_bytes(batch)
+    out_h, out_c = [], []
+    for L, starts, hashes in _window_hashes(data, row_index,
+                                            range(min_len, min_len + len(thresholds))):
+        uniq, counts = np.unique(hashes, return_counts=True)
+        est = sketch.query_hashed(uniq)
+        hit = est >= thresholds[L - min_len]
+        if hit.any():
+            out_h.extend(uniq[hit].view(np.int64).tolist())  # bit-reinterpret
+            out_c.extend(counts[hit].tolist())
+    return pa.table({"khash": pa.array(out_h, pa.int64()),
+                     "partial": pa.array(out_c, pa.int64())})
 
 
 def _build_kmer_sketch(ds, min_len, max_len, width, seed, batch_size):
     from ..stages.sketch_build import merge_partials
 
     partials = ds.map_batches(
-        _KmerSketch, fn_constructor_args=(min_len, max_len, width, seed),
-        concurrency=_pool(), batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True,
+        lambda b: _sketch_partial(b, min_len, max_len, width, seed),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
     )
-    return merge_partials(partials)["kmer"]
+    # rounds=0: at this partial count the driver folds the streamed partial
+    # rows directly (each is a compressed few-hundred-KB blob); raise rounds
+    # when n_batches outgrows driver fan-in (SURVEY.md §7.1 step 3)
+    return merge_partials(partials, rounds=0)["kmer"]
 
 
 def heavy_kmers(
@@ -228,25 +239,25 @@ def heavy_kmers(
 
 
 def _exact_candidates(ds, sketch_ref, min_len, thresholds, batch_size) -> pd.DataFrame:
+    """One scan; per-batch rows are candidate-only (threshold-selected), so
+    the reduce is a single driver-side pandas fold — counts AND metadata come
+    out of the same pass (no materialize, no groupby shuffle). Driver pull is
+    bounded by candidates × n_batches; at corpus scales where that outgrows
+    the driver, reinstate a distributed groupby over the same rows."""
     cand = ds.map_batches(
-        _CandidateKmers, fn_constructor_args=(sketch_ref, min_len, thresholds),
-        concurrency=_pool(), batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True,
-    ).materialize()  # two consumers (counts + metadata): don't re-run pass 2
-    agg = cand.groupby("khash").aggregate(Sum("partial", alias_name="cnt"))
-    counts = agg.to_pandas()
-    meta = cand.map_batches(
-        lambda b: b.select(["khash", "kmer", "length"]),
-        batch_format="pyarrow", batch_size=65536,
-    ).to_pandas().drop_duplicates("khash")
-    if len(counts) == 0 or len(meta) == 0:
+        lambda b: _candidate_rows(b, sketch_ref, min_len, thresholds),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+    )
+    df = cand.to_pandas()
+    if len(df) == 0:
         return pd.DataFrame({"kmer": pd.Series([], dtype=str),
                              "length": pd.Series([], dtype="int64"),
                              "cnt": pd.Series([], dtype="int64")})
-    df = counts.merge(meta, on="khash")
+    g = df.groupby("khash", as_index=False).agg(
+        cnt=("partial", "sum"), kmer=("kmer", "first"), length=("length", "first"))
     thr = {min_len + i: t for i, t in enumerate(thresholds)}
-    df = df[df["cnt"] >= df["length"].map(thr)]
-    return df[["kmer", "length", "cnt", "khash"]].sort_values(["length", "kmer"]).reset_index(drop=True)
+    g = g[g["cnt"] >= g["length"].map(thr)]
+    return g[["kmer", "length", "cnt", "khash"]].sort_values(["length", "kmer"]).reset_index(drop=True)
 
 
 def emerging_kmers(
@@ -259,40 +270,38 @@ def emerging_kmers(
     semantics, src/sketch.cpp:176).
 
     The test-candidate scan and the control probe both key off the pass-1
-    sketch only, so they run CONCURRENTLY (two driver threads, one Ray
-    scheduler) — the control side counts a candidate SUPERSET and the final
-    join discards non-candidates."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..state.checkpoint import _ensure_thread_safe_fs_imports
-
+    sketch only, so they run as ONE fused dataset execution (a union of the
+    two tagged scans — one streaming run, no barrier between corpora); the
+    control side counts a candidate SUPERSET and the final join discards
+    non-candidates."""
     assert len(thresholds) == max_len - min_len + 1
     if width is None:
         n_lengths = max_len - min_len + 1
         width = 1 << (14 + max(0, int(np.ceil(np.log2(n_lengths)))))
-    _ensure_thread_safe_fs_imports()
     sk = _build_kmer_sketch(test_ds, min_len, max_len, width, seed, batch_size)
     ref = ray.put(sk.to_bytes())
 
-    def run_test() -> pd.DataFrame:
-        return _exact_candidates(test_ds, ref, min_len, thresholds, batch_size)
+    cand = test_ds.map_batches(
+        lambda b: _tagged(_candidate_rows(b, ref, min_len, thresholds), 0),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+    )
+    probe = control_ds.map_batches(
+        lambda b: _tagged(_probe_rows_full(b, ref, min_len, thresholds), 1),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+    )
+    both = cand.union(probe).to_pandas()  # candidate-bounded driver fold
 
-    def run_ctrl() -> pd.DataFrame:
-        probe = control_ds.map_batches(
-            _SketchProbe, fn_constructor_args=(ref, min_len, thresholds),
-            concurrency=_pool(), batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True,
-        )
-        out = probe.groupby("khash").aggregate(Sum("partial", alias_name="control_cnt")).to_pandas()
-        if "khash" not in out.columns:
-            out = pd.DataFrame({"khash": pd.Series([], dtype="int64"),
-                                "control_cnt": pd.Series([], dtype="int64")})
-        return out
-
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_test = ex.submit(run_test)
-        f_ctrl = ex.submit(run_ctrl)
-        hh, ctrl = f_test.result(), f_ctrl.result()
+    tdf = both[both["corpus"] == 0]
+    cdf = both[both["corpus"] == 1]
+    if len(tdf) == 0:
+        return pd.DataFrame({"kmer": pd.Series([], dtype=str),
+                             "length": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    hh = tdf.groupby("khash", as_index=False).agg(
+        cnt=("partial", "sum"), kmer=("kmer", "first"), length=("length", "first"))
+    thr = {min_len + i: t for i, t in enumerate(thresholds)}
+    hh = hh[hh["cnt"] >= hh["length"].map(thr)]
+    ctrl = cdf.groupby("khash", as_index=False).agg(control_cnt=("partial", "sum"))
 
     if len(hh) == 0:
         return hh.drop(columns=["khash"], errors="ignore")

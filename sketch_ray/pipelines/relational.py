@@ -60,7 +60,13 @@ def revenue_per_nation(sf_dir: str) -> pa.Table:
         def __call__(self, batch: pa.Table) -> pa.Table:
             cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
             price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
-            code = self.nation_code[cust]
+            # custkeys without a customer row are dropped, not mis-credited:
+            # out-of-range would raise, and code -1 would wrap to the last
+            # nation under np.add.at (ADVICE r1) — inner-join semantics
+            in_range = (cust >= 0) & (cust < len(self.nation_code))
+            code = np.where(in_range, self.nation_code[np.minimum(cust, len(self.nation_code) - 1)], -1)
+            known = code >= 0
+            code, price = code[known], price[known]
             n_codes = len(self.names)
             sums = np.zeros(n_codes, dtype=np.float64)
             cnts = np.zeros(n_codes, dtype=np.int64)

@@ -99,7 +99,17 @@ class CheckpointedBuild:
     def _load_manifest(self) -> dict[str, Any]:
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
-                return json.load(f)
+                manifest = json.load(f)
+            # spec-lineage check: resuming into a ckpt dir written under
+            # different sketch specs would fold incompatible partials
+            # (ADVICE r1) — fail loudly instead
+            want = [_spec_lineage(s) for s in self.specs]
+            have = manifest.get("specs")
+            if have != want:
+                raise ValueError(
+                    f"checkpoint dir {self.ckpt_dir} was written with different "
+                    f"sketch specs; refusing to resume (stored={have}, current={want})")
+            return manifest
         return {
             "specs": [_spec_lineage(s) for s in self.specs],
             "shards": {},
@@ -119,9 +129,14 @@ class CheckpointedBuild:
     def _partial_path(self, shard_id: str) -> str:
         return os.path.join(self.parts_dir, f"shard={shard_id}", "partial.parquet")
 
-    def _shard_done(self, manifest: dict, shard_id: str) -> bool:
+    def _shard_done(self, manifest: dict, shard_id: str, path: str) -> bool:
         info = manifest["shards"].get(shard_id)
-        return bool(info and info.get("status") == "done" and os.path.exists(self._partial_path(shard_id)))
+        # lineage check: shard ids are positional, so a reused ckpt dir with
+        # added/removed/renamed inputs must NOT silently fold a stale partial
+        # built from a different file (ADVICE r1)
+        return bool(info and info.get("status") == "done"
+                    and info.get("input") == path
+                    and os.path.exists(self._partial_path(shard_id)))
 
     def _run_shard(self, shard_id: str, path: str, manifest: dict[str, Any],
                    lock=None) -> None:
@@ -184,7 +199,7 @@ class CheckpointedBuild:
         todo = []
         for i, path in enumerate(self.files):
             sid = self._shard_id(i)
-            if not self._shard_done(manifest, sid):
+            if not self._shard_done(manifest, sid, path):
                 todo.append((sid, path))
         if max_shards is not None:
             todo = todo[:max_shards]
@@ -202,8 +217,8 @@ class CheckpointedBuild:
                 with ThreadPoolExecutor(max_workers=concurrent_shards) as ex:
                     list(ex.map(work, todo))
 
-        done = [self._shard_id(i) for i in range(len(self.files))
-                if self._shard_done(manifest, self._shard_id(i))]
+        done = [self._shard_id(i) for i, p in enumerate(self.files)
+                if self._shard_done(manifest, self._shard_id(i), p)]
         manifest["status"] = "done" if len(done) == len(self.files) else "partial"
         manifest["n_shards"] = len(self.files)
         manifest["n_done"] = len(done)
