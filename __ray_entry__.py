@@ -33,7 +33,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "events_daily_windows": relational.events_daily_windows,
         "sessionize_users": lambda sf: relational.sessionize_users(sf, gap_minutes=30),
-        "asof_latest_order": relational.asof_latest_order,
+        # oracle-gated via the PARTITIONED (both-sides-large) physical plan;
+        # broadcast stays the small-side fast path (pytest pins equality)
+        "asof_latest_order": lambda sf: relational.asof_latest_order(sf, mode="partitioned"),
         "revenue_per_priority": relational.revenue_per_priority,
         "top_orders": lambda sf: relational.top_orders(sf, k=100),
         "events_hopping_windows": relational.events_hopping_windows,
@@ -53,8 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": lambda sf: dedup.simhash_near_dups(sf, max_hamming=3),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
         "ann_topk": lambda sf: similarity.ann_topk(sf, k=5, n_queries=8),
-        "lsh_ann_topk": lambda sf: similarity.lsh_ann_topk(sf, k=5, n_queries=8),
-        "ivf_ann_topk": lambda sf: similarity.ivf_ann_topk(sf, k=5, n_queries=8),
+        "lsh_ann_topk": lambda sf: similarity.lsh_ann_topk(sf, k=5, n_queries=64),
+        "ivf_ann_topk": lambda sf: similarity.ivf_ann_topk(sf, k=5, n_queries=64),
         # --- exact, oracle-gated (operator coverage: M1/M3/M8, A1-A6, T1-T2, J1) ---
         "top_tokens": lambda sf: exact.top_tokens(sf, k=20),
         "heavy_hitter_tokens": lambda sf: exact.heavy_hitter_tokens(sf, rel_threshold=0.02),

@@ -212,19 +212,121 @@ def top_orders(sf_dir: str, k: int = 100) -> pa.Table:
     return pa.Table.from_pandas(df[["o_orderkey", "o_totalprice"]], preserve_index=False)
 
 
-def asof_latest_order(sf_dir: str) -> pa.Table:
+def _asof_match(ock: np.ndarray, odt: np.ndarray, uid: np.ndarray,
+                ts_shift: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized as-of core: for each (uid, ts_shift) query, the latest
+    odt of the same key with odt <= ts_shift. Composite-rank encoding:
+    ``composite = key·(n_ranks+1) + date_rank`` makes the match ONE
+    np.searchsorted. Returns (ok mask, matched int64 date)."""
+    if len(ock) == 0 or len(uid) == 0:
+        return np.zeros(len(uid), bool), np.zeros(len(uid), np.int64)
+    date_ranks = np.unique(odt)
+    n = np.int64(len(date_ranks))
+    comp = np.sort(ock * (n + 1) + np.searchsorted(date_ranks, odt))
+    ts_rank = np.searchsorted(date_ranks, ts_shift, side="right") - 1
+    comp_q = uid * (n + 1) + np.maximum(ts_rank, 0)
+    pos = np.searchsorted(comp, comp_q, side="right") - 1
+    cand = comp[np.maximum(pos, 0)]
+    ok = (pos >= 0) & (cand // (n + 1) == uid) & (ts_rank >= 0)
+    matched = np.where(ok, date_ranks[np.where(ok, cand % (n + 1), 0)], 0)
+    return ok, matched
+
+
+_ASOF_SHIFT_US = np.int64(9131) * 86400 * 1_000_000  # fixed 9131-day shift (~25 y)
+
+
+def _asof_partitioned(sf_dir: str, n_parts: int = 32) -> pd.DataFrame:
+    """Distributed as-of path for TWO LARGE time-keyed tables: hash-partition
+    both sides by key (same partition function on both), then sort-merge
+    *within* partitions — no side is ever broadcast or driver-held. Expressed
+    Ray-Data-first as a tagged union + ``groupby(part).map_groups`` (the
+    co-group idiom): the groupby is the one all-to-all, moving each row once,
+    keyed so matching keys co-locate. Partitioning assumption: a single key's
+    rows fit one partition's group (true for hash partitioning by key)."""
+    from ..kernels.hashing import splitmix64
+
+    P = np.int64(n_parts)
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        ock = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        odt = b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        part = (splitmix64(ock.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "part": pa.array(part, pa.int64()),
+            "side": pa.array(np.zeros(len(ock), np.int8), pa.int8()),
+            "key": pa.array(ock, pa.int64()),
+            "t": pa.array(odt, pa.int64()),
+            "event_id": pa.array(np.zeros(len(ock), np.int64), pa.int64()),
+        })
+
+    def event_rows(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        part = (splitmix64(uid.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "part": pa.array(part, pa.int64()),
+            "side": pa.array(np.ones(len(uid), np.int8), pa.int8()),
+            "key": pa.array(uid, pa.int64()),
+            "t": pa.array(ts - _ASOF_SHIFT_US, pa.int64()),
+            "event_id": pa.array(b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        order_rows, batch_format="pyarrow", batch_size=32768)
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        event_rows, batch_format="pyarrow", batch_size=32768)
+
+    def asof_group(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        e = df[df["side"] == 1]
+        if len(e) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "matched_us": pd.Series([], dtype="int64"),
+                                 "ok": pd.Series([], dtype=bool)})
+        ok, matched = _asof_match(o["key"].to_numpy(), o["t"].to_numpy(),
+                                  e["key"].to_numpy(), e["t"].to_numpy())
+        return pd.DataFrame({"event_id": e["event_id"].to_numpy(),
+                             "user_id": e["key"].to_numpy(),
+                             "matched_us": matched, "ok": ok})
+
+    out = orders.union(events).groupby("part").map_groups(
+        asof_group, batch_format="pandas")
+    return out.to_pandas()
+
+
+def asof_latest_order(sf_dir: str, mode: str = "auto") -> pa.Table:
     """As-of join (an operator Ray Data lacks): for every event, the latest
     order of customer ``user_id`` with o_orderdate <= event ts − 9131 days
     (the shift interleaves the two tables' time ranges).
 
-    Physical plan: the orders side (small here; at scale hash-partition both
-    sides by key and as-of within partitions — the partitioning assumption)
-    is broadcast once as (composite-sorted keys) where
-    ``composite = custkey·(n_ranks+1) + date_rank``; each event batch then
-    resolves in ONE vectorized ``np.searchsorted`` — no per-row or per-key
-    Python. Ties on (custkey, date) are unambiguous because the matched
-    *date* is emitted. Returns (event_id, user_id, matched_orderdate)."""
+    Two physical plans, same semantics (pytest-pinned equal):
+
+    - ``broadcast`` (right side small): orders broadcast once as composite-
+      sorted keys; each event batch resolves in ONE vectorized
+      ``np.searchsorted`` — no per-row or per-key Python.
+    - ``partitioned`` (both sides large — the 100 TB path): hash-partition
+      both sides by key, sort-merge within partitions (see
+      _asof_partitioned). This is the driver-gated default path.
+
+    ``mode="auto"`` picks broadcast only when the orders side is small.
+    Returns (event_id, user_id, matched_orderdate)."""
     import pyarrow.parquet as pq
+
+    if mode == "auto":
+        n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+        mode = "broadcast" if n_orders <= 5_000_000 else "partitioned"
+    if mode == "partitioned":
+        df = _asof_partitioned(sf_dir)
+        dt = df["matched_us"].to_numpy().astype("datetime64[us]")
+        arr = pc.if_else(pa.array(df["ok"].to_numpy()),
+                         pa.array(dt, pa.timestamp("us")),
+                         pa.scalar(None, pa.timestamp("us")))
+        out = pa.table({"event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                        "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                        "matched_orderdate": arr})
+        idx = pc.sort_indices(out, sort_keys=[("event_id", "ascending")])
+        return out.take(idx)
 
     orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
     ock = orders.column("o_custkey").to_numpy()

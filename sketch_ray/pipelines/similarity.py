@@ -105,6 +105,57 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.4) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+_EMPTY_PARTIAL = {"query_id": pa.array([], pa.int64()),
+                  "vec_id": pa.array([], pa.int64()),
+                  "cosine64": pa.array([], pa.float64())}
+
+
+def _partial_table(out_q: list, out_v: list, out_c: list) -> pa.Table:
+    if not out_q:
+        return pa.table(_EMPTY_PARTIAL)
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "cosine64": pa.array(np.concatenate(out_c), pa.float64()),
+        }
+    )
+
+
+def _block_topk(q_ids: np.ndarray, q_mat: np.ndarray, ids: np.ndarray,
+                mat: np.ndarray, k: int, out_q: list, out_v: list, out_c: list) -> None:
+    """One block matmul (all queries in q_mat × all vectors in mat) +
+    per-query partial top-(k+1); appends flat partial rows."""
+    sims = q_mat @ mat.T  # (nq, nb)
+    nb = sims.shape[1]
+    kk = min(k + 1, nb)  # +1: self may be among the block's vectors
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    out_q.append(np.repeat(q_ids, kk))
+    out_v.append(ids[part.reshape(-1)])
+    out_c.append(np.take_along_axis(sims, part, axis=1).reshape(-1))
+
+
+def _merge_topk(partials: pd.DataFrame, k: int) -> pa.Table:
+    """Vectorized driver merge of per-batch partials -> (query_id, rank,
+    vec_id, cosine): sort + per-group head(k) + cumcount (no iterrows)."""
+    cols = {"query_id": "int64", "rank": "int64", "vec_id": "int64", "cosine": "float64"}
+    if len(partials) == 0 or "query_id" not in partials.columns:
+        return pa.Table.from_pandas(
+            pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()}),
+            preserve_index=False)
+    df = partials[partials["query_id"] != partials["vec_id"]]
+    df = df.sort_values(["query_id", "cosine64", "vec_id"],
+                        ascending=[True, False, True])
+    # a vector can be retrieved for the same query by more than one partial
+    # (e.g. a query probing several IVF cells): keep its best-scored row
+    df = df.drop_duplicates(["query_id", "vec_id"])
+    df = df.groupby("query_id", group_keys=False).head(k)
+    df = df.assign(rank=df.groupby("query_id").cumcount() + 1,
+                   cosine=np.round(df["cosine64"].to_numpy(), 6))
+    df = df[["query_id", "rank", "vec_id", "cosine"]].reset_index(drop=True)
+    return pa.Table.from_pandas(df.astype(cols), preserve_index=False)
+
+
 def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
     """Exact top-k cosine neighbors for query vectors vec_id < n_queries
     (self excluded). Per-batch partial top-k + driver merge of the
@@ -122,39 +173,17 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "cosine64": pa.array([], pa.float64())})
+                return pa.table(_EMPTY_PARTIAL)
             ids, mat = _batch_matrix(batch)
-            sims = self.q_mat @ mat.T  # (nq, nb)
-            nq, nb = sims.shape
-            kk = min(self.k + 1, nb)  # +1: self may be in this batch
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(self.q_ids, kk)
-            cols = ids[part.reshape(-1)]
-            vals = np.take_along_axis(sims, part, axis=1).reshape(-1)
-            return pa.table(
-                {
-                    "query_id": pa.array(rows, pa.int64()),
-                    "vec_id": pa.array(cols, pa.int64()),
-                    "cosine64": pa.array(vals, pa.float64()),
-                }
-            )
+            out_q, out_v, out_c = [], [], []
+            _block_topk(self.q_ids, self.q_mat, ids, mat, self.k, out_q, out_v, out_c)
+            return _partial_table(out_q, out_v, out_c)
 
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         TopK, fn_constructor_args=(ref, k), concurrency=(1, 4),
         batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
-    out_rows = []
-    for q, g in partials.groupby("query_id"):
-        g = g[g["vec_id"] != q]
-        g = g.sort_values(["cosine64", "vec_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), start=1):
-            out_rows.append((int(q), rank, int(r["vec_id"]), round(float(r["cosine64"]), 6)))
-    df = pd.DataFrame(out_rows, columns=["query_id", "rank", "vec_id", "cosine"])
-    df = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64"}),
-                                preserve_index=False)
+    return _merge_topk(partials, k)
 
 
 def _kmeans_centroids(mat: np.ndarray, n_cells: int, seed: int, iters: int = 8) -> np.ndarray:
@@ -194,53 +223,38 @@ def ivf_ann_topk(
     ref = ray.put((q_ids, q_mat, q_cells, centroids))
 
     class IVFTopK:
+        """Per batch: assign vectors to cells once, then ONE block matmul per
+        probed cell over ALL queries probing that cell (queries grouped by
+        cell in __init__) — the loop is over n_cells, never over queries."""
+
         def __init__(self, ref, k):
             self.q_ids, self.q_mat, self.q_cells, self.centroids = ray.get(ref)
             self.k = k
+            self.cell_queries = {
+                int(c): np.flatnonzero((self.q_cells == c).any(axis=1))
+                for c in np.unique(self.q_cells)
+            }
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "cosine64": pa.array([], pa.float64())})
+                return pa.table(_EMPTY_PARTIAL)
             ids, mat = _batch_matrix(batch)
             cell = np.argmax(mat @ self.centroids.T, axis=1)
-            rows_q, rows_v, rows_c = [], [], []
-            for qi in range(len(self.q_ids)):
-                sel = np.isin(cell, self.q_cells[qi])
-                if not sel.any():
+            out_q, out_v, out_c = [], [], []
+            for c in np.unique(cell):
+                qrows = self.cell_queries.get(int(c))
+                if qrows is None:
                     continue
-                sims = mat[sel] @ self.q_mat[qi]
-                cand_ids = ids[sel]
-                kk = min(self.k + 1, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                rows_q.extend([self.q_ids[qi]] * kk)
-                rows_v.extend(cand_ids[top].tolist())
-                rows_c.extend(sims[top].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(rows_q, pa.int64()),
-                    "vec_id": pa.array(rows_v, pa.int64()),
-                    "cosine64": pa.array(rows_c, pa.float64()),
-                }
-            )
+                sel = cell == c
+                _block_topk(self.q_ids[qrows], self.q_mat[qrows], ids[sel],
+                            mat[sel], self.k, out_q, out_v, out_c)
+            return _partial_table(out_q, out_v, out_c)
 
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         IVFTopK, fn_constructor_args=(ref, k), concurrency=(1, 4),
         batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
-    out_rows = []
-    if len(partials):
-        for q, g in partials.groupby("query_id"):
-            g = g[g["vec_id"] != q]
-            g = g.sort_values(["cosine64", "vec_id"], ascending=[False, True]).head(k)
-            for rank, (_, r) in enumerate(g.iterrows(), start=1):
-                out_rows.append((int(q), rank, int(r["vec_id"]), round(float(r["cosine64"]), 6)))
-    df = pd.DataFrame(out_rows, columns=["query_id", "rank", "vec_id", "cosine"])
-    df = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(
-        df.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64", "cosine": "float64"}),
-        preserve_index=False)
+    return _merge_topk(partials, k)
 
 
 def _hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
@@ -269,50 +283,33 @@ def lsh_ann_topk(
     ref = ray.put((q_ids, q_mat, q_sig, planes))
 
     class BucketTopK:
+        """Queries grouped by bucket signature in __init__; per batch, ONE
+        block matmul per distinct signature shared by >= 1 query — the loop
+        is over distinct buckets, never over queries."""
+
         def __init__(self, ref, k):
             self.q_ids, self.q_mat, self.q_sig, self.planes = ray.get(ref)
             self.k = k
+            self.sig_queries = {
+                int(s): np.flatnonzero(self.q_sig == s) for s in np.unique(self.q_sig)
+            }
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "cosine64": pa.array([], pa.float64())})
+                return pa.table(_EMPTY_PARTIAL)
             ids, mat = _batch_matrix(batch)
             sig = ((mat @ self.planes.T) > 0) @ (1 << np.arange(self.planes.shape[0]))
-            rows_q, rows_v, rows_c = [], [], []
-            for qi, qs in zip(range(len(self.q_ids)), self.q_sig):
-                sel = sig == qs
+            out_q, out_v, out_c = [], [], []
+            for s, qrows in self.sig_queries.items():
+                sel = sig == s
                 if not sel.any():
                     continue
-                sims = mat[sel] @ self.q_mat[qi]
-                cand_ids = ids[sel]
-                kk = min(self.k + 1, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                rows_q.extend([self.q_ids[qi]] * kk)
-                rows_v.extend(cand_ids[top].tolist())
-                rows_c.extend(sims[top].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(rows_q, pa.int64()),
-                    "vec_id": pa.array(rows_v, pa.int64()),
-                    "cosine64": pa.array(rows_c, pa.float64()),
-                }
-            )
+                _block_topk(self.q_ids[qrows], self.q_mat[qrows], ids[sel],
+                            mat[sel], self.k, out_q, out_v, out_c)
+            return _partial_table(out_q, out_v, out_c)
 
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         BucketTopK, fn_constructor_args=(ref, k), concurrency=(1, 4),
         batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
-    out_rows = []
-    if len(partials):
-        for q, g in partials.groupby("query_id"):
-            g = g[g["vec_id"] != q]
-            g = g.sort_values(["cosine64", "vec_id"], ascending=[False, True]).head(k)
-            for rank, (_, r) in enumerate(g.iterrows(), start=1):
-                out_rows.append((int(q), rank, int(r["vec_id"]), round(float(r["cosine64"]), 6)))
-    df = pd.DataFrame(out_rows, columns=["query_id", "rank", "vec_id", "cosine"])
-    df = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(
-        df.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64", "cosine": "float64"}),
-        preserve_index=False)
+    return _merge_topk(partials, k)

@@ -159,7 +159,7 @@ def test_lsh_ann_is_subset_with_exact_scores(ray_session):
 
     from sketch_ray.pipelines.similarity import lsh_ann_topk
 
-    got = lsh_ann_topk(SF, k=3, n_queries=4).to_pandas()
+    got = lsh_ann_topk(SF, k=3, n_queries=64).to_pandas()
     # every reported neighbor's cosine must equal the true cosine
     t = pq.read_table(f"{SF}/embeddings.parquet")
     ids = t["vec_id"].to_numpy()
@@ -172,12 +172,14 @@ def test_lsh_ann_is_subset_with_exact_scores(ray_session):
 
 
 def test_ivf_ann_recall_vs_bruteforce(ray_session):
+    # n_queries=64: a realistic query batch — the stage must stay vectorized
+    # (block matmul per probed cell), not loop per query
     from sketch_ray.pipelines.similarity import ann_topk, ivf_ann_topk
 
-    exact = ann_topk(SF, k=5, n_queries=6).to_pandas()
-    ivf = ivf_ann_topk(SF, k=5, n_queries=6, n_cells=8, nprobe=4).to_pandas()
+    exact = ann_topk(SF, k=5, n_queries=64).to_pandas()
+    ivf = ivf_ann_topk(SF, k=5, n_queries=64, n_cells=8, nprobe=4).to_pandas()
     # deterministic across runs
-    ivf2 = ivf_ann_topk(SF, k=5, n_queries=6, n_cells=8, nprobe=4).to_pandas()
+    ivf2 = ivf_ann_topk(SF, k=5, n_queries=64, n_cells=8, nprobe=4).to_pandas()
     pd.testing.assert_frame_equal(ivf, ivf2)
     # recall@5 with half the cells probed should be high on clustered data
     hits = tot = 0
@@ -189,3 +191,18 @@ def test_ivf_ann_recall_vs_bruteforce(ray_session):
     # scores it does return are exact (same rounding as brute force)
     merged = ivf.merge(exact, on=["query_id", "vec_id"], suffixes=("_ivf", "_bf"))
     assert (merged["cosine_ivf"] == merged["cosine_bf"]).all()
+
+
+def test_minhash_lsh_sf01_known_pairs(ray_session):
+    """sf0.1 carries 256 known Jaccard>=0.5 near-dup pairs (BASELINE.md):
+    the LSH path must reproduce the exact inverted-index result there with
+    its fully vectorized verification (no per-pair Python loop) —
+    timing-insensitive, result-equality only."""
+    from sketch_ray.pipelines.dedup import jaccard_near_dups, minhash_lsh_near_dups
+
+    sf = "/root/testdata/sf0.1"
+    exact = jaccard_near_dups(sf, k=3, tau=0.5).to_pandas()
+    lsh = minhash_lsh_near_dups(sf, k=3, tau=0.5, bands=64, num_perm=128).to_pandas()
+    assert len(exact) >= 250  # the corpus's known dup-pair population
+    pd.testing.assert_frame_equal(
+        lsh.reset_index(drop=True), exact.reset_index(drop=True))

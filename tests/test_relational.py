@@ -56,3 +56,17 @@ def test_daily_windows(ray_session):
                round(sum(value),4) AS value_sum, count(*) AS n_events
         FROM events GROUP BY day, event_type ORDER BY day, event_type""").df()
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_asof_partitioned_equals_broadcast(ray_session):
+    """The two as-of physical plans (broadcast small-side vs hash-partition
+    both sides + in-partition sort-merge) must agree row-for-row."""
+    from sketch_ray.pipelines.relational import asof_latest_order
+
+    SF = "/root/testdata/sf0.001"
+    bc = asof_latest_order(SF, mode="broadcast").to_pandas()
+    pt = asof_latest_order(SF, mode="partitioned").to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        bc.reset_index(drop=True), pt.reset_index(drop=True))
