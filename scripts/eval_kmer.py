@@ -31,20 +31,22 @@ TIME_RE = re.compile(r"Total time: ([0-9.]+)")
 TOTAL_RE = re.compile(r"Heavy-hitters \(total\): (\d+)")
 
 
-def build_reference() -> dict[str, list[str]]:
-    """-> {program_name: argv_prefix}; includes reference binaries if buildable."""
-    programs = {"sketch_ray": [sys.executable, "-m", "sketch_ray.kmer"]}
+def build_reference() -> dict[str, tuple[list[str], set[str]]]:
+    """-> {program_name: (argv_prefix, tags)}; includes reference binaries if
+    buildable. Tags mirror run_eval.py's program registry (run_eval.py:47-52):
+    a program runs a dataset when their tag sets intersect (untagged = all)."""
+    programs = {"sketch_ray": ([sys.executable, "-m", "sketch_ray.kmer"], {"cpu", "ray"})}
     if shutil.which("g++"):
         d = tempfile.mkdtemp(prefix="eval_ref_")
         src = "/root/reference/src"
-        for name, extra in (("sketch", []), ("sketch_multithread", [])):
+        for name, tags in (("sketch", {"cpu"}), ("sketch_multithread", {"cpu", "thread"})):
             out = os.path.join(d, name)
             r = subprocess.run(
                 ["g++", "-std=c++11", "-pthread", "-O3", f"{src}/{name}.cpp",
                  f"{src}/fasta.cpp", f"{src}/MappedFile.cpp", "-o", out],
                 capture_output=True, text=True)
             if r.returncode == 0:
-                programs[name] = [out]
+                programs[name] = ([out], tags)
     return programs
 
 
@@ -71,6 +73,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--datasets", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--runs", type=int, default=1,
+                    help="repetitions per (program, dataset); CSV gets one "
+                         "column per run (run_eval.py:208-215 shape)")
     args = ap.parse_args()
 
     with open(args.datasets) as f:
@@ -78,25 +83,35 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     programs = build_reference()
     summary = {}
-    for prog, prefix in programs.items():
+    for prog, (prefix, ptags) in programs.items():
         rows = []
+        first_runs = {}
         for name, ds in datasets.items():
-            res = run_one(prefix, ds)
-            rows.append({"dataset": name, **res})
+            dtags = set(ds.get("tags", []))
+            if ptags and dtags and not (ptags & dtags):
+                continue  # tag-filtered, like run_eval.py's registry match
+            runs = [run_one(prefix, ds) for _ in range(max(1, args.runs))]
+            first_runs[name] = runs[0]
+            # reference CSV shape: one row per metric, one column per run
+            for metric in sorted({k for r in runs for k in r}):
+                rows.append({"dataset": name, "metric": metric,
+                             **{f"run_{i + 1}": r.get(metric)
+                                for i, r in enumerate(runs)}})
         path = os.path.join(args.out, f"result_{prog}.csv")
         with open(path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=sorted({k for r in rows for k in r}))
+            w = csv.DictWriter(f, fieldnames=["dataset", "metric"]
+                               + [f"run_{i + 1}" for i in range(max(1, args.runs))])
             w.writeheader()
             w.writerows(rows)
-        summary[prog] = rows
+        summary[prog] = first_runs
     # cross-implementation agreement (the reference's de-facto conformance):
     agree = {}
     for name in datasets:
-        counts = {p: next(r for r in summary[p] if r["dataset"] == name).get("heavy_hitters_total")
-                  for p in programs}
+        counts = {p: summary[p][name].get("heavy_hitters_total")
+                  for p in programs if name in summary[p]}
         agree[name] = len(set(counts.values())) == 1
     print(json.dumps({"programs": list(programs), "agreement": agree,
-                      "out_dir": args.out}))
+                      "runs": max(1, args.runs), "out_dir": args.out}))
     return 0
 
 

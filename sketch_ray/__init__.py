@@ -6,7 +6,6 @@ Layout:
 - ``kernels/``   pure-numpy mergeable sketches (CM, CM-CU, HLL, Bloom, KLL, t-digest)
 - ``sources/``   fixture generators + readers (Common-Crawl-style ``pages`` table)
 - ``stages/``    map_batches stages (extract, tokenize, sketch-build actors, merge)
-- ``functions/`` vectorized per-batch functions (text stats, hashing helpers)
 - ``pipelines/`` end-to-end pipelines (heavy hitters, emerging HH, dedup, ANN, ...)
 - ``state/``     checkpoint / resume / run manifest
 

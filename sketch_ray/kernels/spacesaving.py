@@ -17,12 +17,15 @@ Summaries"):
   (associative in bound; the counter *values* are order-dependent, so tests
   pin bound-correctness, not byte-identity — unlike the sum/max sketches).
 
-Keys are stored as their raw strings (bounded: at most k of them).
+Keys are stored as their raw strings (bounded: at most k of them), in
+parallel sorted arrays; the per-batch fold is a hash aggregation
+(pandas groupby on a string index), never a per-key Python dict loop.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from .base import SketchBase, register
 
@@ -36,7 +39,8 @@ class MisraGries(SketchBase):
             raise ValueError("k must be >= 1")
         self.k = int(k)
         self.seed = int(seed)  # unused (exact keys) — kept for protocol parity
-        self.counters: dict[str, int] = {}
+        self._keys = np.empty(0, dtype=object)   # sorted
+        self._counts = np.empty(0, dtype=np.int64)
         self.err = 0  # max undercount of any stored/absent key
         self.n_updates = 0
 
@@ -44,64 +48,77 @@ class MisraGries(SketchBase):
         return {"k": self.k, "seed": self.seed}
 
     def state(self):
-        keys = sorted(self.counters)
         return {
-            "keys": np.array(keys, dtype=object),
-            "counts": np.array([self.counters[x] for x in keys], dtype=np.int64),
+            "keys": self._keys,
+            "counts": self._counts,
             "err": self.err,
             "n_updates": self.n_updates,
         }
 
     def load_state(self, state):
-        self.counters = dict(zip([str(x) for x in state["keys"]],
-                                 [int(c) for c in state["counts"]]))
+        self._keys = np.array([str(x) for x in state["keys"]], dtype=object)
+        self._counts = np.asarray(state["counts"], dtype=np.int64).copy()
+        order = np.argsort(self._keys)
+        self._keys, self._counts = self._keys[order], self._counts[order]
         self.err = int(state["err"])
         self.n_updates = int(state["n_updates"])
 
     # -- update ------------------------------------------------------------
+    def _fold(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        """Vectorized: hash-aggregate (stored ⊎ incoming) and re-trim."""
+        s = pd.Series(np.concatenate([self._counts, counts]),
+                      index=np.concatenate([self._keys, keys]))
+        agg = s.groupby(level=0, sort=True).sum()
+        self._keys = agg.index.to_numpy(dtype=object)
+        self._counts = agg.to_numpy(dtype=np.int64)
+        self._trim()
+
     def update(self, keys, counts=None) -> None:
         """Merge-style batch update: the batch's exact (key, count) pairs are
         themselves a valid error-0 summary, so fold them in and trim to k by
-        subtracting the (k+1)-st count — O(n + k log k) per batch instead of
-        the textbook per-item eviction's O(n·k); the mergeable-summaries
-        theorem keeps err <= N/(k+1) for the whole stream."""
-        ks = [str(x) for x in (keys.to_pylist() if hasattr(keys, "to_pylist") else keys)]
+        subtracting the (k+1)-st count — O(n) hash aggregation per batch
+        instead of the textbook per-item eviction's O(n·k); the mergeable-
+        summaries theorem keeps err <= N/(k+1) for the whole stream."""
+        ks = np.array([str(x) for x in (keys.to_pylist() if hasattr(keys, "to_pylist") else keys)],
+                      dtype=object)
         if counts is None:
             cs = np.ones(len(ks), dtype=np.int64)
         else:
             cs = np.asarray(counts, dtype=np.int64)
         self.n_updates += int(cs.sum())
-        c = self.counters
-        for key, w in zip(ks, cs.tolist()):
-            c[key] = c.get(key, 0) + w
-        self._trim()
+        self._fold(ks, cs)
 
     def _trim(self) -> None:
-        c = self.counters
-        if len(c) > self.k:
-            vals = sorted(c.values(), reverse=True)
-            cut = vals[self.k]  # (k+1)-st largest
+        n = len(self._counts)
+        if n > self.k:
+            cut = int(np.partition(self._counts, n - self.k - 1)[n - self.k - 1])
             self.err += cut
-            self.counters = {key: v - cut for key, v in c.items() if v > cut}
+            keep = self._counts > cut
+            self._keys = self._keys[keep]
+            self._counts = self._counts[keep] - cut
 
     # -- merge -------------------------------------------------------------
     def merge(self, other: "MisraGries") -> "MisraGries":
         assert self.config() == other.config(), "sketch configs differ"
-        c = self.counters
-        for key, w in other.counters.items():
-            c[key] = c.get(key, 0) + w
         self.err += other.err
         self.n_updates += other.n_updates
-        self._trim()
+        self._fold(other._keys, other._counts)
         return self
 
     # -- queries -----------------------------------------------------------
     def query(self, keys) -> np.ndarray:
         """Lower-bound counts (0 for absent keys); true ≤ lower + err."""
         ks = keys.to_pylist() if hasattr(keys, "to_pylist") else keys
-        return np.array([self.counters.get(str(x), 0) for x in ks], dtype=np.int64)
+        ks = np.array([str(x) for x in ks], dtype=object)
+        if len(self._keys) == 0:
+            return np.zeros(len(ks), dtype=np.int64)
+        pos = np.searchsorted(self._keys, ks)
+        pos = np.minimum(pos, len(self._keys) - 1)
+        hit = self._keys[pos] == ks
+        return np.where(hit, self._counts[pos], 0).astype(np.int64)
 
     def top(self, n: int | None = None) -> list[tuple[str, int]]:
         """(key, lower_bound) sorted by bound desc, key asc (deterministic)."""
-        items = sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))
-        return items[: (n or self.k)]
+        order = np.lexsort((self._keys, -self._counts))
+        return [(str(self._keys[i]), int(self._counts[i]))
+                for i in order[: (n or self.k)]]

@@ -85,27 +85,23 @@ class TDigest(SketchBase):
         order = np.argsort(v, kind="stable")
         v, w = v[order], w[order]
         total = w.sum()
-        out_m: list[float] = []
-        out_w: list[float] = []
-        cur_m, cur_w = float(v[0]), float(w[0])
-        q0 = 0.0
-        k0 = float(self._k(np.array([0.0]))[0])
-        for i in range(1, len(v)):
-            q_new = (q0 * total + cur_w + w[i]) / total
-            if float(self._k(np.array([q_new]))[0]) - k0 <= 1.0:
-                # absorb into current centroid (weighted mean)
-                cur_m = (cur_m * cur_w + float(v[i]) * float(w[i])) / (cur_w + float(w[i]))
-                cur_w += float(w[i])
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                q0 += cur_w / total
-                k0 = float(self._k(np.array([q0]))[0])
-                cur_m, cur_w = float(v[i]), float(w[i])
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.array(out_m, dtype=np.float64)
-        self.weights = np.array(out_w, dtype=np.float64)
+        # vectorized k-space clustering (replaces the per-centroid Python
+        # scan): map each point's cumulative-weight midpoint to the scale
+        # function, bucket by floor(k) — every bucket spans <= 1 unit of
+        # k-space, the t-digest size invariant, so the tail-tight accuracy
+        # bound is preserved (pinned by test_tdigest_quantile_accuracy);
+        # grouping is one cumsum + one segmented add
+        q_mid = (np.cumsum(w) - w / 2.0) / total
+        kb = np.floor(self._k(q_mid))
+        new_g = np.concatenate([[True], kb[1:] != kb[:-1]])
+        gid = np.cumsum(new_g) - 1
+        ng = int(gid[-1]) + 1
+        wsum = np.zeros(ng, dtype=np.float64)
+        msum = np.zeros(ng, dtype=np.float64)
+        np.add.at(wsum, gid, w)
+        np.add.at(msum, gid, v * w)
+        self.means = msum / wsum
+        self.weights = wsum
 
     # -- merge -------------------------------------------------------------
     def merge(self, other: "TDigest") -> "TDigest":

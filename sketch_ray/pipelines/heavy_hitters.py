@@ -120,17 +120,42 @@ def heavy_hitters(
     threshold: int,
     concurrency: int | None = None,
     batch_size: int = 4096,
+    semantics: str = "baseline",
 ):
     """Exact heavy hitters (count ≥ threshold) of a key spec over ``ds``.
 
     Returns a Dataset with columns (token: large_string, cnt: int64), the
-    exact analog of the reference's report sink (src/sketch.cpp:266-284) with
-    the baseline ``>=``-threshold semantics (SURVEY.md §2.2 M8).
+    exact analog of the reference's report sink (src/sketch.cpp:266-284).
+
+    ``semantics`` selects the reference's two threshold behaviors
+    (SURVEY.md §2.2 M8):
+
+    - ``"baseline"``: ``>=`` — the candidate's reported count keeps
+      refreshing, so ``cnt`` is the final exact count (src/sketch.cpp:160-162).
+    - ``"first_crossing"``: ``==`` emit-once — a key is emitted the moment
+      its count first reaches the threshold and never updated again
+      (src/sketch_approx.cu:72, src/sketch_pipelined.cu:118-121), so the
+      reported ``cnt`` is the threshold itself. With exact per-occurrence
+      counting the emitted key SET is identical to baseline (counts grow by
+      1, so any count >= T passed through == T exactly once).
     """
+    if semantics not in ("baseline", "first_crossing"):
+        raise ValueError(f"unknown threshold semantics: {semantics!r}")
     sketches = build_sketches(ds, [spec], batch_size=batch_size, concurrency=concurrency)
     sk = sketches[spec.name]
     counts = exact_candidate_counts(ds, sk.to_bytes(), spec, threshold, concurrency, batch_size)
-    return counts.filter(expr=f"cnt >= {int(threshold)}")
+    out = counts.filter(expr=f"cnt >= {int(threshold)}")
+    if semantics == "first_crossing":
+        thr = int(threshold)
+
+        def snapshot(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return batch.set_column(
+                batch.schema.get_field_index("cnt"), "cnt",
+                pa.array(np.full(n, thr, np.int64), pa.int64()))
+
+        out = out.map_batches(snapshot, batch_format="pyarrow")
+    return out
 
 
 def emerging_heavy_hitters(

@@ -220,9 +220,16 @@ def _build_kmer_sketch(ds, min_len, max_len, width, seed, batch_size):
 def heavy_kmers(
     ds, min_len: int, max_len: int, thresholds: list[int],
     width: int | None = None, seed: int = 42, batch_size: int = 1024,
+    semantics: str = "baseline",
 ) -> pd.DataFrame:
     """Exact per-length heavy-hitter k-mers: (kmer, length, cnt) with
     cnt >= threshold[length].
+
+    ``semantics="first_crossing"`` mirrors the reference's ``== threshold``
+    emit-once variant (src/sketch_approx.cu:72, sketch_pipelined.cu:118-121):
+    same k-mer set (counts grow by 1, so every count >= T passed == T once),
+    but ``cnt`` is the crossing snapshot — the per-length threshold itself —
+    rather than the refreshed final count.
 
     ``width=None`` scales the single length-salted sketch to the reference's
     per-length budget (src/sketch.cpp:28-31: one 2^14-wide sketch PER
@@ -233,9 +240,15 @@ def heavy_kmers(
     if width is None:
         n_lengths = max_len - min_len + 1
         width = 1 << (14 + max(0, int(np.ceil(np.log2(n_lengths)))))
+    if semantics not in ("baseline", "first_crossing"):
+        raise ValueError(f"unknown threshold semantics: {semantics!r}")
     sk = _build_kmer_sketch(ds, min_len, max_len, width, seed, batch_size)
     ref = ray.put(sk.to_bytes())
-    return _exact_candidates(ds, ref, min_len, thresholds, batch_size)
+    out = _exact_candidates(ds, ref, min_len, thresholds, batch_size)
+    if semantics == "first_crossing":
+        thr = {min_len + i: t for i, t in enumerate(thresholds)}
+        out = out.assign(cnt=out["length"].map(thr).astype("int64"))
+    return out
 
 
 def _exact_candidates(ds, sketch_ref, min_len, thresholds, batch_size) -> pd.DataFrame:

@@ -102,3 +102,50 @@ def test_kmer_multi_length_incremental_consistency():
     for L in range(3, 7):
         single = {LL: (s.tolist(), h.tolist()) for LL, s, h in _window_hashes(data, row_index, range(L, L + 1))}
         assert multi[L] == single[L]
+
+
+def test_first_crossing_semantics(ray_session, fasta_pair):
+    """Conformance with the reference's `== threshold` emit-once variant
+    (src/sketch_approx.cu:72, src/sketch_pipelined.cu:118-121): a key is
+    emitted the first time its count reaches the threshold and its reported
+    frequency is that crossing snapshot. Expectation computed by a sequential
+    simulation over exact per-occurrence counts (counts grow by 1, the
+    reference's update granularity)."""
+    import collections
+
+    import pandas as pd
+
+    from sketch_ray.pipelines.kmers import heavy_kmers
+    from sketch_ray.sources.fasta import read_fasta
+
+    test, _ = fasta_pair
+    TH = [30, 30, 30]
+
+    # sequential emit-once simulation (sketch_approx-style, exact counts)
+    counts: collections.Counter = collections.Counter()
+    emitted: dict[tuple[int, str], int] = {}
+    with open(test) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(">"):
+                continue
+            for L, th in zip((10, 11, 12), TH):
+                for i in range(len(line) - L + 1):
+                    w = line[i:i + L]
+                    if any(c not in "ACGT" for c in w):
+                        continue
+                    counts[(L, w)] += 1
+                    if counts[(L, w)] == th and (L, w) not in emitted:
+                        emitted[(L, w)] = th  # crossing snapshot
+
+    want = sorted((w, L, c) for (L, w), c in emitted.items())
+
+    out = heavy_kmers(read_fasta(test), 10, 12, TH, semantics="first_crossing")
+    got = sorted(zip(out["kmer"], out["length"], out["cnt"]))
+    assert got == want
+
+    # baseline semantics: same SET, refreshed final counts
+    base = heavy_kmers(read_fasta(test), 10, 12, TH)
+    assert sorted(zip(base["kmer"], base["length"])) == sorted(
+        (w, L) for (w, L, _) in want)
+    assert (base["cnt"].to_numpy() >= 30).all()
