@@ -84,6 +84,7 @@ def run_queries(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dic
             runs = sorted([t, run_once(fn), run_once(fn)])
             t = runs[1]
         timings[name] = round(t, 3)
+        print(f"[bench] {name}: {t:.2f}s", file=sys.stderr)
     # headline value = sum of steady-state per-query times; wall includes
     # any outlier re-timings
     total = round(sum(timings.values()), 3)

@@ -203,6 +203,141 @@ def _shared_group_rows(rows_ds, key_col: str, max_df: int):
     return ensure_columns(out, {"doc_id": "int64", key_col: "int64"})
 
 
+def _doc_classes(ds) -> pd.DataFrame:
+    """Exact-duplicate collapse pre-pass -> (doc_id, rep) with rep = the
+    smallest doc_id sharing the doc's 64-bit content hash.
+
+    The canonical trick for near-dup work on heavily-duplicated corpora
+    (exactly what --soak builds): identical texts have identical shingle
+    sets, so every pair query is answered on class REPRESENTATIVES and
+    expanded back afterward — a corpus that is 90% exact copies costs the
+    pair machinery 10% of the work. Driver holds one 16-byte row per doc;
+    at doc counts beyond driver memory the same collapse runs as a
+    distributed min-per-hash groupby + broadcast join (same semantics)."""
+    def hashes(batch: pa.Table) -> pa.Table:
+        h = hash_arrow_strings(batch["text"], seed=1)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text_hash": pa.array(h.astype(np.int64), pa.int64())})
+
+    hdf = ensure_columns(
+        ds.map_batches(hashes, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "text_hash": "int64"})
+    rep = hdf.groupby("text_hash")["doc_id"].transform("min")
+    return pd.DataFrame({"doc_id": hdf["doc_id"].to_numpy(),
+                         "rep": rep.to_numpy()})
+
+
+def _expand_class_pairs(rep_pairs: pd.DataFrame, classes: pd.DataFrame,
+                        rep_has_keys: pd.Series | None, tau: float,
+                        score_col: str = "jaccard",
+                        within_score: float = 1.0,
+                        larger_is_closer: bool = True) -> pd.DataFrame:
+    """Expand representative-level pairs back to document pairs.
+
+    - within-class: identical texts -> ``within_score`` (similarity 1.0 /
+      hamming 0); all C(m,2) pairs per class whose representative has >= 1
+      key (``rep_has_keys=None`` = always; empty shingle sets never pair).
+    - cross-class: every (a in A, b in B) inherits score(repA, repB).
+    All vectorized (pair-range expansion + two merges)."""
+    counts = classes.groupby("rep").size()
+    multi = counts[counts >= 2].index.to_numpy()
+    if len(multi) and rep_has_keys is not None:
+        ok = rep_has_keys.reindex(multi).fillna(0).to_numpy() > 0
+        multi = multi[ok]
+    wrows = classes[classes["rep"].isin(multi)][["doc_id", "rep"]]
+    within = _pairs_by_key(wrows, "rep")
+    within = within.assign(**{score_col: within_score})
+
+    m = classes
+    a = rep_pairs.merge(m, left_on="doc_a", right_on="rep")
+    a = a[["doc_b", score_col, "doc_id"]].rename(columns={"doc_id": "ma"})
+    ab = a.merge(m, left_on="doc_b", right_on="rep")
+    ab = ab[["ma", "doc_id", score_col]].rename(columns={"doc_id": "mb"})
+    cross = pd.DataFrame({
+        "doc_a": np.minimum(ab["ma"].to_numpy(), ab["mb"].to_numpy()),
+        "doc_b": np.maximum(ab["ma"].to_numpy(), ab["mb"].to_numpy()),
+        score_col: ab[score_col].to_numpy(),
+    })
+    out = pd.concat([within, cross], ignore_index=True)
+    if larger_is_closer:
+        out = out[out[score_col] >= tau]
+    else:
+        out = out[out[score_col] <= tau]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _pair_counts(shared: pd.DataFrame, key_col: str,
+                 driver_budget: int = 5_000_000) -> pd.DataFrame:
+    """(doc_id, key) rows -> (doc_a, doc_b, n_inter): the number of keys each
+    doc pair shares. Adaptive physical plan on the TOTAL pair budget
+    Σ C(df,2):
+
+    - small: one vectorized driver expansion (_pairs_by_key + groupby).
+    - large (heavily-duplicated corpora — the --soak finding: a 100%-dup
+      corpus turns every key group into C(replicas,2) pairs and a driver
+      expansion into minutes of single-threaded pandas): partition the rows
+      on GROUP boundaries into ~equal-pair-budget Arrow blocks, expand each
+      block in parallel map_batches with per-block pre-aggregation, and sum
+      per pair with a distributed groupby. Driver pull is then bounded by
+      DISTINCT candidate pairs, never by the expansion."""
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "n_inter": pd.Series([], dtype="int64")})
+    if not len(shared):
+        return empty
+    sizes = shared.groupby(key_col).size()
+    budget = int((sizes * (sizes - 1) // 2).sum())
+    if budget <= driver_budget:
+        pr = _pairs_by_key(shared, key_col)
+        if not len(pr):
+            return empty
+        return pr.groupby(["doc_a", "doc_b"], as_index=False).size().rename(
+            columns={"size": "n_inter"})
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    order = np.lexsort((shared["doc_id"].to_numpy(), shared[key_col].to_numpy()))
+    keys = shared[key_col].to_numpy()[order]
+    docs = shared["doc_id"].to_numpy()[order]
+    group_start = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+    gsizes = np.diff(np.append(group_start, len(keys)))
+    cum = np.cumsum(gsizes * (gsizes - 1) // 2)
+    P = 64
+    targets = np.linspace(0, cum[-1], P + 1)[1:-1]
+    split_groups = np.searchsorted(cum, targets)
+    split_rows = group_start[np.clip(split_groups + 1, 0, len(group_start) - 1)]
+    bounds = np.unique(np.concatenate([[0], split_rows, [len(keys)]])).astype(np.int64)
+    blocks = [
+        pa.table({key_col: pa.array(keys[lo:hi], pa.int64()),
+                  "doc_id": pa.array(docs[lo:hi], pa.int64())})
+        for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo
+    ]
+
+    def expand(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key_col: b[key_col].to_numpy(),
+                           "doc_id": b["doc_id"].to_numpy()})
+        pr = _pairs_by_key(df, key_col)
+        if not len(pr):
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        g = pr.groupby(["doc_a", "doc_b"], as_index=False).size()
+        return pa.table({"doc_a": pa.array(g["doc_a"].to_numpy(), pa.int64()),
+                         "doc_b": pa.array(g["doc_b"].to_numpy(), pa.int64()),
+                         "n_p": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    agg = (
+        rd.from_arrow(blocks)
+        .map_batches(expand, batch_format="pyarrow", batch_size=None)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n_p", alias_name="n_inter"))
+    )
+    out = ensure_columns(agg.to_pandas(),
+                         {"doc_a": "int64", "doc_b": "int64", "n_inter": "int64"})
+    return out
+
+
 def _cap_pair_budget(rows: pd.DataFrame, key_col: str, budget: int = 20_000_000) -> pd.DataFrame:
     """Bound the TOTAL within-key pair expansion (Σ C(df,2)) before
     ``_pairs_by_key``, not just per-key df: one hot key shared by 1e5 docs is
@@ -271,27 +406,28 @@ def jaccard_near_dups(
     J = i / (|A| + |B| - i) with sizes from a parallel distributed
     aggregate. Any pair with J > 0 shares a shingle => coverage is exact."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    # materialize: three consumers (sizes, df-counts, semi-filter) would
-    # otherwise re-run the shingling scan three times; rows are 16 B/shingle
-    # (hash + doc id), spillable, ~linear in corpus token count
+    # exact-duplicate collapse: all pair machinery below runs on class
+    # REPRESENTATIVES only (identical texts share identical shingle sets);
+    # document pairs are expanded back at the end — see _doc_classes
+    classes = _doc_classes(ds)
+    reps = np.unique(classes["rep"].to_numpy())
+    rep_set = pa.array(reps, pa.int64())
+
+    def rep_shingles(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.is_in(b["doc_id"], value_set=rep_set))
+        return _shingle_rows(sub, k)
+
+    # materialize: two consumers (df-counts+semi-filter, sizes) would
+    # otherwise re-run the shingling scan; rows are 16 B/shingle
+    # (hash + rep id), spillable, ~linear in DISTINCT-content token count
     shingles = ds.map_batches(
-        lambda b: _shingle_rows(b, k), batch_format="pyarrow", batch_size=4096
+        rep_shingles, batch_format="pyarrow", batch_size=4096
     ).materialize()
 
-    shared = _shared_group_rows(shingles, "shingle", max_df)
-    pair_rows = _pairs_by_key(shared, "shingle")
-    if len(pair_rows) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    pairs = pair_rows.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "n_inter"})
-    # shingle-set sizes only for docs that appear in a pair: narrow semi-
-    # filtered pass over the materialized rows, partial counts summed on the
-    # driver (candidate count is pair-bounded, small) — no groupby shuffle
-    cand_docs = pa.array(np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])), pa.int64())
-
+    # per-rep distinct-shingle counts: per-batch value_counts partials,
+    # summed on the driver (one row per distinct text) — no groupby shuffle
     def size_partials(b: pa.Table) -> pa.Table:
-        sub = b.filter(pc.is_in(b["doc_id"], value_set=cand_docs))
-        vc = pc.value_counts(sub["doc_id"].combine_chunks())
+        vc = pc.value_counts(b["doc_id"].combine_chunks())
         return pa.table({"doc_id": vc.field("values"),
                          "partial": vc.field("counts").cast(pa.int64())})
 
@@ -299,13 +435,27 @@ def jaccard_near_dups(
         shingles.map_batches(size_partials, batch_format="pyarrow", batch_size=65536)
         .to_pandas().groupby("doc_id")["partial"].sum()
     )
-    na = sizes.loc[pairs["doc_a"]].to_numpy()
-    nb = sizes.loc[pairs["doc_b"]].to_numpy()
-    j = pairs["n_inter"].to_numpy() / (na + nb - pairs["n_inter"].to_numpy())
-    pairs = pairs.assign(jaccard=np.round(j, 6))
-    out = pairs[pairs["jaccard"] >= tau][["doc_a", "doc_b", "jaccard"]]
-    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    shared = _shared_group_rows(shingles, "shingle", max_df)
+    pairs = _pair_counts(shared, "shingle")  # adaptive: driver or distributed
+    if len(pairs) == 0:
+        rep_out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                "doc_b": pd.Series([], dtype="int64"),
+                                "jaccard": pd.Series([], dtype="float64")})
+    else:
+        na = sizes.reindex(pairs["doc_a"]).to_numpy()
+        nb = sizes.reindex(pairs["doc_b"]).to_numpy()
+        j = pairs["n_inter"].to_numpy() / (na + nb - pairs["n_inter"].to_numpy())
+        pairs = pairs.assign(jaccard=np.round(j, 6))
+        rep_out = pairs[pairs["jaccard"] >= tau][["doc_a", "doc_b", "jaccard"]]
+    out = _expand_class_pairs(rep_out, classes, sizes, tau)
+    if len(out) == 0:
+        return empty
+    return pa.Table.from_pandas(
+        out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}),
+        preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -380,26 +530,38 @@ def minhash_lsh_near_dups(
     are groupby(band, bucket) over 16-byte rows and the candidate-pair
     verification, which touches candidate docs only."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # exact-duplicate collapse: signatures/buckets/verification run on class
+    # representatives only; document pairs expand back at the end
+    classes = _doc_classes(ds)
+    reps = np.unique(classes["rep"].to_numpy())
+    rep_set = pa.array(reps, pa.int64())
+    class_sizes = classes.groupby("rep").size()
+    multi_reps = class_sizes[class_sizes >= 2].index.to_numpy()
+
     # the bucket hash is salted with the band index, so `bucket` alone is the
     # group key (a cross-band collision only adds a candidate pair, which
     # exact verification then prunes)
     # materialize: signature computation is the expensive stage and the df
-    # count + semi-filter would re-run it; band rows are 16 B × bands per doc
+    # count + semi-filter would re-run it; band rows are 16 B × bands per rep
     band_ds = ds.map_batches(
-        lambda b: _band_rows(b, k, num_perm, bands, seed),
+        lambda b: _band_rows(b.filter(pc.is_in(b["doc_id"], value_set=rep_set)),
+                             k, num_perm, bands, seed),
         batch_format="pyarrow",
         batch_size=512,  # signature compute is the hot stage: small batches -> parallelism
     ).select_columns(["doc_id", "bucket"]).materialize()
 
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
     shared = _shared_group_rows(band_ds, "bucket", max_bucket)
     cand_df = _pairs_by_key(shared, "bucket").drop_duplicates(["doc_a", "doc_b"])
-    if len(cand_df) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
 
-    # exact verification restricted to candidate docs (small by construction):
-    # gather their shingle sets in one filtered pass
-    cand_docs = np.unique(np.concatenate([cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy()]))
+    # exact verification restricted to candidate reps (small by construction),
+    # plus the multi-member classes' reps (their shingle counts gate the
+    # within-class J=1 expansion): gather shingle sets in one filtered pass
+    cand_docs = np.unique(np.concatenate(
+        [cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy(), multi_reps]))
+    if len(cand_docs) == 0:
+        return empty
 
     def cand_shingles(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch["doc_id"], value_set=pa.array(cand_docs, pa.int64()))
@@ -409,14 +571,15 @@ def minhash_lsh_near_dups(
     rows = ds.map_batches(cand_shingles, batch_format="pyarrow", batch_size=4096).to_pandas()
     rows = ensure_columns(rows, {"doc_id": "int64", "shingle": "int64"})
     # fully vectorized verification — the same intersection-count machinery
-    # as jaccard_near_dups: within-shingle pair expansion over candidate docs
+    # as jaccard_near_dups: within-shingle pair expansion over candidate reps
     # only, then an inner join against the LSH candidate pairs. No per-pair
-    # Python loop; work is bounded by the candidate docs' shingle rows.
-    sizes = rows.groupby("doc_id").size()  # per-doc distinct-shingle counts
-    inter = _pairs_by_key(rows, "shingle")
-    if len(inter):
-        n_inter = inter.groupby(["doc_a", "doc_b"], as_index=False).size().rename(
-            columns={"size": "n_inter"})
+    # Python loop; work is bounded by the candidate reps' shingle rows.
+    sizes = rows.groupby("doc_id").size()  # per-rep distinct-shingle counts
+    cand_set = pa.array(np.unique(np.concatenate(
+        [cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy()])), pa.int64())
+    rows_cand = rows[rows["doc_id"].isin(cand_set.to_numpy())]
+    n_inter = _pair_counts(rows_cand, "shingle")  # adaptive: driver or distributed
+    if len(n_inter):
         verified = cand_df.merge(n_inter, on=["doc_a", "doc_b"], how="inner")
     else:
         verified = cand_df.iloc[0:0].assign(n_inter=pd.Series([], dtype="int64"))
@@ -425,13 +588,15 @@ def minhash_lsh_near_dups(
         nb = sizes.reindex(verified["doc_b"]).to_numpy()
         ni = verified["n_inter"].to_numpy()
         jac = np.round(ni / (na + nb - ni), 6)
-        out = verified.assign(jaccard=jac)[["doc_a", "doc_b", "jaccard"]]
-        out = out[out["jaccard"] >= tau]
+        rep_out = verified.assign(jaccard=jac)[["doc_a", "doc_b", "jaccard"]]
+        rep_out = rep_out[rep_out["jaccard"] >= tau]
     else:
-        out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                            "doc_b": pd.Series([], dtype="int64"),
-                            "jaccard": pd.Series([], dtype="float64")})
-    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        rep_out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                "doc_b": pd.Series([], dtype="int64"),
+                                "jaccard": pd.Series([], dtype="float64")})
+    out = _expand_class_pairs(rep_out, classes, sizes, tau)
+    if len(out) == 0:
+        return empty
     return pa.Table.from_pandas(out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}),
                                 preserve_index=False)
 
@@ -475,8 +640,13 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     default; verification computes the true distance. Returns
     (doc_a, doc_b, hamming)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # exact-duplicate collapse: signatures/index on class representatives,
+    # expansion back to doc pairs (identical text -> hamming 0)
+    classes = _doc_classes(ds)
+    rep_set = pa.array(np.unique(classes["rep"].to_numpy()), pa.int64())
 
     def sig_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["doc_id"], value_set=rep_set))
         d, s = _simhash(batch)
         blocks = np.stack([(s >> _U64(16 * i)) & _U64(0xFFFF) for i in range(4)], axis=1)
         n = len(d)
@@ -499,19 +669,28 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     # common 16-bit block value shared by ~1e5 docs is ~5e9 pairs)
     shared = _cap_pair_budget(shared, "blockkey")
     cand = _pairs_by_key(shared, "blockkey").drop_duplicates(["doc_a", "doc_b"])
-    if len(cand) == 0:
+    if len(cand):
+        sig_of = shared.drop_duplicates("doc_id").set_index("doc_id")["sig"]
+        sa = sig_of.loc[cand["doc_a"]].to_numpy().astype(np.uint64)
+        sb = sig_of.loc[cand["doc_b"]].to_numpy().astype(np.uint64)
+        x = sa ^ sb
+        if hasattr(np, "bitwise_count"):
+            ham = np.bitwise_count(x).astype(np.int64)
+        else:
+            ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        rep_out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy(),
+                                "doc_b": cand["doc_b"].to_numpy(), "hamming": ham})
+        rep_out = rep_out[rep_out["hamming"] <= max_hamming]
+    else:
+        rep_out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                "doc_b": pd.Series([], dtype="int64"),
+                                "hamming": pd.Series([], dtype="int64")})
+    # every doc has a signature (null text = empty), so within-class
+    # expansion needs no has-keys gate; hamming: smaller is closer
+    df = _expand_class_pairs(rep_out, classes, None, float(max_hamming),
+                             score_col="hamming", within_score=0,
+                             larger_is_closer=False)
+    if len(df) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                          "hamming": pa.array([], pa.int64())})
-    sig_of = shared.drop_duplicates("doc_id").set_index("doc_id")["sig"]
-    sa = sig_of.loc[cand["doc_a"]].to_numpy().astype(np.uint64)
-    sb = sig_of.loc[cand["doc_b"]].to_numpy().astype(np.uint64)
-    x = sa ^ sb
-    if hasattr(np, "bitwise_count"):
-        ham = np.bitwise_count(x).astype(np.int64)
-    else:
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
-    df = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy(), "doc_b": cand["doc_b"].to_numpy(),
-                       "hamming": ham})
-    df = df[df["hamming"] <= max_hamming]
-    df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(df.astype("int64"), preserve_index=False)
