@@ -62,11 +62,40 @@ def _full_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 def embedding_near_dups(sf_dir: str, tau: float = 0.4) -> pa.Table:
     """EXACT pairs (vec_a < vec_b) with cosine similarity >= tau.
 
-    The full unit-normalized matrix is broadcast once via ``ray.put`` (small
-    side: N×d float64; at 5M×256 ≈ 10 GB you would switch to the LSH-bucketed
-    variant); each batch computes batch × matrixᵀ and emits qualifying pairs
-    with a<b so every pair appears exactly once."""
-    ids_all, mat_all = _full_matrix(sf_dir)
+    Exact-duplicate collapse first (same trick as the dedup pipelines):
+    byte-identical vectors map to one representative, the O(N_distinct²)
+    matmul runs on representatives only, and document pairs expand back at
+    the end (identical nonzero vectors have cosine exactly 1.0) — a corpus
+    that is mostly replicas costs the quadratic core only its distinct part
+    (the --soak finding: 10x replication made this query 34x slower before).
+
+    The representative unit-normalized matrix is broadcast once via
+    ``ray.put`` (small side: N×d float64; at 5M×256 ≈ 10 GB you would switch
+    to the LSH-bucketed variant); each batch computes batch × matrixᵀ and
+    emits qualifying pairs with a<b so every pair appears exactly once."""
+    import pandas as pd
+
+    from .dedup import _expand_class_pairs
+
+    ids_full, mat_full = _full_matrix(sf_dir)
+    # collapse byte-identical rows: void-view unique gives class ids with no
+    # hashing; representative = smallest vec_id per class
+    void = np.ascontiguousarray(mat_full).view(
+        np.dtype((np.void, mat_full.shape[1] * 8))).ravel()
+    order = np.argsort(ids_full, kind="stable")
+    void_o, ids_o, = void[order], ids_full[order]
+    _, first_idx, inv = np.unique(void_o, return_index=True, return_inverse=True)
+    rep_of = ids_o[first_idx][inv]  # per (sorted) row: its class representative
+    classes = pd.DataFrame({"doc_id": ids_o, "rep": rep_of})
+    nonzero = np.linalg.norm(mat_full[order], axis=1) > 0
+    rep_has_norm = pd.Series(nonzero, index=ids_o).groupby(
+        classes["rep"].to_numpy()).max().astype(int)
+
+    rep_mask = ids_o == rep_of
+    rep_ids_sorted = ids_o[rep_mask]
+    ids_all = rep_ids_sorted
+    mat_all = mat_full[order][rep_mask]
+    rep_value_set = pa.array(ids_all, pa.int64())
     ref = ray.put((ids_all, mat_all))
 
     class PairFinder:
@@ -75,6 +104,9 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.4) -> pa.Table:
             self.tau = tau
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.is_in(batch["vec_id"], value_set=rep_value_set))
             if batch.num_rows == 0:
                 return pa.table({"vec_a": pa.array([], pa.int64()),
                                  "vec_b": pa.array([], pa.int64()),
@@ -101,8 +133,14 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.4) -> pa.Table:
         df = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                            "vec_b": pd.Series([], dtype="int64"),
                            "cosine": pd.Series([], dtype="float64")})
-    df = df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    rep_pairs = df.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"})
+    expanded = _expand_class_pairs(rep_pairs, classes, rep_has_norm, tau,
+                                   score_col="cosine")
+    expanded = expanded.rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"})
+    expanded = expanded.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        expanded.astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}),
+        preserve_index=False)
 
 
 _EMPTY_PARTIAL = {"query_id": pa.array([], pa.int64()),
