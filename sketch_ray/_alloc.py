@@ -29,6 +29,10 @@ def tune_allocator() -> bool:
     global _done
     if _done:
         return True
+    import os
+
+    if os.environ.get("SKETCH_RAY_NO_MALLOPT"):
+        return False
     try:
         import ctypes
 
