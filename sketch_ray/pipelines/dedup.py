@@ -431,10 +431,10 @@ def jaccard_near_dups(
         return pa.table({"doc_id": vc.field("values"),
                          "partial": vc.field("counts").cast(pa.int64())})
 
-    sizes = (
-        shingles.map_batches(size_partials, batch_format="pyarrow", batch_size=65536)
-        .to_pandas().groupby("doc_id")["partial"].sum()
-    )
+    size_df = ensure_columns(
+        shingles.map_batches(size_partials, batch_format="pyarrow", batch_size=65536).to_pandas(),
+        {"doc_id": "int64", "partial": "int64"})
+    sizes = size_df.groupby("doc_id")["partial"].sum()
 
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})

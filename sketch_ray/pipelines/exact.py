@@ -280,20 +280,18 @@ def users_without_orders(sf_dir: str) -> pa.Table:
     custkeys = pa.array(np.unique(keys.column("o_custkey").to_numpy()), pa.int64())
     ref = ray.put(custkeys)
 
-    class Anti:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
+    def anti(batch: pa.Table) -> pa.Table:
+        from ..stages.broadcast import cached
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = pc.invert(pc.is_in(batch["user_id"], value_set=self.keys))
-            sub = batch.filter(keep)
-            g = sub.group_by("user_id").aggregate([([], "count_all")])
-            return g.rename_columns(["user_id", "partial"])
+        keys_w = cached(ref)
+        keep = pc.invert(pc.is_in(batch["user_id"], value_set=keys_w))
+        sub = batch.filter(keep)
+        g = sub.group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "partial"])
 
     agg = (
         _read(sf_dir, "events", ["user_id"])
-        .map_batches(Anti, fn_constructor_args=(ref,), concurrency=(1, 4),
-                     batch_format="pyarrow", batch_size=32768)
+        .map_batches(anti, batch_format="pyarrow", batch_size=32768)
         .groupby("user_id")
         .aggregate(Sum("partial", alias_name="n_events"))
     )

@@ -61,30 +61,27 @@ def _spec_counts(spec: SketchSpec, batch: pa.Table):
     raise ValueError(f"unsupported mode for heavy hitters: {spec.mode}")
 
 
-class _CandidateCounts:
-    """Actor-pool stage for pass 2: batch → (token, partial_count) rows for
+def _candidate_counts(batch: pa.Table, sketch_ref, spec: SketchSpec,
+                      threshold: int) -> pa.Table:
+    """Pass-2 stage (stateless task): batch → (token, partial_count) rows for
     tokens whose broadcast-sketch estimate ≥ threshold. The sketch is fetched
-    from the object store once per actor (broadcast pattern, SURVEY.md §2.3 T4),
-    not per batch."""
+    + deserialized once per WORKER (broadcast pattern, SURVEY.md §2.3 T4,
+    via stages/broadcast.cached), never per batch."""
+    from ..stages.broadcast import cached
 
-    def __init__(self, sketch_ref, spec: SketchSpec, threshold: int):
-        self.sketch = sketch_from_bytes(ray.get(sketch_ref))
-        self.spec = spec
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, counts = _spec_counts(self.spec, batch)
-        if len(keys) == 0:
-            return pa.table({"token": pa.array([], pa.large_string()),
-                             "partial_count": pa.array([], pa.int64())})
-        est = self.sketch.query(keys)
-        mask_np = est >= self.threshold
-        return pa.table(
-            {
-                "token": keys.filter(pa.array(mask_np)).cast(pa.large_string()),
-                "partial_count": pa.array(np.asarray(counts)[mask_np], pa.int64()),
-            }
-        )
+    sketch = cached(sketch_ref, build=sketch_from_bytes)
+    keys, counts = _spec_counts(spec, batch)
+    if len(keys) == 0:
+        return pa.table({"token": pa.array([], pa.large_string()),
+                         "partial_count": pa.array([], pa.int64())})
+    est = sketch.query(keys)
+    mask_np = est >= threshold
+    return pa.table(
+        {
+            "token": keys.filter(pa.array(mask_np)).cast(pa.large_string()),
+            "partial_count": pa.array(np.asarray(counts)[mask_np], pa.int64()),
+        }
+    )
 
 
 def exact_candidate_counts(
@@ -99,15 +96,8 @@ def exact_candidate_counts(
     estimate ≥ threshold (superset of true heavy hitters)."""
     ref = ray.put(sketch_bytes)
     kw: dict[str, Any] = dict(batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
-    if concurrency is not None:
-        kw["concurrency"] = concurrency
-    else:
-        # autoscaling actor pool: min=1 so the stage can always start even
-        # when the read/aggregate stages hold the remaining CPUs (a fixed
-        # pool equal to the CPU count deadlocks the streaming executor)
-        kw["concurrency"] = (1, 4)
     partials = ds.map_batches(
-        _CandidateCounts, fn_constructor_args=(ref, spec, threshold), **kw
+        lambda b: _candidate_counts(b, ref, spec, threshold), **kw
     )
     from ray.data.aggregate import Sum
 

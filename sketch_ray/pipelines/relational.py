@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Count, Sum
 
+from ..stages.broadcast import cached
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -53,38 +55,35 @@ def revenue_per_nation(sf_dir: str) -> pa.Table:
     the reference's candidate-map probe (src/sketch.cpp:222-227)."""
     ref = _broadcast_map(sf_dir)
 
-    class Probe:
-        def __init__(self, ref):
-            self.nation_code, self.names = ray.get(ref)  # once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
-            # custkeys without a customer row are dropped, not mis-credited:
-            # out-of-range would raise, and code -1 would wrap to the last
-            # nation under np.add.at (ADVICE r1) — inner-join semantics
-            in_range = (cust >= 0) & (cust < len(self.nation_code))
-            code = np.where(in_range, self.nation_code[np.minimum(cust, len(self.nation_code) - 1)], -1)
-            known = code >= 0
-            code, price = code[known], price[known]
-            n_codes = len(self.names)
-            sums = np.zeros(n_codes, dtype=np.float64)
-            cnts = np.zeros(n_codes, dtype=np.int64)
-            np.add.at(sums, code, price)
-            np.add.at(cnts, code, 1)
-            nz = np.flatnonzero(cnts)
-            return pa.table(
-                {
-                    "n_name": pa.array([self.names[i] for i in nz], pa.string()),
-                    "rev_partial": pa.array(sums[nz], pa.float64()),
-                    "cnt_partial": pa.array(cnts[nz], pa.int64()),
-                }
-            )
+    def probe(batch: pa.Table) -> pa.Table:
+        # stateless stage; lookup fetched once per worker (stages/broadcast)
+        nation_code, names = cached(ref)
+        cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        # custkeys without a customer row are dropped, not mis-credited:
+        # out-of-range would raise, and code -1 would wrap to the last
+        # nation under np.add.at (ADVICE r1) — inner-join semantics
+        in_range = (cust >= 0) & (cust < len(nation_code))
+        code = np.where(in_range, nation_code[np.minimum(cust, len(nation_code) - 1)], -1)
+        known = code >= 0
+        code, price = code[known], price[known]
+        n_codes = len(names)
+        sums = np.zeros(n_codes, dtype=np.float64)
+        cnts = np.zeros(n_codes, dtype=np.int64)
+        np.add.at(sums, code, price)
+        np.add.at(cnts, code, 1)
+        nz = np.flatnonzero(cnts)
+        return pa.table(
+            {
+                "n_name": pa.array([names[i] for i in nz], pa.string()),
+                "rev_partial": pa.array(sums[nz], pa.float64()),
+                "cnt_partial": pa.array(cnts[nz], pa.int64()),
+            }
+        )
 
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(Probe, fn_constructor_args=(ref,), concurrency=(1, 4),
-                     batch_format="pyarrow", batch_size=16384)
+        .map_batches(probe, batch_format="pyarrow", batch_size=16384)
         .groupby("n_name")
         .aggregate(Sum("rev_partial", alias_name="revenue"),
                    Sum("cnt_partial", alias_name="n_orders"))
@@ -340,36 +339,32 @@ def asof_latest_order(sf_dir: str, mode: str = "auto") -> pa.Table:
 
     SHIFT_US = np.int64(9131) * 86400 * 1_000_000  # fixed 9131-day shift (~25 y)
 
-    class AsOf:
-        def __init__(self, ref):
-            self.order_sorted, self.date_ranks, self.n_ranks = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            eid = batch["event_id"].to_numpy(zero_copy_only=False)
-            uid = batch["user_id"].to_numpy(zero_copy_only=False)
-            ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-            ts_shift = ts - SHIFT_US
-            # rank of the latest order date <= shifted ts
-            ts_rank = np.searchsorted(self.date_ranks, ts_shift, side="right") - 1
-            comp_q = uid * np.int64(self.n_ranks + 1) + np.maximum(ts_rank, 0)
-            pos = np.searchsorted(self.order_sorted, comp_q, side="right") - 1
-            cand = self.order_sorted[np.maximum(pos, 0)]
-            ok = (pos >= 0) & (cand // (self.n_ranks + 1) == uid) & (ts_rank >= 0)
-            matched = np.where(ok, self.date_ranks[np.where(ok, cand % (self.n_ranks + 1), 0)], 0)
-            out_dt = matched.astype("datetime64[us]")
-            dt_arr = pa.array(out_dt, pa.timestamp("us"))
-            dt_arr = pc.if_else(pa.array(ok), dt_arr, pa.scalar(None, pa.timestamp("us")))
-            return pa.table(
-                {
-                    "event_id": pa.array(eid, pa.int64()),
-                    "user_id": pa.array(uid, pa.int64()),
-                    "matched_orderdate": dt_arr,
-                }
-            )
+    def asof(batch: pa.Table) -> pa.Table:
+        order_sorted, date_ranks, n_ranks = cached(ref)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ts_shift = ts - SHIFT_US
+        # rank of the latest order date <= shifted ts
+        ts_rank = np.searchsorted(date_ranks, ts_shift, side="right") - 1
+        comp_q = uid * np.int64(n_ranks + 1) + np.maximum(ts_rank, 0)
+        pos = np.searchsorted(order_sorted, comp_q, side="right") - 1
+        cand = order_sorted[np.maximum(pos, 0)]
+        ok = (pos >= 0) & (cand // (n_ranks + 1) == uid) & (ts_rank >= 0)
+        matched = np.where(ok, date_ranks[np.where(ok, cand % (n_ranks + 1), 0)], 0)
+        out_dt = matched.astype("datetime64[us]")
+        dt_arr = pa.array(out_dt, pa.timestamp("us"))
+        dt_arr = pc.if_else(pa.array(ok), dt_arr, pa.scalar(None, pa.timestamp("us")))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "matched_orderdate": dt_arr,
+            }
+        )
 
     out = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
-        AsOf, fn_constructor_args=(ref,), concurrency=(1, 4),
-        batch_format="pyarrow", batch_size=32768,
+        asof, batch_format="pyarrow", batch_size=32768,
     )
     df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -422,26 +417,25 @@ def bloom_semi_join(sf_dir: str) -> pa.Table:
     exact_set = pa.array(keys, pa.int64())
     ref = ray.put((bloom.to_bytes(), exact_set))
 
-    class Semi:
-        def __init__(self, ref):
-            from ..kernels import sketch_from_bytes
+    def _build_semi(state):
+        from ..kernels import sketch_from_bytes
 
-            raw, self.exact_set = ray.get(ref)
-            self.bloom = sketch_from_bytes(raw)
+        raw, exact = state
+        return sketch_from_bytes(raw), exact
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ok = batch["l_orderkey"].combine_chunks()
-            maybe = self.bloom.contains(ok.cast(pa.string()))  # vectorized
-            pruned = batch.filter(pa.array(maybe))          # Bloom pre-pass
-            keep = pc.is_in(pruned["l_orderkey"], value_set=self.exact_set)
-            sub = pruned.filter(keep)                       # exact verify
-            g = sub.group_by("l_returnflag").aggregate([([], "count_all"), ("l_quantity", "sum")])
-            return g.rename_columns(["l_returnflag", "cnt_p", "qty_p"])
+    def semi(batch: pa.Table) -> pa.Table:
+        bloom, exact_set_w = cached(ref, build=_build_semi)
+        ok = batch["l_orderkey"].combine_chunks()
+        maybe = bloom.contains(ok.cast(pa.string()))    # vectorized
+        pruned = batch.filter(pa.array(maybe))          # Bloom pre-pass
+        keep = pc.is_in(pruned["l_orderkey"], value_set=exact_set_w)
+        sub = pruned.filter(keep)                       # exact verify
+        g = sub.group_by("l_returnflag").aggregate([([], "count_all"), ("l_quantity", "sum")])
+        return g.rename_columns(["l_returnflag", "cnt_p", "qty_p"])
 
     agg = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
-        .map_batches(Semi, fn_constructor_args=(ref,), concurrency=(1, 4),
-                     batch_format="pyarrow", batch_size=32768)
+        .map_batches(semi, batch_format="pyarrow", batch_size=32768)
         .groupby("l_returnflag")
         .aggregate(Sum("cnt_p", alias_name="n_items"), Sum("qty_p", alias_name="sum_qty"))
     )

@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray
 
 from ..kernels.hashing import splitmix64
+from ..stages.broadcast import cached
 
 _U64 = np.uint64
 
@@ -98,35 +99,32 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.4) -> pa.Table:
     rep_value_set = pa.array(ids_all, pa.int64())
     ref = ray.put((ids_all, mat_all))
 
-    class PairFinder:
-        def __init__(self, ref, tau):
-            self.ids_all, self.mat_all = ray.get(ref)
-            self.tau = tau
+    # stateless stage + per-worker broadcast cache (stages/broadcast.py):
+    # same fetch-once discipline as an actor pool, none of the spin-up
+    def pair_finder(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            batch = batch.filter(pc.is_in(batch["vec_id"], value_set=rep_value_set))
-            if batch.num_rows == 0:
-                return pa.table({"vec_a": pa.array([], pa.int64()),
-                                 "vec_b": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            ids, mat = _batch_matrix(batch)
-            sims = mat @ self.mat_all.T
-            ia, ib = np.nonzero(sims >= self.tau)
-            a, b = ids[ia], self.ids_all[ib]
-            keep = a < b
-            return pa.table(
-                {
-                    "vec_a": pa.array(a[keep], pa.int64()),
-                    "vec_b": pa.array(b[keep], pa.int64()),
-                    "cosine": pa.array(np.round(sims[ia, ib][keep], 6), pa.float64()),
-                }
-            )
+        batch = batch.filter(pc.is_in(batch["vec_id"], value_set=rep_value_set))
+        if batch.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ids_r, mat_r = cached(ref)
+        ids, mat = _batch_matrix(batch)
+        sims = mat @ mat_r.T
+        ia, ib = np.nonzero(sims >= tau)
+        a, b = ids[ia], ids_r[ib]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(np.round(sims[ia, ib][keep], 6), pa.float64()),
+            }
+        )
 
     out = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        PairFinder, fn_constructor_args=(ref, tau), concurrency=(1, 4),
-        batch_format="pyarrow", batch_size=4096,
+        pair_finder, batch_format="pyarrow", batch_size=4096,
     )
     df = out.to_pandas()
     if "vec_a" not in df.columns:
@@ -204,22 +202,17 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
     q_ids, q_mat = ids_all[qmask], mat_all[qmask]
     ref = ray.put((q_ids, q_mat))
 
-    class TopK:
-        def __init__(self, ref, k):
-            self.q_ids, self.q_mat = ray.get(ref)
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table(_EMPTY_PARTIAL)
-            ids, mat = _batch_matrix(batch)
-            out_q, out_v, out_c = [], [], []
-            _block_topk(self.q_ids, self.q_mat, ids, mat, self.k, out_q, out_v, out_c)
-            return _partial_table(out_q, out_v, out_c)
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY_PARTIAL)
+        qi, qm = cached(ref)
+        ids, mat = _batch_matrix(batch)
+        out_q, out_v, out_c = [], [], []
+        _block_topk(qi, qm, ids, mat, k, out_q, out_v, out_c)
+        return _partial_table(out_q, out_v, out_c)
 
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        TopK, fn_constructor_args=(ref, k), concurrency=(1, 4),
-        batch_format="pyarrow", batch_size=4096,
+        topk, batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
     return _merge_topk(partials, k)
 
@@ -260,37 +253,36 @@ def ivf_ann_topk(
     q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
     ref = ray.put((q_ids, q_mat, q_cells, centroids))
 
-    class IVFTopK:
+    def _build_ivf(state):
+        q_ids_, q_mat_, q_cells_, centroids_ = state
+        cell_queries = {
+            int(c): np.flatnonzero((q_cells_ == c).any(axis=1))
+            for c in np.unique(q_cells_)
+        }
+        return q_ids_, q_mat_, centroids_, cell_queries
+
+    def ivf_topk(batch: pa.Table) -> pa.Table:
         """Per batch: assign vectors to cells once, then ONE block matmul per
         probed cell over ALL queries probing that cell (queries grouped by
-        cell in __init__) — the loop is over n_cells, never over queries."""
-
-        def __init__(self, ref, k):
-            self.q_ids, self.q_mat, self.q_cells, self.centroids = ray.get(ref)
-            self.k = k
-            self.cell_queries = {
-                int(c): np.flatnonzero((self.q_cells == c).any(axis=1))
-                for c in np.unique(self.q_cells)
-            }
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table(_EMPTY_PARTIAL)
-            ids, mat = _batch_matrix(batch)
-            cell = np.argmax(mat @ self.centroids.T, axis=1)
-            out_q, out_v, out_c = [], [], []
-            for c in np.unique(cell):
-                qrows = self.cell_queries.get(int(c))
-                if qrows is None:
-                    continue
-                sel = cell == c
-                _block_topk(self.q_ids[qrows], self.q_mat[qrows], ids[sel],
-                            mat[sel], self.k, out_q, out_v, out_c)
-            return _partial_table(out_q, out_v, out_c)
+        cell in the cached per-worker state) — the loop is over n_cells,
+        never over queries."""
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY_PARTIAL)
+        qi, qm, cents, cell_queries = cached(ref, build=_build_ivf)
+        ids, mat = _batch_matrix(batch)
+        cell = np.argmax(mat @ cents.T, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for c in np.unique(cell):
+            qrows = cell_queries.get(int(c))
+            if qrows is None:
+                continue
+            sel = cell == c
+            _block_topk(qi[qrows], qm[qrows], ids[sel], mat[sel], k,
+                        out_q, out_v, out_c)
+        return _partial_table(out_q, out_v, out_c)
 
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        IVFTopK, fn_constructor_args=(ref, k), concurrency=(1, 4),
-        batch_format="pyarrow", batch_size=4096,
+        ivf_topk, batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
     return _merge_topk(partials, k)
 
@@ -320,34 +312,30 @@ def lsh_ann_topk(
     q_sig = ((q_mat @ planes.T) > 0) @ (1 << np.arange(n_bits))
     ref = ray.put((q_ids, q_mat, q_sig, planes))
 
-    class BucketTopK:
-        """Queries grouped by bucket signature in __init__; per batch, ONE
-        block matmul per distinct signature shared by >= 1 query — the loop
-        is over distinct buckets, never over queries."""
+    def _build_lsh(state):
+        q_ids_, q_mat_, q_sig_, planes_ = state
+        sig_queries = {int(s): np.flatnonzero(q_sig_ == s) for s in np.unique(q_sig_)}
+        return q_ids_, q_mat_, planes_, sig_queries
 
-        def __init__(self, ref, k):
-            self.q_ids, self.q_mat, self.q_sig, self.planes = ray.get(ref)
-            self.k = k
-            self.sig_queries = {
-                int(s): np.flatnonzero(self.q_sig == s) for s in np.unique(self.q_sig)
-            }
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table(_EMPTY_PARTIAL)
-            ids, mat = _batch_matrix(batch)
-            sig = ((mat @ self.planes.T) > 0) @ (1 << np.arange(self.planes.shape[0]))
-            out_q, out_v, out_c = [], [], []
-            for s, qrows in self.sig_queries.items():
-                sel = sig == s
-                if not sel.any():
-                    continue
-                _block_topk(self.q_ids[qrows], self.q_mat[qrows], ids[sel],
-                            mat[sel], self.k, out_q, out_v, out_c)
-            return _partial_table(out_q, out_v, out_c)
+    def bucket_topk(batch: pa.Table) -> pa.Table:
+        """Queries grouped by bucket signature in the cached per-worker
+        state; per batch, ONE block matmul per distinct signature shared by
+        >= 1 query — the loop is over distinct buckets, never queries."""
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY_PARTIAL)
+        qi, qm, pl, sig_queries = cached(ref, build=_build_lsh)
+        ids, mat = _batch_matrix(batch)
+        sig = ((mat @ pl.T) > 0) @ (1 << np.arange(pl.shape[0]))
+        out_q, out_v, out_c = [], [], []
+        for s, qrows in sig_queries.items():
+            sel = sig == s
+            if not sel.any():
+                continue
+            _block_topk(qi[qrows], qm[qrows], ids[sel], mat[sel], k,
+                        out_q, out_v, out_c)
+        return _partial_table(out_q, out_v, out_c)
 
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        BucketTopK, fn_constructor_args=(ref, k), concurrency=(1, 4),
-        batch_format="pyarrow", batch_size=4096,
+        bucket_topk, batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
     return _merge_topk(partials, k)

@@ -131,10 +131,19 @@ class LangId:
 
 
 def lang_id(sf_dir: str) -> pa.Table:
-    """Predicted language per document (rows-only: heuristic output)."""
+    """Predicted language per document (rows-only: heuristic output).
+
+    The marker tables are deterministic config-derived state, so the stage
+    runs as stateless tasks with a per-worker memoized LangId instance
+    (stages/broadcast.cached_by_key) — fetch-once semantics on the warm
+    worker pool with no actor-pool spin-up."""
+    from ..stages.broadcast import cached_by_key
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    df = ds.map_batches(LangId, concurrency=(1, 4), batch_format="pyarrow",
-                        batch_size=8192).to_pandas()
+    df = ds.map_batches(
+        lambda b: cached_by_key("langid_markers", LangId)(b),
+        batch_format="pyarrow", batch_size=8192,
+    ).to_pandas()
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
