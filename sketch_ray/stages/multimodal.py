@@ -133,12 +133,20 @@ def multimodal_features(sf_dir: str) -> pa.Table:
     after decode) is the real thing."""
     import ray.data as rd
 
+    from .broadcast import cached_by_key
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # the fake decoder's state is config-only, so both stages run as
+    # stateless tasks with per-worker memoized instances (warm worker pool,
+    # no actor spin-up). A REAL decoder holding heavy state (codec context,
+    # model weights on an accelerator) would use the actor-pool form:
+    #   .map_batches(DecodeImage, fn_constructor_args=(mode, side),
+    #                concurrency=(1, N), batch_size=SMALL)
     out = (
         ds.map_batches(attach_payload, batch_format="pyarrow", batch_size=1024)
-        .map_batches(DecodeImage, fn_constructor_args=("fake", 16),
-                     concurrency=(1, 4), batch_format="pyarrow", batch_size=256)
-        .map_batches(ExtractImageFeatures, concurrency=(1, 4),
+        .map_batches(lambda b: cached_by_key("decode_fake_16", lambda: DecodeImage("fake", 16))(b),
+                     batch_format="pyarrow", batch_size=256)
+        .map_batches(lambda b: cached_by_key("img_features", ExtractImageFeatures)(b),
                      batch_format="pyarrow", batch_size=4096)
     )
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
