@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_near_dups": lambda sf: dedup.jaccard_near_dups(sf, k=3, tau=0.5),
         "minhash_lsh_near_dups": lambda sf: dedup.minhash_lsh_near_dups(sf, k=3, tau=0.8),
         "simhash_near_dups": lambda sf: dedup.simhash_near_dups(sf, max_hamming=3),
+        "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, k=3, tau=0.5),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
         "ann_topk": lambda sf: similarity.ann_topk(sf, k=5, n_queries=8),
         "lsh_ann_topk": lambda sf: similarity.lsh_ann_topk(sf, k=5, n_queries=64),
@@ -213,6 +214,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jaccard_near_dups": jaccard.format(tau=0.5),
         "minhash_lsh_near_dups": jaccard.format(tau=0.8),
+        # connected components over the jaccard>=tau relation: recursive-CTE
+        # transitive closure, rep = min reachable doc_id
+        "dedup_clusters": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id, unnest(range(len(string_split(text, ' ')) - 2)) AS i,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ), shing AS (
+                SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS s
+                FROM sh
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY da, db
+            ), jac AS (
+                SELECT da AS doc_a, db AS doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+                WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM jac
+                UNION ALL SELECT doc_b, doc_a FROM jac
+            ), reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            )
+            SELECT src AS doc_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src ORDER BY doc_id
+        """,
         "embedding_near_dups": f"""
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cosine
             FROM embeddings a, embeddings b

@@ -694,3 +694,44 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                          "hamming": pa.array([], pa.int64())})
     return pa.Table.from_pandas(df.astype("int64"), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate clustering (corpus cleaning)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(sf_dir: str, k: int = 3, tau: float = 0.5) -> pa.Table:
+    """Connected components over the near-duplicate relation — the corpus-
+    cleaning step of a training-data pipeline: every document gets the
+    smallest doc_id reachable through Jaccard(k-shingles) >= tau pairs as its
+    ``cluster_rep`` (keep rows where doc_id == cluster_rep for the cleaned
+    corpus; singletons are their own rep).
+
+    Physical plan: the pair set comes from the exact inverted-index path
+    (pair-bounded, duplicate-collapsed); components are resolved with
+    VECTORIZED min-label propagation + pointer jumping (np.minimum.at over
+    the pair arrays per round, no per-pair Python loop; rounds ~
+    log(diameter)). Driver work is one int64 per doc + the pair set; at
+    corpus scales beyond that, the same propagation runs as an iterative
+    distributed join (documented scale path). Returns (doc_id, cluster_rep)
+    for ALL documents, sorted by doc_id."""
+    pairs = jaccard_near_dups(sf_dir, k=k, tau=tau).to_pandas()
+    ids = (
+        _read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"]
+        .to_numpy().astype(np.int64)
+    )
+    ids = np.sort(ids)
+    labels = ids.copy()
+    if len(pairs):
+        a = np.searchsorted(ids, pairs["doc_a"].to_numpy())
+        b = np.searchsorted(ids, pairs["doc_b"].to_numpy())
+        while True:
+            prev = labels.copy()
+            np.minimum.at(labels, a, prev[b])
+            np.minimum.at(labels, b, prev[a])
+            # pointer jumping: jump each label to its label's label
+            labels = labels[np.searchsorted(ids, labels)]
+            if np.array_equal(labels, prev):
+                break
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "cluster_rep": pa.array(labels, pa.int64())})

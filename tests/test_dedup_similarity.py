@@ -206,3 +206,20 @@ def test_minhash_lsh_sf01_known_pairs(ray_session):
     assert len(exact) >= 250  # the corpus's known dup-pair population
     pd.testing.assert_frame_equal(
         lsh.reset_index(drop=True), exact.reset_index(drop=True))
+
+
+def test_dedup_clusters_consistency(ray_session):
+    """Cluster reps must be consistent with the pair relation: both ends of
+    every near-dup pair share a rep; reps are cluster minima; docs outside
+    any pair are singletons."""
+    from sketch_ray.pipelines.dedup import dedup_clusters, jaccard_near_dups
+
+    pairs = jaccard_near_dups(SF, k=3, tau=0.5).to_pandas()
+    cl = dedup_clusters(SF, k=3, tau=0.5).to_pandas().set_index("doc_id")["cluster_rep"]
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert cl[a] == cl[b]
+    in_pairs = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    for doc, rep in cl.items():
+        if doc not in in_pairs:
+            assert rep == doc
+        assert rep <= doc

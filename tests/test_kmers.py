@@ -149,3 +149,15 @@ def test_first_crossing_semantics(ray_session, fasta_pair):
     assert sorted(zip(base["kmer"], base["length"])) == sorted(
         (w, L) for (w, L, _) in want)
     assert (base["cnt"].to_numpy() >= 30).all()
+
+
+def test_read_fasta_distributed_path_parity(ray_session, fasta_pair, monkeypatch):
+    """The large-corpus path (distributed read_text + parse stage) must
+    yield the same rows as the small-file driver-parse fast path."""
+    import sketch_ray.sources.fasta as fasta_mod
+
+    test, _ = fasta_pair
+    small = fasta_mod.read_fasta(test).to_pandas()
+    monkeypatch.setattr(fasta_mod, "_SMALL_BYTES", 0)  # force read_text path
+    big = fasta_mod.read_fasta(test).to_pandas()
+    assert list(small["seq"]) == list(big["seq"])
