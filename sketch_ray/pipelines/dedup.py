@@ -735,3 +735,31 @@ def dedup_clusters(sf_dir: str, k: int = 3, tau: float = 0.5) -> pa.Table:
                 break
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
                      "cluster_rep": pa.array(labels, pa.int64())})
+
+
+def write_clean_corpus(sf_dir: str, out_dir: str, k: int = 3, tau: float = 0.5,
+                       rows_per_file: int = 100_000) -> dict:
+    """Materialize the deduplicated corpus: keep each cluster's
+    representative document and stream the result to PARTITIONED Parquet
+    (many files, bounded rows per file) — the resumable-output shape: a
+    rerun can diff finished files, and no single giant file exists.
+
+    The keep-set (cluster reps) broadcasts once; the corpus streams through
+    a semi-filter (no shuffle). Returns {n_docs, n_kept, out_dir}."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.broadcast import cached
+
+    cl = dedup_clusters(sf_dir, k=k, tau=tau)
+    keep = cl.filter(pc.equal(cl["doc_id"], cl["cluster_rep"]))["doc_id"]
+    ref = ray.put(keep.combine_chunks())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keep_w = cached(ref)
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=keep_w))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = ds.map_batches(semi, batch_format="pyarrow", batch_size=8192)
+    out.write_parquet(out_dir, num_rows_per_file=rows_per_file)
+    return {"n_docs": int(cl.num_rows), "n_kept": int(len(keep)), "out_dir": out_dir}

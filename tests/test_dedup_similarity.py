@@ -223,3 +223,19 @@ def test_dedup_clusters_consistency(ray_session):
         if doc not in in_pairs:
             assert rep == doc
         assert rep <= doc
+
+
+def test_write_clean_corpus(ray_session, tmp_path):
+    """Corpus-cleaning sink: keeps exactly the cluster representatives and
+    writes partitioned parquet."""
+    import pyarrow.dataset as pads
+
+    from sketch_ray.pipelines.dedup import dedup_clusters, write_clean_corpus
+
+    out = str(tmp_path / "clean")
+    res = write_clean_corpus(SF, out, k=3, tau=0.5)
+    cl = dedup_clusters(SF, k=3, tau=0.5).to_pandas()
+    want = set(cl[cl["doc_id"] == cl["cluster_rep"]]["doc_id"])
+    got = set(pads.dataset(out).to_table(columns=["doc_id"])["doc_id"].to_pylist())
+    assert got == want
+    assert res["n_kept"] == len(want)
