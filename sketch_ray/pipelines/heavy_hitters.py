@@ -162,19 +162,45 @@ def emerging_heavy_hitters(
     scale src/sketch.cpp:179-183, probe-decrement src/sketch.cpp:222-227,
     prune src/sketch.cpp:238-245 — here with exact verified counts).
 
-    Returns (token, test_cnt, control_cnt)."""
+    Returns (token, test_cnt, control_cnt).
+
+    The test-candidate and control-probe scans both key off the pass-1
+    sketch only, so they run as ONE fused streaming execution (tagged
+    union) with a single distributed groupby over candidate-only rows —
+    same shape as the k-mer pipeline (pipelines/kmers.py)."""
+    import pandas as pd
+
     sketches = build_sketches(test_ds, [spec], batch_size=batch_size, concurrency=concurrency)
     sk_bytes = sketches[spec.name].to_bytes()
-    test_counts = exact_candidate_counts(
-        test_ds, sk_bytes, spec, threshold, concurrency, batch_size
-    ).filter(expr=f"cnt >= {int(threshold)}")
-    # control side: count ONLY candidate keys (same sketch, threshold acts as
-    # the candidate filter — anything below can't be a candidate)
-    control_counts = exact_candidate_counts(
-        control_ds, sk_bytes, spec, threshold, concurrency, batch_size
+    ref = ray.put(sk_bytes)
+
+    def tagged(corpus: int):
+        def fn(b: pa.Table) -> pa.Table:
+            t = _candidate_counts(b, ref, spec, threshold)
+            return t.append_column("corpus", pa.array([corpus] * t.num_rows, pa.int8()))
+        return fn
+
+    kw: dict[str, Any] = dict(batch_format="pyarrow", batch_size=batch_size,
+                              zero_copy_batch=True)
+    test_rows = test_ds.map_batches(tagged(0), **kw)
+    # control side: count ONLY candidate keys (same sketch, threshold acts
+    # as the candidate filter — anything below can't be a candidate)
+    ctrl_rows = control_ds.map_batches(tagged(1), **kw)
+    from ray.data.aggregate import Sum
+
+    both = (
+        test_rows.union(ctrl_rows)
+        .groupby(["token", "corpus"])
+        .aggregate(Sum("partial_count", alias_name="cnt"))
+        .to_pandas()
     )
-    test_t = test_counts.to_pandas().rename(columns={"cnt": "test_cnt"})
-    ctrl_t = control_counts.to_pandas().rename(columns={"cnt": "control_cnt"})
+    if "token" not in both.columns or not len(both):
+        return pd.DataFrame({"token": pd.Series([], dtype=str),
+                             "test_cnt": pd.Series([], dtype="int64"),
+                             "control_cnt": pd.Series([], dtype="int64")})
+    test_t = both[both["corpus"] == 0][["token", "cnt"]].rename(columns={"cnt": "test_cnt"})
+    test_t = test_t[test_t["test_cnt"] >= int(threshold)]
+    ctrl_t = both[both["corpus"] == 1][["token", "cnt"]].rename(columns={"cnt": "control_cnt"})
     # candidate sets are threshold-selected (small); a driver-side join is the
     # broadcast-join analog of the reference's candidate-map probe (J1)
     merged = test_t.merge(ctrl_t, on="token", how="left")
