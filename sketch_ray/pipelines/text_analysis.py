@@ -193,8 +193,11 @@ def doc_fingerprints(sf_dir: str, n: int = 5, seed: int = 42) -> pa.Table:
             }
         )
 
+    # batch 2048: the rolling-hash temps are ~8B x total chars x n passes —
+    # small batches keep each worker's peak heap (and so its one-time
+    # first-touch cost) low while staying fully vectorized
     df = ensure_columns(
-        ds.map_batches(fp, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        ds.map_batches(fp, batch_format="pyarrow", batch_size=2048).to_pandas(),
         {"doc_id": "int64", "fingerprint": "int64", "content_hash": "int64"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
