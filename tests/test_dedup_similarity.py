@@ -239,3 +239,23 @@ def test_write_clean_corpus(ray_session, tmp_path):
     got = set(pads.dataset(out).to_table(columns=["doc_id"])["doc_id"].to_pylist())
     assert got == want
     assert res["n_kept"] == len(want)
+
+
+def test_pair_counts_driver_and_distributed_paths_agree(ray_session):
+    """_pair_counts' two physical plans (driver expansion vs group-aligned
+    distributed blocks + groupby) must produce identical (doc_a, doc_b,
+    n_inter) tables."""
+    import numpy as np
+
+    from sketch_ray.pipelines.dedup import _pair_counts
+
+    rng = np.random.default_rng(5)
+    rows = pd.DataFrame({
+        "doc_id": rng.integers(0, 40, 4000).astype("int64"),
+        "shingle": rng.integers(0, 300, 4000).astype("int64"),
+    }).drop_duplicates()
+    a = _pair_counts(rows, "shingle")  # small budget -> driver path
+    b = _pair_counts(rows, "shingle", driver_budget=0)  # forced distributed
+    a = a.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = b.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
