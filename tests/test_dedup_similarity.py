@@ -259,3 +259,63 @@ def test_pair_counts_driver_and_distributed_paths_agree(ray_session):
     a = a.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     b = b.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_dedup_distributed_collapse_agrees(ray_session, monkeypatch):
+    """Force the DISTRIBUTED branches (_doc_classes min-per-hash groupby +
+    broadcast rep-map, _shared_group_rows groupby, distributed shingle-size
+    count) by dropping the adaptive threshold to 0: near-dup output must be
+    identical to the driver path (r2 verdict item 1)."""
+    from sketch_ray.pipelines import dedup
+
+    base_j = dedup.jaccard_near_dups(SF, k=3, tau=0.5).to_pandas()
+    base_s = dedup.simhash_near_dups(SF).to_pandas()
+    monkeypatch.setattr(dedup, "_SMALL_ROWS", 0)
+    dist_j = dedup.jaccard_near_dups(SF, k=3, tau=0.5).to_pandas()
+    dist_s = dedup.simhash_near_dups(SF).to_pandas()
+    pd.testing.assert_frame_equal(dist_j, base_j.astype(dist_j.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(dist_s, base_s.astype(dist_s.dtypes.to_dict()))
+
+
+def test_dedup_clusters_matches_union_find(ray_session):
+    """Plan equality: the distributed label-attach path must equal an
+    independent driver union-find over (pairs, all doc ids)."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.dedup import dedup_clusters, jaccard_near_dups
+
+    got = dedup_clusters(SF, k=3, tau=0.5).to_pandas()
+    pairs = jaccard_near_dups(SF, k=3, tau=0.5).to_pandas()
+    ids = sorted(pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+                 ["doc_id"].to_pylist())
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = pd.DataFrame({"doc_id": ids,
+                         "cluster_rep": [find(i) for i in ids]})
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_dedup_clusters_out_dir(ray_session, tmp_path):
+    """out_dir= streams (doc_id, cluster_rep) to partitioned parquet with
+    the same content as the driver-table return shape."""
+    import pyarrow.dataset as pads
+
+    from sketch_ray.pipelines.dedup import dedup_clusters
+
+    out = str(tmp_path / "clusters")
+    res = dedup_clusters(SF, k=3, tau=0.5, out_dir=out)
+    table = dedup_clusters(SF, k=3, tau=0.5).to_pandas()
+    written = (pads.dataset(out).to_table().to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(written, table.astype(written.dtypes.to_dict()))
+    assert res["n_docs"] == len(table)
