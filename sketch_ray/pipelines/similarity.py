@@ -54,10 +54,58 @@ def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _full_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Whole embeddings table on the driver — ONLY for the exact baselines
+    (embedding_near_dups / ann_topk), which broadcast the full matrix by
+    design (documented ~10 GB cap). The scale paths (LSH / IVF) never call
+    this: they use _query_matrix / _sample_matrix."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return _batch_matrix(t)
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Query vectors only (vec_id < n_queries) via a parquet predicate-
+    pushdown read: row groups that cannot contain query ids are pruned by
+    their statistics, so the driver materializes O(n_queries) rows, never
+    the corpus."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n_queries)
+    return _batch_matrix(t)
+
+
+def _sample_matrix(sf_dir: str, n_sample: int, seed: int) -> np.ndarray:
+    """Deterministic distributed sample of ~n_sample unit-normalized rows
+    for quantizer training: each batch keeps rows whose
+    splitmix64(vec_id ^ seed) falls under a global threshold sized from the
+    parquet-metadata row count (expected 4x oversample), then the driver
+    trims to the exact bottom-n_sample by hash. The kept set is a pure
+    function of (vec_id, seed) — identical across runs and parallelism —
+    and the driver pull is O(n_sample), never the corpus."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_total = max(1, ds.count())  # parquet-metadata count: no scan
+    frac = min(1.0, 4.0 * n_sample / n_total)
+    # float(2**64 - 1) rounds UP to 2**64, so scale in float and clamp
+    threshold = (_U64(0xFFFFFFFFFFFFFFFF) if frac >= 1.0
+                 else _U64(frac * 2.0**64))
+    mix = _U64(seed) * _U64(0x9E3779B97F4A7C15)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(_U64) ^ mix)
+        return batch.filter(pa.array(h <= threshold))
+
+    refs = ds.map_batches(pick, batch_format="pyarrow", batch_size=4096).to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:  # degenerate threshold underflow: fall back to a head block
+        tables = [t for t in ray.get(ds.limit(n_sample).to_arrow_refs()) if t.num_rows]
+    ids, mat = _batch_matrix(pa.concat_tables(tables))
+    h = splitmix64(ids.astype(_U64) ^ mix)
+    order = np.argsort(h, kind="stable")[:n_sample]
+    return mat[order]
 
 
 def embedding_near_dups(sf_dir: str, tau: float = 0.4) -> pa.Table:
@@ -220,7 +268,8 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
 def _kmeans_centroids(mat: np.ndarray, n_cells: int, seed: int, iters: int = 8) -> np.ndarray:
     """Deterministic Lloyd k-means on unit vectors (cosine ≡ dot): seeded
     farthest-point-ish init from hashed row order, fixed iteration count.
-    At 10^9+ vectors this trains on a seeded sample; cost here is trivial."""
+    Trains on the seeded distributed sample from _sample_matrix (O(n_sample)
+    driver rows), never the full corpus."""
     order = np.argsort(splitmix64(np.arange(len(mat), dtype=_U64) + _U64(seed)))
     centroids = mat[order[:n_cells]].copy()
     for _ in range(iters):
@@ -237,18 +286,21 @@ def _kmeans_centroids(mat: np.ndarray, n_cells: int, seed: int, iters: int = 8) 
 
 def ivf_ann_topk(
     sf_dir: str, k: int = 5, n_queries: int = 8, n_cells: int = 16,
-    nprobe: int = 4, seed: int = 42,
+    nprobe: int = 4, seed: int = 42, train_per_cell: int = 256,
 ) -> pa.Table:
     """IVF (inverted-file) approximate top-k: a deterministic k-means coarse
     quantizer cells the corpus; each query scans only its ``nprobe`` nearest
     cells (expected fraction ≈ nprobe/n_cells of the corpus). The second
     scale path next to LSH; exact scores for whatever it retrieves.
+
+    Driver never sees the corpus: the quantizer trains on a seeded
+    distributed sample (_sample_matrix, ~train_per_cell rows per cell) and
+    the query matrix comes from a predicate-pushdown read (_query_matrix).
     Returns (query_id, rank, vec_id, cosine) — rows-only gated; recall vs
     brute force pinned in pytest."""
-    ids_all, mat_all = _full_matrix(sf_dir)
-    centroids = _kmeans_centroids(mat_all, n_cells, seed)
-    qmask = ids_all < n_queries
-    q_ids, q_mat = ids_all[qmask], mat_all[qmask]
+    train = _sample_matrix(sf_dir, n_cells * train_per_cell, seed)
+    centroids = _kmeans_centroids(train, min(n_cells, len(train)), seed)
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
     # nprobe nearest cells per query
     q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
     ref = ray.put((q_ids, q_mat, q_cells, centroids))
@@ -304,11 +356,11 @@ def lsh_ann_topk(
     """Approximate top-k: random-hyperplane signatures bucket the corpus; each
     query searches only its own bucket (single-probe, one table — the
     honest-scale baseline; recall rises with multi-probe/multi-table).
+    Query vectors come from a predicate-pushdown read (_query_matrix) —
+    the corpus never lands on the driver.
     Returns (query_id, rank, vec_id, cosine) — rows-only gated."""
-    ids_all, mat_all = _full_matrix(sf_dir)
-    planes = _hyperplanes(mat_all.shape[1], n_bits, seed)
-    qmask = ids_all < n_queries
-    q_ids, q_mat = ids_all[qmask], mat_all[qmask]
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    planes = _hyperplanes(q_mat.shape[1], n_bits, seed)
     q_sig = ((q_mat @ planes.T) > 0) @ (1 << np.arange(n_bits))
     ref = ray.put((q_ids, q_mat, q_sig, planes))
 

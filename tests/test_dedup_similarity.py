@@ -319,3 +319,18 @@ def test_dedup_clusters_out_dir(ray_session, tmp_path):
                .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(written, table.astype(written.dtypes.to_dict()))
     assert res["n_docs"] == len(table)
+
+
+def test_ann_scale_paths_never_read_full_matrix(ray_session, monkeypatch):
+    """lsh/ivf are the SCALE paths: they must source query vectors from the
+    predicate-pushdown read and train on the distributed sample — never the
+    full driver-side matrix (r2 verdict item 3)."""
+    from sketch_ray.pipelines import similarity
+
+    def boom(sf_dir):
+        raise AssertionError("_full_matrix called from a scale path")
+
+    monkeypatch.setattr(similarity, "_full_matrix", boom)
+    lsh = similarity.lsh_ann_topk(SF, k=3, n_queries=8).to_pandas()
+    ivf = similarity.ivf_ann_topk(SF, k=3, n_queries=8, n_cells=8, nprobe=4).to_pandas()
+    assert len(lsh) and len(ivf)
