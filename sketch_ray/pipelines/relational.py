@@ -171,6 +171,28 @@ def events_daily_windows(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["day", "event_type", "value_sum", "n_events"]], preserve_index=False)
 
 
+def _join_partitions(sf_dir: str, *tables: str, floor: int = 8,
+                     bytes_per_partition: int = 256 << 20) -> int:
+    """Size ``Dataset.join``'s hash-shuffle partition count from the data.
+
+    Sizing rule (measured on this box, BASELINE.md): each shuffle partition
+    costs an aggregator actor (~1.5 s spin-up on first use), so the floor is
+    8 — the measured-right count for KB-scale shuffles; beyond that, one
+    partition per 256 MB of compressed input parquet keeps every partition's
+    build side comfortably inside a worker heap at 100 TB scale (compressed
+    bytes under-estimate in-memory bytes ~2-4x, and pre-aggregation upstream
+    shrinks the shuffled side further, so 256 MB compressed/partition lands
+    well under 2 GB of heap)."""
+    import math
+    import os
+
+    try:
+        total = sum(os.path.getsize(f"{sf_dir}/{t}.parquet") for t in tables)
+    except OSError:
+        return floor  # remote/opaque paths: keep the measured floor
+    return max(floor, math.ceil(total / bytes_per_partition))
+
+
 def revenue_per_priority(sf_dir: str) -> pa.Table:
     """Fact-fact join via Ray Data's native hash-shuffle ``Dataset.join``
     (the genuinely wide case where neither side broadcasts): lineitem ⋈
@@ -189,10 +211,8 @@ def revenue_per_priority(sf_dir: str) -> pa.Table:
 
     li_agg = li.map_batches(li_partials, batch_format="pyarrow", batch_size=65536)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    # num_partitions sized to the shuffled bytes (KB-scale pre-aggregated
-    # rows here): each hash-shuffle partition costs an aggregator actor,
-    # and 32 of them pay ~45s of spin-up for no benefit at this volume
-    joined = li_agg.join(orders, join_type="inner", num_partitions=8,
+    joined = li_agg.join(orders, join_type="inner",
+                         num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
                          on=("l_orderkey",), right_on=("o_orderkey",))
     agg = joined.groupby("o_orderpriority").aggregate(Sum("rev_p", alias_name="revenue"))
     df = agg.to_pandas()
