@@ -87,10 +87,13 @@ class TDigest(SketchBase):
         total = w.sum()
         # vectorized k-space clustering (replaces the per-centroid Python
         # scan): map each point's cumulative-weight midpoint to the scale
-        # function, bucket by floor(k) — every bucket spans <= 1 unit of
-        # k-space, the t-digest size invariant, so the tail-tight accuracy
-        # bound is preserved (pinned by test_tdigest_quantile_accuracy);
-        # grouping is one cumsum + one segmented add
+        # function, bucket by floor(k) — the MIDPOINTS of a bucket span
+        # <= 1 k-unit (its edges can reach ~half a point's k-width past
+        # each floor boundary, so a centroid can span up to ~2 k-units:
+        # a constant-factor relaxation of the strict t-digest invariant;
+        # the tail accuracy bound weakens by that constant only, pinned
+        # by test_tdigest_quantile_accuracy); grouping is one cumsum +
+        # one segmented add
         q_mid = (np.cumsum(w) - w / 2.0) / total
         kb = np.floor(self._k(q_mid))
         new_g = np.concatenate([[True], kb[1:] != kb[:-1]])

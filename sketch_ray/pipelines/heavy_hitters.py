@@ -93,9 +93,14 @@ def exact_candidate_counts(
     batch_size: int = 4096,
 ):
     """Dataset of (token, cnt) with *exact* counts for every key whose sketch
-    estimate ≥ threshold (superset of true heavy hitters)."""
+    estimate ≥ threshold (superset of true heavy hitters).
+
+    ``concurrency`` (optional) caps the stage's concurrent tasks — the
+    stage is stateless (broadcast-cached sketch), so None = elastic."""
     ref = ray.put(sketch_bytes)
     kw: dict[str, Any] = dict(batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+    if concurrency is not None:
+        kw["concurrency"] = concurrency
     partials = ds.map_batches(
         lambda b: _candidate_counts(b, ref, spec, threshold), **kw
     )
@@ -182,6 +187,8 @@ def emerging_heavy_hitters(
 
     kw: dict[str, Any] = dict(batch_format="pyarrow", batch_size=batch_size,
                               zero_copy_batch=True)
+    if concurrency is not None:
+        kw["concurrency"] = concurrency
     test_rows = test_ds.map_batches(tagged(0), **kw)
     # control side: count ONLY candidate keys (same sketch, threshold acts
     # as the candidate filter — anything below can't be a candidate)

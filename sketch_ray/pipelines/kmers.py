@@ -39,19 +39,16 @@ from ..kernels.hashing import splitmix64
 _U64 = np.uint64
 _BASE = _U64(0x100000001B3)
 
-# Per-worker-process cache of the deserialized broadcast sketch: the pass-2 /
+# Per-worker broadcast cache for the deserialized sketch: the pass-2 /
 # probe stages are STATELESS tasks (no actor-pool spin-up), but each worker
-# deserializes the sketch only once — the broadcast-once pattern without
-# paying actor-pool startup for every stage.
-_SK_CACHE: dict = {}
+# deserializes the sketch only once — the same stages/broadcast.cached LRU
+# the other pipelines use (ADVICE r2: one cache discipline, not two).
 
 
 def _cached_sketch(ref):
-    sk = _SK_CACHE.get(ref)
-    if sk is None:
-        _SK_CACHE.clear()
-        sk = _SK_CACHE[ref] = sketch_from_bytes(ray.get(ref))
-    return sk
+    from ..stages.broadcast import cached
+
+    return cached(ref, build=sketch_from_bytes)
 
 # byte -> 2-bit code; 255 = invalid (window terminator), matching the
 # reference's symbol encoder semantics (src/sketch.cpp:113-129)

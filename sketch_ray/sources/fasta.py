@@ -51,6 +51,10 @@ def _driver_blocks(paths: list[str], num_blocks: int) -> list[pa.Table]:
         )
     arr = pa.array(seqs, pa.large_binary()).cast(pa.large_string())
     n = len(arr)
+    if n == 0:
+        # empty / header-only input: one empty block, same schema as the
+        # distributed read_text path (which yields an empty dataset)
+        return [pa.table({"seq": pa.array([], pa.large_string())})]
     num_blocks = max(1, min(num_blocks, n))
     step = -(-n // num_blocks)
     return [

@@ -16,8 +16,12 @@ serialized sketch, a query matrix). Keep a real actor pool when state
 MUTATES across batches or setup cost must amortize across a whole stream
 (e.g. a model on an accelerator).
 
-The cache holds at most ``_MAX`` entries (broadcasts are per-query; old
-refs die with the driver's session anyway).
+The cache is a per-namespace LRU of ``_MAX`` entries: config-keyed state
+(cached_by_key — long-lived, e.g. the language-ID marker tables) and
+ObjectRef-keyed broadcasts (cached — per-query, dead refs are useless
+after the query) evict independently, so a query touching many broadcasts
+can never evict memoized config state mid-stream, and a hit refreshes
+recency (move-to-end) so a hot entry survives a burst of one-shot refs.
 """
 
 from __future__ import annotations
@@ -27,31 +31,42 @@ from typing import Any, Callable
 import ray
 
 _MAX = 8
-_CACHE: dict = {}
+# separate namespaces: a flood of per-query broadcast refs must not evict
+# long-lived config-keyed state (ADVICE r2)
+_REF_CACHE: dict = {}
+_KEY_CACHE: dict = {}
+
+
+def _lru_get(cache: dict, key):
+    if key in cache:
+        cache[key] = cache.pop(key)  # move-to-end: dicts keep insert order
+        return True, cache[key]
+    return False, None
+
+
+def _lru_put(cache: dict, key, val):
+    if len(cache) >= _MAX:
+        cache.pop(next(iter(cache)))  # evict least-recently-used (front)
+    cache[key] = val
+    return val
 
 
 def cached(ref, build: Callable[[Any], Any] | None = None):
     """Fetch-once-per-worker: returns ``build(ray.get(ref))`` (or the raw
-    object), memoized by the ObjectRef."""
-    key = ref
-    if key in _CACHE:
-        return _CACHE[key]
+    object), memoized by the ObjectRef (LRU)."""
+    hit, val = _lru_get(_REF_CACHE, ref)
+    if hit:
+        return val
     val = ray.get(ref)
     if build is not None:
         val = build(val)
-    if len(_CACHE) >= _MAX:
-        _CACHE.pop(next(iter(_CACHE)))
-    _CACHE[key] = val
-    return val
+    return _lru_put(_REF_CACHE, ref, val)
 
 
 def cached_by_key(key, build: Callable[[], Any]):
     """Memoize deterministic per-worker state (seeds, marker tables) by a
     hashable config key — for state derived from config, no broadcast."""
-    if key in _CACHE:
-        return _CACHE[key]
-    val = build()
-    if len(_CACHE) >= _MAX:
-        _CACHE.pop(next(iter(_CACHE)))
-    _CACHE[key] = val
-    return val
+    hit, val = _lru_get(_KEY_CACHE, key)
+    if hit:
+        return val
+    return _lru_put(_KEY_CACHE, key, build())
