@@ -29,6 +29,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TIME_RE = re.compile(r"Total time: ([0-9.]+)")
 TOTAL_RE = re.compile(r"Heavy-hitters \(total\): (\d+)")
+# per-phase runtimes: every "<Name> time: <s>" stderr line becomes its own
+# metric row ("<name>-runtime [s]"), the run_eval.py:128-134 scrape shape
+NAMED_TIME_RE = re.compile(r"^(.*) time: ([0-9.]*)", re.MULTILINE)
+# nvprof scrape targets (run_eval.py:109-126 parity): memcpy transfer rows
+# and kernel rows from the profiler's stderr summary. Regex targets match
+# the profiler's fixed output format by necessity; no-ops without CUDA.
+CUDA_MEMCPY_RE = re.compile(r"(\S*)\s+(?:\S+\s+){4}\[CUDA memcpy (.*)\]")
+CUDA_KERNEL_RE = re.compile(r"([0-9.]+[muns.]+)\s+(?:\S+\s+){4}(?P<kernel>[^(\s]+)\(")
 
 
 def build_reference() -> dict[str, tuple[list[str], set[str]]]:
@@ -50,18 +58,30 @@ def build_reference() -> dict[str, tuple[list[str], set[str]]]:
     return programs
 
 
-def run_one(prefix: list[str], ds: dict) -> dict:
+def run_one(prefix: list[str], ds: dict, nvprof: bool = False,
+            is_cuda: bool = False) -> dict:
     n_len = len(ds["thresholds"])
     args = [ds["test_file"], ds["control_file"], str(ds["first_length"]),
             str(ds["first_length"] + n_len - 1), *map(str, ds["thresholds"])]
+    cmd = prefix + args
+    use_nvprof = nvprof and is_cuda and shutil.which("nvprof") is not None
+    if use_nvprof:
+        cmd = ["nvprof"] + cmd
     t0 = time.perf_counter()
-    r = subprocess.run(prefix + args, capture_output=True, text=True,
+    r = subprocess.run(cmd, capture_output=True, text=True,
                        cwd=REPO, env={**os.environ, "PYTHONPATH": REPO})
     wall = time.perf_counter() - t0
     out = {"wall_s": round(wall, 3), "returncode": r.returncode}
     m = TIME_RE.search(r.stderr)
     if m:
         out["reported_time_s"] = float(m.group(1))
+    for name, t in NAMED_TIME_RE.findall(r.stderr):
+        out[f"{name.strip().lower()}-runtime [s]"] = float(t) if t else None
+    if use_nvprof:
+        for t, name in CUDA_MEMCPY_RE.findall(r.stderr):
+            out[f"{name}-transfer-time"] = t
+        for t, kernel in CUDA_KERNEL_RE.findall(r.stderr):
+            out[f"{kernel}-kernel-runtime"] = t
     m = TOTAL_RE.search(r.stderr)
     if m:
         out["heavy_hitters_total"] = int(m.group(1))
@@ -76,6 +96,11 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=1,
                     help="repetitions per (program, dataset); CSV gets one "
                          "column per run (run_eval.py:208-215 shape)")
+    ap.add_argument("--nvprof", action="store_true",
+                    help="profile cuda-tagged programs under nvprof and add "
+                         "memcpy/kernel metric rows (run_eval.py:92-126 "
+                         "parity); a no-op when nvprof/CUDA is absent, but "
+                         "the scrape columns stay in the CSV schema")
     args = ap.parse_args()
 
     with open(args.datasets) as f:
@@ -90,7 +115,9 @@ def main() -> int:
             dtags = set(ds.get("tags", []))
             if ptags and dtags and not (ptags & dtags):
                 continue  # tag-filtered, like run_eval.py's registry match
-            runs = [run_one(prefix, ds) for _ in range(max(1, args.runs))]
+            runs = [run_one(prefix, ds, nvprof=args.nvprof,
+                            is_cuda="cuda" in ptags)
+                    for _ in range(max(1, args.runs))]
             first_runs[name] = runs[0]
             # reference CSV shape: one row per metric, one column per run
             for metric in sorted({k for r in runs for k in r}):

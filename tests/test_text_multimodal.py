@@ -99,3 +99,35 @@ def test_multimodal_pipeline_end_to_end(ray_session):
     pd.testing.assert_frame_equal(a, b)  # deterministic across runs
     assert set(a.columns) == {"doc_id", "feat_mean", "feat_std", "feat_edge"}
     assert len(a) > 0 and a["feat_std"].gt(0).all()
+
+
+def _canon_hash(df):
+    import hashlib
+
+    df = df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
+
+
+def test_lang_id_golden_sf001(ray_session):
+    """Golden pin (r2 verdict item 6): lang_id has no SQL oracle, so its
+    sf0.01 output is pinned byte-identically — any run / any parallelism
+    must reproduce this exact table."""
+    from sketch_ray.pipelines.text_analysis import lang_id
+
+    df = lang_id("/root/testdata/sf0.01")
+    df = df.to_pandas() if hasattr(df, "to_pandas") else df
+    assert len(df) == 500
+    assert _canon_hash(df) == (
+        "561edd5259c0ca2466f0322b965198abbdaeee23d70fa37956e6ccbdf19f7178")
+
+
+def test_doc_fingerprints_golden_sf001(ray_session):
+    """Golden pin: doc_fingerprints sf0.01 output is run- and parallelism-
+    independent, byte-identical to the recorded table."""
+    from sketch_ray.pipelines.text_analysis import doc_fingerprints
+
+    df = doc_fingerprints("/root/testdata/sf0.01")
+    df = df.to_pandas() if hasattr(df, "to_pandas") else df
+    assert len(df) == 500
+    assert _canon_hash(df) == (
+        "b484d17817697dc9fdbb85087762bb7b4eb039eadcdec23ff5244c63a101ddbe")
