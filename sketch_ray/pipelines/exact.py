@@ -303,20 +303,39 @@ def users_without_orders(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["user_id", "n_events"]], preserve_index=False)
 
 
+_SMALL_ROWS = 2_000_000  # below this a distributed groupby is pure overhead
+
+
 def events_per_type(sf_dir: str) -> pa.Table:
-    """Event counts + distinct users per event type."""
+    """Event counts + distinct users per event type.
+
+    Adaptive plan (the r2 verdict flagged the two chained Ray groupbys as
+    this query's regression): per-batch (type, user) pre-aggregation always
+    runs distributed; below _SMALL_ROWS the partial pair rows fold in one
+    driver pass (bounded by distinct pairs per batch), above it the original
+    two-level distributed groupby runs, spread to 32 blocks first (the
+    measured sort-groupby-on-few-blocks pathology)."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    n = ds.count()  # parquet-metadata count: no scan
 
     def local(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
         return g.rename_columns(["event_type", "user_id", "partial"])
 
     pairs = ds.map_batches(local, batch_format="pyarrow", batch_size=16384)
-    per_user = pairs.groupby(["event_type", "user_id"]).aggregate(Sum("partial", alias_name="cnt"))
-    agg = per_user.groupby("event_type").aggregate(
-        Count(alias_name="n_users"), Sum("cnt", alias_name="n_events")
-    )
-    df = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    if n < _SMALL_ROWS:
+        pdf = pairs.to_pandas()
+        per_user = pdf.groupby(["event_type", "user_id"], as_index=False)["partial"].sum()
+        df = (per_user.groupby("event_type", as_index=False)
+              .agg(n_users=("user_id", "size"), n_events=("partial", "sum")))
+    else:
+        per_user = (pairs.repartition(32).groupby(["event_type", "user_id"])
+                    .aggregate(Sum("partial", alias_name="cnt")))
+        agg = per_user.groupby("event_type").aggregate(
+            Count(alias_name="n_users"), Sum("cnt", alias_name="n_events")
+        )
+        df = agg.to_pandas()
+    df = df.sort_values("event_type").reset_index(drop=True)
     return pa.Table.from_pandas(df[["event_type", "n_users", "n_events"]], preserve_index=False)
 
 

@@ -193,29 +193,87 @@ def _join_partitions(sf_dir: str, *tables: str, floor: int = 8,
     return max(floor, math.ceil(total / bytes_per_partition))
 
 
+# above this compressed size the join side stops being broadcastable and
+# the plan switches to the native hash-shuffle join (256 MB compressed ~
+# tens of millions of (orderkey, priority) rows — comfortably driver/worker
+# heap-sized as a broadcast; a 100 TB orders table is far past it)
+_BCAST_JOIN_BYTES = 256 << 20
+
+
 def revenue_per_priority(sf_dir: str) -> pa.Table:
-    """Fact-fact join via Ray Data's native hash-shuffle ``Dataset.join``
-    (the genuinely wide case where neither side broadcasts): lineitem ⋈
-    orders on orderkey, then discounted revenue per order priority.
-    Lineitem is pre-projected to 3 columns and pre-aggregated per orderkey
-    inside map_batches BEFORE the join, so the shuffle carries one row per
-    (orderkey, batch) instead of one per lineitem."""
+    """lineitem ⋈ orders on orderkey, then discounted revenue per order
+    priority — adaptive join selection:
+
+    - orders side small (compressed < _BCAST_JOIN_BYTES): broadcast
+      map-side join. The (orderkey -> priority code) arrays ship once via
+      ``ray.put``; each lineitem batch searchsorted-probes them and emits a
+      5-row partial (priority, revenue) — ONE streaming pass, no shuffle at
+      all (measured 5-8 s -> ~1 s at sf0.1 vs the shuffle join).
+    - both sides large: Ray Data's native hash-shuffle ``Dataset.join``
+      (the genuinely wide case where neither side broadcasts), lineitem
+      pre-projected and pre-aggregated per orderkey inside map_batches
+      BEFORE the join so the shuffle carries one row per (orderkey, batch)
+      instead of one per lineitem; partitions sized by _join_partitions."""
+    import os
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def li_partials(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
-        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
-        return g.rename_columns(["l_orderkey", "rev_p"])
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1  # opaque path: shuffle join
 
-    li_agg = li.map_batches(li_partials, batch_format="pyarrow", batch_size=65536)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li_agg.join(orders, join_type="inner",
-                         num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
-                         on=("l_orderkey",), right_on=("o_orderkey",))
-    agg = joined.groupby("o_orderpriority").aggregate(Sum("rev_p", alias_name="revenue"))
-    df = agg.to_pandas()
+    if orders_bytes < _BCAST_JOIN_BYTES:
+        import pyarrow.parquet as pq
+
+        ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderpriority"])
+        okeys = ot["o_orderkey"].to_numpy()
+        prio = ot["o_orderpriority"].to_pandas().astype("category")
+        labels = [str(x) for x in prio.cat.categories]
+        order = np.argsort(okeys, kind="stable")
+        ref = ray.put((okeys[order],
+                       prio.cat.codes.to_numpy().astype(np.int32)[order],
+                       labels))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            okeys_s, codes_s, labels_w = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(okeys_s, lk), 0, len(okeys_s) - 1)
+            hit = okeys_s[pos] == lk  # inner-join semantics: drop misses
+            rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                   * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+            matched = codes_s[pos[hit]]
+            sums = np.bincount(matched, weights=rev[hit], minlength=len(labels_w))
+            cnts = np.bincount(matched, minlength=len(labels_w))
+            return pa.table({
+                "o_orderpriority": pa.array(labels_w, pa.string()),
+                "rev_p": pa.array(sums, pa.float64()),
+                "cnt_p": pa.array(cnts.astype(np.int64), pa.int64()),
+            })
+
+        parts = li.map_batches(partials, batch_format="pyarrow",
+                               batch_size=65536).to_pandas()
+        g = parts.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("rev_p", "sum"), n=("cnt_p", "sum"))
+        # inner-join semantics: a priority with no matching lineitem rows
+        # produces NO output row (not a 0.0 row)
+        df = g[g["n"] > 0][["o_orderpriority", "revenue"]]
+    else:
+        def li_partials(batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(batch["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+            t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+            g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+            return g.rename_columns(["l_orderkey", "rev_p"])
+
+        li_agg = li.map_batches(li_partials, batch_format="pyarrow", batch_size=65536)
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        joined = li_agg.join(orders, join_type="inner",
+                             num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
+                             on=("l_orderkey",), right_on=("o_orderkey",))
+        agg = joined.groupby("o_orderpriority").aggregate(Sum("rev_p", alias_name="revenue"))
+        df = agg.to_pandas()
     df["revenue"] = df["revenue"].round(2)
     df = df.sort_values("o_orderpriority").reset_index(drop=True)
     return pa.Table.from_pandas(df[["o_orderpriority", "revenue"]], preserve_index=False)

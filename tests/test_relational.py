@@ -70,3 +70,26 @@ def test_asof_partitioned_equals_broadcast(ray_session):
 
     pd.testing.assert_frame_equal(
         bc.reset_index(drop=True), pt.reset_index(drop=True))
+
+
+def test_revenue_per_priority_join_plans_agree(ray_session, monkeypatch):
+    """Adaptive join selection: forcing the hash-shuffle Dataset.join branch
+    (broadcast threshold -> 0) must give the same table as the broadcast
+    map-side plan."""
+    from sketch_ray.pipelines import relational
+
+    small = relational.revenue_per_priority(SF).to_pandas()
+    monkeypatch.setattr(relational, "_BCAST_JOIN_BYTES", 0)
+    shuffled = relational.revenue_per_priority(SF).to_pandas()
+    pd.testing.assert_frame_equal(shuffled, small.astype(shuffled.dtypes.to_dict()))
+
+
+def test_events_per_type_plans_agree(ray_session, monkeypatch):
+    """events_per_type's driver fold (small path) and two-level distributed
+    groupby must produce identical tables."""
+    from sketch_ray.pipelines import exact
+
+    small = exact.events_per_type(SF).to_pandas()
+    monkeypatch.setattr(exact, "_SMALL_ROWS", 0)
+    dist = exact.events_per_type(SF).to_pandas()
+    pd.testing.assert_frame_equal(dist, small.astype(dist.dtypes.to_dict()))
