@@ -279,14 +279,41 @@ def revenue_per_priority(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["o_orderpriority", "revenue"]], preserve_index=False)
 
 
+# plan selector for top_orders, monkeypatchable in tests: "partial" (default
+# — per-batch top-k, no shuffle) or "sort" (full ds.sort().limit(), the
+# operator-pair demonstration; an all-to-all at scale)
+_TOPK_PLAN = "partial"
+
+
 def top_orders(sf_dir: str, k: int = 100) -> pa.Table:
-    """Distributed top-k by value via ``ds.sort(descending).limit(k)`` —
-    the sort/limit operator pair (absent from the reference, SURVEY.md §2.6)
-    with a deterministic (price desc, orderkey asc) tie-break."""
+    """Exact top-k orders by price, deterministic (price desc, orderkey asc)
+    tie-break — the top-k operator (SURVEY.md §2.6).
+
+    Default plan: per-batch PARTIAL top-k inside map_batches (each batch
+    emits at most k rows — the only data movement is k rows per batch,
+    never an all-to-all), then one exact driver merge over the
+    (k x n_batches)-row remainder. A full ``ds.sort(descending).limit(k)``
+    plan is kept selectable (_TOPK_PLAN = "sort") and pinned equal by
+    pytest: it demonstrates the sort/limit pair but shuffles the entire
+    table at scale, which top-k never needs."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
-    df = out.to_pandas().reset_index(drop=True)
-    return pa.Table.from_pandas(df[["o_orderkey", "o_totalprice"]], preserve_index=False)
+    if _TOPK_PLAN == "sort":
+        out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+        df = out.to_pandas().reset_index(drop=True)
+        return pa.Table.from_pandas(df[["o_orderkey", "o_totalprice"]], preserve_index=False)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -price))[:k]
+        return pa.table({"o_orderkey": pa.array(key[order]),
+                         "o_totalprice": pa.array(price[order])})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    parts = parts.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(parts.reset_index(drop=True), preserve_index=False)
 
 
 def _asof_match(ock: np.ndarray, odt: np.ndarray, uid: np.ndarray,

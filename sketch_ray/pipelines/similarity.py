@@ -351,22 +351,39 @@ def _hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
 
 
 def lsh_ann_topk(
-    sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 8, seed: int = 42
+    sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 8, seed: int = 42,
+    n_probes: int = 1,
 ) -> pa.Table:
-    """Approximate top-k: random-hyperplane signatures bucket the corpus; each
-    query searches only its own bucket (single-probe, one table — the
-    honest-scale baseline; recall rises with multi-probe/multi-table).
+    """Approximate top-k: random-hyperplane signatures bucket the corpus.
+
+    ``n_probes=1`` searches only each query's own bucket (the honest-scale
+    single-probe baseline). ``n_probes>1`` is MULTI-PROBE LSH: each query
+    additionally probes the buckets reached by flipping its lowest-margin
+    signature bits (the hyperplanes it sits closest to — the bits most
+    likely to disagree with a true neighbor), scanning ~n_probes/2^n_bits
+    of the corpus for monotonically higher recall (pinned in pytest).
     Query vectors come from a predicate-pushdown read (_query_matrix) —
     the corpus never lands on the driver.
     Returns (query_id, rank, vec_id, cosine) — rows-only gated."""
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
     planes = _hyperplanes(q_mat.shape[1], n_bits, seed)
-    q_sig = ((q_mat @ planes.T) > 0) @ (1 << np.arange(n_bits))
-    ref = ray.put((q_ids, q_mat, q_sig, planes))
+    proj = q_mat @ planes.T  # (n_q, n_bits) signed margins
+    q_sig = (proj > 0) @ (1 << np.arange(n_bits))
+    n_probes = max(1, min(int(n_probes), n_bits + 1))
+    # probe sigs per query: own bucket + flip the (n_probes-1) nearest planes
+    flip_order = np.argsort(np.abs(proj), axis=1)[:, : n_probes - 1]
+    probe_sigs = [q_sig]
+    for j in range(flip_order.shape[1]):
+        probe_sigs.append(q_sig ^ (1 << flip_order[:, j]))
+    q_sig_all = np.stack(probe_sigs, axis=1)  # (n_q, n_probes)
+    ref = ray.put((q_ids, q_mat, q_sig_all, planes))
 
     def _build_lsh(state):
         q_ids_, q_mat_, q_sig_, planes_ = state
-        sig_queries = {int(s): np.flatnonzero(q_sig_ == s) for s in np.unique(q_sig_)}
+        sig_queries = {
+            int(s): np.flatnonzero((q_sig_ == s).any(axis=1))
+            for s in np.unique(q_sig_)
+        }
         return q_ids_, q_mat_, planes_, sig_queries
 
     def bucket_topk(batch: pa.Table) -> pa.Table:

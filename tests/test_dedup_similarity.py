@@ -334,3 +334,28 @@ def test_ann_scale_paths_never_read_full_matrix(ray_session, monkeypatch):
     lsh = similarity.lsh_ann_topk(SF, k=3, n_queries=8).to_pandas()
     ivf = similarity.ivf_ann_topk(SF, k=3, n_queries=8, n_cells=8, nprobe=4).to_pandas()
     assert len(lsh) and len(ivf)
+
+
+def test_lsh_multiprobe_recall_monotone(ray_session):
+    """Multi-probe LSH must retrieve at least the single-probe recall@k
+    (extra probed buckets only ADD candidates), with exact scores."""
+    from sketch_ray.pipelines.similarity import ann_topk, lsh_ann_topk
+
+    exact = ann_topk(SF, k=5, n_queries=32).to_pandas()
+    one = lsh_ann_topk(SF, k=5, n_queries=32, n_probes=1).to_pandas()
+    multi = lsh_ann_topk(SF, k=5, n_queries=32, n_probes=4).to_pandas()
+
+    def recall(got):
+        hits = tot = 0
+        for q in exact["query_id"].unique():
+            e = set(exact[exact["query_id"] == q]["vec_id"])
+            g = set(got[got["query_id"] == q]["vec_id"])
+            hits += len(e & g); tot += len(e)
+        return hits / tot
+
+    r1, r4 = recall(one), recall(multi)
+    assert r4 >= r1, f"multi-probe recall {r4} < single-probe {r1}"
+    assert len(multi) >= len(one)
+    # scores exact for whatever is retrieved (same rounding as brute force)
+    merged = multi.merge(exact, on=["query_id", "vec_id"], suffixes=("_m", "_bf"))
+    assert (merged["cosine_m"] == merged["cosine_bf"]).all()

@@ -93,3 +93,14 @@ def test_events_per_type_plans_agree(ray_session, monkeypatch):
     monkeypatch.setattr(exact, "_SMALL_ROWS", 0)
     dist = exact.events_per_type(SF).to_pandas()
     pd.testing.assert_frame_equal(dist, small.astype(dist.dtypes.to_dict()))
+
+
+def test_top_orders_plans_agree(ray_session, monkeypatch):
+    """top_orders' partial top-k plan must equal the full sort().limit()
+    plan (including the deterministic tie-break)."""
+    from sketch_ray.pipelines import relational
+
+    partial = relational.top_orders(SF, k=50).to_pandas()
+    monkeypatch.setattr(relational, "_TOPK_PLAN", "sort")
+    full_sort = relational.top_orders(SF, k=50).to_pandas()
+    pd.testing.assert_frame_equal(partial, full_sort.astype(partial.dtypes.to_dict()))
