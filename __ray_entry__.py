@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": lambda sf: relational.top_orders(sf, k=100),
         "events_hopping_windows": relational.events_hopping_windows,
         "bloom_semi_join": relational.bloom_semi_join,
+        "range_join_events": relational.range_join_events,
         # --- text analysis (exact ones oracle-gated) ---
         "quality_scores": text_analysis.quality_scores,
         "regex_token_stats": text_analysis.regex_token_stats,
@@ -55,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": lambda sf: dedup.simhash_near_dups(sf, max_hamming=3),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, k=3, tau=0.5),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
+        "embedding_near_dups_lsh": lambda sf: similarity.embedding_near_dups_lsh(
+            sf, tau=0.4, n_bits=4, n_tables=16),
         "ann_topk": lambda sf: similarity.ann_topk(sf, k=5, n_queries=8),
         "lsh_ann_topk": lambda sf: similarity.lsh_ann_topk(sf, k=5, n_queries=64),
         "ivf_ann_topk": lambda sf: similarity.ivf_ann_topk(sf, k=5, n_queries=64),
@@ -163,6 +166,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_orderkey IN (
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
             GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+        """,
+        "range_join_events": """
+            WITH campaigns AS (
+                SELECT CAST(i AS BIGINT) AS campaign_id,
+                       TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 36 HOUR AS lo,
+                       TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 36 HOUR
+                           + INTERVAL 48 HOUR AS hi
+                FROM range(20) t(i)
+            )
+            SELECT campaign_id, count(*) AS n_events,
+                   round(sum(e.value), 6) AS total_value
+            FROM events e JOIN campaigns c ON e.ts >= c.lo AND e.ts < c.hi
+            GROUP BY campaign_id ORDER BY campaign_id
         """,
         "asof_latest_order": """
             SELECT e.event_id, e.user_id, o.o_orderdate AS matched_orderdate

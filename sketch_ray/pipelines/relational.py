@@ -594,3 +594,87 @@ def sessionize_users(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     )
     df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _segment_intervals(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Elementary-segment decomposition of (possibly overlapping) intervals
+    [lo_i, hi_i): the sorted unique bounds split the line into segments each
+    covered by a FIXED set of intervals. Returns (edges int64[m],
+    coverage bool[n_intervals, m-1]). The decomposition makes an arbitrary
+    interval join a single ``searchsorted`` per probe row: no per-row
+    interval scan, no special-casing of uniform widths."""
+    edges = np.unique(np.concatenate([lo, hi]))
+    cover = (lo[:, None] <= edges[None, :-1]) & (edges[None, 1:] <= hi[:, None])
+    return edges, cover
+
+
+def range_join_events(
+    sf_dir: str,
+    n_campaigns: int = 20,
+    stride_hours: int = 36,
+    width_hours: int = 48,
+) -> pa.Table:
+    """RANGE (interval) JOIN + aggregate: events joined to overlapping
+    campaign windows on ``lo <= ts < hi``, aggregated per campaign
+    (SURVEY.md §2 extension: the join flavor neither equi- nor as-of joins
+    cover; Ray Data has no native operator for it).
+
+    Plan (broadcast small side — the standard shape: the interval table is
+    dimension-sized): the driver decomposes the campaign intervals into
+    elementary segments once (_segment_intervals) and broadcasts
+    (edges, coverage). Each batch buckets its events into segments with ONE
+    ``np.searchsorted`` + two ``np.bincount`` calls and emits per-segment
+    partial (count, sum) rows — at most (2·n_intervals−1) rows per batch, so
+    the only shuffle is segment-partial-sized. The final tiny groupby's
+    segment totals scatter to campaigns through the coverage matrix (an
+    event in a segment covered by c campaigns counts once per campaign —
+    exactly the SQL join semantics). Both-sides-large range joins would
+    instead tile the time axis and co-partition (the as-of join's
+    partitioned plan, asof_latest_order), documented not needed here.
+
+    Returns (campaign_id, n_events, total_value) for campaigns with >= 1
+    event (inner join) — oracle-gated vs a DuckDB interval join."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    lo = (base + np.arange(n_campaigns) * np.timedelta64(stride_hours, "h")).astype(
+        "datetime64[us]").astype(np.int64)
+    hi = lo + np.timedelta64(width_hours, "h").astype("timedelta64[us]").astype(np.int64)
+    edges, cover = _segment_intervals(lo, hi)
+    covered_any = cover.any(axis=0)
+    n_seg = len(edges) - 1
+    ref = ray.put((edges, covered_any))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        edges_w, covered_w = cached(ref)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        seg = np.searchsorted(edges_w, ts, side="right") - 1
+        ok = (seg >= 0) & (seg < n_seg)
+        ok[ok] &= covered_w[seg[ok]]
+        seg, val = seg[ok], val[ok]
+        cnt = np.bincount(seg, minlength=n_seg)
+        tot = np.bincount(seg, weights=val, minlength=n_seg)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"seg": pa.array(nz, pa.int64()),
+                         "cnt_p": pa.array(cnt[nz], pa.int64()),
+                         "val_p": pa.array(tot[nz], pa.float64())})
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=65536)
+        .groupby("seg")
+        .aggregate(Sum("cnt_p", alias_name="cnt"), Sum("val_p", alias_name="val"))
+    )
+    df = agg.to_pandas()  # <= n_segments rows
+    seg_cnt = np.zeros(n_seg, dtype=np.int64)
+    seg_val = np.zeros(n_seg, dtype=np.float64)
+    if len(df):
+        seg_cnt[df["seg"].to_numpy()] = df["cnt"].to_numpy()
+        seg_val[df["seg"].to_numpy()] = df["val"].to_numpy()
+    n_events = cover @ seg_cnt
+    total_value = cover @ seg_val
+    keep = n_events > 0
+    return pa.table({
+        "campaign_id": pa.array(np.flatnonzero(keep), pa.int64()),
+        "n_events": pa.array(n_events[keep], pa.int64()),
+        "total_value": pa.array(np.round(total_value[keep], 6), pa.float64()),
+    })

@@ -339,6 +339,89 @@ def ivf_ann_topk(
     return _merge_topk(partials, k)
 
 
+def embedding_near_dups_lsh(
+    sf_dir: str, tau: float = 0.4, n_bits: int = 4, n_tables: int = 8,
+    seed: int = 42,
+) -> pa.Table:
+    """APPROXIMATE pairs (vec_a < vec_b, cosine >= tau) — the bucketed scale
+    path next to the exact ``embedding_near_dups`` (whose broadcast matrix
+    caps at ~10 GB; SURVEY.md §9 flagged that ✗).
+
+    Multi-table random-hyperplane LSH: every vector gets ``n_tables``
+    signatures (independent plane sets); candidate pairs are vectors sharing
+    a (table, signature) bucket in ANY table — collision probability per
+    table is (1 − θ/π)^n_bits, OR-amplified across tables. Physical plan:
+    one map_batches emits (bucket, vec_id, embedding) rows (the corpus
+    moves n_tables×, the honest cost of OR-amplification), ONE
+    groupby(bucket).map_groups computes exact within-bucket cosines and
+    emits pairs >= tau, and a final pair-keyed dedupe collapses pairs found
+    in several tables. Nothing broadcast grows with the corpus; bucket size
+    ~N/2^n_bits bounds the quadratic core. Precision is exact (scores are
+    true cosines); recall < 1 is pinned monotone-in-tables by pytest.
+    Identical vectors share every signature, so exact duplicates are always
+    found. Rows-only gated."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    table_seeds = [seed + 1_000_003 * t for t in range(n_tables)]
+
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": batch["embedding"]})
+        d = mat.shape[1]
+        weights = 1 << np.arange(n_bits)
+        parts = []
+        for t, s in enumerate(table_seeds):
+            planes = _hyperplanes(d, n_bits, s)  # deterministic regeneration
+            sig = ((mat @ planes.T) > 0) @ weights
+            bucket = (np.int64(t) << n_bits) | sig
+            parts.append(pa.table({
+                "bucket": pa.array(bucket, pa.int64()),
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+            }))
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if len(group) < 2:
+            return empty
+        ids = group["vec_id"].to_numpy().astype(np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in group["embedding"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ (mat / norms).T
+        ia, ib = np.nonzero(sims >= tau)
+        a, b = ids[ia], ids[ib]
+        keep = a < b
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep],
+                             "cosine": np.round(sims[ia, ib][keep], 6)})
+
+    pairs = (
+        ds.map_batches(add_buckets, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # pair-keyed dedupe: the pair set is tau-bounded (same bound as the
+    # exact variant's driver output), so a driver drop_duplicates is fine
+    df = pairs.to_pandas()
+    if "vec_a" not in df.columns or not len(df):
+        df = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                           "vec_b": pd.Series([], dtype="int64"),
+                           "cosine": pd.Series([], dtype="float64")})
+    df = (df.drop_duplicates(["vec_a", "vec_b"])
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    return pa.Table.from_pandas(
+        df.astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}),
+        preserve_index=False)
+
+
 def _hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from counter-hash bits
     (no np.random: every worker regenerates the identical planes)."""

@@ -359,3 +359,28 @@ def test_lsh_multiprobe_recall_monotone(ray_session):
     # scores exact for whatever is retrieved (same rounding as brute force)
     merged = multi.merge(exact, on=["query_id", "vec_id"], suffixes=("_m", "_bf"))
     assert (merged["cosine_m"] == merged["cosine_bf"]).all()
+
+
+def test_embedding_near_dups_lsh_vs_exact(ray_session):
+    """Bucketed (multi-table LSH) embedding near-dup: precision must be
+    exact (every emitted pair is a true >= tau pair with the exact score),
+    recall must be monotone in n_tables, and exact-duplicate vectors
+    (cosine 1.0) must ALWAYS be found (identical signatures)."""
+    from sketch_ray.pipelines.similarity import (embedding_near_dups,
+                                                 embedding_near_dups_lsh)
+
+    exact = embedding_near_dups(SF, tau=0.4).to_pandas()
+    ek = {(a, b): c for a, b, c in exact.itertuples(index=False)}
+
+    few = embedding_near_dups_lsh(SF, tau=0.4, n_bits=4, n_tables=4).to_pandas()
+    many = embedding_near_dups_lsh(SF, tau=0.4, n_bits=4, n_tables=16).to_pandas()
+    for got in (few, many):
+        for a, b, c in got.itertuples(index=False):
+            assert (a, b) in ek and ek[(a, b)] == c  # exact precision+score
+    assert len(many) >= len(few)
+    assert len(many) >= 0.8 * len(exact)  # measured 0.93 at these params
+
+    # exact duplicates (cosine == 1.0 pairs) are always retrieved
+    dup_pairs = set(map(tuple, exact[exact["cosine"] == 1.0][["vec_a", "vec_b"]].to_numpy()))
+    got_pairs = set(map(tuple, many[["vec_a", "vec_b"]].to_numpy()))
+    assert dup_pairs <= got_pairs

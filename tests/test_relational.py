@@ -104,3 +104,31 @@ def test_top_orders_plans_agree(ray_session, monkeypatch):
     monkeypatch.setattr(relational, "_TOPK_PLAN", "sort")
     full_sort = relational.top_orders(SF, k=50).to_pandas()
     pd.testing.assert_frame_equal(partial, full_sort.astype(partial.dtypes.to_dict()))
+
+
+def test_range_join_events_brute_force(ray_session):
+    """Interval join via elementary-segment decomposition must equal the
+    brute-force per-interval overlap count (overlapping windows: an event
+    inside two campaigns counts in both)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import range_join_events
+
+    got = range_join_events(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "value"])
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    val = ev["value"].to_numpy()
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    rows = []
+    for i in range(20):
+        lo = base + i * 36 * 3_600_000_000
+        hi = lo + 48 * 3_600_000_000
+        m = (ts >= lo) & (ts < hi)
+        if m.sum():
+            rows.append((i, int(m.sum()), round(float(val[m].sum()), 6)))
+    want = pd.DataFrame(rows, columns=["campaign_id", "n_events", "total_value"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # overlap sanity: total joined rows exceed the distinct events in range
+    n_distinct = int(((ts >= base) & (ts < base + (19 * 36 + 48) * 3_600_000_000)).sum())
+    assert got["n_events"].sum() > n_distinct
