@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
         "embedding_near_dups_lsh": lambda sf: similarity.embedding_near_dups_lsh(
             sf, tau=0.4, n_bits=4, n_tables=16),
+        "embedding_dedup_clusters": lambda sf: similarity.embedding_dedup_clusters(sf, tau=0.4),
         "ann_topk": lambda sf: similarity.ann_topk(sf, k=5, n_queries=8),
         "lsh_ann_topk": lambda sf: similarity.lsh_ann_topk(sf, k=5, n_queries=64),
         "ivf_ann_topk": lambda sf: similarity.ivf_ann_topk(sf, k=5, n_queries=64),
@@ -266,6 +267,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id AND {cos} >= 0.4
             ORDER BY vec_a, vec_b
+        """,
+        "embedding_dedup_clusters": f"""
+            WITH RECURSIVE jac AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id AND {cos} >= 0.4
+            ), edges AS (
+                SELECT a, b FROM jac UNION ALL SELECT b, a FROM jac
+            ), reach(src, dst) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            )
+            SELECT src AS vec_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src ORDER BY vec_id
         """,
         "ann_topk": f"""
             SELECT a.vec_id AS query_id,

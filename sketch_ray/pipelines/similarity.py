@@ -339,6 +339,49 @@ def ivf_ann_topk(
     return _merge_topk(partials, k)
 
 
+def embedding_dedup_clusters(sf_dir: str, tau: float = 0.4) -> pa.Table:
+    """SEMANTIC dedup: connected components over the cosine >= tau relation
+    — every vector gets the smallest vec_id reachable through near-dup
+    pairs as ``cluster_rep`` (keep rows where vec_id == cluster_rep for a
+    semantically deduplicated corpus). The embedding-space analog of the
+    token-space ``dedup.dedup_clusters``; same physical plan: pair set from
+    the exact pair operator, component labels resolved over pair-TOUCHED
+    vectors only (dedup._cluster_labels — O(pair set), never O(corpus)),
+    (node -> label) map broadcast once, labels attached by a streaming map
+    that emits singletons as their own rep. Oracle-gated vs a DuckDB
+    recursive-CTE transitive closure."""
+    import pandas as pd
+
+    from .dedup import _cluster_labels
+    from ._util import ensure_columns
+
+    pairs = embedding_near_dups(sf_dir, tau=tau).to_pandas().rename(
+        columns={"vec_a": "doc_a", "vec_b": "doc_b"})
+    if len(pairs):
+        nodes, labels = _cluster_labels(pairs)
+    else:
+        nodes = np.empty(0, np.int64)
+        labels = nodes
+    ref = ray.put((nodes, labels))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nd, lb = cached(ref)
+        d = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = d.copy()
+        if len(nd):
+            idx = np.clip(np.searchsorted(nd, d), 0, len(nd) - 1)
+            found = nd[idx] == d
+            rep[found] = lb[idx[found]]
+        return pa.table({"vec_id": pa.array(d, pa.int64()),
+                         "cluster_rep": pa.array(rep, pa.int64())})
+
+    labeled = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        attach, batch_format="pyarrow", batch_size=65536)
+    df = ensure_columns(labeled.to_pandas(), {"vec_id": "int64", "cluster_rep": "int64"})
+    df = df.sort_values("vec_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df.astype("int64"), preserve_index=False)
+
+
 def embedding_near_dups_lsh(
     sf_dir: str, tau: float = 0.4, n_bits: int = 4, n_tables: int = 8,
     seed: int = 42,

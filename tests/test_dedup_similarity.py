@@ -384,3 +384,22 @@ def test_embedding_near_dups_lsh_vs_exact(ray_session):
     dup_pairs = set(map(tuple, exact[exact["cosine"] == 1.0][["vec_a", "vec_b"]].to_numpy()))
     got_pairs = set(map(tuple, many[["vec_a", "vec_b"]].to_numpy()))
     assert dup_pairs <= got_pairs
+
+
+def test_embedding_dedup_clusters_consistency(ray_session):
+    """Cluster invariants: paired vectors share a rep, the rep is the
+    component minimum and is itself in the component, singletons are their
+    own rep."""
+    from sketch_ray.pipelines.similarity import (embedding_dedup_clusters,
+                                                 embedding_near_dups)
+
+    clusters = embedding_dedup_clusters(SF, tau=0.4).to_pandas()
+    rep = dict(zip(clusters["vec_id"], clusters["cluster_rep"]))
+    pairs = embedding_near_dups(SF, tau=0.4).to_pandas()
+    touched = set(pairs["vec_a"]) | set(pairs["vec_b"])
+    for a, b in pairs[["vec_a", "vec_b"]].itertuples(index=False):
+        assert rep[a] == rep[b]
+    for v, r in rep.items():
+        assert r <= v and rep[r] == r
+        if v not in touched:
+            assert r == v
