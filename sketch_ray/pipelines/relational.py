@@ -27,6 +27,28 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+_SMALL_ROWS = 2_000_000  # below this the final Ray groupby is pure overhead
+
+
+def _fold_partials(partials_ds, input_rows: int, keys: list[str],
+                   sums: dict[str, str]) -> pd.DataFrame:
+    """Adaptive final aggregation for group-BOUNDED partial rows (at most
+    n_groups rows per batch): below ``_SMALL_ROWS`` input rows the partials
+    fold in one driver pandas pass (the Ray sort-shuffle groupby costs
+    1-3 s of fixed overhead regardless of data size — the measured
+    pathology, CLAUDE.md); above it the distributed groupby runs. ``sums``
+    maps output column -> partial column. Same discipline as
+    exact.events_per_type; the non-default branch is pinned equal by
+    pytest (test_relational_adaptive_plans_agree)."""
+    if input_rows < _SMALL_ROWS:
+        df = partials_ds.to_pandas()
+        return df.groupby(keys, as_index=False).agg(
+            **{out: (col, "sum") for out, col in sums.items()})
+    agg = partials_ds.groupby(keys).aggregate(
+        *[Sum(col, alias_name=out) for out, col in sums.items()])
+    return agg.to_pandas()
+
+
 def _broadcast_map(sf_dir: str) -> "ray.ObjectRef":
     """custkey -> nation name lookup (customer ⋈ nation built driver-side:
     both are dimension tables, KBs here / MBs at any realistic scale)."""
@@ -81,14 +103,11 @@ def revenue_per_nation(sf_dir: str) -> pa.Table:
             }
         )
 
-    agg = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(probe, batch_format="pyarrow", batch_size=16384)
-        .groupby("n_name")
-        .aggregate(Sum("rev_partial", alias_name="revenue"),
-                   Sum("cnt_partial", alias_name="n_orders"))
-    )
-    df = agg.to_pandas()
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    df = _fold_partials(
+        ds.map_batches(probe, batch_format="pyarrow", batch_size=16384),
+        ds.count(), ["n_name"],
+        {"revenue": "rev_partial", "n_orders": "cnt_partial"})
     df["revenue"] = df["revenue"].round(2)
     df = df[["n_name", "revenue", "n_orders"]].sort_values("n_name").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -122,17 +141,11 @@ def pricing_summary(sf_dir: str) -> pa.Table:
             ["l_returnflag", "l_linestatus", "sum_qty_p", "sum_price_p", "sum_disc_p", "cnt_p"]
         )
 
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty_p", alias_name="sum_qty"),
-            Sum("sum_price_p", alias_name="sum_base_price"),
-            Sum("sum_disc_p", alias_name="sum_disc_price"),
-            Sum("cnt_p", alias_name="count_order"),
-        )
-    )
-    df = agg.to_pandas()
+    df = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=32768),
+        ds.count(), ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "sum_qty_p", "sum_base_price": "sum_price_p",
+         "sum_disc_price": "sum_disc_p", "count_order": "cnt_p"})
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
         df[c] = df[c].round(2)
     df = df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
@@ -160,12 +173,10 @@ def events_daily_windows(sf_dir: str) -> pa.Table:
         g = t.group_by(["day", "event_type"]).aggregate([("value", "sum"), ([], "count_all")])
         return g.rename_columns(["day", "event_type", "val_p", "cnt_p"])
 
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
-        .groupby(["day", "event_type"])
-        .aggregate(Sum("val_p", alias_name="value_sum"), Sum("cnt_p", alias_name="n_events"))
-    )
-    df = agg.to_pandas()
+    df = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=32768),
+        ds.count(), ["day", "event_type"],
+        {"value_sum": "val_p", "n_events": "cnt_p"})
     df["value_sum"] = df["value_sum"].round(4)
     df = df.sort_values(["day", "event_type"]).reset_index(drop=True)
     return pa.Table.from_pandas(df[["day", "event_type", "value_sum", "n_events"]], preserve_index=False)
@@ -493,12 +504,10 @@ def events_hopping_windows(sf_dir: str) -> pa.Table:
         g = t.group_by(["window_start", "event_type"]).aggregate([([], "count_all")])
         return g.rename_columns(["window_start", "event_type", "cnt_p"])
 
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
-        .groupby(["window_start", "event_type"])
-        .aggregate(Sum("cnt_p", alias_name="n_events"))
-    )
-    df = agg.to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    df = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=32768),
+        ds.count(), ["window_start", "event_type"], {"n_events": "cnt_p"})
+    df = df.sort_values(["window_start", "event_type"]).reset_index(drop=True)
     return pa.Table.from_pandas(df[["window_start", "event_type", "n_events"]], preserve_index=False)
 
 
@@ -538,13 +547,11 @@ def bloom_semi_join(sf_dir: str) -> pa.Table:
         g = sub.group_by("l_returnflag").aggregate([([], "count_all"), ("l_quantity", "sum")])
         return g.rename_columns(["l_returnflag", "cnt_p", "qty_p"])
 
-    agg = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
-        .map_batches(semi, batch_format="pyarrow", batch_size=32768)
-        .groupby("l_returnflag")
-        .aggregate(Sum("cnt_p", alias_name="n_items"), Sum("qty_p", alias_name="sum_qty"))
-    )
-    df = agg.to_pandas()
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+    df = _fold_partials(
+        ds.map_batches(semi, batch_format="pyarrow", batch_size=32768),
+        ds.count(), ["l_returnflag"],
+        {"n_items": "cnt_p", "sum_qty": "qty_p"})
     df["sum_qty"] = df["sum_qty"].round(2)
     df = df.sort_values("l_returnflag").reset_index(drop=True)
     return pa.Table.from_pandas(df[["l_returnflag", "n_items", "sum_qty"]], preserve_index=False)

@@ -132,3 +132,23 @@ def test_range_join_events_brute_force(ray_session):
     # overlap sanity: total joined rows exceed the distinct events in range
     n_distinct = int(((ts >= base) & (ts < base + (19 * 36 + 48) * 3_600_000_000)).sum())
     assert got["n_events"].sum() > n_distinct
+
+
+def test_relational_adaptive_plans_agree(ray_session, monkeypatch):
+    """The five group-bounded queries' driver-fold plan (default at test
+    scale) must equal the distributed-groupby plan (forced via
+    _SMALL_ROWS=0)."""
+    from sketch_ray.pipelines import relational
+
+    queries = [
+        relational.revenue_per_nation,
+        relational.pricing_summary,
+        relational.events_daily_windows,
+        relational.events_hopping_windows,
+        relational.bloom_semi_join,
+    ]
+    small = [q(SF).to_pandas() for q in queries]
+    monkeypatch.setattr(relational, "_SMALL_ROWS", 0)
+    for q, s in zip(queries, small):
+        d = q(SF).to_pandas()
+        pd.testing.assert_frame_equal(d, s.astype(d.dtypes.to_dict()))
