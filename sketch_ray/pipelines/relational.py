@@ -585,10 +585,18 @@ def sessionize_users(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
         return out.astype({"user_id": "int64", "n_sessions": "int64",
                            "max_session_events": "int64"})
 
+    # adaptive: below _SMALL_ROWS the whole (user_id, ts) projection fits on
+    # the driver and one vectorized pass sessionizes everything (the bucket
+    # shuffle's sort-groupby costs seconds of fixed overhead); above it,
     # hash-partition by a coarse user bucket so each task sessionizes MANY
     # whole users in one vectorized pass (groupby(user_id).map_groups would
     # pay one Python call per user); per-key completeness still holds
     # because bucket(user) is a function of user_id alone
+    if ds.count() < _SMALL_ROWS:
+        df = per_batch_sessions(ds.to_pandas())
+        df = df.sort_values("user_id").reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = pc.bit_wise_and(batch["user_id"].combine_chunks(), 63)
         return batch.append_column("bucket", b.cast(pa.int64()))

@@ -146,6 +146,7 @@ def test_relational_adaptive_plans_agree(ray_session, monkeypatch):
         relational.events_daily_windows,
         relational.events_hopping_windows,
         relational.bloom_semi_join,
+        lambda sf: relational.sessionize_users(sf, gap_minutes=30),
     ]
     small = [q(SF).to_pandas() for q in queries]
     monkeypatch.setattr(relational, "_SMALL_ROWS", 0)
