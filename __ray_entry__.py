@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (exact ones oracle-gated) ---
         "quality_scores": text_analysis.quality_scores,
         "regex_token_stats": text_analysis.regex_token_stats,
+        "gopher_quality_signals": text_analysis.gopher_quality_signals,
         "lang_id": text_analysis.lang_id,
         "doc_fingerprints": text_analysis.doc_fingerprints,
         # --- multimodal plumbing ---
@@ -216,6 +217,26 @@ def oracle_sql() -> dict[str, str]:
                    round((length(text) - (len(string_split(text, ' ')) - 1))
                          * 1.0 / greatest(len(string_split(text, ' ')), 1), 6) AS mean_token_len
             FROM documents ORDER BY doc_id
+        """,
+        "gopher_quality_signals": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+            ), flat AS (
+                SELECT doc_id, unnest(toks) AS tok FROM t
+            ), cnts AS (
+                SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY doc_id, tok
+            ), per AS (
+                SELECT doc_id, count(*) AS n_unique, max(c) AS top_cnt
+                FROM cnts GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   list_max(list_transform(toks, x -> length(x)))::BIGINT AS max_token_len,
+                   round(per.n_unique * 1.0 / greatest(len(toks), 1), 6) AS frac_unique_tokens,
+                   round(per.top_cnt * 1.0 / greatest(len(toks), 1), 6) AS top_token_frac,
+                   round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+                         / greatest(length(text), 1), 6) AS symbol_ratio
+            FROM t JOIN per USING (doc_id) ORDER BY t.doc_id
         """,
         "regex_token_stats": """
             SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_regex_tokens

@@ -96,6 +96,100 @@ def regex_token_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _gopher_signal_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized per-doc repetition/quality signals for one batch
+    (shared by the query and the filter sink)."""
+    text = batch["text"].combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n = len(ntok)
+    flat = pc.list_flatten(toks)
+    tlen = pc.utf8_length(flat).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    doc_index = np.repeat(np.arange(n), ntok)
+    max_len = np.zeros(n, dtype=np.int64)
+    np.maximum.at(max_len, doc_index, tlen)
+    # distinct / modal token counts per doc: one lexsort + run-length pass
+    # (no per-doc Python); 64-bit hashes stand in for the strings —
+    # collision probability ~(vocab²/2⁶⁴) per doc, negligible
+    h = hash_arrow_strings(flat, seed=7)
+    order = np.lexsort((h, doc_index))
+    hd, hh = doc_index[order], h[order]
+    if len(hd):
+        new_run = np.concatenate([[True], (hd[1:] != hd[:-1]) | (hh[1:] != hh[:-1])])
+        run_doc = hd[new_run]
+        run_len = np.diff(np.append(np.flatnonzero(new_run), len(hd)))
+        n_unique = np.bincount(run_doc, minlength=n)
+        top_cnt = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top_cnt, run_doc, run_len)
+    else:
+        n_unique = np.zeros(n, dtype=np.int64)
+        top_cnt = np.zeros(n, dtype=np.int64)
+    denom = np.maximum(ntok, 1)
+    nchr = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    nsym = pc.count_substring_regex(text, "[^a-z0-9 ]").cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "max_token_len": pa.array(max_len, pa.int64()),
+            "frac_unique_tokens": pa.array(np.round(n_unique / denom, 6), pa.float64()),
+            "top_token_frac": pa.array(np.round(top_cnt / denom, 6), pa.float64()),
+            "symbol_ratio": pa.array(np.round(nsym / np.maximum(nchr, 1), 6), pa.float64()),
+        }
+    )
+
+
+def gopher_quality_signals(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition/quality filter signals per document (exact,
+    oracle-gated): max token length, fraction of unique tokens, modal-token
+    fraction, symbol-to-char ratio — the standard document-level filters of
+    a web-corpus cleaning pipeline (Rae et al. 2021 §A1.1 style). One
+    lexsort + run-length pass per batch; no per-doc Python."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = ensure_columns(
+        ds.map_batches(_gopher_signal_batch, batch_format="pyarrow",
+                       batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_tokens": "int64", "max_token_len": "int64",
+         "frac_unique_tokens": "float64", "top_token_frac": "float64",
+         "symbol_ratio": "float64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def quality_filter_corpus(
+    sf_dir: str, out_dir: str, max_top_token_frac: float = 0.2,
+    min_frac_unique: float = 0.3, max_symbol_ratio: float = 0.1,
+    rows_per_file: int = 100_000,
+) -> dict:
+    """Quality-filter sink: keep documents passing the Gopher-style
+    predicates and stream them to partitioned Parquet (bounded rows/file —
+    the resumable-output shape, same as dedup.write_clean_corpus). The keep
+    decision is computed per batch from _gopher_signal_batch — no shuffle,
+    no driver materialization of the corpus. Returns {n_docs, n_kept,
+    out_dir}."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        sig = _gopher_signal_batch(batch)
+        ok = (
+            (sig["top_token_frac"].to_numpy(zero_copy_only=False) <= max_top_token_frac)
+            & (sig["frac_unique_tokens"].to_numpy(zero_copy_only=False) >= min_frac_unique)
+            & (sig["symbol_ratio"].to_numpy(zero_copy_only=False) <= max_symbol_ratio)
+        )
+        return batch.filter(pa.array(ok))
+
+    out = ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)
+    out.write_parquet(out_dir, min_rows_per_file=rows_per_file)
+    import pyarrow.parquet as pq
+
+    n_kept = sum(pq.ParquetFile(f"{out_dir}/{f}").metadata.num_rows
+                 for f in __import__("os").listdir(out_dir) if f.endswith(".parquet"))
+    return {"n_docs": int(ds.count()), "n_kept": int(n_kept), "out_dir": out_dir}
+
+
 class LangId:
     """Actor-pool language-ID stage: marker tables built once per actor in
     ``__init__`` (the load-model-once pattern, SURVEY.md §2.3 T4), scoring

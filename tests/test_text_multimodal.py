@@ -131,3 +131,26 @@ def test_doc_fingerprints_golden_sf001(ray_session):
     assert len(df) == 500
     assert _canon_hash(df) == (
         "b484d17817697dc9fdbb85087762bb7b4eb039eadcdec23ff5244c63a101ddbe")
+
+
+def test_quality_filter_corpus_matches_signals(ray_session, tmp_path):
+    """The streaming filter sink must keep exactly the docs passing the
+    Gopher predicates computed by the (oracle-gated) signal query, and the
+    output must be valid partitioned parquet with all original columns."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import (gopher_quality_signals,
+                                                    quality_filter_corpus)
+
+    out_dir = str(tmp_path / "clean")
+    s = quality_filter_corpus(SF, out_dir, max_top_token_frac=0.12,
+                              min_frac_unique=0.4, max_symbol_ratio=0.05)
+    sig = gopher_quality_signals(SF).to_pandas()
+    want = set(sig[(sig["top_token_frac"] <= 0.12)
+                   & (sig["frac_unique_tokens"] >= 0.4)
+                   & (sig["symbol_ratio"] <= 0.05)]["doc_id"])
+    kept = pq.read_table(out_dir)
+    assert set(kept["doc_id"].to_pylist()) == want
+    assert s["n_kept"] == len(want) and s["n_docs"] == len(sig)
+    assert set(kept.column_names) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert 0 < len(want) < len(sig)  # predicate is non-degenerate at these params
