@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_near_dups": lambda sf: dedup.minhash_lsh_near_dups(sf, k=3, tau=0.8),
         "simhash_near_dups": lambda sf: dedup.simhash_near_dups(sf, max_hamming=3),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, k=3, tau=0.5),
+        "decontaminate_corpus": lambda sf: dedup.decontaminate_corpus(sf, n_bench=20, k=3),
+        "stratified_sample": text_analysis.stratified_sample,
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
         "embedding_near_dups_lsh": lambda sf: similarity.embedding_near_dups_lsh(
             sf, tau=0.4, n_bits=4, n_tables=16),
@@ -251,6 +253,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text ORDER BY doc_id
         """,
         "jaccard_near_dups": jaccard.format(tau=0.5),
+        "decontaminate_corpus": """
+            WITH sh AS (
+                SELECT doc_id, unnest(range(len(string_split(text, ' ')) - 2)) AS i,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ), shing AS (
+                SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS s
+                FROM sh
+            ), bench AS (
+                SELECT DISTINCT s FROM shing WHERE doc_id < 20
+            ), ov AS (
+                SELECT shing.doc_id, count(*) AS n_overlap
+                FROM shing JOIN bench USING (s)
+                WHERE shing.doc_id >= 20 GROUP BY shing.doc_id
+            )
+            SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+                   CAST(coalesce(ov.n_overlap, 0) > 0 AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN ov USING (doc_id)
+            WHERE d.doc_id >= 20 ORDER BY d.doc_id
+        """,
         "minhash_lsh_near_dups": jaccard.format(tau=0.8),
         # connected components over the jaccard>=tau relation: recursive-CTE
         # transitive closure, rep = min reachable doc_id

@@ -890,3 +890,59 @@ def write_clean_corpus(sf_dir: str, out_dir: str, k: int = 3, tau: float = 0.5,
     out.write_parquet(out_dir, min_rows_per_file=rows_per_file)
     n_docs = int(ds.count())  # parquet-metadata count
     return {"n_docs": n_docs, "n_kept": n_docs - int(len(drop)), "out_dir": out_dir}
+
+
+def decontaminate_corpus(sf_dir: str, n_bench: int = 20, k: int = 3) -> pa.Table:
+    """Benchmark DECONTAMINATION: flag training documents sharing any
+    k-token shingle with the benchmark set (here doc_id < n_bench) — the
+    test-set-leakage scrub every LLM training pipeline runs before training.
+
+    Physical plan: the benchmark side is small BY DEFINITION (eval sets are
+    thousands of docs), so its distinct shingle hashes come from one
+    predicate-pushdown read, sort once on the driver, and broadcast via
+    ``ray.put``. The corpus streams through one map_batches that computes
+    per-doc distinct shingles (the dedup pipelines' segmented kernels) and
+    counts overlaps with a single ``searchsorted`` against the broadcast
+    set — no shuffle at all; each doc emits exactly one row. Hash-based
+    shingle equality (64-bit; collision odds negligible) mirrors the
+    jaccard pipelines and their string-equality SQL oracle.
+
+    Returns (doc_id, n_overlap, contaminated 0/1) for non-benchmark docs —
+    oracle-gated."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from ..stages.broadcast import cached
+
+    bench_tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id") < n_bench)
+    _, bench_sh = _distinct_doc_shingles(bench_tbl, k)
+    bench_sorted = np.unique(bench_sh)  # sorted distinct
+    ref = ray.put(bench_sorted)
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        bench_w = cached(ref)
+        keep = pc.greater_equal(batch["doc_id"], pa.scalar(n_bench, pa.int64()))
+        sub = batch.filter(keep)
+        ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d, s = _distinct_doc_shingles(sub, k)
+        n_ov = np.zeros(len(ids), dtype=np.int64)
+        if len(s) and len(bench_w):
+            pos = np.searchsorted(bench_w, s)
+            hit = (pos < len(bench_w)) & (bench_w[np.minimum(pos, len(bench_w) - 1)] == s)
+            # map doc_id -> row position without assuming sorted batch order
+            order = np.argsort(ids, kind="stable")
+            row_of = order[np.searchsorted(ids[order], d)]
+            np.add.at(n_ov, row_of[hit], 1)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_overlap": pa.array(n_ov, pa.int64()),
+            "contaminated": pa.array((n_ov > 0).astype(np.int64), pa.int64()),
+        })
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        overlap, batch_format="pyarrow", batch_size=4096)
+    df = ensure_columns(out.to_pandas(),
+                        {"doc_id": "int64", "n_overlap": "int64", "contaminated": "int64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df.astype("int64"), preserve_index=False)

@@ -295,3 +295,43 @@ def doc_fingerprints(sf_dir: str, n: int = 5, seed: int = 42) -> pa.Table:
         {"doc_id": "int64", "fingerprint": "int64", "content_hash": "int64"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+DEFAULT_MIX_RATES = {"en": 0.5, "es": 1.0, "de": 1.0, "fr": 0.25, "zh": 0.1}
+
+
+def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None,
+                      default_rate: float = 0.0, seed: int = 42) -> pa.Table:
+    """Deterministic per-stratum (language) subsampling — the domain-mixture
+    step of training-data assembly: keep each doc with its language's rate,
+    decided by ``splitmix64(doc_id ^ mix(seed)) < rate·2⁶⁴``.
+
+    The keep decision is a pure function of (doc_id, seed): identical
+    across runs, parallelism, and partitioning (no RNG state, nothing
+    shared), so a resumed or re-sharded run samples the exact same docs.
+    One vectorized map_batches; no shuffle. Returns (doc_id, lang) of the
+    kept sample — rows-only gated; determinism/rate bounds pinned in
+    pytest."""
+    rates = DEFAULT_MIX_RATES if rates is None else rates
+    mix = splitmix64(np.array([seed], _U64))[0]
+    # float(2**64-1) rounds UP to 2**64 — scale in float and clamp
+    thresholds = {
+        lang: (_U64(0xFFFFFFFFFFFFFFFF) if r >= 1.0 else _U64(max(r, 0.0) * 2.0**64))
+        for lang, r in rates.items()
+    }
+    default_thr = (_U64(0xFFFFFFFFFFFFFFFF) if default_rate >= 1.0
+                   else _U64(max(default_rate, 0.0) * 2.0**64))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(_U64) ^ mix)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        thr = np.array([thresholds.get(l, default_thr) for l in langs], _U64)
+        return batch.filter(pa.array(h < thr))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    df = ensure_columns(
+        ds.map_batches(pick, batch_format="pyarrow", batch_size=65536).to_pandas(),
+        {"doc_id": "int64", "lang": "object"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

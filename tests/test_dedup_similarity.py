@@ -403,3 +403,55 @@ def test_embedding_dedup_clusters_consistency(ray_session):
         assert r <= v and rep[r] == r
         if v not in touched:
             assert r == v
+
+
+def test_decontaminate_corpus_invariants(ray_session):
+    """Decontamination flags: benchmark docs excluded, flag == overlap>0,
+    and a doc that IS a benchmark duplicate must be contaminated."""
+    import duckdb
+
+    from sketch_ray.pipelines.dedup import decontaminate_corpus
+
+    got = decontaminate_corpus(SF, n_bench=20, k=3).to_pandas()
+    assert (got["doc_id"] >= 20).all()
+    assert ((got["n_overlap"] > 0).astype("int64") == got["contaminated"]).all()
+    # exact duplicates of benchmark docs (if any) must be flagged
+    dups = duckdb.connect().execute(f"""
+        SELECT b.doc_id FROM read_parquet('{SF}/documents.parquet') a
+        JOIN read_parquet('{SF}/documents.parquet') b ON a.text = b.text
+        WHERE a.doc_id < 20 AND b.doc_id >= 20""").df()
+    flagged = set(got[got["contaminated"] == 1]["doc_id"])
+    assert set(dups["doc_id"]) <= flagged
+
+
+def test_stratified_sample_deterministic_and_bounded(ray_session):
+    """The hash-gated sample must be identical across runs, a subset of the
+    corpus, respect rate 0 and rate 1 exactly, and hit each stratum's rate
+    within 5 sigma."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import stratified_sample
+
+    a = stratified_sample(SF).to_pandas()
+    b = stratified_sample(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    n_by = docs.groupby("lang").size()
+    k_by = a.groupby("lang").size()
+    from sketch_ray.pipelines.text_analysis import DEFAULT_MIX_RATES
+    for lang, r in DEFAULT_MIX_RATES.items():
+        n, k = int(n_by.get(lang, 0)), int(k_by.get(lang, 0))
+        if r == 1.0:
+            assert k == n
+        elif r == 0.0:
+            assert k == 0
+        else:
+            sigma = max(1.0, np.sqrt(n * r * (1 - r)))
+            assert abs(k - n * r) <= 5 * sigma
+    # rate-0 default drops unknown strata; all-keep keeps everything
+    none = stratified_sample(SF, rates={}, default_rate=0.0).to_pandas()
+    assert len(none) == 0
+    full = stratified_sample(SF, rates={}, default_rate=1.0).to_pandas()
+    assert len(full) == len(docs)
