@@ -272,11 +272,14 @@ def users_without_orders(sf_dir: str) -> pa.Table:
     (user_id not in the urgent-order custkeys). The small side's key set
     broadcasts once; the fact side filters per batch — no shuffle. Returns
     (user_id, n_events)."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
     import ray
 
-    keys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
-    keys = keys.filter(pc.equal(keys.column("o_orderpriority").combine_chunks(), "1-URGENT"))
+    # predicate-pushdown read: only the key column of URGENT-admitting row
+    # groups materializes on the driver
+    keys = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT")
     custkeys = pa.array(np.unique(keys.column("o_custkey").to_numpy()), pa.int64())
     ref = ray.put(custkeys)
 

@@ -519,13 +519,16 @@ def bloom_semi_join(sf_dir: str) -> pa.Table:
     (broadcast exact set here; at scale a shuffle join over survivors).
     Exactness is unaffected by Bloom false positives — oracle-gated.
     Returns (l_returnflag, n_items, sum_qty)."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     from ..kernels import BloomFilter
 
-    urgent = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
-    mask = pc.equal(urgent.column("o_orderpriority").combine_chunks(), "1-URGENT")
-    keys = urgent.filter(mask).column("o_orderkey").to_numpy()
+    # predicate-pushdown read: only row groups whose stats admit URGENT rows
+    # are decoded, and only the key column materializes on the driver
+    urgent = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_orderkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT")
+    keys = urgent.column("o_orderkey").to_numpy()
     bloom = BloomFilter(n_bits=1 << 20, n_hashes=7, seed=42)
     bloom.update(pa.array(keys, pa.int64()).cast(pa.string()))  # vectorized hash
     exact_set = pa.array(keys, pa.int64())
