@@ -155,6 +155,19 @@ def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
 _SMALL_ROWS = 2_000_000  # below this the distributed df-count is pure overhead
 
 
+def _shared_rows_df(df: pd.DataFrame, key_col: str, max_df: int) -> pd.DataFrame:
+    """Driver-side core of _shared_group_rows: keep rows whose key is shared
+    by 2..max_df docs, in one vectorized pass over an already-pulled frame."""
+    keys = df[key_col].to_numpy()
+    uniq, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
+    df_of_row = cnt[inv]
+    n_capped = int((cnt > max_df).sum())
+    if n_capped:
+        print(f"[dedup] dropped {n_capped} {key_col} groups with df > {max_df} (boilerplate cap)")
+    keep = (df_of_row >= 2) & (df_of_row <= max_df)
+    return df[keep].reset_index(drop=True)
+
+
 def _shared_group_rows(rows_ds, key_col: str, max_df: int):
     """Distributed inverted-index core: keep only rows whose ``key_col``
     value is shared by 2..max_df docs.
@@ -175,14 +188,7 @@ def _shared_group_rows(rows_ds, key_col: str, max_df: int):
     n = rows_ds.count()  # materialized upstream: metadata-only
     if n < _SMALL_ROWS:
         df = ensure_columns(rows_ds.to_pandas(), {"doc_id": "int64", key_col: "int64"})
-        keys = df[key_col].to_numpy()
-        uniq, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
-        df_of_row = cnt[inv]
-        n_capped = int((cnt > max_df).sum())
-        if n_capped:
-            print(f"[dedup] dropped {n_capped} {key_col} groups with df > {max_df} (boilerplate cap)")
-        keep = (df_of_row >= 2) & (df_of_row <= max_df)
-        return df[keep].reset_index(drop=True)
+        return _shared_rows_df(df, key_col, max_df)
 
     # Ray's sort-based groupby degrades badly on low block counts (measured
     # 15s -> 3s on 160k rows); spread the rows before the shuffle
@@ -489,31 +495,29 @@ def jaccard_near_dups(
         rep_shingles, batch_format="pyarrow", batch_size=4096
     ).materialize()
 
-    # per-rep distinct-shingle counts — adaptive like _shared_group_rows:
-    # small: per-batch value_counts partials summed on the driver; at scale:
-    # distributed groupby(doc_id).count (shingle rows are per-doc distinct by
-    # construction), so the driver pull is one row per rep, never per batch
+    # per-rep distinct-shingle counts — adaptive like _shared_group_rows.
+    # Small path: ONE driver pull of the (16 B/row, bounded) shingle rows
+    # serves BOTH the size count and the df-filter — no extra Ray execution
+    # (each costs ~0.4 s of fixed overhead on this box). At scale: a
+    # distributed groupby(doc_id).count (shingle rows are per-doc distinct
+    # by construction) pulls one row per rep, never per batch, and the
+    # df-filter runs its own distributed plan (_shared_group_rows).
     n_shingle_rows = shingles.count()  # materialized upstream: metadata-only
     if n_shingle_rows < _SMALL_ROWS:
-        def size_partials(b: pa.Table) -> pa.Table:
-            vc = pc.value_counts(b["doc_id"].combine_chunks())
-            return pa.table({"doc_id": vc.field("values"),
-                             "partial": vc.field("counts").cast(pa.int64())})
-
-        size_df = ensure_columns(
-            shingles.map_batches(size_partials, batch_format="pyarrow", batch_size=65536).to_pandas(),
-            {"doc_id": "int64", "partial": "int64"})
-        sizes = size_df.groupby("doc_id")["partial"].sum()
+        rows_df = ensure_columns(shingles.to_pandas(),
+                                 {"doc_id": "int64", "shingle": "int64"})
+        sizes = rows_df.groupby("doc_id").size()
+        shared = _shared_rows_df(rows_df, "shingle", max_df)
     else:
         sdf = ensure_columns(
             shingles.repartition(32).groupby("doc_id")
             .aggregate(Count(alias_name="sz")).to_pandas(),
             {"doc_id": "int64", "sz": "int64"})
         sizes = sdf.set_index("doc_id")["sz"]
+        shared = _shared_group_rows(shingles, "shingle", max_df)
 
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    shared = _shared_group_rows(shingles, "shingle", max_df)
     pairs = _pair_counts(shared, "shingle")  # adaptive: driver or distributed
     if len(pairs) == 0:
         rep_out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
