@@ -426,30 +426,31 @@ def embedding_near_dups_lsh(
             }))
         return pa.concat_tables(parts)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                              "vec_b": pd.Series([], dtype="int64"),
-                              "cosine": pd.Series([], dtype="float64")})
-        if len(group) < 2:
-            return empty
-        ids = group["vec_id"].to_numpy().astype(np.int64)
-        mat = np.stack([np.asarray(v, dtype=np.float64)
-                        for v in group["embedding"]])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (mat / norms) @ (mat / norms).T
+    _EMPTY_PAIRS = pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return _EMPTY_PAIRS
+        # zero-copy list-flatten into the normalized matrix — no per-row
+        # Python even inside the per-bucket kernel
+        ids, mat = _batch_matrix(group)
+        sims = mat @ mat.T
         ia, ib = np.nonzero(sims >= tau)
         a, b = ids[ia], ids[ib]
         keep = a < b
         if not keep.any():
-            return empty
-        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep],
-                             "cosine": np.round(sims[ia, ib][keep], 6)})
+            return _EMPTY_PAIRS
+        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                         "vec_b": pa.array(b[keep], pa.int64()),
+                         "cosine": pa.array(np.round(sims[ia, ib][keep], 6),
+                                            pa.float64())})
 
     pairs = (
         ds.map_batches(add_buckets, batch_format="pyarrow", batch_size=4096)
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     # pair-keyed dedupe: the pair set is tau-bounded (same bound as the
     # exact variant's driver output), so a driver drop_duplicates is fine

@@ -325,8 +325,13 @@ def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None,
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = splitmix64(ids.astype(_U64) ^ mix)
-        langs = batch["lang"].to_numpy(zero_copy_only=False)
-        thr = np.array([thresholds.get(l, default_thr) for l in langs], _U64)
+        # dictionary-encode langs so the threshold lookup is per-DISTINCT-
+        # value, then one vectorized gather — no per-row Python
+        codes_arr = pc.dictionary_encode(batch["lang"].combine_chunks())
+        uniq = codes_arr.dictionary.to_pylist()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        thr_by_uniq = np.array([thresholds.get(l, default_thr) for l in uniq], _U64)
+        thr = thr_by_uniq[codes] if len(uniq) else np.empty(0, _U64)
         return batch.filter(pa.array(h < thr))
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
