@@ -148,3 +148,59 @@ def test_kll_merged_quantiles_within_range(vals, n_parts):
     hi = np.searchsorted(s, q, side="right") / len(vals)
     eps = 0.35  # loose: tiny k, tiny n
     assert lo - eps <= 0.5 <= hi + eps
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 100), st.integers(1, 40)), min_size=1, max_size=12),
+    st.lists(st.integers(-10, 160), min_size=1, max_size=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_segment_decomposition_equals_direct_containment(ivals, points):
+    """For arbitrary (overlapping, nested, duplicated) intervals, bucketing
+    a point into its elementary segment and reading the coverage matrix must
+    equal direct [lo, hi) containment per interval."""
+    from sketch_ray.pipelines.relational import _segment_intervals
+
+    lo = np.array([a for a, _ in ivals], dtype=np.int64)
+    hi = lo + np.array([w for _, w in ivals], dtype=np.int64)
+    edges, cover = _segment_intervals(lo, hi)
+    pts = np.array(points, dtype=np.int64)
+    seg = np.searchsorted(edges, pts, side="right") - 1
+    in_range = (seg >= 0) & (seg < len(edges) - 1)
+    got = np.zeros((len(lo), len(pts)), dtype=bool)
+    got[:, in_range] = cover[:, seg[in_range]]
+    want = (lo[:, None] <= pts[None, :]) & (pts[None, :] < hi[:, None])
+    assert np.array_equal(got, want)
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_cluster_labels_equal_union_find(edges):
+    """Vectorized min-label propagation + pointer jumping must equal a
+    plain union-find over arbitrary random graphs (self-loops, duplicate
+    and bidirectional edges included)."""
+    import pandas as pd
+
+    from sketch_ray.pipelines.dedup import _cluster_labels
+
+    pairs = pd.DataFrame({"doc_a": [a for a, _ in edges],
+                          "doc_b": [b for _, b in edges]})
+    nodes, labels = _cluster_labels(pairs)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = dict(zip(nodes.tolist(), labels.tolist()))
+    assert got == {x: want[x] for x in got}
+    assert set(got) == set(want)
