@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_windows": relational.events_hopping_windows,
         "bloom_semi_join": relational.bloom_semi_join,
         "range_join_events": relational.range_join_events,
+        "range_join_events_rows": relational.range_join_events_rows,
         # --- text analysis (exact ones oracle-gated) ---
         "quality_scores": text_analysis.quality_scores,
         "regex_token_stats": text_analysis.regex_token_stats,
@@ -183,6 +184,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(e.value), 6) AS total_value
             FROM events e JOIN campaigns c ON e.ts >= c.lo AND e.ts < c.hi
             GROUP BY campaign_id ORDER BY campaign_id
+        """,
+        "range_join_events_rows": """
+            WITH campaigns AS (
+                SELECT CAST(i AS BIGINT) AS campaign_id,
+                       TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 36 HOUR AS lo,
+                       TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 36 HOUR
+                           + INTERVAL 48 HOUR AS hi
+                FROM range(20) t(i)
+            )
+            SELECT e.event_id, c.campaign_id
+            FROM events e JOIN campaigns c ON e.ts >= c.lo AND e.ts < c.hi
+            ORDER BY e.event_id, c.campaign_id
         """,
         "asof_latest_order": """
             SELECT e.event_id, e.user_id, o.o_orderdate AS matched_orderdate

@@ -696,3 +696,57 @@ def range_join_events(
         "n_events": pa.array(n_events[keep], pa.int64()),
         "total_value": pa.array(np.round(total_value[keep], 6), pa.float64()),
     })
+
+
+def range_join_events_rows(
+    sf_dir: str,
+    n_campaigns: int = 20,
+    stride_hours: int = 36,
+    width_hours: int = 48,
+) -> pa.Table:
+    """ROW-level range (interval) join — the general operator form next to
+    the aggregating ``range_join_events``: every (event, covering campaign)
+    pair becomes an output row (an event inside two overlapping windows
+    emits twice, exactly SQL inner-join semantics).
+
+    Same broadcast elementary-segment plan, but the per-batch kernel
+    EXPANDS instead of aggregating: the segment->covering-intervals mapping
+    is precomputed once as CSR (offsets + flat interval ids, from the
+    coverage matrix), so each batch is one searchsorted + one np.repeat +
+    one CSR gather — fully vectorized row expansion, output bounded by the
+    join cardinality. Returns (event_id, campaign_id) sorted — oracle-gated."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    lo = (base + np.arange(n_campaigns) * np.timedelta64(stride_hours, "h")).astype(
+        "datetime64[us]").astype(np.int64)
+    hi = lo + np.timedelta64(width_hours, "h").astype("timedelta64[us]").astype(np.int64)
+    edges, cover = _segment_intervals(lo, hi)
+    n_seg = len(edges) - 1
+    # CSR: for segment j, covering interval ids are flat[offsets[j]:offsets[j+1]]
+    ivl_idx, seg_idx = np.nonzero(cover)
+    order = np.argsort(seg_idx, kind="stable")
+    flat_ivl = ivl_idx[order].astype(np.int64)
+    seg_deg = np.bincount(seg_idx, minlength=n_seg)
+    offsets = np.concatenate([[0], np.cumsum(seg_deg)])
+    ref = ray.put((edges, seg_deg.astype(np.int64), offsets, flat_ivl))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        edges_w, deg_w, off_w, flat_w = cached(ref)
+        ev = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        seg = np.searchsorted(edges_w, ts, side="right") - 1
+        ok = (seg >= 0) & (seg < len(deg_w))
+        ev, seg = ev[ok], seg[ok]
+        reps = deg_w[seg]
+        ev_out = np.repeat(ev, reps)
+        # CSR gather: for each event, its segment's covering-interval slice
+        starts = np.repeat(off_w[seg], reps)
+        within = np.arange(len(ev_out)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        camp_out = flat_w[starts + within]
+        return pa.table({"event_id": pa.array(ev_out, pa.int64()),
+                         "campaign_id": pa.array(camp_out, pa.int64())})
+
+    out = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        expand, batch_format="pyarrow", batch_size=65536)
+    df = out.to_pandas().sort_values(["event_id", "campaign_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df.astype("int64"), preserve_index=False)

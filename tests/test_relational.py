@@ -153,3 +153,16 @@ def test_relational_adaptive_plans_agree(ray_session, monkeypatch):
     for q, s in zip(queries, small):
         d = q(SF).to_pandas()
         pd.testing.assert_frame_equal(d, s.astype(d.dtypes.to_dict()))
+
+
+def test_range_join_rows_consistent_with_aggregate(ray_session):
+    """Counting the row-level interval join per campaign must reproduce the
+    aggregating form's n_events exactly."""
+    from sketch_ray.pipelines.relational import (range_join_events,
+                                                 range_join_events_rows)
+
+    rows = range_join_events_rows(SF).to_pandas()
+    agg = range_join_events(SF).to_pandas()
+    got = rows.groupby("campaign_id").size()
+    want = agg.set_index("campaign_id")["n_events"]
+    pd.testing.assert_series_equal(got, want, check_names=False)
