@@ -38,12 +38,13 @@ def cmcu_token_estimates(sf_dir: str, top: int = 50) -> pa.Table:
 
 def hll_cardinalities(sf_dir: str) -> pa.Table:
     """Approximate distinct counts across tables in ONE streaming pass per
-    table (north_star: distinct url/host cardinality)."""
-    from concurrent.futures import ThreadPoolExecutor
+    table (north_star: distinct url/host cardinality).
 
-    from ..state.checkpoint import _ensure_thread_safe_fs_imports
-
-    _ensure_thread_safe_fs_imports()
+    The two passes run sequentially: each is already fully distributed, and
+    two concurrent streaming executions in one driver contend for the same
+    CPU pool (measured here: warm wall scatters 0.7-5.2 s threaded vs a
+    stable 1.0-1.5 s sequential at sf0.1/32 CPUs).
+    """
     specs_docs = [
         SketchSpec("documents.source", "hll", "source", mode="column", params={"p": 14, "seed": 42}),
         SketchSpec("documents.text", "hll", "text", mode="column", params={"p": 14, "seed": 42}),
@@ -52,12 +53,8 @@ def hll_cardinalities(sf_dir: str) -> pa.Table:
         SketchSpec("events.user_id", "hll", "user_id", mode="column", params={"p": 14, "seed": 42}),
         SketchSpec("events.event_type", "hll", "event_type", mode="column", params={"p": 14, "seed": 42}),
     ]
-    with ThreadPoolExecutor(max_workers=2) as ex:  # independent tables: one pass each, concurrently
-        f_docs = ex.submit(build_sketches, _read(sf_dir, "documents", ["source", "text"]),
-                           specs_docs, 8192)
-        f_ev = ex.submit(build_sketches, _read(sf_dir, "events", ["user_id", "event_type"]),
-                         specs_ev, 8192)
-        docs, ev = f_docs.result(), f_ev.result()
+    docs = build_sketches(_read(sf_dir, "documents", ["source", "text"]), specs_docs, 8192)
+    ev = build_sketches(_read(sf_dir, "events", ["user_id", "event_type"]), specs_ev, 8192)
     all_sk = {**docs, **ev}
     names = sorted(all_sk)
     return pa.table(
