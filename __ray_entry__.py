@@ -24,7 +24,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sketch_ray.pipelines import dedup, exact, relational, similarity, sketch_queries, text_analysis
+    from sketch_ray.pipelines import (dedup, exact, relational, sharding, similarity,
+                                      sketch_queries, text_analysis)
     from sketch_ray.stages import multimodal
 
     return {
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, k=3, tau=0.5),
         "decontaminate_corpus": lambda sf: dedup.decontaminate_corpus(sf, n_bench=20, k=3),
         "stratified_sample": text_analysis.stratified_sample,
+        "shard_assignments": lambda sf: sharding.shard_assignments(sf, n_shards=16, seed=7),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
         "embedding_near_dups_lsh": lambda sf: similarity.embedding_near_dups_lsh(
             sf, tau=0.4, n_bits=4, n_tables=16),
@@ -94,6 +96,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sketch_ray.pipelines._sqlgen import mix_constant, rate_threshold, splitmix64_ctes
+    from sketch_ray.pipelines.text_analysis import DEFAULT_MIX_RATES
+
+    # stratified_sample: keep iff splitmix64(doc_id ^ mix(42)) < rate*2^64,
+    # rendered as the exact same splitmix64 in mod-2^64 SQL arithmetic
+    strat_ctes, strat_f = splitmix64_ctes(
+        "sm", f"(SELECT doc_id, lang, xor(CAST(doc_id AS UBIGINT), {mix_constant(42)}) AS k"
+              " FROM documents)", "k", "h", ["doc_id", "lang"])
+    strat_case = " ".join(
+        f"WHEN '{lang}' THEN {rate_threshold(r)}" for lang, r in DEFAULT_MIX_RATES.items())
+    stratified = f"""
+        WITH {strat_ctes}
+        SELECT doc_id, lang FROM {strat_f}
+        WHERE h < CASE lang {strat_case} ELSE 0 END
+        ORDER BY doc_id
+    """
+    # shard_assignments: shard = splitmix64(doc_id ^ mix(7)) % 16,
+    # pos = rank within shard by splitmix64(doc_id ^ mix(8))
+    sh_a, sh_af = splitmix64_ctes(
+        "sa", f"(SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {mix_constant(7)}) AS k"
+              " FROM documents)", "k", "h1", ["doc_id"])
+    sh_b, sh_bf = splitmix64_ctes(
+        "sb", f"(SELECT doc_id, h1, xor(CAST(doc_id AS UBIGINT), {mix_constant(8)}) AS k"
+              f" FROM {sh_af})", "k", "h2", ["doc_id", "h1"])
+    shard_sql = f"""
+        WITH {sh_a},
+        {sh_b}
+        SELECT doc_id, CAST(h1 % 16 AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM {sh_bf} ORDER BY doc_id
+    """
     tok = "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
     jaccard = """
         WITH sh AS (
@@ -287,6 +321,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id >= 20 ORDER BY d.doc_id
         """,
         "minhash_lsh_near_dups": jaccard.format(tau=0.8),
+        "stratified_sample": stratified,
+        "shard_assignments": shard_sql,
         # connected components over the jaccard>=tau relation: recursive-CTE
         # transitive closure, rep = min reachable doc_id
         "dedup_clusters": """

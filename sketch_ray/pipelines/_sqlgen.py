@@ -1,0 +1,79 @@
+"""DuckDB SQL rendering of the engine's deterministic hash functions.
+
+Seeded sampling / sharding decisions in this engine are pure functions of
+(key, seed) through the SplitMix64 finalizer (kernels/hashing.py:31-39,
+public-domain algorithm, Steele et al.). This module renders the SAME
+function as DuckDB SQL so the driver's exact value-hash gate can check
+those operators value-for-value instead of rows-only.
+
+64-bit wraparound arithmetic in SQL: additions run in HUGEINT then reduce
+mod 2**64; multiplies are decomposed into 32-bit halves
+(``x*c mod 2**64 = (x_lo*c + ((x_hi*c_lo mod 2**32) << 32)) mod 2**64``)
+so no intermediate exceeds HUGEINT range. Parity with the numpy kernel is
+pinned over random + boundary inputs in tests/test_properties.py.
+"""
+
+from __future__ import annotations
+
+_M = 1 << 64
+_C1 = 0x9E3779B97F4A7C15
+_C2 = 0xBF58476D1CE4E5B9
+_C3 = 0x94D049BB133111EB
+
+
+def _mul64(col: str, c: int) -> str:
+    """SQL for ``(col * c) mod 2**64`` on a UBIGINT column."""
+    c_lo = c & 0xFFFFFFFF
+    return (
+        f"CAST((CAST({col} % 4294967296 AS HUGEINT) * {c} + "
+        f"CAST((CAST({col} // 4294967296 AS HUGEINT) * {c_lo}) % 4294967296 AS HUGEINT)"
+        f" * 4294967296) % {_M} AS UBIGINT)"
+    )
+
+
+def splitmix64_ctes(prefix: str, src: str, in_expr: str, out_col: str,
+                    carry_cols: list[str]) -> tuple[str, str]:
+    """CTE chain computing ``out_col = splitmix64(in_expr)`` over ``src``.
+
+    Returns ``(cte_fragment, final_cte_name)``; the fragment is a
+    comma-joined list of CTE definitions (caller splices it into a WITH
+    list). A chain (rather than one nested expression) keeps the SQL text
+    linear in the number of steps — naive nesting duplicates the operand
+    of every xor and grows exponentially.
+    """
+    carry = ", ".join(carry_cols)
+    steps = [
+        f"CAST((CAST({in_expr} AS HUGEINT) + {_C1}) % {_M} AS UBIGINT)",
+        "xor(v, v >> 30)",
+        _mul64("v", _C2),
+        "xor(v, v >> 27)",
+        _mul64("v", _C3),
+    ]
+    parts = [f"{prefix}0 AS (SELECT {carry}, {steps[0]} AS v FROM {src})"]
+    for i, expr in enumerate(steps[1:], 1):
+        parts.append(f"{prefix}{i} AS (SELECT {carry}, {expr} AS v FROM {prefix}{i - 1})")
+    final = f"{prefix}f"
+    parts.append(
+        f"{final} AS (SELECT {carry}, xor(v, v >> 31) AS {out_col} FROM {prefix}{len(steps) - 1})"
+    )
+    return ",\n".join(parts), final
+
+
+def mix_constant(seed: int) -> int:
+    """The Python-side ``splitmix64(seed)`` constant, for inlining into SQL
+    (matches stratified_sample / shard_assignments exactly)."""
+    import numpy as np
+
+    from ..kernels.hashing import splitmix64
+
+    return int(splitmix64(np.array([seed], np.uint64))[0])
+
+
+def rate_threshold(rate: float) -> int:
+    """The exact uint64 keep-threshold the engine derives from a float rate
+    (text_analysis.stratified_sample's float-scale-and-clamp, bit-for-bit)."""
+    import numpy as np
+
+    if rate >= 1.0:
+        return 0xFFFFFFFFFFFFFFFF
+    return int(np.uint64(max(rate, 0.0) * 2.0**64))

@@ -204,3 +204,24 @@ def test_cluster_labels_equal_union_find(edges):
     got = dict(zip(nodes.tolist(), labels.tolist()))
     assert got == {x: want[x] for x in got}
     assert set(got) == set(want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=64))
+def test_splitmix64_sql_matches_numpy_kernel(vals):
+    """The DuckDB rendering of splitmix64 (_sqlgen: HUGEINT mod-2^64
+    arithmetic, 32-bit-decomposed multiplies) must equal the vectorized
+    numpy kernel bit-for-bit on arbitrary uint64 inputs — this is what
+    makes the stratified_sample / shard_assignments oracles exact."""
+    import duckdb
+
+    from sketch_ray.kernels.hashing import splitmix64
+    from sketch_ray.pipelines._sqlgen import splitmix64_ctes
+
+    arr = np.array(vals, dtype=np.uint64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, v UBIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(map(int, vals))))
+    ctes, final = splitmix64_ctes("p", "(SELECT i, v AS k FROM t)", "k", "h", ["i"])
+    got = con.execute(f"WITH {ctes} SELECT h FROM {final} ORDER BY i").df()["h"]
+    assert np.array_equal(np.array(got, dtype=np.uint64), splitmix64(arr))

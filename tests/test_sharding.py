@@ -1,0 +1,71 @@
+"""Deterministic training-shard assembly: assignment, writer, SQL parity."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shard_assignment_branches_equal(ray_session):
+    """Driver fold and distributed groupby(shard) ranking must agree
+    row-for-row (the house adaptive-plan invariant)."""
+    from sketch_ray.pipelines.sharding import shard_assignments
+
+    a = shard_assignments(SF, n_shards=8, seed=7, force="driver").to_pandas()
+    b = shard_assignments(SF, n_shards=8, seed=7, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_shard_assignment_coverage_and_determinism(ray_session):
+    from sketch_ray.pipelines.sharding import shard_assignments
+
+    n_shards = 8
+    out = shard_assignments(SF, n_shards=n_shards, seed=7).to_pandas()
+    corpus = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+    # every document exactly once
+    assert sorted(out["doc_id"]) == sorted(corpus["doc_id"])
+    assert out["shard"].between(0, n_shards - 1).all()
+    # pos is a 0..k-1 permutation within every shard
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    # pure function of (doc_id, seed): identical rerun, different seed differs
+    again = shard_assignments(SF, n_shards=n_shards, seed=7).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
+    other = shard_assignments(SF, n_shards=n_shards, seed=8).to_pandas()
+    assert not other.equals(out)
+
+
+def test_write_training_shards_roundtrip(ray_session, tmp_path):
+    """The written shards are exactly the corpus, in the assignment's
+    deterministic order, with the per-file row bound respected."""
+    from sketch_ray.pipelines.sharding import shard_assignments, write_training_shards
+
+    out_dir = str(tmp_path / "shards")
+    man = write_training_shards(SF, out_dir, n_shards=4, seed=7, rows_per_file=7)
+    corpus = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert man["n_docs"] == len(corpus)
+
+    want = shard_assignments(SF, n_shards=4, seed=7).to_pandas()
+    seen = []
+    for rec in man["shards"]:
+        s = rec["shard"]
+        files = sorted(glob.glob(os.path.join(out_dir, f"shard={s:05d}", "part-*.parquet")))
+        assert len(files) == rec["n_files"]
+        parts = [pq.read_table(f).to_pandas() for f in files]
+        assert all(len(p) <= 7 for p in parts)
+        got = pd.concat(parts, ignore_index=True)
+        # file order == the assignment's pos order for this shard
+        w = want[want["shard"] == s].sort_values("pos")
+        assert got["doc_id"].tolist() == w["doc_id"].tolist()
+        # full document rows survive (all corpus columns, content intact)
+        assert sorted(got.columns) == sorted(corpus.columns)
+        seen.append(got)
+    allrows = pd.concat(seen, ignore_index=True).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        allrows, corpus.sort_values("doc_id").reset_index(drop=True))
