@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_token_stats": text_analysis.regex_token_stats,
         "gopher_quality_signals": text_analysis.gopher_quality_signals,
         "lang_id": text_analysis.lang_id,
+        "pii_redact": text_analysis.pii_redact,
         "doc_fingerprints": text_analysis.doc_fingerprints,
         # --- multimodal plumbing ---
         "payload_stats": multimodal.payload_stats,
@@ -286,6 +287,32 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
                          / greatest(length(text), 1), 6) AS symbol_ratio
             FROM t JOIN per USING (doc_id) ORDER BY t.doc_id
+        """,
+        # same deterministic PII injection as text_analysis._augment_pii;
+        # counts on the ORIGINAL text, replacement order email -> ip -> phone
+        "pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id, text
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                               || '-' || lpad((doc_id * 7 % 10000)::VARCHAR, 4, '0') ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' from 10.' || (doc_id % 256) || '.'
+                               || (doc_id // 256 % 256) || '.' || (doc_id % 100) ELSE '' END
+                  AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+                   len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text_redacted
+            FROM aug ORDER BY doc_id
         """,
         "regex_token_stats": """
             SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_regex_tokens

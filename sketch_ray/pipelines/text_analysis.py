@@ -340,3 +340,71 @@ def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None,
         {"doc_id": "int64", "lang": "object"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# PII redaction: (RE2 pattern, replacement token), applied IN THIS ORDER —
+# email first, then IP, then phone (order matters where patterns could
+# overlap; the DuckDB oracle applies the same order). All three are
+# RE2-compatible so pyarrow.compute and DuckDB match byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch PII scrub (vectorized Arrow RE2, no Python per-row):
+    counts each PII kind on the ORIGINAL text, then rewrites the text with
+    replacement tokens. Adds ``n_<kind>s`` count columns and
+    ``text_redacted``; drops the original text column."""
+    text = batch[text_col].combine_chunks()
+    out = batch.drop_columns([text_col])
+    red = text
+    for kind, pat, repl in PII_PATTERNS:
+        cnt = pc.count_substring_regex(text, pattern=pat).cast(pa.int64())
+        out = out.append_column(f"n_{kind}s", cnt)
+        red = pc.replace_substring_regex(red, pattern=pat, replacement=repl)
+    return out.append_column("text_redacted", red)
+
+
+def _augment_pii(batch: pa.Table) -> pa.Table:
+    """Deterministic PII injection derived from doc_id (the synthetic corpus
+    is digit-free, so the redaction oracle would be vacuous on raw text).
+    Same derivation lives in the SQL oracle — the generated-campaigns
+    range-join precedent. Vectorized: numpy where + one element-wise join."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sid = ids.astype(str)
+    em = np.where(ids % 3 == 0,
+                  np.char.add(np.char.add(" contact user", sid), "@example.com"), "")
+    p1 = np.char.zfill((ids % 1000).astype(str), 3)
+    p2 = np.char.zfill((ids * 7 % 10000).astype(str), 4)
+    ph = np.where(ids % 4 == 0,
+                  np.char.add(np.char.add(np.char.add(" call 555-", p1), "-"), p2), "")
+    ip = np.where(ids % 5 == 0,
+                  np.char.add(" from 10.", np.char.add(
+                      (ids % 256).astype(str), np.char.add(".", np.char.add(
+                          (ids // 256 % 256).astype(str), np.char.add(
+                              ".", (ids % 100).astype(str)))))), "")
+    aug = pc.binary_join_element_wise(
+        batch["text"].combine_chunks().cast(pa.string()),
+        pa.array(em, pa.string()), pa.array(ph, pa.string()), pa.array(ip, pa.string()), "")
+    return batch.set_column(batch.schema.get_field_index("text"), "text", aug)
+
+
+def pii_redact(sf_dir: str, augment: bool = True) -> pa.Table:
+    """PII scrub over the corpus — the privacy pass of a training-data
+    pipeline. One streaming map_batches chain (augment → redact), no
+    shuffle; per-doc counts + redacted text, oracle-gated against DuckDB's
+    RE2 ``regexp_replace`` on the identically-derived text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    if augment:
+        ds = ds.map_batches(_augment_pii, batch_format="pyarrow", batch_size=8192)
+    out = ds.map_batches(redact_pii_batch, batch_format="pyarrow", batch_size=8192)
+    df = ensure_columns(out.to_pandas(),
+                        {"doc_id": "int64", "n_emails": "int64", "n_ips": "int64",
+                         "n_phones": "int64", "text_redacted": "object"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["doc_id", "n_emails", "n_ips", "n_phones", "text_redacted"]],
+        preserve_index=False)

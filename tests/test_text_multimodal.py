@@ -154,3 +154,40 @@ def test_quality_filter_corpus_matches_signals(ray_session, tmp_path):
     assert s["n_kept"] == len(want) and s["n_docs"] == len(sig)
     assert set(kept.column_names) == {"doc_id", "text", "lang", "source", "n_chars"}
     assert 0 < len(want) < len(sig)  # predicate is non-degenerate at these params
+
+
+def test_pii_redaction_kernel():
+    """Redaction on constructed adversarial strings: counts on original
+    text, replacement order email -> ip -> phone, word boundaries hold."""
+    from sketch_ray.pipelines.text_analysis import redact_pii_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "write a.b+c@mail-x.co.uk or ADMIN@X.ORG!",      # 2 emails, punct-adjacent
+            "srv 192.168.001.250 up, call 555-123-4567.",     # ip + phone
+            "at 1.2.3.4 but v1.2.3.4 and 1234.567.8901 not",  # \b: only the bare ip
+            "plain text with no pii at all",
+        ]),
+    })
+    out = redact_pii_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_ips"] == 0
+    assert "<EMAIL> or <EMAIL>!" in out.loc[0, "text_redacted"]
+    assert out.loc[1, "n_ips"] == 1 and out.loc[1, "n_phones"] == 1
+    assert out.loc[1, "text_redacted"] == "srv <IP> up, call <PHONE>."
+    # \b: "v1.2.3.4" (word char before digit) and the 4-digit run match nothing
+    assert out.loc[2, "n_ips"] == 1 and out.loc[2, "n_phones"] == 0
+    assert out.loc[2, "text_redacted"] == "at <IP> but v1.2.3.4 and 1234.567.8901 not"
+    assert out.loc[3, ["n_emails", "n_ips", "n_phones"]].sum() == 0
+    assert out.loc[3, "text_redacted"] == "plain text with no pii at all"
+
+
+def test_pii_redact_pipeline_deterministic(ray_session):
+    from sketch_ray.pipelines.text_analysis import pii_redact
+
+    a = pii_redact(SF).to_pandas()
+    b = pii_redact(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # the injection touches exactly the doc_id residue classes it claims
+    has = a[(a.n_emails > 0) | (a.n_phones > 0) | (a.n_ips > 0)]
+    assert ((has.doc_id % 3 == 0) | (has.doc_id % 4 == 0) | (has.doc_id % 5 == 0)).all()
