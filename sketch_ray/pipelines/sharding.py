@@ -108,6 +108,15 @@ def write_training_shards(sf_dir: str, out_dir: str, n_shards: int = 16,
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return write_shards_from(ds, out_dir, n_shards=n_shards, seed=seed,
+                             rows_per_file=rows_per_file)
+
+
+def write_shards_from(ds, out_dir: str, n_shards: int = 16, seed: int = 7,
+                      rows_per_file: int = 100_000) -> dict:
+    """Shard-writer over an ALREADY-BUILT dataset (any schema with a
+    ``doc_id`` column) — the tail stage of corpus assembly. Same physical
+    plan as ``write_training_shards``."""
     assigned = ds.map_batches(_add_keys, fn_kwargs={"seed": seed, "n_shards": n_shards},
                               batch_format="pyarrow", batch_size=65536)
 
