@@ -97,7 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from sketch_ray.pipelines._sqlgen import mix_constant, rate_threshold, splitmix64_ctes
+    from sketch_ray.pipelines._sqlgen import (mix_constant, rate_threshold,
+                                              splitmix64_ctes, string_hash_ctes)
     from sketch_ray.pipelines.text_analysis import DEFAULT_MIX_RATES
 
     # stratified_sample: keep iff splitmix64(doc_id ^ mix(42)) < rate*2^64,
@@ -128,6 +129,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id) - 1
                     AS BIGINT) AS pos
         FROM {sh_bf} ORDER BY doc_id
+    """
+    # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
+    # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
+    # (string hash via _sqlgen.string_hash_ctes; same double arithmetic)
+    kmv_ctes, kmv_f = string_hash_ctes(
+        "kh", "(SELECT DISTINCT source AS s FROM documents)", "s", "h", ["s"], seed=42)
+    kmv_sql = f"""
+        WITH {kmv_ctes},
+        ranked AS (
+            SELECT s AS source, h,
+                   row_number() OVER (ORDER BY h) AS rnk,
+                   count(*) OVER () AS nd
+            FROM {kmv_f}
+        )
+        SELECT CAST(rnk AS BIGINT) AS rank, source,
+               CAST(round(CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+                    ELSE 15.0 / (CAST((SELECT h FROM ranked WHERE rnk = 16) AS DOUBLE)
+                                 / 18446744073709551616.0) END) AS BIGINT) AS est_distinct
+        FROM ranked WHERE rnk <= 16 ORDER BY rank
     """
     tok = "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
     jaccard = """
@@ -350,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_near_dups": jaccard.format(tau=0.8),
         "stratified_sample": stratified,
         "shard_assignments": shard_sql,
+        "kmv_sample_sources": kmv_sql,
         # connected components over the jaccard>=tau relation: recursive-CTE
         # transitive closure, rep = min reachable doc_id
         "dedup_clusters": """

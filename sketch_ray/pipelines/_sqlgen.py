@@ -59,6 +59,40 @@ def splitmix64_ctes(prefix: str, src: str, in_expr: str, out_col: str,
     return ",\n".join(parts), final
 
 
+def string_hash_ctes(prefix: str, src: str, str_col: str, out_col: str,
+                     carry_cols: list[str], seed: int) -> tuple[str, str]:
+    """CTE chain computing ``out_col = hash_strings(str_col, seed)`` — the
+    engine's seeded FNV-polynomial string hash (kernels/hashing.py:46-76:
+    Horner fold of the bytes by the FNV prime mod 2**64, xor'd with
+    len*C and the seeded basis, splitmix64-finalized).
+
+    ASCII-only: the byte fold is rendered with ``unicode(ch)``, which
+    equals the byte value only for ASCII input (true of the testdata
+    corpus — parity over arbitrary ASCII strings is hypothesis-pinned in
+    tests/test_properties.py). Returns ``(cte_fragment, final_cte_name)``.
+    """
+    from ..kernels.hashing import _FNV_PRIME, _seed_basis
+
+    p = int(_FNV_PRIME)
+    p_lo = p % (1 << 32)
+    c3 = 0x94D049BB133111EB
+    basis = int(_seed_basis(seed))
+    s = str_col
+    horner = (
+        f"list_reduce(list_prepend(CAST(0 AS UBIGINT), "
+        f"list_transform(range(1, strlen({s}) + 1), i -> CAST(unicode({s}[i]) AS UBIGINT))), "
+        f"(acc, b) -> CAST((CAST(acc % 4294967296 AS HUGEINT) * {p} + "
+        f"CAST((CAST(acc // 4294967296 AS HUGEINT) * {p_lo}) % 4294967296 AS HUGEINT)"
+        f" * 4294967296 + b) % {_M} AS UBIGINT))"
+    )
+    lenterm = f"CAST((CAST(strlen({s}) AS HUGEINT) * {c3}) % {_M} AS UBIGINT)"
+    h0 = f"xor(xor({horner}, {lenterm}), {basis})"
+    carry = ", ".join(carry_cols)
+    pre = f"{prefix}h AS (SELECT {carry}, {h0} AS k FROM {src})"
+    ctes, final = splitmix64_ctes(prefix, f"{prefix}h", "k", out_col, carry_cols)
+    return f"{pre},\n{ctes}", final
+
+
 def mix_constant(seed: int) -> int:
     """The Python-side ``splitmix64(seed)`` constant, for inlining into SQL
     (matches stratified_sample / shard_assignments exactly)."""

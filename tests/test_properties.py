@@ -225,3 +225,25 @@ def test_splitmix64_sql_matches_numpy_kernel(vals):
     ctes, final = splitmix64_ctes("p", "(SELECT i, v AS k FROM t)", "k", "h", ["i"])
     got = con.execute(f"WITH {ctes} SELECT h FROM {final} ORDER BY i").df()["h"]
     assert np.array_equal(np.array(got, dtype=np.uint64), splitmix64(arr))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                        min_size=0, max_size=40), min_size=1, max_size=32),
+       st.integers(min_value=0, max_value=1000))
+def test_string_hash_sql_matches_numpy_kernel(strs, seed):
+    """The DuckDB rendering of the engine string hash (_sqlgen: FNV-Horner
+    byte fold + splitmix finalize) must equal kernels/hashing.hash_strings
+    bit-for-bit on arbitrary ASCII strings and seeds — what makes the
+    kmv_sample_sources oracle exact."""
+    import duckdb
+
+    from sketch_ray.kernels.hashing import hash_strings
+    from sketch_ray.pipelines._sqlgen import string_hash_ctes
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(strs)))
+    ctes, final = string_hash_ctes("p", "(SELECT i, s FROM t)", "s", "h", ["i"], seed=seed)
+    got = con.execute(f"WITH {ctes} SELECT h FROM {final} ORDER BY i").df()["h"]
+    assert np.array_equal(np.array(got, dtype=np.uint64), hash_strings(strs, seed))
