@@ -149,6 +149,107 @@ def oracle_sql() -> dict[str, str]:
                                  / 18446744073709551616.0) END) AS BIGINT) AS est_distinct
         FROM ranked WHERE rnk <= 16 ORDER BY rank
     """
+    # lang_id: marker-occurrence scoring, argmax with first-max-in-sorted-
+    # lang-order ties, 'und' when no marker hits (text_analysis.LangId)
+    from sketch_ray.pipelines.text_analysis import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        "sum(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS s_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang)
+        for lang in langs)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred_case = "CASE WHEN {} = 0 THEN 'und' {} END".format(
+        best, " ".join(
+            "WHEN s_{l} = {b} THEN '{l}'".format(l=lang, b=best) for lang in langs))
+    lang_id_sql = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), scores AS (
+            SELECT doc_id, {score_cols} FROM toks GROUP BY doc_id
+        ), n AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+        )
+        SELECT s.doc_id, {pred_case} AS pred_lang,
+               round({best} * 1.0 / greatest(n.ntok, 1), 6) AS confidence
+        FROM scores s JOIN n USING (doc_id) ORDER BY s.doc_id
+    """
+    # simhash_near_dups: 64-bit SimHash over the token multiset (engine
+    # hash seed=11; bit j set iff a STRICT majority of token occurrences
+    # has it set, dedup.py _simhash), then all pairs at hamming <= 3 —
+    # the pigeonhole index + exact-dup collapse are recall-exact at <= 3,
+    # so the direct pairwise definition is the oracle
+    sh_ctes, sh_f = string_hash_ctes(
+        "th", "(SELECT DISTINCT tok AS s FROM simtoks)", "s", "h", ["s"], seed=11)
+    simhash_sql = f"""
+        WITH simtoks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        {sh_ctes},
+        tcnt AS (
+            SELECT doc_id, tok, count(*) AS cnt FROM simtoks GROUP BY doc_id, tok
+        ), ntok AS (
+            SELECT doc_id, count(*) AS n FROM simtoks GROUP BY doc_id
+        ), bits AS (
+            SELECT t.doc_id, j.j,
+                   sum(t.cnt * CAST((hh.h >> CAST(j.j AS INTEGER)) & 1 AS BIGINT)) AS ones
+            FROM tcnt t JOIN {sh_f} hh ON hh.s = t.tok
+            CROSS JOIN (SELECT unnest(range(64)) AS j) j
+            GROUP BY t.doc_id, j.j
+        ), sigs AS (
+            SELECT b.doc_id,
+                   CAST(sum(CASE WHEN 2 * b.ones > n.n
+                            THEN CAST(1 AS UBIGINT) << CAST(b.j AS INTEGER)
+                            ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+            FROM bits b JOIN ntok n USING (doc_id) GROUP BY b.doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        ORDER BY doc_a, doc_b
+    """
+    # doc_fingerprints: min over rolling 5-byte-window hashes (Horner by the
+    # FNV prime, xor mix(42), splitmix finalize — text_analysis.
+    # _char_ngram_hashes) + the exact content hash (engine hash seed=1),
+    # both reinterpreted to int64 exactly as numpy does
+    from sketch_ray.kernels.hashing import _FNV_PRIME
+    from sketch_ray.pipelines._sqlgen import to_bigint_sql
+
+    _p, _plo, _m64 = int(_FNV_PRIME), int(_FNV_PRIME) % (1 << 32), 1 << 64
+
+    def _hstep(b_expr: str) -> str:  # acc = acc*P + b  (mod 2^64)
+        return (f"CAST((CAST(acc % 4294967296 AS HUGEINT) * {_p} + "
+                f"CAST((CAST(acc // 4294967296 AS HUGEINT) * {_plo}) % 4294967296 AS HUGEINT)"
+                f" * 4294967296 + {b_expr}) % {_m64} AS UBIGINT)")
+
+    fp_steps = ",\n".join(
+        f"f{j} AS (SELECT doc_id, {_hstep(f'CAST(unicode(substr(g, {j + 1}, 1)) AS UBIGINT)')}"
+        f" AS acc, g FROM f{j - 1})"
+        for j in range(1, 5))
+    fp_sm, fp_smf = splitmix64_ctes("fs", "fx", "k", "h", ["doc_id"])
+    ch_ctes, ch_f = string_hash_ctes(
+        "ch", "(SELECT doc_id, text AS s FROM documents)", "s", "h", ["doc_id"], seed=1)
+    fingerprint_sql = f"""
+        WITH wins AS (
+            SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS g
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, greatest(length(text) - 3, 1))) AS i
+                  FROM documents)
+        ),
+        f0 AS (SELECT doc_id, CAST(unicode(substr(g, 1, 1)) AS UBIGINT) AS acc, g FROM wins),
+        {fp_steps},
+        fx AS (SELECT doc_id, xor(acc, {mix_constant(42)}) AS k FROM f4),
+        {fp_sm},
+        fmin AS (SELECT doc_id, min(h) AS fpu FROM {fp_smf} GROUP BY doc_id),
+        {ch_ctes}
+        SELECT d.doc_id,
+               coalesce({to_bigint_sql('fmin.fpu')}, -1) AS fingerprint,
+               {to_bigint_sql('chh.h')} AS content_hash
+        FROM documents d
+        LEFT JOIN fmin USING (doc_id)
+        JOIN {ch_f} chh USING (doc_id)
+        ORDER BY d.doc_id
+    """
     tok = "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
     jaccard = """
         WITH sh AS (
@@ -371,6 +472,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified,
         "shard_assignments": shard_sql,
         "kmv_sample_sources": kmv_sql,
+        "lang_id": lang_id_sql,
+        "simhash_near_dups": simhash_sql,
+        "doc_fingerprints": fingerprint_sql,
         # connected components over the jaccard>=tau relation: recursive-CTE
         # transitive closure, rep = min reachable doc_id
         "dedup_clusters": """

@@ -31,6 +31,19 @@ def _mul64(col: str, c: int) -> str:
     )
 
 
+def mul64_sql(col: str, c: int) -> str:
+    """Public alias of the decomposed mod-2**64 multiply (for oracle
+    builders that hand-roll short Horner folds)."""
+    return _mul64(col, c)
+
+
+def to_bigint_sql(col: str) -> str:
+    """Two's-complement reinterpretation UBIGINT -> BIGINT (matches numpy
+    ``uint64.astype(int64)``; a plain CAST raises on values >= 2**63)."""
+    return (f"CAST(CASE WHEN {col} >= 9223372036854775808 "
+            f"THEN CAST({col} AS HUGEINT) - {_M} ELSE CAST({col} AS HUGEINT) END AS BIGINT)")
+
+
 def splitmix64_ctes(prefix: str, src: str, in_expr: str, out_col: str,
                     carry_cols: list[str]) -> tuple[str, str]:
     """CTE chain computing ``out_col = splitmix64(in_expr)`` over ``src``.
