@@ -113,17 +113,40 @@ def write_training_shards(sf_dir: str, out_dir: str, n_shards: int = 16,
 
 
 def write_shards_from(ds, out_dir: str, n_shards: int = 16, seed: int = 7,
-                      rows_per_file: int = 100_000) -> dict:
+                      rows_per_file: int = 100_000, resume: bool = False) -> dict:
     """Shard-writer over an ALREADY-BUILT dataset (any schema with a
     ``doc_id`` column) — the tail stage of corpus assembly. Same physical
-    plan as ``write_training_shards``."""
+    plan as ``write_training_shards``.
+
+    ``resume=True`` skips shards whose ``_DONE.json`` marker matches the
+    current (row count, config): since every assignment and order is a
+    pure function of (doc_id, seed), a finished shard from a crashed run
+    is byte-identical to what this run would write. The marker lands
+    atomically AFTER the shard's last part file, so a shard interrupted
+    mid-write is simply rewritten. Still one full pass over the data —
+    the savings is the write + sort work of finished shards; at 100 TB
+    the upstream read is re-filtered but nothing is re-shuffled twice.
+    """
     assigned = ds.map_batches(_add_keys, fn_kwargs={"seed": seed, "n_shards": n_shards},
                               batch_format="pyarrow", batch_size=65536)
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
+        import json
+
         s = int(g["shard"].iloc[0])
-        g = g.sort_values(["sort_key", "doc_id"]).drop(columns=["shard", "sort_key"])
         d = os.path.join(out_dir, f"shard={s:05d}")
+        marker = os.path.join(d, "_DONE.json")
+        want_cfg = {"n_rows": int(len(g)), "rows_per_file": int(rows_per_file),
+                    "seed": int(seed), "n_shards": int(n_shards)}
+        if resume and os.path.exists(marker):
+            try:
+                done = json.load(open(marker))
+            except (OSError, ValueError):
+                done = None
+            if done and {k: done.get(k) for k in want_cfg} == want_cfg:
+                return pd.DataFrame({"shard": [s], "n_rows": [done["n_rows"]],
+                                     "n_files": [done["n_files"]], "skipped": [True]})
+        g = g.sort_values(["sort_key", "doc_id"]).drop(columns=["shard", "sort_key"])
         os.makedirs(d, exist_ok=True)
         n_files = 0
         for j, lo in enumerate(range(0, len(g), rows_per_file)):
@@ -132,13 +155,19 @@ def write_shards_from(ds, out_dir: str, n_shards: int = 16, seed: int = 7,
             part.to_parquet(tmp, index=False)
             os.replace(tmp, os.path.join(d, f"part-{j:05d}.parquet"))
             n_files = j + 1
-        return pd.DataFrame({"shard": [s], "n_rows": [len(g)], "n_files": [n_files]})
+        tmp = os.path.join(d, "._DONE.tmp")
+        with open(tmp, "w") as f:
+            json.dump({**want_cfg, "n_files": n_files}, f)
+        os.replace(tmp, marker)
+        return pd.DataFrame({"shard": [s], "n_rows": [len(g)],
+                             "n_files": [n_files], "skipped": [False]})
 
     manifest = assigned.groupby("shard").map_groups(emit, batch_format="pandas").to_pandas()
     manifest = manifest.sort_values("shard").reset_index(drop=True)
     return {
         "n_docs": int(manifest["n_rows"].sum()),
         "n_shards_written": int(len(manifest)),
+        "n_shards_skipped": int(manifest["skipped"].sum()),
         "out_dir": out_dir,
         "shards": manifest.to_dict("records"),
     }

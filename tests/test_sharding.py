@@ -41,6 +41,46 @@ def test_shard_assignment_coverage_and_determinism(ray_session):
     assert not other.equals(out)
 
 
+def test_write_shards_resume_skips_finished(ray_session, tmp_path):
+    """resume=True skips shards with a matching _DONE marker and rewrites
+    (byte-identically) any shard whose marker is missing or stale."""
+    import ray.data as rd
+
+    from sketch_ray.pipelines.sharding import write_shards_from
+
+    out_dir = str(tmp_path / "shards")
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    man1 = write_shards_from(ds, out_dir, n_shards=4, seed=7, rows_per_file=7)
+    assert man1["n_shards_skipped"] == 0
+
+    def file_bytes():
+        return {f: open(f, "rb").read()
+                for f in sorted(glob.glob(os.path.join(out_dir, "**", "part-*.parquet"),
+                                          recursive=True))}
+
+    before = file_bytes()
+    # full resume: every shard skipped, nothing rewritten
+    man2 = write_shards_from(ds, out_dir, n_shards=4, seed=7, rows_per_file=7,
+                             resume=True)
+    assert man2["n_shards_skipped"] == 4
+    assert man2["n_docs"] == man1["n_docs"]
+    assert file_bytes() == before
+
+    # simulate a crash: one shard lost its marker mid-write -> only it reruns
+    victim = os.path.join(out_dir, "shard=00002", "_DONE.json")
+    os.remove(victim)
+    man3 = write_shards_from(ds, out_dir, n_shards=4, seed=7, rows_per_file=7,
+                             resume=True)
+    assert man3["n_shards_skipped"] == 3
+    assert os.path.exists(victim)
+    assert file_bytes() == before  # rewrite is byte-identical
+
+    # config change invalidates markers (rows_per_file differs)
+    man4 = write_shards_from(ds, out_dir, n_shards=4, seed=7, rows_per_file=9,
+                             resume=True)
+    assert man4["n_shards_skipped"] == 0
+
+
 def test_write_training_shards_roundtrip(ray_session, tmp_path):
     """The written shards are exactly the corpus, in the assignment's
     deterministic order, with the per-file row bound respected."""
