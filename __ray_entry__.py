@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_corpus": lambda sf: dedup.decontaminate_corpus(sf, n_bench=20, k=3),
         "stratified_sample": text_analysis.stratified_sample,
         "shard_assignments": lambda sf: sharding.shard_assignments(sf, n_shards=16, seed=7),
+        "pack_sequences": lambda sf: sharding.pack_sequences(sf, seq_len=512, seed=7),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
         "embedding_near_dups_lsh": lambda sf: similarity.embedding_near_dups_lsh(
             sf, tau=0.4, n_bits=4, n_tables=16),
@@ -129,6 +130,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id) - 1
                     AS BIGINT) AS pos
         FROM {sh_bf} ORDER BY doc_id
+    """
+    # pack_sequences: concat docs in splitmix64(doc_id ^ mix(7)) order,
+    # chunk the token stream into 512-token sequences; the ordered prefix
+    # sum is a window SUM, the per-doc span expansion a lateral range()
+    pk_ctes, pk_f = splitmix64_ctes(
+        "pk", f"(SELECT doc_id, len(string_split(text, ' ')) AS n_toks, "
+              f"xor(CAST(doc_id AS UBIGINT), {mix_constant(7)}) AS k FROM documents)",
+        "k", "h", ["doc_id", "n_toks"])
+    pack_sql = f"""
+        WITH {pk_ctes},
+        ord AS (
+            SELECT doc_id, n_toks,
+                   CAST(coalesce(SUM(n_toks) OVER (ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+            FROM {pk_f}
+        ), spans AS (
+            SELECT doc_id, s, s + n_toks AS e FROM ord
+        ), x AS (
+            SELECT doc_id, s, e, unnest(range(s // 512, (e - 1) // 512 + 1)) AS q
+            FROM spans
+        )
+        SELECT CAST(q AS BIGINT) AS seq_id, doc_id,
+               CAST(greatest(s, q * 512) - s AS BIGINT) AS doc_start,
+               CAST(greatest(s, q * 512) - q * 512 AS BIGINT) AS seq_start,
+               CAST(least(e, (q + 1) * 512) - greatest(s, q * 512) AS BIGINT) AS n_toks
+        FROM x ORDER BY seq_id, seq_start
     """
     # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
     # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
@@ -471,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_near_dups": jaccard.format(tau=0.8),
         "stratified_sample": stratified,
         "shard_assignments": shard_sql,
+        "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,

@@ -41,6 +41,37 @@ def test_shard_assignment_coverage_and_determinism(ray_session):
     assert not other.equals(out)
 
 
+def test_pack_sequences_branches_and_tiling(ray_session):
+    """Driver cumsum and distributed bucket prefix-sum must agree row-for-row
+    (house adaptive-plan invariant); every full sequence holds exactly
+    seq_len tokens; segments tile each document without gap or overlap."""
+    import pyarrow.compute as pc
+
+    from sketch_ray.pipelines.sharding import pack_sequences
+
+    a = pack_sequences(SF, seq_len=128, seed=7, force="driver").to_pandas()
+    b = pack_sequences(SF, seq_len=128, seed=7, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    per_seq = a.groupby("seq_id")["n_toks"].sum()
+    assert (per_seq.iloc[:-1] == 128).all() and 0 < per_seq.iloc[-1] <= 128
+    assert per_seq.index.tolist() == list(range(len(per_seq)))  # no seq gaps
+    # segments of one doc are contiguous from 0 and cover its token count
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = pd.Series(pc.add(pc.count_substring(t["text"], " "), 1).to_numpy(),
+                     index=t["doc_id"].to_numpy()).sort_index()
+    got = a.groupby("doc_id")["n_toks"].sum().sort_index()
+    assert (got.to_numpy() == want.to_numpy()).all()
+    for _, g in a.groupby("doc_id"):
+        g = g.sort_values("doc_start")
+        assert g["doc_start"].iloc[0] == 0
+        assert (g["doc_start"].to_numpy()[1:]
+                == (g["doc_start"] + g["n_toks"]).to_numpy()[:-1]).all()
+    # pure function of seed: different seed -> different packing order
+    c = pack_sequences(SF, seq_len=128, seed=8, force="driver").to_pandas()
+    assert not c.equals(a)
+
+
 def test_write_shards_resume_skips_finished(ray_session, tmp_path):
     """resume=True skips shards with a matching _DONE marker and rewrites
     (byte-identically) any shard whose marker is missing or stale."""
