@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text_analysis.quality_scores,
         "regex_token_stats": text_analysis.regex_token_stats,
         "gopher_quality_signals": text_analysis.gopher_quality_signals,
+        "dup_ngram_fracs": text_analysis.dup_ngram_fracs,
         "lang_id": text_analysis.lang_id,
         "pii_redact": text_analysis.pii_redact,
         "doc_fingerprints": text_analysis.doc_fingerprints,
@@ -435,6 +436,30 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
                          / greatest(length(text), 1), 6) AS symbol_ratio
             FROM t JOIN per USING (doc_id) ORDER BY t.doc_id
+        """,
+        "dup_ngram_fracs": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), """ + ", ".join(f"""
+            g{n} AS (
+                SELECT doc_id,
+                       sum(c) AS tot, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                FROM (
+                    SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + {n}), ' ') AS s,
+                           count(*) AS c
+                    FROM (SELECT doc_id, toks,
+                                 unnest(range(len(toks) - {n - 1})) AS i FROM t)
+                    GROUP BY doc_id, s
+                ) GROUP BY doc_id
+            )""" for n in (2, 3, 4)) + """
+            SELECT t.doc_id, """ + ", ".join(f"""
+                   round(coalesce(g{n}.dup, 0) * 1.0
+                         / greatest(coalesce(g{n}.tot, 0), 1), 6) AS dup_{n}gram_frac"""
+                                             for n in (2, 3, 4)) + """
+            FROM t
+            LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+            LEFT JOIN g4 USING (doc_id)
+            ORDER BY t.doc_id
         """,
         # same deterministic PII injection as text_analysis._augment_pii;
         # counts on the ORIGINAL text, replacement order email -> ip -> phone

@@ -157,6 +157,65 @@ def gopher_quality_signals(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _dup_ngram_batch(batch: pa.Table, ns: tuple[int, ...]) -> pa.Table:
+    """Per-doc duplicate n-gram occurrence fractions for one batch: for each
+    n, the share of n-gram occurrences whose n-gram appears more than once
+    in the document (Rae et al. 2021 §A1.1 dup_ngram filters, token-level).
+    Vectorized: one token-hash pass, then per n a rolling Horner combine
+    over the flat hash array + one lexsort/run-length — no per-doc Python.
+    Grouping is by 64-bit hash (in-doc collision odds ~tokens²/2⁶⁴,
+    negligible; the SQL oracle groups the literal n-gram strings)."""
+    text = batch["text"].combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_docs = len(ntok)
+    flat = pc.list_flatten(toks)
+    h = hash_arrow_strings(flat, seed=7)
+    doc_index = np.repeat(np.arange(n_docs), ntok)
+    prime = np.uint64(0x100000001B3)
+    cols = {"doc_id": batch["doc_id"]}
+    for n in ns:
+        m = len(h) - n + 1
+        if m > 0:
+            acc = h[:m].copy()
+            for j in range(1, n):
+                acc = acc * prime + h[j:m + j]  # uint64 wraparound by design
+            acc = splitmix64(acc)
+            valid = doc_index[:m] == doc_index[n - 1:]
+            g, d = acc[valid], doc_index[:m][valid]
+            order = np.lexsort((g, d))
+            g, d = g[order], d[order]
+        else:
+            g = d = np.array([], dtype=np.int64)
+        dup = np.zeros(n_docs, dtype=np.int64)
+        if len(g):
+            new_run = np.concatenate([[True], (d[1:] != d[:-1]) | (g[1:] != g[:-1])])
+            run_doc = d[new_run]
+            run_len = np.diff(np.append(np.flatnonzero(new_run), len(d)))
+            dup = np.bincount(run_doc, weights=run_len * (run_len > 1),
+                              minlength=n_docs).astype(np.int64)
+        tot = np.maximum(ntok - n + 1, 0)
+        cols[f"dup_{n}gram_frac"] = pa.array(
+            np.round(dup / np.maximum(tot, 1), 6), pa.float64())
+    return pa.table(cols)
+
+
+def dup_ngram_fracs(sf_dir: str, ns: tuple[int, ...] = (2, 3, 4)) -> pa.Table:
+    """Gopher-style duplicate n-gram repetition signals per document (exact,
+    oracle-gated): for n in ``ns``, the fraction of n-gram occurrences that
+    belong to an n-gram repeated within the document — the dup_2gram /
+    dup_3gram / dup_4gram filters of a web-corpus cleaning pipeline. A doc
+    shorter than n tokens scores 0. Same scale shape as
+    ``gopher_quality_signals``: one streaming map_batches, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = ensure_columns(
+        ds.map_batches(_dup_ngram_batch, fn_kwargs={"ns": tuple(ns)},
+                       batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", **{f"dup_{n}gram_frac": "float64" for n in ns}})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def quality_filter_corpus(
     sf_dir: str, out_dir: str, max_top_token_frac: float = 0.2,
     min_frac_unique: float = 0.3, max_symbol_ratio: float = 0.1,

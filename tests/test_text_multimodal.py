@@ -191,3 +191,39 @@ def test_pii_redact_pipeline_deterministic(ray_session):
     # the injection touches exactly the doc_id residue classes it claims
     has = a[(a.n_emails > 0) | (a.n_phones > 0) | (a.n_ips > 0)]
     assert ((has.doc_id % 3 == 0) | (has.doc_id % 4 == 0) | (has.doc_id % 5 == 0)).all()
+
+
+def test_dup_ngram_kernel_hand_cases():
+    """Hand-computed duplicate n-gram fractions: repetition, uniqueness,
+    and the shorter-than-n edge (scores 0)."""
+    import pyarrow as pa
+
+    from sketch_ray.pipelines.text_analysis import _dup_ngram_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b a b a",      # 2-grams: ab,ba,ab,ba -> all dup (4/4); 3-grams: aba,bab,aba -> aba dup (2/3)
+            "x y z w",        # all n-grams unique -> 0
+            "q",              # shorter than every n -> 0
+            "r r r r",        # 2-grams: rr x3 -> 3/3; 3-grams: rrr x2 -> 2/2
+        ]),
+    })
+    out = _dup_ngram_batch(batch, ns=(2, 3)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "dup_2gram_frac"] == 1.0
+    assert out.loc[0, "dup_3gram_frac"] == round(2 / 3, 6)
+    assert (out.loc[1] == 0).all()
+    assert (out.loc[2] == 0).all()
+    assert out.loc[3, "dup_2gram_frac"] == 1.0
+    assert out.loc[3, "dup_3gram_frac"] == 1.0
+
+
+def test_dup_ngram_fracs_pipeline(ray_session):
+    """Pipeline output is deterministic and bounded in [0, 1]."""
+    from sketch_ray.pipelines.text_analysis import dup_ngram_fracs
+
+    a = dup_ngram_fracs("/root/testdata/sf0.001").to_pandas()
+    b = dup_ngram_fracs("/root/testdata/sf0.001").to_pandas()
+    assert a.equals(b)
+    for c in ("dup_2gram_frac", "dup_3gram_frac", "dup_4gram_frac"):
+        assert a[c].between(0, 1).all()
