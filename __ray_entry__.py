@@ -56,6 +56,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal.multimodal_features,
         # --- dedup / similarity (training-data ops; exact ones oracle-gated) ---
         "exact_dedup_docs": dedup.exact_dedup_docs,
+        # oracle-gated via the SHUFFLE (both-sides-large) plan; broadcast
+        # stays the small-index fast path (pytest pins equality)
+        "incremental_dedup_docs": lambda sf: dedup.incremental_dedup_docs(
+            sf, n_old=250, force="shuffle"),
         "jaccard_near_dups": lambda sf: dedup.jaccard_near_dups(sf, k=3, tau=0.5),
         "minhash_lsh_near_dups": lambda sf: dedup.minhash_lsh_near_dups(sf, k=3, tau=0.8),
         "simhash_near_dups": lambda sf: dedup.simhash_near_dups(sf, max_hamming=3),
@@ -498,6 +502,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "incremental_dedup_docs": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents n
+            WHERE doc_id >= 250 AND NOT EXISTS (
+                SELECT 1 FROM documents o WHERE o.doc_id < 250 AND o.text = n.text)
+            GROUP BY n.text ORDER BY doc_id
         """,
         "jaccard_near_dups": jaccard.format(tau=0.5),
         "decontaminate_corpus": """

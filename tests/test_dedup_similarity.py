@@ -455,3 +455,45 @@ def test_stratified_sample_deterministic_and_bounded(ray_session):
     assert len(none) == 0
     full = stratified_sample(SF, rates={}, default_rate=1.0).to_pandas()
     assert len(full) == len(docs)
+
+
+def test_incremental_dedup_drops_cross_snapshot_dups(ray_session, tmp_path):
+    """Synthetic corpus with known cross-snapshot and in-snapshot duplicate
+    structure: docs seen in the prior snapshot are dropped entirely; new
+    texts keep min doc_id with the in-snapshot copy count. Broadcast and
+    shuffle plans agree; the persisted index path reproduces both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.dedup import incremental_dedup_docs
+
+    sf = str(tmp_path)
+    # old snapshot: ids 0-3 (texts A B C A); new snapshot: ids 4-9
+    texts = ["A x", "B y", "C z", "A x",          # old
+             "A x",                               # dup of old -> dropped
+             "D w", "D w", "D w",                 # new text, 3 copies -> (5, 3)
+             "B y",                               # dup of old -> dropped
+             "E v"]                               # unique new -> (9, 1)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 10),
+        "source": pa.array(["s"] * 10),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{sf}/documents.parquet")
+
+    want = pd.DataFrame({"doc_id": [5, 9], "n_copies": [3, 1]})
+    a = incremental_dedup_docs(sf, n_old=4, force="broadcast").to_pandas()
+    b = incremental_dedup_docs(sf, n_old=4, force="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, want)
+    pd.testing.assert_frame_equal(b, want)
+
+    idx_dir = str(tmp_path / "index")
+    c = incremental_dedup_docs(sf, n_old=4, index_dir=idx_dir).to_pandas()
+    pd.testing.assert_frame_equal(c, want)
+    # second run reuses the persisted snapshot partition
+    import glob as g
+    files_before = sorted(g.glob(f"{idx_dir}/snapshot=*/*.parquet"))
+    d = incremental_dedup_docs(sf, n_old=4, index_dir=idx_dir).to_pandas()
+    pd.testing.assert_frame_equal(d, want)
+    assert sorted(g.glob(f"{idx_dir}/snapshot=*/*.parquet")) == files_before
