@@ -220,16 +220,19 @@ def quality_filter_corpus(
     sf_dir: str, out_dir: str, max_top_token_frac: float = 0.2,
     min_frac_unique: float = 0.3, max_symbol_ratio: float = 0.1,
     rows_per_file: int = 100_000,
+    max_dup_ngram_fracs: dict[int, float] | None = None,
 ) -> dict:
     """Quality-filter sink: keep documents passing the Gopher-style
     predicates and stream them to partitioned Parquet (bounded rows/file —
     the resumable-output shape, same as dedup.write_clean_corpus). The keep
-    decision is computed per batch from _gopher_signal_batch — no shuffle,
-    no driver materialization of the corpus. Returns {n_docs, n_kept,
-    out_dir}."""
+    decision is computed per batch from _gopher_signal_batch (plus
+    _dup_ngram_batch when ``max_dup_ngram_fracs`` gives per-n repetition
+    caps, e.g. ``{2: 0.2, 3: 0.18}``) — no shuffle, no driver
+    materialization of the corpus. Returns {n_docs, n_kept, out_dir}."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    dup_ns = tuple(sorted(max_dup_ngram_fracs)) if max_dup_ngram_fracs else ()
 
     def keep(batch: pa.Table) -> pa.Table:
         sig = _gopher_signal_batch(batch)
@@ -238,6 +241,11 @@ def quality_filter_corpus(
             & (sig["frac_unique_tokens"].to_numpy(zero_copy_only=False) >= min_frac_unique)
             & (sig["symbol_ratio"].to_numpy(zero_copy_only=False) <= max_symbol_ratio)
         )
+        if dup_ns:
+            dup = _dup_ngram_batch(batch, ns=dup_ns)
+            for n in dup_ns:
+                ok &= (dup[f"dup_{n}gram_frac"].to_numpy(zero_copy_only=False)
+                       <= max_dup_ngram_fracs[n])
         return batch.filter(pa.array(ok))
 
     out = ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)

@@ -155,6 +155,18 @@ def test_quality_filter_corpus_matches_signals(ray_session, tmp_path):
     assert set(kept.column_names) == {"doc_id", "text", "lang", "source", "n_chars"}
     assert 0 < len(want) < len(sig)  # predicate is non-degenerate at these params
 
+    # with repetition caps: kept set == the conjunction with dup_ngram_fracs
+    from sketch_ray.pipelines.text_analysis import dup_ngram_fracs
+
+    out2 = str(tmp_path / "clean2")
+    s2 = quality_filter_corpus(SF, out2, max_top_token_frac=0.12,
+                               min_frac_unique=0.4, max_symbol_ratio=0.05,
+                               max_dup_ngram_fracs={2: 0.06})
+    dup = dup_ngram_fracs(SF, ns=(2,)).to_pandas().set_index("doc_id")
+    want2 = {d for d in want if dup.loc[d, "dup_2gram_frac"] <= 0.06}
+    assert set(pq.read_table(out2)["doc_id"].to_pylist()) == want2
+    assert s2["n_kept"] == len(want2) < len(want)  # the cap actually bites
+
 
 def test_pii_redaction_kernel():
     """Redaction on constructed adversarial strings: counts on original
