@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": lambda sf: similarity.ivf_ann_topk(sf, k=5, n_queries=64),
         # --- exact, oracle-gated (operator coverage: M1/M3/M8, A1-A6, T1-T2, J1) ---
         "top_tokens": lambda sf: exact.top_tokens(sf, k=20),
+        "vocab_coverage": lambda sf: exact.vocab_coverage(sf, v=500),
         "heavy_hitter_tokens": lambda sf: exact.heavy_hitter_tokens(sf, rel_threshold=0.02),
         "emerging_tokens": lambda sf: exact.emerging_tokens(sf, rel_threshold=0.01, growth=2),
         "bigram_counts_min": lambda sf: exact.bigram_counts_min(sf, min_cnt=25),
@@ -602,6 +603,21 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": f"""
             SELECT token, count(*) AS cnt FROM ({tok}) GROUP BY token
             ORDER BY cnt DESC, token ASC LIMIT 20
+        """,
+        "vocab_coverage": f"""
+            WITH c AS (
+                SELECT token, count(*) AS cnt FROM ({tok}) GROUP BY token
+            ), tot AS (SELECT sum(cnt) AS n FROM c),
+            r AS (
+                SELECT token, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, token) AS "rank",
+                       sum(cnt) OVER (ORDER BY cnt DESC, token
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                FROM c
+            )
+            SELECT "rank", token, cnt,
+                   round(cum * 1.0 / greatest((SELECT n FROM tot), 1), 6) AS cum_frac
+            FROM r WHERE "rank" <= 500 ORDER BY "rank"
         """,
         "mg_top_tokens": f"""
             SELECT token, count(*) AS cnt FROM ({tok}) GROUP BY token

@@ -75,6 +75,24 @@ def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def vocab_coverage(sf_dir: str, v: int = 500) -> pa.Table:
+    """Top-``v`` vocabulary with cumulative corpus coverage — the standard
+    tokenizer-prep measurement (what OOV rate does a V-entry vocab leave?).
+    One salted distributed count (``token_counts_ds``); the driver sees
+    only vocab-sized rows, sorts (cnt desc, token asc), and emits
+    (rank, token, cnt, cum_frac) where cum_frac = cumulative count /
+    total token occurrences, rounded 6dp. 1 - cum_frac at rank V is the
+    OOV mass a V-entry vocabulary leaves uncovered."""
+    counts = token_counts_ds(sf_dir)
+    df = counts.to_pandas()  # vocab-sized, small by construction
+    total = int(df["cnt"].sum())
+    df = df.sort_values(["cnt", "token"], ascending=[False, True]).head(v)
+    df = df.reset_index(drop=True)
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    df["cum_frac"] = np.round(df["cnt"].cumsum().to_numpy(np.int64) / max(total, 1), 6)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def heavy_hitter_tokens(sf_dir: str, rel_threshold: float = 0.02) -> pa.Table:
     """Exact heavy hitters via the two-pass sketch pipeline
     (pipelines/heavy_hitters.py): CM-CU candidates then exact verification.

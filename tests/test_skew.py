@@ -61,3 +61,19 @@ def test_merge_multi_round_exact(ray_session, skewed_docs):
     two = merge_partials(p1, fan_in=8, rounds=2)["tok"]
     assert one.to_bytes() == two.to_bytes()
     assert one.query(["hotkey"])[0] >= 200000
+
+
+def test_vocab_coverage_invariants(ray_session):
+    """cum_frac is nondecreasing, ends at 1.0 when v covers the whole
+    vocab, and ranks follow (cnt desc, token asc)."""
+    from sketch_ray.pipelines.exact import vocab_coverage
+
+    t = vocab_coverage("/root/testdata/sf0.001", v=10_000).to_pandas()
+    assert (t["rank"].to_numpy() == range(1, len(t) + 1)).all()
+    assert (t["cum_frac"].diff().dropna() >= 0).all()
+    assert t["cum_frac"].iloc[-1] == 1.0
+    c = t["cnt"].to_numpy()
+    assert (c[:-1] >= c[1:]).all()
+    ties = t[t.duplicated("cnt", keep=False)]
+    for _, g in ties.groupby("cnt"):
+        assert g["token"].is_monotonic_increasing
