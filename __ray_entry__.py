@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_histogram": exact.len_histogram,
         "quantiles_exact": exact.quantiles_exact,
         "events_per_type": exact.events_per_type,
+        "props_field_stats": exact.props_field_stats,
         "top_token_per_lang": lambda sf: exact.top_token_per_lang(sf, k=3),
         "users_without_orders": exact.users_without_orders,
         "heavy_users": lambda sf: exact.heavy_users(sf, rel_threshold=0.002),
@@ -698,6 +699,14 @@ def oracle_sql() -> dict[str, str]:
         "events_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "props_field_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   coalesce(sum(CAST(json_extract(props, '$.k') AS BIGINT)), 0) AS sum_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+                   sum(CASE WHEN json_extract(props, '$.k') IS NULL
+                            THEN 1 ELSE 0 END)::BIGINT AS n_missing
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "heavy_users": """

@@ -360,6 +360,53 @@ def events_per_type(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["event_type", "n_users", "n_events"]], preserve_index=False)
 
 
+def props_field_stats(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Semi-structured extraction: pull the integer field ``k`` out of the
+    JSON ``props`` column with one vectorized RE2 kernel
+    (``pc.extract_regex`` — no per-row JSON parsing) and aggregate per
+    event type: event count, sum and max of k, count of rows where the
+    field is absent/malformed (extraction misses count as n_missing and
+    contribute nothing to sum/max).
+
+    Adaptive plan (house rule, branches pinned equal by pytest): per-batch
+    partial aggregation always runs distributed (5-type rows per batch);
+    below _SMALL_ROWS input rows the partials fold on the driver, above
+    it one distributed groupby(event_type) over the tiny partial rows."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    n = ds.count()  # parquet-metadata count: no scan
+
+    def local(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.if_else(pc.is_valid(m), pc.struct_field(m, "k"), None)
+        k = k.cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        g = t.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "max"), ([], "count_all")])
+        g = g.rename_columns(["event_type", "n_k", "sum_k", "max_k", "n_events"])
+        return g
+
+    parts = ds.map_batches(local, batch_format="pyarrow", batch_size=16384)
+    small = (n < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = parts.to_pandas()
+        df = pdf.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_k=("sum_k", "sum"),
+            max_k=("max_k", "max"), n_k=("n_k", "sum"))
+    else:
+        from ray.data.aggregate import Max
+
+        agg = parts.groupby("event_type").aggregate(
+            Sum("n_events", alias_name="n_events"), Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"), Sum("n_k", alias_name="n_k"))
+        df = agg.to_pandas()
+    df["n_missing"] = df["n_events"] - df["n_k"]
+    df = df.sort_values("event_type").reset_index(drop=True)
+    df = df[["event_type", "n_events", "sum_k", "max_k", "n_missing"]]
+    return pa.Table.from_pandas(
+        df.astype({"n_events": "int64", "sum_k": "int64", "max_k": "int64",
+                   "n_missing": "int64"}), preserve_index=False)
+
+
 def heavy_users(sf_dir: str, rel_threshold: float = 0.002) -> pa.Table:
     """Heavy-hitter user_ids in events via the CM-CU two-pass pipeline over an
     int key column."""

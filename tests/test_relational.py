@@ -166,3 +166,35 @@ def test_range_join_rows_consistent_with_aggregate(ray_session):
     got = rows.groupby("campaign_id").size()
     want = agg.set_index("campaign_id")["n_events"]
     pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_props_field_stats_branches_and_malformed(ray_session, tmp_path):
+    """Driver fold and distributed groupby agree on the real corpus; a
+    synthetic corpus with absent/malformed props counts them as missing
+    without contaminating sum/max."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.exact import props_field_stats
+
+    a = props_field_stats(SF, force="driver").to_pandas()
+    b = props_field_stats(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_events"] - a["n_missing"] > 0).all()
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([0] * 6, pa.timestamp("us")),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b", "b", "b"]),
+        "value": pa.array([0.0] * 6),
+        "props": pa.array(['{"k": 5}', '{"k": -2}', '{}',
+                           '{"j": 9}', 'not json', '{"k": 7}']),
+    }), f"{sf}/events.parquet")
+    out = props_field_stats(sf, force="driver").to_pandas().set_index("event_type")
+    assert out.loc["a", "sum_k"] == 3 and out.loc["a", "max_k"] == 5
+    assert out.loc["a", "n_missing"] == 1
+    assert out.loc["b", "sum_k"] == 7 and out.loc["b", "n_missing"] == 2
+    out2 = props_field_stats(sf, force="distributed").to_pandas().set_index("event_type")
+    pd.testing.assert_frame_equal(out.reset_index(), out2.reset_index())
