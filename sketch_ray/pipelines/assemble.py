@@ -87,6 +87,7 @@ def assemble_training_corpus(
     max_symbol_ratio: float = 0.1, rates: dict[str, float] | None = None,
     sample_seed: int = 42, n_shards: int = 16, shard_seed: int = 7,
     rows_per_file: int = 100_000, with_counts: bool = True,
+    pack_seq_len: int | None = None,
 ) -> dict:
     """Run the full assembly and write shards; returns the manifest dict
     (per-stage drop counts, kept count, shard records)."""
@@ -150,7 +151,9 @@ def assemble_training_corpus(
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
     clean = ds.map_batches(clean_batch, batch_format="pyarrow", batch_size=8192)
     manifest = write_shards_from(clean, out_dir, n_shards=n_shards, seed=shard_seed,
-                                 rows_per_file=rows_per_file)
+                                 rows_per_file=rows_per_file,
+                                 pack_seq_len=pack_seq_len,
+                                 pack_text_col="text_redacted")
     manifest["n_input"] = int(ds.count())
     manifest["n_dup_set"] = int(len(drop))
     manifest["n_contam_set"] = int(len(contam))

@@ -228,7 +228,9 @@ def write_training_shards(sf_dir: str, out_dir: str, n_shards: int = 16,
 
 
 def write_shards_from(ds, out_dir: str, n_shards: int = 16, seed: int = 7,
-                      rows_per_file: int = 100_000, resume: bool = False) -> dict:
+                      rows_per_file: int = 100_000, resume: bool = False,
+                      pack_seq_len: int | None = None,
+                      pack_text_col: str = "text") -> dict:
     """Shard-writer over an ALREADY-BUILT dataset (any schema with a
     ``doc_id`` column) — the tail stage of corpus assembly. Same physical
     plan as ``write_training_shards``.
@@ -241,6 +243,14 @@ def write_shards_from(ds, out_dir: str, n_shards: int = 16, seed: int = 7,
     mid-write is simply rewritten. Still one full pass over the data —
     the savings is the write + sort work of finished shards; at 100 TB
     the upstream read is re-filtered but nothing is re-shuffled twice.
+
+    ``pack_seq_len`` additionally writes each shard's ``packing.parquet``
+    — the shard-LOCAL concat-and-chunk manifest (seq_id, doc_id,
+    doc_start, seq_start, n_toks) over the shard's token stream in its
+    deterministic order (how loaders pack in practice: each shard packs
+    independently, so no cross-shard coordination is needed and any
+    subset of shards is trainable). Tokens come from ``pack_text_col``
+    (e.g. ``text_redacted`` for assembled corpora).
     """
     assigned = ds.map_batches(_add_keys, fn_kwargs={"seed": seed, "n_shards": n_shards},
                               batch_format="pyarrow", batch_size=65536)
@@ -252,7 +262,8 @@ def write_shards_from(ds, out_dir: str, n_shards: int = 16, seed: int = 7,
         d = os.path.join(out_dir, f"shard={s:05d}")
         marker = os.path.join(d, "_DONE.json")
         want_cfg = {"n_rows": int(len(g)), "rows_per_file": int(rows_per_file),
-                    "seed": int(seed), "n_shards": int(n_shards)}
+                    "seed": int(seed), "n_shards": int(n_shards),
+                    "pack_seq_len": pack_seq_len}
         if resume and os.path.exists(marker):
             try:
                 done = json.load(open(marker))
@@ -260,7 +271,9 @@ def write_shards_from(ds, out_dir: str, n_shards: int = 16, seed: int = 7,
                 done = None
             if done and {k: done.get(k) for k in want_cfg} == want_cfg:
                 return pd.DataFrame({"shard": [s], "n_rows": [done["n_rows"]],
-                                     "n_files": [done["n_files"]], "skipped": [True]})
+                                     "n_files": [done["n_files"]],
+                                     "n_seqs": [done.get("n_seqs", -1)],
+                                     "skipped": [True]})
         g = g.sort_values(["sort_key", "doc_id"]).drop(columns=["shard", "sort_key"])
         os.makedirs(d, exist_ok=True)
         n_files = 0
@@ -270,12 +283,23 @@ def write_shards_from(ds, out_dir: str, n_shards: int = 16, seed: int = 7,
             part.to_parquet(tmp, index=False)
             os.replace(tmp, os.path.join(d, f"part-{j:05d}.parquet"))
             n_files = j + 1
+        n_seqs = -1
+        if pack_seq_len is not None:
+            ntoks = (g[pack_text_col].str.count(" ") + 1).to_numpy(np.int64)
+            starts = np.cumsum(ntoks) - ntoks
+            spans = _expand_spans(g["doc_id"].to_numpy(np.int64), starts,
+                                  ntoks, pack_seq_len)
+            tmp = os.path.join(d, ".packing.tmp")
+            spans.to_parquet(tmp, index=False)
+            os.replace(tmp, os.path.join(d, "packing.parquet"))
+            n_seqs = int(spans["seq_id"].iloc[-1]) + 1 if len(spans) else 0
         tmp = os.path.join(d, "._DONE.tmp")
         with open(tmp, "w") as f:
-            json.dump({**want_cfg, "n_files": n_files}, f)
+            json.dump({**want_cfg, "n_files": n_files, "n_seqs": n_seqs}, f)
         os.replace(tmp, marker)
         return pd.DataFrame({"shard": [s], "n_rows": [len(g)],
-                             "n_files": [n_files], "skipped": [False]})
+                             "n_files": [n_files], "n_seqs": [n_seqs],
+                             "skipped": [False]})
 
     manifest = assigned.groupby("shard").map_groups(emit, batch_format="pandas").to_pandas()
     manifest = manifest.sort_values("shard").reset_index(drop=True)

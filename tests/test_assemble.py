@@ -64,3 +64,31 @@ def test_assemble_manifest_and_recomposition(ray_session, tmp_path):
     man2 = assemble_training_corpus(SF, out2, n_bench=5, n_shards=4, rows_per_file=7)
     assert man2["stage_counts"] == man["stage_counts"]
     pd.testing.assert_frame_equal(_read_shards(out2), shards)
+
+
+def test_assemble_with_packing_manifests(ray_session, tmp_path):
+    """pack_seq_len flows through assembly: every written shard carries a
+    packing.parquet over the redacted text, tiling each shard's stream."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.assemble import assemble_training_corpus
+
+    out = str(tmp_path / "corpus")
+    man = assemble_training_corpus("/root/testdata/sf0.001", out, n_bench=5,
+                                   n_shards=4, with_counts=False,
+                                   pack_seq_len=64)
+    assert man["n_docs"] > 0
+    for rec in man["shards"]:
+        d = os.path.join(out, f"shard={rec['shard']:05d}")
+        spans = pq.read_table(os.path.join(d, "packing.parquet")).to_pandas()
+        assert rec["n_seqs"] == spans["seq_id"].max() + 1
+        per_seq = spans.groupby("seq_id")["n_toks"].sum()
+        assert (per_seq.iloc[:-1] == 64).all() and 0 < per_seq.iloc[-1] <= 64
+        docs = pd.concat([pq.read_table(f).to_pandas() for f in
+                          sorted(glob.glob(os.path.join(d, "part-*.parquet")))],
+                         ignore_index=True)
+        want = (docs["text_redacted"].str.count(" ") + 1).sum()
+        assert spans["n_toks"].sum() == want

@@ -112,6 +112,47 @@ def test_write_shards_resume_skips_finished(ray_session, tmp_path):
     assert man4["n_shards_skipped"] == 0
 
 
+def test_write_shards_with_packing_manifest(ray_session, tmp_path):
+    """pack_seq_len writes a per-shard packing.parquet whose spans tile the
+    shard's token stream in file order; changing it invalidates resume."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from sketch_ray.pipelines.sharding import write_shards_from
+
+    out_dir = str(tmp_path / "shards")
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    man = write_shards_from(ds, out_dir, n_shards=4, seed=7, rows_per_file=64,
+                            pack_seq_len=100)
+    for rec in man["shards"]:
+        d = os.path.join(out_dir, f"shard={rec['shard']:05d}")
+        spans = pq.read_table(os.path.join(d, "packing.parquet")).to_pandas()
+        assert rec["n_seqs"] == spans["seq_id"].max() + 1
+        per_seq = spans.groupby("seq_id")["n_toks"].sum()
+        assert (per_seq.iloc[:-1] == 100).all() and 0 < per_seq.iloc[-1] <= 100
+        # span doc order == shard file order; token counts match the docs
+        files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+        docs = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                         ignore_index=True)
+        first_spans = spans.drop_duplicates("doc_id", keep="first")
+        assert first_spans["doc_id"].tolist() == docs["doc_id"].tolist()
+        import pyarrow as pa
+
+        want_toks = pc.add(pc.count_substring(
+            pa.array(docs["text"]), " "), 1).to_numpy()
+        got_toks = spans.groupby("doc_id", sort=False)["n_toks"].sum().to_numpy()
+        assert (got_toks == want_toks).all()
+
+    # resume honors matching pack config, invalidates on change
+    man2 = write_shards_from(ds, out_dir, n_shards=4, seed=7, rows_per_file=64,
+                             pack_seq_len=100, resume=True)
+    assert man2["n_shards_skipped"] == 4
+    assert [r["n_seqs"] for r in man2["shards"]] == [r["n_seqs"] for r in man["shards"]]
+    man3 = write_shards_from(ds, out_dir, n_shards=4, seed=7, rows_per_file=64,
+                             pack_seq_len=128, resume=True)
+    assert man3["n_shards_skipped"] == 0
+
+
 def test_write_training_shards_roundtrip(ray_session, tmp_path):
     """The written shards are exactly the corpus, in the assignment's
     deterministic order, with the per-file row bound respected."""
