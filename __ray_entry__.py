@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_token_stats": text_analysis.regex_token_stats,
         "gopher_quality_signals": text_analysis.gopher_quality_signals,
         "dup_ngram_fracs": text_analysis.dup_ngram_fracs,
+        "bigram_lm_scores": text_analysis.bigram_lm_scores,
         "lang_id": text_analysis.lang_id,
         "pii_redact": text_analysis.pii_redact,
         "doc_fingerprints": text_analysis.doc_fingerprints,
@@ -442,6 +443,34 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
                          / greatest(length(text), 1), 6) AS symbol_ratio
             FROM t JOIN per USING (doc_id) ORDER BY t.doc_id
+        """,
+        "bigram_lm_scores": """
+            WITH toks AS (
+                SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ), big AS (
+                SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), cab AS (
+                SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2
+            ), ca AS (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ), vv AS (SELECT count(*) AS v FROM ca),
+            scored AS (
+                SELECT big.doc_id,
+                       ln((cab.c + 1.0) / (ca.c + 1.0 * (SELECT v FROM vv))) AS lp
+                FROM big
+                JOIN cab ON cab.w1 = big.w1 AND cab.w2 = big.w2
+                JOIN ca ON ca.tok = big.w1
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS alp
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+                   round(coalesce(agg.alp, 0), 6) AS avg_logprob,
+                   round(exp(-coalesce(agg.alp, 0)), 6) AS ppl
+            FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
         """,
         "dup_ngram_fracs": """
             WITH t AS (

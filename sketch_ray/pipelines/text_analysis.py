@@ -257,6 +257,100 @@ def quality_filter_corpus(
     return {"n_docs": int(ds.count()), "n_kept": int(n_kept), "out_dir": out_dir}
 
 
+def bigram_lm_scores(sf_dir: str, alpha: float = 1.0) -> pa.Table:
+    """LM-perplexity quality scoring (CCNet-style): score every document by
+    the add-α bigram language model of the corpus itself —
+    ``P(b|a) = (c(ab)+α) / (c(a)+α·V)`` with corpus-wide counts and vocab
+    size V — returning per doc the bigram count, mean ln-probability, and
+    perplexity ``exp(-avg_logprob)``. Low-probability (high-ppl) documents
+    are the gibberish/boilerplate a perplexity filter drops.
+
+    Two distributed counting passes (salted unigram counts + one bigram
+    groupby — both shuffle pre-aggregated vocab-sized rows, never docs),
+    then the count tables are broadcast ONCE as sorted hash arrays
+    (16 B/entry) and the scoring pass is a streaming map_batches with
+    searchsorted lookups — no shuffle, no driver doc pull. At web scale
+    the broadcast is bounded by the n-gram vocabulary; prune rare bigrams
+    (count < k) before broadcasting if it outgrows worker memory —
+    add-α smoothing already accounts for the pruned mass."""
+    import ray
+
+    from .exact import token_counts_ds, _read as _read_exact
+    from ..stages.broadcast import cached
+    from ..stages.tokenize import ngrams
+    from ray.data.aggregate import Sum
+
+    uni = token_counts_ds(sf_dir).to_pandas()  # vocab-sized by construction
+    v_size = len(uni)
+
+    ds = _read_exact(sf_dir, "documents", ["text"])
+
+    def big_partials(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(ngrams(batch["text"], 2))
+        return pa.table({"bigram": vc.field("values").cast(pa.large_string()),
+                         "partial": vc.field("counts").cast(pa.int64())})
+
+    big = (ds.map_batches(big_partials, batch_format="pyarrow", batch_size=8192)
+           .groupby("bigram").aggregate(Sum("partial", alias_name="cnt"))
+           .to_pandas())  # bigram-vocab-sized
+
+    def sorted_map(keys: pa.Array, counts: np.ndarray):
+        h = hash_arrow_strings(keys, seed=3)
+        order = np.argsort(h)
+        return h[order], counts[order]
+
+    uh, uc = sorted_map(pa.array(uni["token"], pa.large_string()),
+                        uni["cnt"].to_numpy(np.int64))
+    bh, bc = sorted_map(pa.array(big["bigram"], pa.large_string()),
+                        big["cnt"].to_numpy(np.int64))
+    ref = ray.put((uh, uc, bh, bc))
+
+    def lookup(sorted_h, counts, h):
+        pos = np.searchsorted(sorted_h, h)
+        pos = np.minimum(pos, len(sorted_h) - 1)
+        hit = sorted_h[pos] == h
+        return np.where(hit, counts[pos], 0)
+
+    a = float(alpha)
+
+    def score(batch: pa.Table) -> pa.Table:
+        uh, uc, bh, bc = cached(ref)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat, offsets = flat_tokens(batch["text"])
+        n_docs = len(doc_ids)
+        ntok = np.diff(offsets)
+        m = len(flat) - 1
+        if m > 0:
+            doc_index = np.repeat(np.arange(n_docs), ntok)
+            valid = doc_index[:m] == doc_index[1:]
+            joined = pc.binary_join_element_wise(
+                flat.slice(0, m), flat.slice(1, m), pa.scalar(" ", type=flat.type))
+            hb = hash_arrow_strings(joined, seed=3)[valid]
+            hw1 = hash_arrow_strings(flat, seed=3)[:m][valid]
+            d = doc_index[:m][valid]
+            lp = np.log((lookup(bh, bc, hb) + a) / (lookup(uh, uc, hw1) + a * v_size))
+            n_big = np.bincount(d, minlength=n_docs).astype(np.int64)
+            lp_sum = np.bincount(d, weights=lp, minlength=n_docs)
+        else:
+            n_big = np.zeros(n_docs, np.int64)
+            lp_sum = np.zeros(n_docs)
+        alp = np.where(n_big > 0, lp_sum / np.maximum(n_big, 1), 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "avg_logprob": pa.array(np.round(alp, 6), pa.float64()),
+            "ppl": pa.array(np.round(np.exp(-alp), 6), pa.float64()),
+        })
+
+    docs = _read_exact(sf_dir, "documents", ["doc_id", "text"])
+    df = ensure_columns(
+        docs.map_batches(score, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_bigrams": "int64",
+         "avg_logprob": "float64", "ppl": "float64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 class LangId:
     """Actor-pool language-ID stage: marker tables built once per actor in
     ``__init__`` (the load-model-once pattern, SURVEY.md §2.3 T4), scoring

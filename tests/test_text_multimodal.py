@@ -239,3 +239,32 @@ def test_dup_ngram_fracs_pipeline(ray_session):
     assert a.equals(b)
     for c in ("dup_2gram_frac", "dup_3gram_frac", "dup_4gram_frac"):
         assert a[c].between(0, 1).all()
+
+
+def test_bigram_lm_scores_hand_corpus(ray_session, tmp_path):
+    """Add-1 bigram LM on a 2-doc corpus, checked against hand arithmetic."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import bigram_lm_scores
+
+    texts = ["a b", "a c a b"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = bigram_lm_scores(str(tmp_path), alpha=1.0).to_pandas().set_index("doc_id")
+    # unigrams a:3 b:2 c:1 -> V=3; bigrams ab:2 ac:1 ca:1
+    # doc0: P(b|a)=(2+1)/(3+3)=1/2
+    assert out.loc[0, "n_bigrams"] == 1
+    assert out.loc[0, "avg_logprob"] == round(math.log(0.5), 6)
+    # doc1: ac=(1+1)/(3+3)=1/3, ca=(1+1)/(1+3)=1/2, ab=1/2
+    want = (math.log(1 / 3) + math.log(0.5) + math.log(0.5)) / 3
+    assert out.loc[1, "n_bigrams"] == 3
+    assert out.loc[1, "avg_logprob"] == round(want, 6)
+    assert abs(out.loc[1, "ppl"] - math.exp(-want)) < 1e-6
