@@ -273,6 +273,23 @@ def bigram_lm_scores(sf_dir: str, alpha: float = 1.0) -> pa.Table:
     the broadcast is bounded by the n-gram vocabulary; prune rare bigrams
     (count < k) before broadcasting if it outgrows worker memory —
     add-α smoothing already accounts for the pruned mass."""
+    from .exact import _read as _read_exact
+
+    score = _lm_score_fn(sf_dir, alpha)
+    docs = _read_exact(sf_dir, "documents", ["doc_id", "text"])
+    df = ensure_columns(
+        docs.map_batches(score, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_bigrams": "int64",
+         "avg_logprob": "float64", "ppl": "float64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _lm_score_fn(sf_dir: str, alpha: float = 1.0):
+    """Build the corpus bigram LM once (two distributed count passes +
+    one broadcast of sorted hash arrays) and return the per-batch scoring
+    callable shared by ``bigram_lm_scores`` and
+    ``perplexity_filter_corpus``."""
     import ray
 
     from .exact import token_counts_ds, _read as _read_exact
@@ -342,13 +359,37 @@ def bigram_lm_scores(sf_dir: str, alpha: float = 1.0) -> pa.Table:
             "ppl": pa.array(np.round(np.exp(-alp), 6), pa.float64()),
         })
 
-    docs = _read_exact(sf_dir, "documents", ["doc_id", "text"])
-    df = ensure_columns(
-        docs.map_batches(score, batch_format="pyarrow", batch_size=8192).to_pandas(),
-        {"doc_id": "int64", "n_bigrams": "int64",
-         "avg_logprob": "float64", "ppl": "float64"})
-    df = df.sort_values("doc_id").reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return score
+
+
+def perplexity_filter_corpus(sf_dir: str, out_dir: str, max_ppl: float,
+                             alpha: float = 1.0,
+                             rows_per_file: int = 100_000) -> dict:
+    """Perplexity-filter sink (the CCNet cleaning step): keep documents
+    whose corpus-bigram-LM perplexity is <= ``max_ppl`` and stream them to
+    partitioned Parquet. Model build is the one-time broadcast of
+    ``_lm_score_fn``; the keep pass is a streaming map_batches — same
+    sink shape as ``quality_filter_corpus``. Docs with no bigrams score
+    ppl 1.0 and are kept. Returns {n_docs, n_kept, out_dir}."""
+    import ray.data as rd
+
+    score = _lm_score_fn(sf_dir, alpha)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        s = score(batch)
+        ok = s["ppl"].to_numpy(zero_copy_only=False) <= max_ppl
+        return batch.filter(pa.array(ok))
+
+    out = ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)
+    out.write_parquet(out_dir, min_rows_per_file=rows_per_file)
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_kept = sum(pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+                 for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    return {"n_docs": int(ds.count()), "n_kept": int(n_kept), "out_dir": out_dir}
 
 
 class LangId:

@@ -268,3 +268,22 @@ def test_bigram_lm_scores_hand_corpus(ray_session, tmp_path):
     assert out.loc[1, "n_bigrams"] == 3
     assert out.loc[1, "avg_logprob"] == round(want, 6)
     assert abs(out.loc[1, "ppl"] - math.exp(-want)) < 1e-6
+
+
+def test_perplexity_filter_matches_scores(ray_session, tmp_path):
+    """The streaming ppl filter keeps exactly the docs the (oracle-gated)
+    score query marks <= max_ppl."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import (bigram_lm_scores,
+                                                    perplexity_filter_corpus)
+
+    scores = bigram_lm_scores(SF).to_pandas()
+    cut = float(scores["ppl"].median())
+    out_dir = str(tmp_path / "lowppl")
+    s = perplexity_filter_corpus(SF, out_dir, max_ppl=cut)
+    want = set(scores[scores["ppl"] <= cut]["doc_id"])
+    kept = pq.read_table(out_dir)
+    assert set(kept["doc_id"].to_pylist()) == want
+    assert s["n_kept"] == len(want)
+    assert 0 < len(want) < len(scores)
