@@ -24,8 +24,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sketch_ray.pipelines import (dedup, exact, relational, sharding, similarity,
-                                      sketch_queries, text_analysis)
+    from sketch_ray.pipelines import (bpe, dedup, exact, relational, sharding,
+                                      similarity, sketch_queries, text_analysis)
     from sketch_ray.stages import multimodal
 
     return {
@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_signals": text_analysis.gopher_quality_signals,
         "dup_ngram_fracs": text_analysis.dup_ngram_fracs,
         "bigram_lm_scores": text_analysis.bigram_lm_scores,
+        # iterative greedy merges are not SQL-expressible: rows-only gate,
+        # hand-case + monotone-compression pytests pin the semantics
+        "bpe_token_stats": lambda sf: bpe.bpe_token_stats(sf, n_merges=50),
         "lang_id": text_analysis.lang_id,
         "pii_redact": text_analysis.pii_redact,
         "doc_fingerprints": text_analysis.doc_fingerprints,

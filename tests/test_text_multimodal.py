@@ -287,3 +287,43 @@ def test_perplexity_filter_matches_scores(ray_session, tmp_path):
     assert set(kept["doc_id"].to_pylist()) == want
     assert s["n_kept"] == len(want)
     assert 0 < len(want) < len(scores)
+
+
+def test_bpe_train_hand_case(ray_session, tmp_path):
+    """Classic Sennrich merge loop on a 2-word corpus, checked by hand:
+    counts ab:3 abc:1 -> merges (a,b), (ab,</w>), then the lexicographic
+    tie-break picks (ab,c) over (c,</w>)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.bpe import bpe_train, bpe_encode_word, bpe_token_stats
+
+    texts = ["ab ab ab", "abc"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 2),
+        "source": pa.array(["s"] * 2),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    model = bpe_train(str(tmp_path), n_merges=3)
+    assert model["merges"] == [("a", "b"), ("ab", "</w>"), ("ab", "c")]
+    assert bpe_encode_word("ab", model["merges"]) == ["ab</w>"]
+    assert bpe_encode_word("abc", model["merges"]) == ["abc", "</w>"]
+    stats = bpe_token_stats(str(tmp_path), n_merges=3).to_pandas().set_index("doc_id")
+    assert stats.loc[0, "n_bpe_tokens"] == 3   # three fully-merged 'ab' tokens
+    assert stats.loc[1, "n_bpe_tokens"] == 2   # 'abc' + '</w>'
+
+
+def test_bpe_corpus_compression_and_determinism(ray_session):
+    """On the real corpus: deterministic across runs; more merges never
+    increase the BPE token count of any document."""
+    from sketch_ray.pipelines.bpe import bpe_token_stats, bpe_train
+
+    m1 = bpe_train(SF, n_merges=20)
+    m2 = bpe_train(SF, n_merges=20)
+    assert m1["merges"] == m2["merges"]
+    a = bpe_token_stats(SF, n_merges=5).to_pandas()
+    b = bpe_token_stats(SF, n_merges=40).to_pandas()
+    assert (b["n_bpe_tokens"].to_numpy() <= a["n_bpe_tokens"].to_numpy()).all()
+    assert (b["n_bpe_tokens"] > 0).all()
