@@ -34,6 +34,10 @@ def bpe_train(sf_dir: str, n_merges: int = 50) -> dict:
     from .exact import token_counts_ds
 
     wc = token_counts_ds(sf_dir).to_pandas()  # ONE distributed pass, vocab-sized
+    return _train_from_wc(wc, n_merges)
+
+
+def _train_from_wc(wc: pd.DataFrame, n_merges: int) -> dict:
     words = [tuple(w) + (_EOW,) for w in wc["token"]]
     counts = wc["cnt"].to_numpy(np.int64)
     return _bpe_merge_loop(words, counts, n_merges)
@@ -104,8 +108,8 @@ def bpe_token_stats(sf_dir: str, n_merges: int = 50) -> pa.Table:
     from ..stages.tokenize import flat_tokens
     from ._util import ensure_columns
 
-    model = bpe_train(sf_dir, n_merges)
-    wc = token_counts_ds(sf_dir).to_pandas()
+    wc = token_counts_ds(sf_dir).to_pandas()  # ONE pass shared by train + encode map
+    model = _train_from_wc(wc, n_merges)
     n_sub = np.array([len(bpe_encode_word(w, model["merges"])) for w in wc["token"]],
                      np.int64)
     h = hash_arrow_strings(pa.array(wc["token"], pa.large_string()), seed=5)
