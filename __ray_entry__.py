@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_token_stats": text_analysis.regex_token_stats,
         "gopher_quality_signals": text_analysis.gopher_quality_signals,
         "dup_ngram_fracs": text_analysis.dup_ngram_fracs,
+        "dup_span_stats": text_analysis.dup_span_stats,
         "bigram_lm_scores": text_analysis.bigram_lm_scores,
         # iterative greedy merges are not SQL-expressible: rows-only gate,
         # hand-case + monotone-compression pytests pin the semantics
@@ -474,6 +475,38 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(agg.alp, 0), 6) AS avg_logprob,
                    round(exp(-coalesce(agg.alp, 0)), 6) AS ppl
             FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+        """,
+        # cross-doc duplicate 4-gram span coverage (Lee et al. 2022 exact
+        # substring dedup statistic): a gram is duplicate if it occurs >= 2
+        # times corpus-wide; SQL groups literal gram strings (engine: 64-bit
+        # hashes, collisions negligible), coverage = distinct positions in
+        # any duplicate gram's [i, i+4) span
+        "dup_span_stats": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+                SELECT doc_id, i,
+                       array_to_string(list_slice(toks, i + 1, i + 4), ' ') AS s
+                FROM (SELECT doc_id, toks,
+                             unnest(range(len(toks) - 3)) AS i FROM t)
+            ), dupg AS (
+                SELECT s FROM g GROUP BY s HAVING count(*) >= 2
+            ), starts AS (
+                SELECT g.doc_id, g.i FROM g JOIN dupg USING (s)
+            ), cov AS (
+                SELECT DISTINCT s.doc_id, s.i + u AS p
+                FROM starts s, LATERAL (SELECT unnest(range(4)) AS u)
+            ), agg AS (
+                SELECT doc_id, count(*) AS cnt FROM cov GROUP BY doc_id
+            ), nd AS (
+                SELECT doc_id, count(*) AS ndup FROM starts GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+                   coalesce(nd.ndup, 0)::BIGINT AS n_dup_grams,
+                   round(coalesce(agg.cnt, 0) * 1.0
+                         / greatest(len(t.toks), 1), 6) AS dup_span_frac
+            FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN nd USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "dup_ngram_fracs": """
             WITH t AS (

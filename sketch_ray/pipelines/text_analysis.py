@@ -216,6 +216,122 @@ def dup_ngram_fracs(sf_dir: str, ns: tuple[int, ...] = (2, 3, 4)) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _flat_gram_hashes(batch: pa.Table, n: int):
+    """Rolling-Horner n-gram hashes for one batch: returns (gram hash per
+    valid start as int64 view, flat token index of each valid start, token
+    doc_index, tokens-per-doc). Valid = the gram does not cross a doc
+    boundary. Same hash construction as _dup_ngram_batch (seed 7, FNV
+    prime Horner, splitmix64 finalize)."""
+    text = batch["text"].combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    h = hash_arrow_strings(flat, seed=7)
+    doc_index = np.repeat(np.arange(len(ntok)), ntok)
+    m = len(h) - n + 1
+    if m <= 0:
+        return (np.array([], np.int64), np.array([], np.int64), doc_index, ntok)
+    prime = np.uint64(0x100000001B3)
+    acc = h[:m].copy()
+    for j in range(1, n):
+        acc = acc * prime + h[j:m + j]  # uint64 wraparound by design
+    acc = splitmix64(acc)
+    valid = doc_index[:m] == doc_index[n - 1:]
+    start_idx = np.flatnonzero(valid).astype(np.int64)
+    return acc[valid].view(np.int64), start_idx, doc_index, ntok
+
+
+_SMALL_DOCS = 2_000_000  # below this the distributed gram-count fold is pure overhead
+
+
+def dup_span_stats(sf_dir: str, n: int = 4, force: str | None = None) -> pa.Table:
+    """Cross-document duplicate n-gram span coverage — the exact-substring
+    dedup statistic of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") at n-gram granularity: an n-gram is a
+    duplicate if it occurs >= 2 times anywhere in the corpus (any doc,
+    including a repeat within one doc); per doc we report how many of its
+    token positions fall inside at least one duplicate n-gram.
+
+    Scale shape — two streaming passes, dup-set-sized driver state:
+    1. count pass: per-batch unique (gram-hash, count) partials; folded on
+       the driver below ``_SMALL_DOCS`` docs, else a distributed
+       groupby(gram).sum with the survivors (count >= 2) pulled — output
+       is sized by DUPLICATED content, not the corpus (same discipline as
+       dedup._shared_group_rows).
+    2. mark pass: broadcast the sorted dup-hash array once (ray.put +
+       per-worker cache), searchsorted membership per batch, position
+       coverage via a +1/-1 difference array + cumsum — no per-doc Python.
+
+    Grouping is by 64-bit hash (collision odds ~grams²/2⁶⁴, negligible;
+    the SQL oracle groups the literal n-gram strings).
+
+    ``force`` pins the count-fold branch for tests: "driver"/"distributed".
+    Returns (doc_id, n_tokens, n_dup_grams, dup_span_frac) sorted by doc_id.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.broadcast import cached
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        g, _, _, _ = _flat_gram_hashes(batch, n)
+        uniq, cnt = np.unique(g, return_counts=True)
+        return pa.table({"g": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    partials = ds.map_batches(gram_partials, batch_format="pyarrow",
+                              batch_size=8192)
+    small = (ds.count() < _SMALL_DOCS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(partials.to_pandas(), {"g": "int64", "c": "int64"})
+        uniq, inv = np.unique(pdf["g"].to_numpy(), return_inverse=True)
+        tot = np.bincount(inv, weights=pdf["c"].to_numpy())
+        dup = uniq[tot >= 2]
+    else:
+        # few-block sort-shuffle pathology: spread before the groupby
+        counts = partials.repartition(32).groupby("g") \
+            .aggregate(Sum("c", alias_name="cnt"))
+        dup_df = ensure_columns(counts.filter(expr="cnt >= 2").to_pandas(),
+                                {"g": "int64"})  # dup clusters only
+        dup = np.sort(dup_df["g"].to_numpy())
+    ref = ray.put(np.ascontiguousarray(dup, dtype=np.int64))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        hs = cached(ref)
+        g, start_idx, doc_index, ntok = _flat_gram_hashes(batch, n)
+        n_docs = len(ntok)
+        if len(hs) and len(g):
+            pos = np.minimum(np.searchsorted(hs, g), len(hs) - 1)
+            dup_starts = start_idx[hs[pos] == g]
+        else:
+            dup_starts = np.array([], np.int64)
+        t_tokens = len(doc_index)
+        diff = np.zeros(t_tokens + n + 1, np.int64)
+        np.add.at(diff, dup_starts, 1)
+        np.add.at(diff, dup_starts + n, -1)
+        covered_mask = np.cumsum(diff[:t_tokens]) > 0
+        covered = np.bincount(doc_index, weights=covered_mask,
+                              minlength=n_docs) if t_tokens else np.zeros(n_docs)
+        ndup = np.bincount(doc_index[dup_starts], minlength=n_docs) \
+            if len(dup_starts) else np.zeros(n_docs, np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "n_dup_grams": pa.array(ndup.astype(np.int64), pa.int64()),
+            "dup_span_frac": pa.array(
+                np.round(covered / np.maximum(ntok, 1), 6), pa.float64()),
+        })
+
+    df = ensure_columns(
+        ds.map_batches(mark, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_tokens": "int64", "n_dup_grams": "int64",
+         "dup_span_frac": "float64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def quality_filter_corpus(
     sf_dir: str, out_dir: str, max_top_token_frac: float = 0.2,
     min_frac_unique: float = 0.3, max_symbol_ratio: float = 0.1,

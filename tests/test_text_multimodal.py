@@ -327,3 +327,38 @@ def test_bpe_corpus_compression_and_determinism(ray_session):
     b = bpe_token_stats(SF, n_merges=40).to_pandas()
     assert (b["n_bpe_tokens"].to_numpy() <= a["n_bpe_tokens"].to_numpy()).all()
     assert (b["n_bpe_tokens"] > 0).all()
+
+
+def test_dup_span_stats_hand_case(ray_session, tmp_path):
+    """3 tiny docs, n=4, checked by hand: 'a b c d' appears in docs 0 and 1
+    (cross-doc duplicate) so positions 0-3 of each 5-token doc are covered
+    (frac 0.8); doc 2 shares nothing."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import dup_span_stats
+
+    texts = ["a b c d e", "a b c d x", "q r s t u"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = dup_span_stats(str(tmp_path), n=4).to_pandas()
+    assert out["n_tokens"].tolist() == [5, 5, 5]
+    assert out["n_dup_grams"].tolist() == [1, 1, 0]
+    assert out["dup_span_frac"].tolist() == [0.8, 0.8, 0.0]
+
+
+def test_dup_span_stats_branches_agree(ray_session):
+    """Adaptive-fold invariant: the forced distributed gram-count branch is
+    byte-identical to the (default-at-this-size) driver fold."""
+    from sketch_ray.pipelines.text_analysis import dup_span_stats
+
+    a = dup_span_stats(SF, n=4, force="driver").to_pandas()
+    b = dup_span_stats(SF, n=4, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert a["dup_span_frac"].between(0, 1).all()
+    # a doc has covered positions iff it has at least one duplicate gram
+    assert ((a["n_dup_grams"] > 0) == (a["dup_span_frac"] > 0)).all()
