@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "events_daily_windows": relational.events_daily_windows,
         "sessionize_users": lambda sf: relational.sessionize_users(sf, gap_minutes=30),
+        "rolling_user_stats": lambda sf: relational.rolling_user_stats(sf, k=3),
         # oracle-gated via the PARTITIONED (both-sides-large) physical plan;
         # broadcast stays the small-side fast path (pytest pins equality)
         "asof_latest_order": lambda sf: relational.asof_latest_order(sf, mode="partitioned"),
@@ -399,6 +400,18 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id
              AND o.o_orderdate <= e.ts - INTERVAL 9131 DAY
             ORDER BY e.event_id
+        """,
+        # trailing-k moving average per user: the ROWS BETWEEN window-frame
+        # shape; k=3 keeps the frame sum left-associated on both sides
+        "rolling_user_stats": """
+            SELECT event_id, user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   round(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                         6) AS mov_avg
+            FROM events ORDER BY event_id
         """,
         "sessionize_users": """
             WITH e AS (

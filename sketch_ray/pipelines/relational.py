@@ -614,6 +614,65 @@ def sessionize_users(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def rolling_user_stats(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-key ordered sliding-window aggregate (the SQL ``ROWS BETWEEN
+    k-1 PRECEDING AND CURRENT ROW`` window-function shape): for every
+    event, the row number and the moving average of ``value`` over the
+    trailing ``k`` events of the same user, ordered by (ts, event_id).
+
+    Same adaptive shape as sessionize_users: below _SMALL_ROWS one
+    vectorized driver pass; above, hash-bucket users (bucket is a function
+    of user_id alone, so per-key completeness holds) and each partition
+    computes MANY whole users in one numpy pass — no per-user Python, no
+    global sort. The window sum adds the k shifted value arrays
+    oldest-to-newest (not a cumsum difference) so float association
+    matches the SQL frame scan exactly."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "rn": pd.Series([], dtype="int64"),
+                                 "mov_avg": pd.Series([], dtype="float64")})
+        b = batch.sort_values(["user_id", "ts", "event_id"])
+        uid = b["user_id"].to_numpy()
+        v = b["value"].to_numpy(np.float64)
+        n = len(b)
+        idx = np.arange(n)
+        seg_start = idx[np.concatenate([[True], uid[1:] != uid[:-1]])]
+        start_of = np.repeat(seg_start, np.diff(np.append(seg_start, n)))
+        rn = idx - start_of + 1
+        width = np.minimum(rn, k)
+        s = np.zeros(n, np.float64)
+        for j in range(k - 1, -1, -1):  # oldest-first: SQL frame-scan order
+            src = np.maximum(idx - j, 0)
+            s = s + np.where(idx - j >= start_of, v[src], 0.0)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "user_id": uid.astype(np.int64),
+            "rn": rn.astype(np.int64),
+            "mov_avg": np.round(s / width, 6),
+        })
+
+    if ds.count() < _SMALL_ROWS:
+        df = per_batch(ds.to_pandas())
+    else:
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = pc.bit_wise_and(batch["user_id"].combine_chunks(), 63)
+            return batch.append_column("bucket", b.cast(pa.int64()))
+
+        out = (
+            ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+            .groupby("bucket")
+            .map_groups(lambda g: per_batch(g.drop(columns=["bucket"])),
+                        batch_format="pandas")
+        )
+        df = out.to_pandas()
+    df = df.sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _segment_intervals(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Elementary-segment decomposition of (possibly overlapping) intervals
     [lo_i, hi_i): the sorted unique bounds split the line into segments each

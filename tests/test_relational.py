@@ -147,6 +147,7 @@ def test_relational_adaptive_plans_agree(ray_session, monkeypatch):
         relational.events_hopping_windows,
         relational.bloom_semi_join,
         lambda sf: relational.sessionize_users(sf, gap_minutes=30),
+        lambda sf: relational.rolling_user_stats(sf, k=3),
     ]
     small = [q(SF).to_pandas() for q in queries]
     monkeypatch.setattr(relational, "_SMALL_ROWS", 0)
@@ -198,3 +199,25 @@ def test_props_field_stats_branches_and_malformed(ray_session, tmp_path):
     assert out.loc["b", "sum_k"] == 7 and out.loc["b", "n_missing"] == 2
     out2 = props_field_stats(sf, force="distributed").to_pandas().set_index("event_type")
     pd.testing.assert_frame_equal(out.reset_index(), out2.reset_index())
+
+
+def test_rolling_user_stats_hand_case(ray_session, tmp_path):
+    """Trailing-3 moving average, checked by hand: the window resets at the
+    user boundary and grows 1->2->3 rows at the start of each user."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import rolling_user_stats
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(m, "m") for m in (0, 1, 2, 3, 0)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 10.0], pa.float64()),
+    }), f"{tmp_path}/events.parquet")
+    out = rolling_user_stats(str(tmp_path), k=3).to_pandas()
+    assert out["rn"].tolist() == [1, 2, 3, 4, 1]
+    assert out["mov_avg"].tolist() == [1.0, 1.5, 2.0, 3.0, 10.0]
