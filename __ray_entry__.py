@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": exact.doc_token_stats,
         "len_histogram": exact.len_histogram,
         "quantiles_exact": exact.quantiles_exact,
+        "grouped_quantiles_exact": exact.grouped_quantiles_exact,
         "events_per_type": exact.events_per_type,
         "props_field_stats": exact.props_field_stats,
         "top_token_per_lang": lambda sf: exact.top_token_per_lang(sf, k=3),
@@ -758,6 +759,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {q}::DOUBLE AS q, quantile_disc(n_chars, {q})::BIGINT AS value FROM documents"
             for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
         ),
+        "grouped_quantiles_exact": "SELECT * FROM (" + " UNION ALL ".join(
+            f"SELECT lang, {q}::DOUBLE AS q, quantile_disc(n_chars, {q})::BIGINT AS value"
+            " FROM documents GROUP BY lang"
+            for q in (0.25, 0.5, 0.75, 0.9)
+        ) + ") ORDER BY lang, q",
         "top_token_per_lang": f"""
             WITH tc AS (
                 SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents

@@ -255,6 +255,50 @@ def quantiles_exact(sf_dir: str) -> pa.Table:
     return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(out_v, pa.int64())})
 
 
+def grouped_quantiles_exact(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),
+                            force: str | None = None) -> pa.Table:
+    """EXACT per-language quantiles of n_chars (quantile_disc semantics:
+    smallest value with cum_count >= ceil(q*n), the quantiles_exact rule)
+    from a distributed (lang, n_chars) histogram — the exact counterpart
+    of grouped_sketch_stats' KLL median.
+
+    Scale shape: the histogram is group-BOUNDED (n_langs x distinct
+    lengths rows, independent of corpus size), so the cumulative quantile
+    selection is one vectorized driver pass; the histogram fold is
+    adaptive (driver below _SMALL_ROWS, distributed groupby above —
+    ``force``="driver"/"distributed" pins the branch for tests)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    n = ds.count()  # parquet-metadata count: no scan
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "partial"])
+
+    parts = ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+    small = (n < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        hist = parts.to_pandas().groupby(["lang", "n_chars"], as_index=False) \
+            .agg(cnt=("partial", "sum"))
+    else:
+        # spread before the sort-shuffle groupby (few-block pathology)
+        hist = parts.repartition(32).groupby(["lang", "n_chars"]) \
+            .aggregate(Sum("partial", alias_name="cnt")).to_pandas()
+    hist = hist.sort_values(["lang", "n_chars"]).reset_index(drop=True)
+    rows = []
+    for lang, sub in hist.groupby("lang", sort=True):  # n_langs iterations
+        values = sub["n_chars"].to_numpy()
+        cum = sub["cnt"].to_numpy().cumsum()
+        ntot = int(cum[-1])
+        for q in qs:
+            target = max(int(np.ceil(q * ntot)), 1)
+            idx = int(np.searchsorted(cum, target))
+            rows.append((lang, float(q), int(values[min(idx, len(values) - 1)])))
+    out = pd.DataFrame(rows, columns=["lang", "q", "value"]).astype(
+        {"lang": "object", "q": "float64", "value": "int64"})
+    out = out.sort_values(["lang", "q"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def top_token_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
     """Grouped top-k: the k most frequent tokens per language (exact,
     deterministic ties by token). Per-batch (lang, token) pre-aggregation ->

@@ -77,3 +77,33 @@ def test_vocab_coverage_invariants(ray_session):
     ties = t[t.duplicated("cnt", keep=False)]
     for _, g in ties.groupby("cnt"):
         assert g["token"].is_monotonic_increasing
+
+
+def test_grouped_quantiles_exact_branches_and_hand_case(ray_session, tmp_path):
+    """Adaptive histogram-fold branches agree on the real corpus; a
+    hand-built corpus pins the quantile_disc rule (smallest value with
+    cum_count >= ceil(q*n))."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.exact import grouped_quantiles_exact
+
+    SF = "/root/testdata/sf0.001"
+    a = grouped_quantiles_exact(SF, force="driver").to_pandas()
+    b = grouped_quantiles_exact(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # per-lang quantiles are monotone in q
+    assert (a.groupby("lang")["value"].apply(lambda s: s.is_monotonic_increasing)).all()
+
+    # hand case: lang x has lengths 1..4 -> q=.25 ceil(1)=1 -> 1; q=.5 -> 2;
+    # q=.75 -> 3; q=.9 ceil(3.6)=4 -> 4
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "ab", "abc", "abcd"]),
+        "lang": pa.array(["x"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([1, 2, 3, 4], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = grouped_quantiles_exact(str(tmp_path)).to_pandas()
+    assert out["value"].tolist() == [1, 2, 3, 4]
