@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_windows": relational.events_daily_windows,
         "sessionize_users": lambda sf: relational.sessionize_users(sf, gap_minutes=30),
         "rolling_user_stats": lambda sf: relational.rolling_user_stats(sf, k=3),
+        "customer_order_profile": relational.customer_order_profile,
         # oracle-gated via the PARTITIONED (both-sides-large) physical plan;
         # broadcast stays the small-side fast path (pytest pins equality)
         "asof_latest_order": lambda sf: relational.asof_latest_order(sf, mode="partitioned"),
@@ -401,6 +402,16 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id
              AND o.o_orderdate <= e.ts - INTERVAL 9131 DAY
             ORDER BY e.event_id
+        """,
+        "customer_order_profile": """
+            SELECT c.c_custkey,
+                   coalesce(o.n, 0)::BIGINT AS n_orders,
+                   round(coalesce(o.s, 0), 2) AS total_spent
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS s
+                FROM orders GROUP BY o_custkey) o
+            ON o.o_custkey = c.c_custkey
+            ORDER BY c.c_custkey
         """,
         # trailing-k moving average per user: the ROWS BETWEEN window-frame
         # shape; k=3 keeps the frame sum left-associated on both sides

@@ -290,6 +290,75 @@ def revenue_per_priority(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["o_orderpriority", "revenue"]], preserve_index=False)
 
 
+def customer_order_profile(sf_dir: str, force: str | None = None) -> pa.Table:
+    """LEFT OUTER join: every customer with its order count and total
+    spend, zero-filled when the customer has no orders — the null-
+    preserving join shape (``users_without_orders`` is the anti join,
+    ``bloom_semi_join`` the semi; this completes the family).
+
+    Orders pre-aggregate per custkey inside map_batches before any
+    exchange (the shuffle carries one row per (custkey, batch), not one
+    per order). Adaptive join selection, same gate as
+    revenue_per_priority: small orders side -> fold the partials and
+    left-merge against the customer keys driver-side (dimension read);
+    both sides large -> Ray's native hash-shuffle
+    ``Dataset.join(join_type="left_outer")`` with partitions sized by
+    _join_partitions, nulls coalesced to 0 in a streaming map.
+    ``force``="driver"/"native" pins the branch for tests."""
+    import os
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def o_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_custkey", "spent_p", "cnt_p"])
+
+    parts = orders.map_batches(o_partials, batch_format="pyarrow",
+                               batch_size=65536)
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        import pyarrow.parquet as pq
+
+        agg = parts.to_pandas().groupby("o_custkey", as_index=False).agg(
+            n_orders=("cnt_p", "sum"), total_spent=("spent_p", "sum"))
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"]).to_pandas()
+        df = cust.merge(agg, how="left", left_on="c_custkey",
+                        right_on="o_custkey")
+    else:
+        agg = parts.repartition(32).groupby("o_custkey").aggregate(
+            Sum("cnt_p", alias_name="n_orders"),
+            Sum("spent_p", alias_name="total_spent"))
+        cust = _read(sf_dir, "customer", ["c_custkey"])
+        # a join partition whose right side gets ZERO rows builds a
+        # schema-less empty table and the Arrow join can't resolve
+        # o_custkey (Ray hash-shuffle join quirk) — clamp partitions so
+        # each expects >= ~64 right rows; n from parquet metadata, no scan
+        n_right = orders.count()
+        if n_right == 0:
+            df = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
+            df["n_orders"], df["total_spent"] = 0, 0.0
+        else:
+            n_parts = max(1, min(_join_partitions(sf_dir, "customer", "orders"),
+                                 n_right // 64 + 1))
+            joined = cust.join(agg, join_type="left_outer",
+                               num_partitions=n_parts,
+                               on=("c_custkey",), right_on=("o_custkey",))
+            df = joined.to_pandas()
+    df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
+    df["total_spent"] = df["total_spent"].fillna(0.0).round(2)
+    df = df[["c_custkey", "n_orders", "total_spent"]] \
+        .sort_values("c_custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # plan selector for top_orders, monkeypatchable in tests: "partial" (default
 # — per-batch top-k, no shuffle) or "sort" (full ds.sort().limit(), the
 # operator-pair demonstration; an all-to-all at scale)

@@ -221,3 +221,44 @@ def test_rolling_user_stats_hand_case(ray_session, tmp_path):
     out = rolling_user_stats(str(tmp_path), k=3).to_pandas()
     assert out["rn"].tolist() == [1, 2, 3, 4, 1]
     assert out["mov_avg"].tolist() == [1.0, 1.5, 2.0, 3.0, 10.0]
+
+
+def test_customer_order_profile_left_outer(ray_session):
+    """LEFT OUTER semantics: the driver-merge plan and the native
+    Dataset.join(left_outer) plan agree; every customer appears exactly
+    once; customers without orders exist and are zero-filled."""
+    from sketch_ray.pipelines.relational import customer_order_profile
+
+    a = customer_order_profile(SF, force="driver").to_pandas()
+    b = customer_order_profile(SF, force="native").to_pandas()
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    want = _duck().execute("""
+        SELECT c.c_custkey, coalesce(o.n, 0)::BIGINT AS n_orders,
+               round(coalesce(o.s, 0), 2) AS total_spent
+        FROM customer c LEFT JOIN (
+            SELECT o_custkey, count(*) n, sum(o_totalprice) s
+            FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey
+        ORDER BY c.c_custkey""").df()
+    pd.testing.assert_frame_equal(a, want.astype(a.dtypes.to_dict()))
+    assert a["c_custkey"].is_unique
+
+
+def test_customer_order_profile_zero_fill(ray_session, tmp_path):
+    """Hand case: a customer with no orders survives the left join with
+    n_orders=0 / total_spent=0.0 on both physical plans."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import customer_order_profile
+
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}),
+                   f"{tmp_path}/customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_totalprice": pa.array([10.0, 5.0, 2.5], pa.float64()),
+    }), f"{tmp_path}/orders.parquet")
+    for force in ("driver", "native"):
+        out = customer_order_profile(str(tmp_path), force=force).to_pandas()
+        assert out["c_custkey"].tolist() == [1, 2, 3]
+        assert out["n_orders"].tolist() == [2, 0, 1]
+        assert out["total_spent"].tolist() == [15.0, 0.0, 2.5]
