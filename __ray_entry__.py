@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_users": lambda sf: relational.sessionize_users(sf, gap_minutes=30),
         "rolling_user_stats": lambda sf: relational.rolling_user_stats(sf, k=3),
         "customer_order_profile": relational.customer_order_profile,
+        "label_centroids": similarity.label_centroids,
         # oracle-gated via the PARTITIONED (both-sides-large) physical plan;
         # broadcast stays the small-side fast path (pytest pins equality)
         "asof_latest_order": lambda sf: relational.asof_latest_order(sf, mode="partitioned"),
@@ -402,6 +403,17 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id
              AND o.o_orderdate <= e.ts - INTERVAL 9131 DAY
             ORDER BY e.event_id
+        """,
+        # positional mean of the embedding vectors per label; dim 1-based
+        "label_centroids": """
+            WITH u AS (
+                SELECT label, generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding) AS x
+                FROM embeddings
+            )
+            SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+                   round(avg(x), 6) AS mean_x
+            FROM u GROUP BY label, dim ORDER BY label, dim
         """,
         "customer_order_profile": """
             SELECT c.c_custkey,

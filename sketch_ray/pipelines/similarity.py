@@ -339,6 +339,79 @@ def ivf_ann_topk(
     return _merge_topk(partials, k)
 
 
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label mean embedding — class centroids, the building block of
+    prototype classifiers, dataset cartography, and k-means seeding.
+
+    Scale shape: per-batch (label, sum-vector, count) partials (label-
+    bounded per batch, RAW vectors never leave the tasks), coalesced by a
+    second shuffle-free map_batches fold (4096 partial rows merge per
+    task — the stages/sketch_build.merge_partials discipline), then one
+    tiny driver fold over n_labels × n_tasks rows. Output is long-form
+    (label, dim, mean_x) so the SQL oracle can mean positionally-unnested
+    elements; dim is 1-based (generate_subscripts parity)."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def _fold(labels: np.ndarray, mat: np.ndarray, weights: np.ndarray):
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, weights=weights, minlength=len(uniq))
+        return uniq, sums, cnt.astype(np.int64)
+
+    def _emit(uniq, sums, cnt) -> pa.Table:
+        return pa.table({"label": pa.array(uniq, pa.int64()),
+                         "svec": pa.array(list(sums), pa.list_(pa.float64())),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    def _mat(col, n: int) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(n, len(flat) // n) if n else np.empty((0, 1))
+
+    _EMPTY = pa.table({"label": pa.array([], pa.int64()),
+                       "svec": pa.array([], pa.list_(pa.float64())),
+                       "cnt": pa.array([], pa.int64())})
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if not n:
+            return _EMPTY
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _emit(*_fold(labels, _mat(batch["embedding"], n), np.ones(n)))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if not n:
+            return _EMPTY
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return _emit(*_fold(labels, _mat(batch["svec"], n), w))
+
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=4096)
+        .map_batches(merge, batch_format="pyarrow", batch_size=4096)
+        .to_arrow_refs()
+    )
+    import ray
+
+    final = merge(pa.concat_tables(
+        [t for t in ray.get(folded) if len(t)] or [_EMPTY]))
+    labels = final["label"].to_numpy(zero_copy_only=False)
+    cnt = final["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sums = _mat(final["svec"], len(final))
+    means = np.round(sums / cnt[:, None], 6)
+    d = means.shape[1] if len(final) else 0
+    order = np.argsort(labels)
+    out = pa.table({
+        "label": pa.array(np.repeat(labels[order], d), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(1, d + 1), len(final)), pa.int64()),
+        "mean_x": pa.array(means[order].ravel(), pa.float64()),
+    })
+    return out
+
+
 def embedding_dedup_clusters(sf_dir: str, tau: float = 0.4) -> pa.Table:
     """SEMANTIC dedup: connected components over the cosine >= tau relation
     — every vector gets the smallest vec_id reachable through near-dup

@@ -497,3 +497,24 @@ def test_incremental_dedup_drops_cross_snapshot_dups(ray_session, tmp_path):
     d = incremental_dedup_docs(sf, n_old=4, index_dir=idx_dir).to_pandas()
     pd.testing.assert_frame_equal(d, want)
     assert sorted(g.glob(f"{idx_dir}/snapshot=*/*.parquet")) == files_before
+
+
+def test_label_centroids_match_numpy(ray_session):
+    """The two-level shuffle-free fold reproduces the direct numpy per-label
+    mean exactly (raw vectors, 1-based dims, labels sorted)."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.similarity import label_centroids
+
+    out = label_centroids(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = t["embedding"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(lab), len(flat) // len(lab))
+    rows = []
+    for lv in np.unique(lab):
+        m = np.round(mat[lab == lv].mean(axis=0), 6)
+        rows += [(int(lv), d + 1, m[d]) for d in range(mat.shape[1])]
+    want = pd.DataFrame(rows, columns=["label", "dim", "mean_x"])
+    pd.testing.assert_frame_equal(out, want.astype(out.dtypes.to_dict()))
