@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_stats": lambda sf: relational.rolling_user_stats(sf, k=3),
         "customer_order_profile": relational.customer_order_profile,
         "label_centroids": similarity.label_centroids,
+        "semantic_decontaminate": lambda sf: similarity.semantic_decontaminate(sf, tau=0.4),
         # oracle-gated via the PARTITIONED (both-sides-large) physical plan;
         # broadcast stays the small-side fast path (pytest pins equality)
         "asof_latest_order": lambda sf: relational.asof_latest_order(sf, mode="partitioned"),
@@ -403,6 +404,22 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id
              AND o.o_orderdate <= e.ts - INTERVAL 9131 DAY
             ORDER BY e.event_id
+        """,
+        # embedding-space decontamination: max cosine of each corpus vector
+        # vs the vec_id<20 holdout; same normalization as the engine
+        "semantic_decontaminate": """
+            WITH hold AS (
+                SELECT embedding FROM embeddings WHERE vec_id < 20
+            ), sim AS (
+                SELECT e.vec_id,
+                       max(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  h.embedding::DOUBLE[])) AS mx
+                FROM embeddings e, hold h
+                WHERE e.vec_id >= 20 GROUP BY e.vec_id
+            )
+            SELECT vec_id, round(mx, 6) AS max_cos,
+                   CAST(mx >= 0.4 AS BIGINT) AS contaminated
+            FROM sim ORDER BY vec_id
         """,
         # positional mean of the embedding vectors per label; dim 1-based
         "label_centroids": """

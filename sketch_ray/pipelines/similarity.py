@@ -412,6 +412,53 @@ def label_centroids(sf_dir: str) -> pa.Table:
     return out
 
 
+def semantic_decontaminate(sf_dir: str, tau: float = 0.4,
+                           n_holdout: int = 20) -> pa.Table:
+    """Semantic (embedding-space) decontamination: for every corpus vector
+    (vec_id >= n_holdout), its max cosine similarity against the holdout /
+    benchmark set (vec_id < n_holdout) and a contamination flag at ``tau``
+    — the embedding-space counterpart of the 3-gram ``decontaminate_corpus``
+    (a near-verbatim benchmark leak shows up as cosine ~1 even after
+    paraphrase-level edits).
+
+    Scale shape: the holdout matrix is benchmark-sized (thousands of rows,
+    not corpus-sized) — read with a vec_id pushdown filter, broadcast once
+    via ray.put, ONE streaming pass over the corpus with a per-batch block
+    matmul. No shuffle."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from ..stages.broadcast import cached
+
+    hold = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n_holdout)
+    _, hmat = _batch_matrix(hold)
+    ref = ray.put(hmat.T.copy())  # (d, n_holdout), contiguous for the matmul
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ht = cached(ref)
+        ids, mat = _batch_matrix(batch)
+        keep = ids >= n_holdout
+        ids, mat = ids[keep], mat[keep]
+        mx = (mat @ ht).max(axis=1) if len(ids) and ht.shape[1] else \
+            np.zeros(len(ids))
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "max_cos": pa.array(np.round(mx, 6), pa.float64()),
+            "contaminated": pa.array((mx >= tau).astype(np.int64), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = ds.map_batches(probe, batch_format="pyarrow", batch_size=4096) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    from ._util import ensure_columns
+
+    df = ensure_columns(df, {"vec_id": "int64", "max_cos": "float64",
+                             "contaminated": "int64"})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def embedding_dedup_clusters(sf_dir: str, tau: float = 0.4) -> pa.Table:
     """SEMANTIC dedup: connected components over the cosine >= tau relation
     — every vector gets the smallest vec_id reachable through near-dup

@@ -518,3 +518,28 @@ def test_label_centroids_match_numpy(ray_session):
         rows += [(int(lv), d + 1, m[d]) for d in range(mat.shape[1])]
     want = pd.DataFrame(rows, columns=["label", "dim", "mean_x"])
     pd.testing.assert_frame_equal(out, want.astype(out.dtypes.to_dict()))
+
+
+def test_semantic_decontaminate_matches_numpy(ray_session):
+    """Broadcast-probe max cosine equals the brute-force numpy answer; the
+    holdout itself is excluded from the output."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.similarity import semantic_decontaminate
+
+    out = semantic_decontaminate(SF, tau=0.4, n_holdout=20).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = t["embedding"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(ids), len(flat) // len(ids))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    hold, corp = mat[ids < 20], mat[ids >= 20]
+    mx = (corp @ hold.T).max(axis=1)
+    order = np.argsort(ids[ids >= 20])
+    assert out["vec_id"].tolist() == sorted(ids[ids >= 20].tolist())
+    np.testing.assert_allclose(out["max_cos"].to_numpy(),
+                               np.round(mx[order], 6), atol=1e-12)
+    assert (out["contaminated"].to_numpy()
+            == (mx[order] >= 0.4).astype(np.int64)).all()
+    assert (ids < 20).sum() and len(out) == (ids >= 20).sum()
