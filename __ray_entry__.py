@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_histogram": exact.len_histogram,
         "quantiles_exact": exact.quantiles_exact,
         "grouped_quantiles_exact": exact.grouped_quantiles_exact,
+        "doc_length_deciles": exact.doc_length_deciles,
         "events_per_type": exact.events_per_type,
         "props_field_stats": exact.props_field_stats,
         "top_token_per_lang": lambda sf: exact.top_token_per_lang(sf, k=3),
@@ -799,6 +800,24 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {q}::DOUBLE AS q, quantile_disc(n_chars, {q})::BIGINT AS value FROM documents"
             for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
         ),
+        # rank-bucketing via cumulative histogram (ties share a decile):
+        # decile = min(10, 10 * |{n_chars < v}| / n + 1)
+        "doc_length_deciles": """
+            WITH h AS (
+                SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars
+            ), cum AS (
+                SELECT n_chars,
+                       coalesce(sum(c) OVER (ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS cum_lt
+                FROM h
+            ), nn AS (SELECT count(*) AS n FROM documents)
+            SELECT d.doc_id, d.n_chars,
+                   least(10, 10 * cum.cum_lt // greatest(nn.n, 1) + 1)::BIGINT
+                       AS decile
+            FROM documents d JOIN cum USING (n_chars), nn
+            ORDER BY d.doc_id
+        """,
         "grouped_quantiles_exact": "SELECT * FROM (" + " UNION ALL ".join(
             f"SELECT lang, {q}::DOUBLE AS q, quantile_disc(n_chars, {q})::BIGINT AS value"
             " FROM documents GROUP BY lang"

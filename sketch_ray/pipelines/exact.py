@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Sum
 
 from ..stages.tokenize import flat_tokens, ngram_counts, token_counts
+from ._util import ensure_columns
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -253,6 +254,43 @@ def quantiles_exact(sf_dir: str) -> pa.Table:
         idx = int(np.searchsorted(cum, max(target, 1)))
         out_v.append(int(values[min(idx, len(values) - 1)]))
     return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(out_v, pa.int64())})
+
+
+def doc_length_deciles(sf_dir: str) -> pa.Table:
+    """Global rank-bucketing WITHOUT a global sort: each document's length
+    decile, computed from the distributed n_chars histogram (ties share a
+    decile: decile = min(10, 10·|{n_chars < v}|/n + 1)). The scale pattern:
+    an all-to-all sort would move every row; the histogram moves one row
+    per distinct value, and the value→decile map broadcasts once for a
+    streaming searchsorted assignment pass."""
+    import ray
+
+    from ..stages.broadcast import cached
+
+    hist = len_histogram(sf_dir).to_pandas()  # distributed groupby inside
+    values = hist["n_chars"].to_numpy(np.int64)
+    cnt = hist["cnt"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cum_lt = np.concatenate([[0], cnt.cumsum()[:-1]])
+    decile = np.minimum(10, 10 * cum_lt // max(n, 1) + 1).astype(np.int64)
+    ref = ray.put((values, decile))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vals_s, dec_s = cached(ref)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(vals_s, nc)  # every value is in the histogram
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+            "decile": pa.array(dec_s[np.minimum(pos, len(dec_s) - 1)], pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    df = ensure_columns(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=65536).to_pandas(),
+        {"doc_id": "int64", "n_chars": "int64", "decile": "int64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def grouped_quantiles_exact(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),

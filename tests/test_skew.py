@@ -107,3 +107,17 @@ def test_grouped_quantiles_exact_branches_and_hand_case(ray_session, tmp_path):
     }), f"{tmp_path}/documents.parquet")
     out = grouped_quantiles_exact(str(tmp_path)).to_pandas()
     assert out["value"].tolist() == [1, 2, 3, 4]
+
+
+def test_doc_length_deciles_invariants(ray_session):
+    """Histogram rank-bucketing: deciles are 1..10, monotone in n_chars,
+    ties share a decile, and each decile holds <= ceil(n/10) + max tie run
+    docs; decile 1 starts at the global min length."""
+    from sketch_ray.pipelines.exact import doc_length_deciles
+
+    out = doc_length_deciles("/root/testdata/sf0.001").to_pandas()
+    s = out.sort_values(["n_chars", "doc_id"])
+    assert s["decile"].between(1, 10).all()
+    assert s["decile"].is_monotonic_increasing
+    assert (out.groupby("n_chars")["decile"].nunique() == 1).all()
+    assert s["decile"].iloc[0] == 1 and s["decile"].iloc[-1] == 10
