@@ -389,15 +389,13 @@ def label_centroids(sf_dir: str) -> pa.Table:
         w = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
         return _emit(*_fold(labels, _mat(batch["svec"], n), w))
 
-    folded = (
+    pdf = (
         ds.map_batches(partials, batch_format="pyarrow", batch_size=4096)
         .map_batches(merge, batch_format="pyarrow", batch_size=4096)
-        .to_arrow_refs()
+        .to_pandas()
     )
-    import ray
-
-    final = merge(pa.concat_tables(
-        [t for t in ray.get(folded) if len(t)] or [_EMPTY]))
+    final = merge(pa.Table.from_pandas(pdf, preserve_index=False)
+                  .cast(_EMPTY.schema)) if len(pdf) else _EMPTY
     labels = final["label"].to_numpy(zero_copy_only=False)
     cnt = final["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
     sums = _mat(final["svec"], len(final))

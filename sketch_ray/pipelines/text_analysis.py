@@ -265,6 +265,13 @@ def dup_span_stats(sf_dir: str, n: int = 4, force: str | None = None) -> pa.Tabl
     Grouping is by 64-bit hash (collision odds ~grams²/2⁶⁴, negligible;
     the SQL oracle groups the literal n-gram strings).
 
+    Broadcast-size honesty: the dup-hash array is 8 B per duplicated
+    n-gram. At web scale with SMALL n most n-grams repeat corpus-wide, so
+    run this operator in its real regime — Lee et al. use ~50-token
+    spans, where duplicated grams are boilerplate/verbatim-copy sized
+    (rare), exactly what the statistic exists to find. n=4 here matches
+    the short synthetic documents.
+
     ``force`` pins the count-fold branch for tests: "driver"/"distributed".
     Returns (doc_id, n_tokens, n_dup_grams, dup_span_frac) sorted by doc_id.
     """
