@@ -339,6 +339,50 @@ def ivf_ann_topk(
     return _merge_topk(partials, k)
 
 
+# module-level stage fns: pickled by reference, so each worker imports this
+# module (and with it the package's allocator + log-filter setup) instead of
+# a by-value closure graph
+_CENTROID_EMPTY = pa.table({"label": pa.array([], pa.int64()),
+                            "svec": pa.array([], pa.list_(pa.float64())),
+                            "cnt": pa.array([], pa.int64())})
+
+
+def _centroid_fold(labels: np.ndarray, mat: np.ndarray,
+                   weights: np.ndarray) -> pa.Table:
+    uniq, inv = np.unique(labels, return_inverse=True)
+    sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+    np.add.at(sums, inv, mat)
+    cnt = np.bincount(inv, weights=weights, minlength=len(uniq))
+    return pa.table({"label": pa.array(uniq, pa.int64()),
+                     "svec": pa.array(list(sums), pa.list_(pa.float64())),
+                     "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def _list_matrix(col, n: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, len(flat) // n) if n else np.empty((0, 1))
+
+
+def _centroid_partials(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    if not n:
+        return _CENTROID_EMPTY
+    labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return _centroid_fold(labels, _list_matrix(batch["embedding"], n),
+                          np.ones(n))
+
+
+def _centroid_merge(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    if not n:
+        return _CENTROID_EMPTY
+    labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return _centroid_fold(labels, _list_matrix(batch["svec"], n), w)
+
+
 def label_centroids(sf_dir: str) -> pa.Table:
     """Per-label mean embedding — class centroids, the building block of
     prototype classifiers, dataset cartography, and k-means seeding.
@@ -351,54 +395,18 @@ def label_centroids(sf_dir: str) -> pa.Table:
     (label, dim, mean_x) so the SQL oracle can mean positionally-unnested
     elements; dim is 1-based (generate_subscripts parity)."""
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
-
-    def _fold(labels: np.ndarray, mat: np.ndarray, weights: np.ndarray):
-        uniq, inv = np.unique(labels, return_inverse=True)
-        sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
-        np.add.at(sums, inv, mat)
-        cnt = np.bincount(inv, weights=weights, minlength=len(uniq))
-        return uniq, sums, cnt.astype(np.int64)
-
-    def _emit(uniq, sums, cnt) -> pa.Table:
-        return pa.table({"label": pa.array(uniq, pa.int64()),
-                         "svec": pa.array(list(sums), pa.list_(pa.float64())),
-                         "cnt": pa.array(cnt, pa.int64())})
-
-    def _mat(col, n: int) -> np.ndarray:
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        return flat.reshape(n, len(flat) // n) if n else np.empty((0, 1))
-
-    _EMPTY = pa.table({"label": pa.array([], pa.int64()),
-                       "svec": pa.array([], pa.list_(pa.float64())),
-                       "cnt": pa.array([], pa.int64())})
-
-    def partials(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        if not n:
-            return _EMPTY
-        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return _emit(*_fold(labels, _mat(batch["embedding"], n), np.ones(n)))
-
-    def merge(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        if not n:
-            return _EMPTY
-        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        w = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return _emit(*_fold(labels, _mat(batch["svec"], n), w))
-
     pdf = (
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=4096)
-        .map_batches(merge, batch_format="pyarrow", batch_size=4096)
+        ds.map_batches(_centroid_partials, batch_format="pyarrow",
+                       batch_size=4096)
+        .map_batches(_centroid_merge, batch_format="pyarrow", batch_size=4096)
         .to_pandas()
     )
-    final = merge(pa.Table.from_pandas(pdf, preserve_index=False)
-                  .cast(_EMPTY.schema)) if len(pdf) else _EMPTY
+    final = _centroid_merge(
+        pa.Table.from_pandas(pdf, preserve_index=False)
+        .cast(_CENTROID_EMPTY.schema)) if len(pdf) else _CENTROID_EMPTY
     labels = final["label"].to_numpy(zero_copy_only=False)
     cnt = final["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sums = _mat(final["svec"], len(final))
+    sums = _list_matrix(final["svec"], len(final))
     means = np.round(sums / cnt[:, None], 6)
     d = means.shape[1] if len(final) else 0
     order = np.argsort(labels)
