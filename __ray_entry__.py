@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_users": lambda sf: relational.sessionize_users(sf, gap_minutes=30),
         "rolling_user_stats": lambda sf: relational.rolling_user_stats(sf, k=3),
         "customer_order_profile": relational.customer_order_profile,
+        "funnel_steps": relational.funnel_steps,
         "label_centroids": similarity.label_centroids,
         "semantic_decontaminate": lambda sf: similarity.semantic_decontaminate(sf, tau=0.4),
         # oracle-gated via the PARTITIONED (both-sides-large) physical plan;
@@ -432,6 +433,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT label::BIGINT AS label, dim::BIGINT AS dim,
                    round(avg(x), 6) AS mean_x
             FROM u GROUP BY label, dim ORDER BY label, dim
+        """,
+        # greedy earliest-match funnel: each step strictly later than the
+        # matched previous step (earliest-prefix greedy = existence-optimal)
+        "funnel_steps": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY e.user_id
+            )
+            SELECT * FROM (
+                SELECT 1 AS step, 'view' AS step_name,
+                       (SELECT count(*) FROM v) AS n_users
+                UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+                UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+            ) ORDER BY step
         """,
         "customer_order_profile": """
             SELECT c.c_custkey,

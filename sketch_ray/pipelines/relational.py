@@ -290,6 +290,66 @@ def revenue_per_priority(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["o_orderpriority", "revenue"]], preserve_index=False)
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_users(df: pd.DataFrame) -> pd.DataFrame:
+    """Greedy earliest-match funnel per user over one frame of whole users:
+    step k is reached iff events of types _FUNNEL_STEPS occur at strictly
+    increasing ts (the earliest viable prefix is optimal for existence, so
+    each level is one vectorized groupby-min + merge + filter). Returns the
+    per-user frontier: (user_id, depth)."""
+    cur = None  # Series: user_id -> ts of the last matched step
+    depth = pd.Series(dtype="int64")
+    for i, et in enumerate(_FUNNEL_STEPS):
+        ev = df.loc[df["event_type"] == et, ["user_id", "ts"]]
+        if cur is None:
+            cur = ev.groupby("user_id")["ts"].min()
+        else:
+            m = ev.merge(cur.rename("prev"), left_on="user_id",
+                         right_index=True)
+            cur = m.loc[m["ts"] > m["prev"]].groupby("user_id")["ts"].min()
+        if cur.empty:
+            break
+        d = pd.Series(i + 1, index=cur.index, dtype="int64")
+        depth = d.combine_first(depth).astype("int64") if len(depth) else d
+    out = depth.rename("depth").reset_index()
+    out.columns = ["user_id", "depth"]
+    return out
+
+
+def funnel_steps(sf_dir: str) -> pa.Table:
+    """Ordered-sequence funnel (the stateful per-key pattern-match shape):
+    how many users reached each step of view -> click -> purchase, where a
+    step counts only with a strictly-later timestamp than the previous
+    matched step. Same adaptive bucketing as sessionize_users: whole users
+    co-located by bucket(user_id), each partition resolves MANY users in
+    vectorized pandas passes, and only (bucket x 3)-row partials leave the
+    tasks. Returns (step, step_name, n_users), cumulative-funnel monotone."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    if ds.count() < _SMALL_ROWS:
+        depth = _funnel_users(ds.to_pandas())
+    else:
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = pc.bit_wise_and(batch["user_id"].combine_chunks(), 63)
+            return batch.append_column("bucket", b.cast(pa.int64()))
+
+        depth = (
+            ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+            .groupby("bucket")
+            .map_groups(lambda g: _funnel_users(g.drop(columns=["bucket"])),
+                        batch_format="pandas")
+        ).to_pandas()
+    d = depth["depth"].to_numpy() if len(depth) else np.array([], np.int64)
+    n = [int((d >= k).sum()) for k in (1, 2, 3)]
+    return pa.table({
+        "step": pa.array([1, 2, 3], pa.int64()),
+        "step_name": pa.array(list(_FUNNEL_STEPS), pa.string()),
+        "n_users": pa.array(n, pa.int64()),
+    })
+
+
 def customer_order_profile(sf_dir: str, force: str | None = None) -> pa.Table:
     """LEFT OUTER join: every customer with its order count and total
     spend, zero-filled when the customer has no orders — the null-

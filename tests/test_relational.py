@@ -148,6 +148,7 @@ def test_relational_adaptive_plans_agree(ray_session, monkeypatch):
         relational.bloom_semi_join,
         lambda sf: relational.sessionize_users(sf, gap_minutes=30),
         lambda sf: relational.rolling_user_stats(sf, k=3),
+        relational.funnel_steps,
     ]
     small = [q(SF).to_pandas() for q in queries]
     monkeypatch.setattr(relational, "_SMALL_ROWS", 0)
@@ -262,3 +263,30 @@ def test_customer_order_profile_zero_fill(ray_session, tmp_path):
         assert out["c_custkey"].tolist() == [1, 2, 3]
         assert out["n_orders"].tolist() == [2, 0, 1]
         assert out["total_spent"].tolist() == [15.0, 0.0, 2.5]
+
+
+def test_funnel_steps_hand_case(ray_session, tmp_path):
+    """Strict-order semantics checked by hand: a click at or before the
+    first view does not advance the funnel; same-ts does not count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import funnel_steps
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [  # (user, minutes, type)
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),   # full funnel
+        (2, 0, "click"), (2, 1, "view"), (2, 2, "purchase"),   # click too early
+        (3, 0, "view"), (3, 0, "click"),                        # same-ts tie
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([base + np.timedelta64(m, "m") for _, m, _ in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "event_type": pa.array([t for _, _, t in rows]),
+    }), f"{tmp_path}/events.parquet")
+    out = funnel_steps(str(tmp_path)).to_pandas()
+    assert out["step_name"].tolist() == ["view", "click", "purchase"]
+    assert out["n_users"].tolist() == [3, 1, 1]
