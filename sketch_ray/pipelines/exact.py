@@ -236,7 +236,8 @@ def len_histogram(sf_dir: str) -> pa.Table:
         .groupby("n_chars")
         .aggregate(Sum("partial", alias_name="cnt"))
     )
-    df = agg.to_pandas().sort_values("n_chars").reset_index(drop=True)
+    df = ensure_columns(agg.to_pandas(), {"n_chars": "int64", "cnt": "int64"})
+    df = df.sort_values("n_chars").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -315,12 +316,17 @@ def grouped_quantiles_exact(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),
     parts = ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
     small = (n < _SMALL_ROWS) if force is None else (force == "driver")
     if small:
-        hist = parts.to_pandas().groupby(["lang", "n_chars"], as_index=False) \
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"lang": "object", "n_chars": "int64",
+                              "partial": "int64"})  # empty corpus: typed empty
+        hist = pdf.groupby(["lang", "n_chars"], as_index=False) \
             .agg(cnt=("partial", "sum"))
     else:
         # spread before the sort-shuffle groupby (few-block pathology)
-        hist = parts.repartition(32).groupby(["lang", "n_chars"]) \
-            .aggregate(Sum("partial", alias_name="cnt")).to_pandas()
+        hist = ensure_columns(
+            parts.repartition(32).groupby(["lang", "n_chars"])
+            .aggregate(Sum("partial", alias_name="cnt")).to_pandas(),
+            {"lang": "object", "n_chars": "int64", "cnt": "int64"})
     hist = hist.sort_values(["lang", "n_chars"]).reset_index(drop=True)
     rows = []
     for lang, sub in hist.groupby("lang", sort=True):  # n_langs iterations

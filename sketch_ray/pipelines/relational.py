@@ -19,6 +19,7 @@ import ray
 from ray.data.aggregate import Count, Sum
 
 from ..stages.broadcast import cached
+from ._util import ensure_columns
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -290,6 +291,16 @@ def revenue_per_priority(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["o_orderpriority", "revenue"]], preserve_index=False)
 
 
+def _bucket_users(batch: pa.Table) -> pa.Table:
+    """Coarse user bucket (a function of user_id alone, so whole users
+    co-locate) prepended before groupby(bucket).map_groups stages — each
+    partition then resolves MANY users in one vectorized pass. Module-level
+    so workers unpickle it by reference (importing the package's allocator
+    and log setup) instead of a by-value closure."""
+    b = pc.bit_wise_and(batch["user_id"].combine_chunks(), 63)
+    return batch.append_column("bucket", b.cast(pa.int64()))
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -329,14 +340,12 @@ def funnel_steps(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     if ds.count() < _SMALL_ROWS:
-        depth = _funnel_users(ds.to_pandas())
+        depth = _funnel_users(ensure_columns(
+            ds.to_pandas(), {"user_id": "int64", "ts": "datetime64[us]",
+                             "event_type": "object"}))
     else:
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            b = pc.bit_wise_and(batch["user_id"].combine_chunks(), 63)
-            return batch.append_column("bucket", b.cast(pa.int64()))
-
         depth = (
-            ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+            ds.map_batches(_bucket_users, batch_format="pyarrow", batch_size=65536)
             .groupby("bucket")
             .map_groups(lambda g: _funnel_users(g.drop(columns=["bucket"])),
                         batch_format="pandas")
@@ -386,7 +395,10 @@ def customer_order_profile(sf_dir: str, force: str | None = None) -> pa.Table:
     if small:
         import pyarrow.parquet as pq
 
-        agg = parts.to_pandas().groupby("o_custkey", as_index=False).agg(
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"o_custkey": "int64", "spent_p": "float64",
+                              "cnt_p": "int64"})  # empty orders: typed empty
+        agg = pdf.groupby("o_custkey", as_index=False).agg(
             n_orders=("cnt_p", "sum"), total_spent=("spent_p", "sum"))
         cust = pq.read_table(f"{sf_dir}/customer.parquet",
                              columns=["c_custkey"]).to_pandas()
@@ -403,7 +415,7 @@ def customer_order_profile(sf_dir: str, force: str | None = None) -> pa.Table:
         # each expects >= ~64 right rows; n from parquet metadata, no scan
         n_right = orders.count()
         if n_right == 0:
-            df = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
+            df = cust.to_pandas()
             df["n_orders"], df["total_spent"] = 0, 0.0
         else:
             n_parts = max(1, min(_join_partitions(sf_dir, "customer", "orders"),
@@ -729,12 +741,8 @@ def sessionize_users(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
         df = df.sort_values("user_id").reset_index(drop=True)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = pc.bit_wise_and(batch["user_id"].combine_chunks(), 63)
-        return batch.append_column("bucket", b.cast(pa.int64()))
-
     out = (
-        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(_bucket_users, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(lambda g: per_batch_sessions(g.drop(columns=["bucket"])),
                     batch_format="pandas")
@@ -787,12 +795,8 @@ def rolling_user_stats(sf_dir: str, k: int = 3) -> pa.Table:
     if ds.count() < _SMALL_ROWS:
         df = per_batch(ds.to_pandas())
     else:
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            b = pc.bit_wise_and(batch["user_id"].combine_chunks(), 63)
-            return batch.append_column("bucket", b.cast(pa.int64()))
-
         out = (
-            ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+            ds.map_batches(_bucket_users, batch_format="pyarrow", batch_size=65536)
             .groupby("bucket")
             .map_groups(lambda g: per_batch(g.drop(columns=["bucket"])),
                         batch_format="pandas")

@@ -455,13 +455,13 @@ def semantic_decontaminate(sf_dir: str, tau: float = 0.4,
             "contaminated": pa.array((mx >= tau).astype(np.int64), pa.int64()),
         })
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    df = ds.map_batches(probe, batch_format="pyarrow", batch_size=4096) \
-        .to_pandas().sort_values("vec_id").reset_index(drop=True)
     from ._util import ensure_columns
 
-    df = ensure_columns(df, {"vec_id": "int64", "max_cos": "float64",
-                             "contaminated": "int64"})
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = ensure_columns(
+        ds.map_batches(probe, batch_format="pyarrow", batch_size=4096).to_pandas(),
+        {"vec_id": "int64", "max_cos": "float64", "contaminated": "int64"})
+    df = df.sort_values("vec_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 

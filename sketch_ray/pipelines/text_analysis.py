@@ -157,6 +157,26 @@ def gopher_quality_signals(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _horner_grams(h: np.ndarray, doc_index: np.ndarray,
+                  n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling-Horner combine of n consecutive token hashes (FNV prime,
+    splitmix64 finalize); a gram is valid iff it does not cross a doc
+    boundary. THE single gram-hash construction — _dup_ngram_batch (in-doc
+    repetition) and _flat_gram_hashes (corpus-wide dup spans) must stay
+    byte-identical. Returns (uint64 gram hash per valid start,
+    int64 flat start index)."""
+    m = len(h) - n + 1
+    if m <= 0:
+        return np.array([], np.uint64), np.array([], np.int64)
+    prime = np.uint64(0x100000001B3)
+    acc = h[:m].copy()
+    for j in range(1, n):
+        acc = acc * prime + h[j:m + j]  # uint64 wraparound by design
+    acc = splitmix64(acc)
+    valid = doc_index[:m] == doc_index[n - 1:]
+    return acc[valid], np.flatnonzero(valid).astype(np.int64)
+
+
 def _dup_ngram_batch(batch: pa.Table, ns: tuple[int, ...]) -> pa.Table:
     """Per-doc duplicate n-gram occurrence fractions for one batch: for each
     n, the share of n-gram occurrences whose n-gram appears more than once
@@ -172,21 +192,12 @@ def _dup_ngram_batch(batch: pa.Table, ns: tuple[int, ...]) -> pa.Table:
     flat = pc.list_flatten(toks)
     h = hash_arrow_strings(flat, seed=7)
     doc_index = np.repeat(np.arange(n_docs), ntok)
-    prime = np.uint64(0x100000001B3)
     cols = {"doc_id": batch["doc_id"]}
     for n in ns:
-        m = len(h) - n + 1
-        if m > 0:
-            acc = h[:m].copy()
-            for j in range(1, n):
-                acc = acc * prime + h[j:m + j]  # uint64 wraparound by design
-            acc = splitmix64(acc)
-            valid = doc_index[:m] == doc_index[n - 1:]
-            g, d = acc[valid], doc_index[:m][valid]
-            order = np.lexsort((g, d))
-            g, d = g[order], d[order]
-        else:
-            g = d = np.array([], dtype=np.int64)
+        g, start_idx = _horner_grams(h, doc_index, n)
+        d = doc_index[start_idx]
+        order = np.lexsort((g, d))
+        g, d = g[order], d[order]
         dup = np.zeros(n_docs, dtype=np.int64)
         if len(g):
             new_run = np.concatenate([[True], (d[1:] != d[:-1]) | (g[1:] != g[:-1])])
@@ -220,25 +231,16 @@ def _flat_gram_hashes(batch: pa.Table, n: int):
     """Rolling-Horner n-gram hashes for one batch: returns (gram hash per
     valid start as int64 view, flat token index of each valid start, token
     doc_index, tokens-per-doc). Valid = the gram does not cross a doc
-    boundary. Same hash construction as _dup_ngram_batch (seed 7, FNV
-    prime Horner, splitmix64 finalize)."""
+    boundary. Hash construction shared with _dup_ngram_batch via
+    _horner_grams (seed 7, FNV prime Horner, splitmix64 finalize)."""
     text = batch["text"].combine_chunks()
     toks = pc.split_pattern(text, " ")
     ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(toks)
     h = hash_arrow_strings(flat, seed=7)
     doc_index = np.repeat(np.arange(len(ntok)), ntok)
-    m = len(h) - n + 1
-    if m <= 0:
-        return (np.array([], np.int64), np.array([], np.int64), doc_index, ntok)
-    prime = np.uint64(0x100000001B3)
-    acc = h[:m].copy()
-    for j in range(1, n):
-        acc = acc * prime + h[j:m + j]  # uint64 wraparound by design
-    acc = splitmix64(acc)
-    valid = doc_index[:m] == doc_index[n - 1:]
-    start_idx = np.flatnonzero(valid).astype(np.int64)
-    return acc[valid].view(np.int64), start_idx, doc_index, ntok
+    g, start_idx = _horner_grams(h, doc_index, n)
+    return g.view(np.int64), start_idx, doc_index, ntok
 
 
 _SMALL_DOCS = 2_000_000  # below this the distributed gram-count fold is pure overhead

@@ -221,6 +221,35 @@ def test_pipelines_tolerate_empty_input(ray_session, tmp_path):
     assert dedup.simhash_near_dups(str(d)).num_rows == 0
     assert text_analysis.quality_scores(str(d)).num_rows == 0
     assert text_analysis.doc_fingerprints(str(d)).num_rows == 0
+    assert text_analysis.dup_span_stats(str(d)).num_rows == 0
+
+    from sketch_ray.pipelines import exact, relational, similarity
+
+    assert exact.grouped_quantiles_exact(str(d)).num_rows == 0
+    assert exact.doc_length_deciles(str(d)).num_rows == 0
+
+    pq.write_table(_pa.schema(
+        [("event_id", _pa.int64()), ("ts", _pa.timestamp("us")),
+         ("user_id", _pa.int64()), ("event_type", _pa.string()),
+         ("value", _pa.float64())]).empty_table(), str(d / "events.parquet"))
+    pq.write_table(_pa.schema(
+        [("vec_id", _pa.int64()), ("embedding", _pa.list_(_pa.float32())),
+         ("label", _pa.int32())]).empty_table(), str(d / "embeddings.parquet"))
+    pq.write_table(_pa.table({"c_custkey": _pa.array([1, 2], _pa.int64())}),
+                   str(d / "customer.parquet"))
+    pq.write_table(_pa.schema(
+        [("o_custkey", _pa.int64()), ("o_totalprice", _pa.float64())])
+        .empty_table(), str(d / "orders.parquet"))
+
+    funnel = relational.funnel_steps(str(d)).to_pandas()
+    assert funnel["n_users"].tolist() == [0, 0, 0]
+    assert relational.rolling_user_stats(str(d)).num_rows == 0
+    assert similarity.semantic_decontaminate(str(d)).num_rows == 0
+    assert similarity.label_centroids(str(d)).num_rows == 0
+    for force in ("driver", "native"):
+        cop = relational.customer_order_profile(str(d), force=force).to_pandas()
+        assert cop["n_orders"].tolist() == [0, 0]
+        assert cop["total_spent"].tolist() == [0.0, 0.0]
 
 
 def test_csv_source_roundtrip(ray_session, tmp_path):
