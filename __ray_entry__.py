@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_signals": text_analysis.gopher_quality_signals,
         "dup_ngram_fracs": text_analysis.dup_ngram_fracs,
         "dup_span_stats": text_analysis.dup_span_stats,
+        "token_entropy": text_analysis.token_entropy,
         "bigram_lm_scores": text_analysis.bigram_lm_scores,
         # iterative greedy merges are not SQL-expressible: rows-only gate,
         # hand-case + monotone-compression pytests pin the semantics
@@ -555,6 +556,23 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(agg.alp, 0), 6) AS avg_logprob,
                    round(exp(-coalesce(agg.alp, 0)), 6) AS ppl
             FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+        """,
+        # Shannon entropy (nats) of each doc's token distribution:
+        # ln(n) - sum(c ln c)/n over per-doc token counts
+        "token_entropy": """
+            WITH t AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok
+            ), n AS (
+                SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id
+            )
+            SELECT n.doc_id, n.n::BIGINT AS n_tokens,
+                   round(ln(n.n) - sum(c.c * ln(c.c)) / n.n, 6)
+                       AS token_entropy
+            FROM n JOIN c USING (doc_id)
+            GROUP BY n.doc_id, n.n ORDER BY n.doc_id
         """,
         # cross-doc duplicate 4-gram span coverage (Lee et al. 2022 exact
         # substring dedup statistic): a gram is duplicate if it occurs >= 2

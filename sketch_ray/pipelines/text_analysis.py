@@ -243,6 +243,45 @@ def _flat_gram_hashes(batch: pa.Table, n: int):
     return g.view(np.int64), start_idx, doc_index, ntok
 
 
+def token_entropy(sf_dir: str) -> pa.Table:
+    """Per-document Shannon entropy of the token distribution (nats) — a
+    repetition/diversity quality signal (low entropy = chant-like or
+    boilerplate text; complements the Gopher dup_ngram filters). One
+    streaming pass, fully vectorized: token hashes → per-doc run-length
+    counts (lexsort) → entropy = ln(n) − Σc·ln(c)/n via one bincount."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        ntok = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_docs = len(ntok)
+        h = hash_arrow_strings(pc.list_flatten(toks), seed=7)
+        doc_index = np.repeat(np.arange(n_docs), ntok)
+        order = np.lexsort((h, doc_index))
+        hs, ds_ = h[order], doc_index[order]
+        new_run = np.concatenate([[True], (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])]) \
+            if len(hs) else np.array([], bool)
+        run_doc = ds_[new_run]
+        run_len = np.diff(np.append(np.flatnonzero(new_run), len(ds_)))
+        s = np.bincount(run_doc, weights=run_len * np.log(run_len),
+                        minlength=n_docs)
+        n = np.maximum(ntok, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "token_entropy": pa.array(np.round(np.log(n) - s / n, 6),
+                                      pa.float64()),
+        })
+
+    df = ensure_columns(
+        ds.map_batches(ent, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_tokens": "int64", "token_entropy": "float64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 _SMALL_DOCS = 2_000_000  # below this the distributed gram-count fold is pure overhead
 
 

@@ -362,3 +362,26 @@ def test_dup_span_stats_branches_agree(ray_session):
     assert a["dup_span_frac"].between(0, 1).all()
     # a doc has covered positions iff it has at least one duplicate gram
     assert ((a["n_dup_grams"] > 0) == (a["dup_span_frac"] > 0)).all()
+
+
+def test_token_entropy_hand_case(ray_session, tmp_path):
+    """Entropy checked by hand: all-same tokens -> 0; uniform distinct ->
+    ln(n); a 2:1:1 mix -> ln(4) - (2 ln 2)/4."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import token_entropy
+
+    texts = ["a a a a", "a b c d", "a a b c"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = token_entropy(str(tmp_path)).to_pandas()
+    assert out["n_tokens"].tolist() == [4, 4, 4]
+    want = [0.0, math.log(4), math.log(4) - 2 * math.log(2) / 4]
+    assert out["token_entropy"].tolist() == [round(w, 6) for w in want]
