@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, k=3, tau=0.5),
         "decontaminate_corpus": lambda sf: dedup.decontaminate_corpus(sf, n_bench=20, k=3),
         "stratified_sample": text_analysis.stratified_sample,
+        "upsample_mix": text_analysis.upsample_mix,
         "shard_assignments": lambda sf: sharding.shard_assignments(sf, n_shards=16, seed=7),
         "pack_sequences": lambda sf: sharding.pack_sequences(sf, seq_len=512, seed=7),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
@@ -134,6 +135,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM {strat_f}
         WHERE h < CASE lang {strat_case} ELSE 0 END
         ORDER BY doc_id
+    """
+    # upsample_mix: n_copies = floor(rate) + (splitmix64(doc_id ^ mix(43)) <
+    # frac(rate)*2^64); both sides share the float→integer rounding through
+    # upsample_rate_parts, the row expansion is a lateral range(n_copies)
+    from sketch_ray.pipelines.text_analysis import (DEFAULT_UPSAMPLE_RATES,
+                                                    upsample_rate_parts)
+
+    up_ctes, up_f = splitmix64_ctes(
+        "up", f"(SELECT doc_id, source, xor(CAST(doc_id AS UBIGINT), {mix_constant(43)}) AS k"
+              " FROM documents)", "k", "h", ["doc_id", "source"])
+    up_parts = {s: upsample_rate_parts(r) for s, r in DEFAULT_UPSAMPLE_RATES.items()}
+    up_base_case = " ".join(f"WHEN '{s}' THEN {b}" for s, (b, _) in up_parts.items())
+    up_thr_case = " ".join(f"WHEN '{s}' THEN {t}" for s, (_, t) in up_parts.items())
+    d_base, d_thr = upsample_rate_parts(1.0)
+    upsample = f"""
+        WITH {up_ctes},
+        upn AS (
+            SELECT doc_id, source,
+                   CASE source {up_base_case} ELSE {d_base} END
+                   + CASE WHEN h < CASE source {up_thr_case} ELSE {d_thr} END
+                     THEN 1 ELSE 0 END AS n_copies
+            FROM {up_f})
+        SELECT doc_id, source, CAST(c AS BIGINT) AS copy
+        FROM upn, LATERAL (SELECT unnest(range(n_copies)) AS c)
+        ORDER BY doc_id, copy
     """
     # shard_assignments: shard = splitmix64(doc_id ^ mix(7)) % 16,
     # pos = rank within shard by splitmix64(doc_id ^ mix(8))
@@ -698,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_near_dups": jaccard.format(tau=0.8),
         "stratified_sample": stratified,
+        "upsample_mix": upsample,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,

@@ -708,6 +708,72 @@ def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None,
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# domain-mix upsampling rates: >1 replicates (temperature-style reweighting
+# toward high-quality sources, the Pile/Llama mixture pattern), <1 subsamples,
+# 0 drops; anything absent keeps default_rate copies
+DEFAULT_UPSAMPLE_RATES = {"src0": 2.5, "src1": 3.0, "src2": 0.5, "src3": 0.0}
+
+
+def upsample_rate_parts(rate: float) -> tuple[int, int]:
+    """(base_copies, fractional-copy uint64 threshold) for a mixture rate —
+    the exact integers both the engine and the SQL oracle use, so the two
+    sides share one float→integer rounding."""
+    from ._sqlgen import rate_threshold
+
+    r = max(float(rate), 0.0)
+    base = int(np.floor(r))
+    return base, rate_threshold(r - base)
+
+
+def upsample_mix(sf_dir: str, rates: dict[str, float] | None = None,
+                 default_rate: float = 1.0, seed: int = 43) -> pa.Table:
+    """Deterministic domain-mix resampling with rates ABOVE 1 — the
+    upsampling half of training-mixture assembly that ``stratified_sample``
+    (rates ≤ 1) can't express: a doc from a source with rate r is emitted
+    ``floor(r)`` times plus one more iff ``splitmix64(doc_id ^ mix(seed)) <
+    frac(r)·2⁶⁴``, so E[copies] = r exactly and the decision is a pure
+    function of (doc_id, seed) — identical across runs, parallelism and
+    resume (reference analog: the deterministic seed-table discipline of
+    sketch.cpp:79-84).
+
+    One vectorized streaming pass, no shuffle: per-batch dictionary-encoded
+    rate lookup, ``np.repeat`` row expansion, copy index by arange-minus-
+    offsets. Returns (doc_id, source, copy) with copy ∈ [0, n_copies);
+    exact-oracle-gated via the splitmix64 SQL rendering + lateral range."""
+    rates = DEFAULT_UPSAMPLE_RATES if rates is None else rates
+    mix = splitmix64(np.array([seed], _U64))[0]
+    parts = {src: upsample_rate_parts(r) for src, r in rates.items()}
+    default_parts = upsample_rate_parts(default_rate)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(_U64) ^ mix)
+        codes_arr = pc.dictionary_encode(batch["source"].combine_chunks())
+        uniq = codes_arr.dictionary.to_pylist()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        base_by_uniq = np.array([parts.get(s, default_parts)[0] for s in uniq], np.int64)
+        thr_by_uniq = np.array([parts.get(s, default_parts)[1] for s in uniq], _U64)
+        if len(uniq):
+            n_copies = base_by_uniq[codes] + (h < thr_by_uniq[codes]).astype(np.int64)
+        else:
+            n_copies = np.empty(0, np.int64)
+        idx = np.repeat(np.arange(len(ids)), n_copies)
+        starts = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
+        copy = np.arange(int(n_copies.sum()), dtype=np.int64) - starts[idx]
+        return pa.table({
+            "doc_id": pa.array(ids[idx], pa.int64()),
+            "source": batch["source"].combine_chunks().take(pa.array(idx, pa.int64())),
+            "copy": pa.array(copy, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    df = ensure_columns(
+        ds.map_batches(expand, batch_format="pyarrow", batch_size=65536).to_pandas(),
+        {"doc_id": "int64", "source": "object", "copy": "int64"})
+    df = df.sort_values(["doc_id", "copy"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # PII redaction: (RE2 pattern, replacement token), applied IN THIS ORDER —
 # email first, then IP, then phone (order matters where patterns could
 # overlap; the DuckDB oracle applies the same order). All three are

@@ -457,6 +457,47 @@ def test_stratified_sample_deterministic_and_bounded(ray_session):
     assert len(full) == len(docs)
 
 
+def test_upsample_mix_deterministic_and_exact(ray_session):
+    """Rates > 1 replicate deterministically: integer rates give exactly
+    floor(r) copies per doc, fractional rates land within 5 sigma of r·n,
+    copy indices are dense per doc, and reruns are byte-identical."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import upsample_mix
+
+    a = upsample_mix(SF).to_pandas()
+    b = upsample_mix(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    n_by = docs.groupby("source").size()
+
+    # integer rates are exact per-doc, not just in expectation
+    tripled = upsample_mix(SF, rates={"src5": 3.0}, default_rate=0.0).to_pandas()
+    assert len(tripled) == 3 * int(n_by["src5"])
+    assert (tripled.groupby("doc_id").size() == 3).all()
+    assert (tripled.groupby("doc_id")["copy"].max() == 2).all()
+    assert (tripled.groupby("doc_id")["copy"].min() == 0).all()
+
+    # fractional rate: expectation r within 5 sigma of the Bernoulli part
+    r = 2.5
+    frac = upsample_mix(SF, rates={"src6": r}, default_rate=0.0).to_pandas()
+    n = int(n_by["src6"])
+    sigma = max(1.0, np.sqrt(n * 0.5 * 0.5))
+    assert abs(len(frac) - n * r) <= 5 * sigma
+    assert frac.groupby("doc_id").size().isin([2, 3]).all()
+
+    # rate 0 drops; default 1.0 is the identity corpus
+    assert len(upsample_mix(SF, rates={}, default_rate=0.0).to_pandas()) == 0
+    ident = upsample_mix(SF, rates={}, default_rate=1.0).to_pandas()
+    assert len(ident) == len(docs) and (ident["copy"] == 0).all()
+
+    # a different seed resamples the fractional copies
+    other = upsample_mix(SF, rates={"src6": r}, default_rate=0.0, seed=99).to_pandas()
+    assert not frac.equals(other)
+
+
 def test_incremental_dedup_drops_cross_snapshot_dups(ray_session, tmp_path):
     """Synthetic corpus with known cross-snapshot and in-snapshot duplicate
     structure: docs seen in the prior snapshot are dropped entirely; new
