@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_corpus": lambda sf: dedup.decontaminate_corpus(sf, n_bench=20, k=3),
         "stratified_sample": text_analysis.stratified_sample,
         "upsample_mix": text_analysis.upsample_mix,
+        "uniform_sample_n": lambda sf: text_analysis.uniform_sample_n(sf, n=64, seed=17),
         "shard_assignments": lambda sf: sharding.shard_assignments(sf, n_shards=16, seed=7),
         "pack_sequences": lambda sf: sharding.pack_sequences(sf, seq_len=512, seed=7),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
@@ -160,6 +161,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, CAST(c AS BIGINT) AS copy
         FROM upn, LATERAL (SELECT unnest(range(n_copies)) AS c)
         ORDER BY doc_id, copy
+    """
+    # uniform_sample_n: the 64 docs with smallest splitmix64(doc_id ^ mix(17))
+    us_ctes, us_f = splitmix64_ctes(
+        "us", f"(SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {mix_constant(17)}) AS k"
+              " FROM documents)", "k", "h", ["doc_id"])
+    uniform_n = f"""
+        WITH {us_ctes}
+        SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank, doc_id
+        FROM {us_f} ORDER BY h, doc_id LIMIT 64
     """
     # shard_assignments: shard = splitmix64(doc_id ^ mix(7)) % 16,
     # pos = rank within shard by splitmix64(doc_id ^ mix(8))
@@ -725,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_near_dups": jaccard.format(tau=0.8),
         "stratified_sample": stratified,
         "upsample_mix": upsample,
+        "uniform_sample_n": uniform_n,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,

@@ -774,6 +774,38 @@ def upsample_mix(sf_dir: str, rates: dict[str, float] | None = None,
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def uniform_sample_n(sf_dir: str, n: int = 64, seed: int = 17) -> pa.Table:
+    """EXACT fixed-size uniform sample without replacement: the n docs with
+    the smallest ``splitmix64(doc_id ^ mix(seed))`` — rate-free counterpart
+    of ``stratified_sample`` (a 100-TB corpus can't pick "0.0000005%" by
+    rate and hit a target size exactly; bottom-n by hash does, and stays a
+    pure function of (doc_id, seed) so reruns/resumes draw the same docs).
+
+    Distributed partial bottom-n: each batch emits at most n (doc_id, key)
+    rows via ``np.argpartition``, the driver merges the O(n × n_batches)
+    partials — the bottom-k discipline of kernels/bottomk.py applied to
+    row sampling; no shuffle, nothing corpus-sized anywhere. Returns
+    (rank, doc_id) ordered by the hash key."""
+    mix = splitmix64(np.array([seed], _U64))[0]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(_U64) ^ mix)
+        if len(ids) > n:
+            sel = np.argpartition(h, n)[:n]
+            ids, h = ids[sel], h[sel]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "h": pa.array(h, pa.uint64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    df = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas(),
+        {"doc_id": "int64", "h": "uint64"})
+    df = df.sort_values(["h", "doc_id"]).head(n).reset_index(drop=True)
+    return pa.table({"rank": pa.array(np.arange(1, len(df) + 1), pa.int64()),
+                     "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64())})
+
+
 # PII redaction: (RE2 pattern, replacement token), applied IN THIS ORDER —
 # email first, then IP, then phone (order matters where patterns could
 # overlap; the DuckDB oracle applies the same order). All three are

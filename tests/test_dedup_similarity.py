@@ -498,6 +498,32 @@ def test_upsample_mix_deterministic_and_exact(ray_session):
     assert not frac.equals(other)
 
 
+def test_uniform_sample_n_exact_size_and_nested(ray_session):
+    """Bottom-n-by-hash sampling: exact size, deterministic, docs are a
+    subset of the corpus, samples are NESTED (the n=16 sample is a prefix
+    of the n=64 sample — the bottom-k property), and n >= corpus returns
+    every doc."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import uniform_sample_n
+
+    docs = set(pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+               .column("doc_id").to_pylist())
+    big = uniform_sample_n(SF, n=64).to_pandas()
+    small = uniform_sample_n(SF, n=16).to_pandas()
+    assert len(big) == 64 and len(small) == 16
+    assert list(big["rank"]) == list(range(1, 65))
+    assert set(big["doc_id"]) <= docs
+    pd.testing.assert_frame_equal(small, big.head(16))
+    again = uniform_sample_n(SF, n=64).to_pandas()
+    pd.testing.assert_frame_equal(big, again)
+    # different seed draws a different set; n >= corpus returns everything
+    other = uniform_sample_n(SF, n=64, seed=99).to_pandas()
+    assert set(other["doc_id"]) != set(big["doc_id"])
+    full = uniform_sample_n(SF, n=10 ** 9).to_pandas()
+    assert set(full["doc_id"]) == docs
+
+
 def test_incremental_dedup_drops_cross_snapshot_dups(ray_session, tmp_path):
     """Synthetic corpus with known cross-snapshot and in-snapshot duplicate
     structure: docs seen in the prior snapshot are dropped entirely; new
