@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": text_analysis.stratified_sample,
         "upsample_mix": text_analysis.upsample_mix,
         "uniform_sample_n": lambda sf: text_analysis.uniform_sample_n(sf, n=64, seed=17),
+        "tfidf_keywords": lambda sf: text_analysis.tfidf_keywords(sf, k=3),
         "shard_assignments": lambda sf: sharding.shard_assignments(sf, n_shards=16, seed=7),
         "pack_sequences": lambda sf: sharding.pack_sequences(sf, seq_len=512, seed=7),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
@@ -170,6 +171,26 @@ def oracle_sql() -> dict[str, str]:
         WITH {us_ctes}
         SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank, doc_id
         FROM {us_f} ORDER BY h, doc_id LIMIT 64
+    """
+    # tfidf_keywords: score = tf * ln(N/df) rounded 6dp, ranked on the
+    # rounded value with token-asc tie-break (engine ranks identically)
+    tfidf = """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, tf.token AS token,
+                   round(tf * ln(n / df), 6) AS score
+            FROM tf JOIN dfc USING (token), nn),
+        ranked AS (
+            SELECT doc_id, token, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, token) AS rank
+            FROM scored)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, score
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
     """
     # shard_assignments: shard = splitmix64(doc_id ^ mix(7)) % 16,
     # pos = rank within shard by splitmix64(doc_id ^ mix(8))
@@ -736,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified,
         "upsample_mix": upsample,
         "uniform_sample_n": uniform_n,
+        "tfidf_keywords": tfidf,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,

@@ -380,6 +380,105 @@ def dup_span_stats(sf_dir: str, n: int = 4, force: str | None = None) -> pa.Tabl
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def tfidf_keywords(sf_dir: str, k: int = 3, seed: int = 7,
+                   force: str | None = None) -> pa.Table:
+    """Per-document top-k tf-idf keywords — the classic keyword-extraction
+    feature of a corpus-analysis pipeline: score(doc, token) =
+    tf · ln(N / df), tf = occurrences in the doc, df = docs containing the
+    token, ranked per doc by (score desc, token asc).
+
+    Scale shape — two streaming passes, vocab-bounded state:
+    1. df pass: per-batch distinct-(doc, token-hash) run-length partials;
+       adaptive fold (driver bincount below ``_SMALL_DOCS`` docs, else a
+       distributed groupby(g).sum) — the dup_span_stats discipline. The
+       folded (hash → df) table is vocab-sized, broadcast once as a sorted
+       hash array + searchsorted (the bigram-LM scoring pattern).
+    2. score pass: per-(doc, token) tf via lexsort run-length, idf gather,
+       per-batch pandas top-k head (docs never span batches, so per-batch
+       heads are final) — ≤k rows per doc leave any task.
+
+    Grouping is by 64-bit token hash (collision odds ~vocab²/2⁶⁴; the SQL
+    oracle groups literal strings). Scores rounded 6dp on both sides and
+    RANKED on the rounded value so ordering matches the oracle bit-for-bit.
+    ``force`` pins the df-fold branch ("driver"/"distributed") for tests.
+    Returns (doc_id, rank, token, score) sorted by (doc_id, rank)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.broadcast import cached
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs_total = ds.count()
+
+    def flat(batch: pa.Table):
+        text = batch["text"].combine_chunks()
+        toks = pc.list_flatten(pc.split_pattern(text, " "))
+        ntok = pc.list_value_length(pc.split_pattern(text, " ")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # int64 view so df-pass vocab (int64) and score-pass searchsorted
+        # share one sort order
+        h = hash_arrow_strings(toks, seed=seed).view(np.int64)
+        doc_index = np.repeat(np.arange(len(ntok)), ntok)
+        order = np.lexsort((h, doc_index))
+        hs, ds_ = h[order], doc_index[order]
+        new_run = np.concatenate([[True], (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])]) \
+            if len(hs) else np.array([], bool)
+        return toks, order, hs, ds_, new_run
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        _, _, hs, _, new_run = flat(batch)
+        uniq, cnt = np.unique(hs[new_run], return_counts=True)
+        return pa.table({"g": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    partials = ds.map_batches(df_partials, batch_format="pyarrow", batch_size=8192)
+    small = (n_docs_total < _SMALL_DOCS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(partials.to_pandas(), {"g": "int64", "c": "int64"})
+        vocab, inv = np.unique(pdf["g"].to_numpy(), return_inverse=True)
+        dfreq = np.bincount(inv, weights=pdf["c"].to_numpy()).astype(np.int64)
+    else:
+        counts = partials.repartition(32).groupby("g") \
+            .aggregate(Sum("c", alias_name="cnt"))
+        cdf = ensure_columns(counts.to_pandas(), {"g": "int64", "cnt": "int64"})
+        order = np.argsort(cdf["g"].to_numpy())
+        vocab = cdf["g"].to_numpy()[order]
+        dfreq = cdf["cnt"].to_numpy()[order]
+    idf = np.log(float(n_docs_total) / dfreq.astype(np.float64))
+    ref = ray.put((np.ascontiguousarray(vocab), np.ascontiguousarray(idf)))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        vocab_b, idf_b = cached(ref)
+        toks, order, hs, ds_, new_run = flat(batch)
+        if not len(hs):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.large_string()),
+                             "score": pa.array([], pa.float64())})
+        run_h = hs[new_run]
+        run_doc = ds_[new_run]
+        run_len = np.diff(np.append(np.flatnonzero(new_run), len(ds_)))
+        pos = np.searchsorted(vocab_b, run_h)
+        score = np.round(run_len * idf_b[pos], 6)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        run_tok = toks.take(pa.array(order[new_run], pa.int64()))
+        pdf = pd.DataFrame({"doc_id": doc_ids[run_doc],
+                            "token": run_tok.to_pandas(),
+                            "score": score})
+        pdf = pdf.sort_values(["doc_id", "score", "token"],
+                              ascending=[True, False, True], kind="stable")
+        pdf = pdf.groupby("doc_id", group_keys=False).head(k)
+        pdf = pdf.assign(rank=pdf.groupby("doc_id").cumcount() + 1)
+        return pa.Table.from_pandas(
+            pdf[["doc_id", "rank", "token", "score"]], preserve_index=False)
+
+    out = ensure_columns(
+        ds.map_batches(topk, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "rank": "int64", "token": "object", "score": "float64"})
+    out = out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def quality_filter_corpus(
     sf_dir: str, out_dir: str, max_top_token_frac: float = 0.2,
     min_frac_unique: float = 0.3, max_symbol_ratio: float = 0.1,

@@ -385,3 +385,40 @@ def test_token_entropy_hand_case(ray_session, tmp_path):
     assert out["n_tokens"].tolist() == [4, 4, 4]
     want = [0.0, math.log(4), math.log(4) - 2 * math.log(2) / 4]
     assert out["token_entropy"].tolist() == [round(w, 6) for w in want]
+
+
+def test_tfidf_keywords_hand_case(ray_session, tmp_path):
+    """tf-idf checked by hand on a 3-doc corpus: a corpus-wide token gets
+    idf ln(3/3)=0, doc-unique tokens win, ties break token-ascending;
+    driver and distributed df folds agree on real data."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import tfidf_keywords
+
+    texts = ["common rare1 rare1 shared", "common shared zeta", "common only"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = tfidf_keywords(str(tmp_path), k=2).to_pandas()
+    ln3, ln15 = math.log(3.0), math.log(3.0 / 2.0)
+    # doc 0: rare1 tf=2 idf=ln3 beats shared tf=1 idf=ln(3/2); common scores 0
+    d0 = out[out["doc_id"] == 0]
+    assert d0["token"].tolist() == ["rare1", "shared"]
+    assert d0["score"].tolist() == [round(2 * ln3, 6), round(ln15, 6)]
+    # doc 1: shared and zeta both score ln(3/2) and ln3; zeta (unique) first
+    d1 = out[out["doc_id"] == 1]
+    assert d1["token"].tolist() == ["zeta", "shared"]
+    # doc 2: only (unique) first, then common at score 0
+    d2 = out[out["doc_id"] == 2]
+    assert d2["token"].tolist() == ["only", "common"]
+    assert d2["score"].tolist() == [round(ln3, 6), 0.0]
+
+    a = tfidf_keywords(SF, k=3, force="driver").to_pandas()
+    b = tfidf_keywords(SF, k=3, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
