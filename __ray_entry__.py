@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsample_mix": text_analysis.upsample_mix,
         "uniform_sample_n": lambda sf: text_analysis.uniform_sample_n(sf, n=64, seed=17),
         "tfidf_keywords": lambda sf: text_analysis.tfidf_keywords(sf, k=3),
+        "user_event_gaps": relational.user_event_gaps,
         "shard_assignments": lambda sf: sharding.shard_assignments(sf, n_shards=16, seed=7),
         "pack_sequences": lambda sf: sharding.pack_sequences(sf, seq_len=512, seed=7),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
@@ -171,6 +172,21 @@ def oracle_sql() -> dict[str, str]:
         WITH {us_ctes}
         SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank, doc_id
         FROM {us_f} ORDER BY h, doc_id LIMIT 64
+    """
+    # user_event_gaps: LAG diff in integer microseconds; the single float
+    # op (sum/n)/1e6 mirrors the engine's division order
+    user_gaps = """
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        g AS (SELECT user_id,
+                     us - lag(us) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS gap
+              FROM e),
+        a AS (SELECT user_id, count(*) AS n, sum(gap) AS s, max(gap) AS m
+              FROM g GROUP BY user_id HAVING count(*) >= 2)
+        SELECT user_id, CAST(n AS BIGINT) AS n_events,
+               round((CAST(s AS DOUBLE) / (n - 1)) / 1000000, 6) AS mean_gap_s,
+               round(CAST(m AS DOUBLE) / 1000000, 6) AS max_gap_s
+        FROM a ORDER BY user_id
     """
     # tfidf_keywords: score = tf * ln(N/df) rounded 6dp, ranked on the
     # rounded value with token-asc tie-break (engine ranks identically)
@@ -758,6 +774,7 @@ def oracle_sql() -> dict[str, str]:
         "upsample_mix": upsample,
         "uniform_sample_n": uniform_n,
         "tfidf_keywords": tfidf,
+        "user_event_gaps": user_gaps,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,

@@ -806,6 +806,67 @@ def rolling_user_stats(sf_dir: str, k: int = 3) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def user_event_gaps(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Per-user inter-event-time statistics — the SQL LAG window primitive
+    (gap = ts − lag(ts) OVER (PARTITION BY user ORDER BY ts, event_id))
+    aggregated per user: n_events, mean_gap_s, max_gap_s over users with
+    ≥ 2 events. The behavioral-analytics complement of sessionize_users
+    (which thresholds these gaps) and rolling_user_stats (value frames).
+
+    Same adaptive shape: below _SMALL_ROWS one vectorized driver pass;
+    above, hash-bucket users and each partition resolves MANY whole users
+    per numpy pass — per-user output rows only (key-bounded), no global
+    sort. Gap math is integer microseconds end-to-end; the one float op
+    (sum/n)/1e6 mirrors the oracle's division order exactly.
+    ``force`` pins the branch ("driver"/"distributed") for tests."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "mean_gap_s": pd.Series([], dtype="float64"),
+                                 "max_gap_s": pd.Series([], dtype="float64")})
+        b = batch.sort_values(["user_id", "ts", "event_id"])
+        uid = b["user_id"].to_numpy(np.int64)
+        ts = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        n = len(b)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gaps = np.diff(ts)  # valid where NOT new_user[1:]
+        valid = ~new_user[1:]
+        seg_start = np.flatnonzero(new_user)
+        counts = np.diff(np.append(seg_start, n))
+        keep = counts >= 2
+        # per-user fold over the contiguous gap runs (counts-1 gaps each)
+        gap_user = np.repeat(np.arange(len(seg_start)), counts - 1)
+        gv = gaps[valid]
+        sums = np.bincount(gap_user, weights=gv, minlength=len(seg_start))
+        maxs = np.full(len(seg_start), -1, np.int64)
+        if len(gv):
+            np.maximum.at(maxs, gap_user, gv.astype(np.int64))
+        return pd.DataFrame({
+            "user_id": uid[seg_start[keep]],
+            "n_events": counts[keep].astype(np.int64),
+            "mean_gap_s": np.round(
+                (sums[keep] / (counts[keep] - 1)) / 1e6, 6),
+            "max_gap_s": np.round(maxs[keep] / 1e6, 6),
+        })
+
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        df = per_batch(ds.to_pandas())
+    else:
+        out = (
+            ds.map_batches(_bucket_users, batch_format="pyarrow", batch_size=65536)
+            .groupby("bucket")
+            .map_groups(lambda g: per_batch(g.drop(columns=["bucket"])),
+                        batch_format="pandas")
+        )
+        df = out.to_pandas()
+    df = df.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _segment_intervals(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Elementary-segment decomposition of (possibly overlapping) intervals
     [lo_i, hi_i): the sorted unique bounds split the line into segments each

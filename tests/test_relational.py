@@ -224,6 +224,35 @@ def test_rolling_user_stats_hand_case(ray_session, tmp_path):
     assert out["mov_avg"].tolist() == [1.0, 1.5, 2.0, 3.0, 10.0]
 
 
+def test_user_event_gaps_hand_case(ray_session, tmp_path):
+    """LAG-gap aggregate, checked by hand: gaps 2s+3s -> mean 2.5 / max 3;
+    a single-event user is excluded; fractional-second gaps are exact at
+    6dp. Driver and bucketed plans agree on real data."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import user_event_gaps
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    off_us = [0, 2_000_000, 5_000_000, 0, 0, 1_500_000]
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(u, "us") for u in off_us],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+    }), f"{tmp_path}/events.parquet")
+    out = user_event_gaps(str(tmp_path)).to_pandas()
+    assert out["user_id"].tolist() == [1, 3]
+    assert out["n_events"].tolist() == [3, 2]
+    assert out["mean_gap_s"].tolist() == [2.5, 1.5]
+    assert out["max_gap_s"].tolist() == [3.0, 1.5]
+
+    a = user_event_gaps(SF, force="driver").to_pandas()
+    b = user_event_gaps(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_customer_order_profile_left_outer(ray_session):
     """LEFT OUTER semantics: the driver-merge plan and the native
     Dataset.join(left_outer) plan agree; every customer appears exactly
