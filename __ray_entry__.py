@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniform_sample_n": lambda sf: text_analysis.uniform_sample_n(sf, n=64, seed=17),
         "tfidf_keywords": lambda sf: text_analysis.tfidf_keywords(sf, k=3),
         "user_event_gaps": relational.user_event_gaps,
+        "group_sample_n": lambda sf: text_analysis.group_sample_n(sf, n=8, by="lang", seed=17),
         "shard_assignments": lambda sf: sharding.shard_assignments(sf, n_shards=16, seed=7),
         "pack_sequences": lambda sf: sharding.pack_sequences(sf, seq_len=512, seed=7),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
@@ -163,6 +164,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, CAST(c AS BIGINT) AS copy
         FROM upn, LATERAL (SELECT unnest(range(n_copies)) AS c)
         ORDER BY doc_id, copy
+    """
+    # group_sample_n: per-lang bottom-8 by the same rendered hash
+    gs_ctes, gs_f = splitmix64_ctes(
+        "gs", f"(SELECT doc_id, lang, xor(CAST(doc_id AS UBIGINT), {mix_constant(17)}) AS k"
+              " FROM documents)", "k", "h", ["doc_id", "lang"])
+    group_n = f"""
+        WITH {gs_ctes},
+        ranked AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+            FROM {gs_f})
+        SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+        FROM ranked WHERE rank <= 8 ORDER BY lang, rank
     """
     # uniform_sample_n: the 64 docs with smallest splitmix64(doc_id ^ mix(17))
     us_ctes, us_f = splitmix64_ctes(
@@ -775,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
         "uniform_sample_n": uniform_n,
         "tfidf_keywords": tfidf,
         "user_event_gaps": user_gaps,
+        "group_sample_n": group_n,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,

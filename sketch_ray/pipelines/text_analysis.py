@@ -905,6 +905,50 @@ def uniform_sample_n(sf_dir: str, n: int = 64, seed: int = 17) -> pa.Table:
                      "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64())})
 
 
+def group_sample_n(sf_dir: str, n: int = 8, by: str = "lang",
+                   seed: int = 17) -> pa.Table:
+    """EXACT fixed-size per-group sample: for every group (default: per
+    language) the n docs with the smallest ``splitmix64(doc_id ^
+    mix(seed))`` — the eval-set / inspection-sample builder (n docs per
+    language, per source, per shard...), grouped counterpart of
+    ``uniform_sample_n`` with the same purity guarantees.
+
+    Per-batch partial: bottom-n PER GROUP via one lexsort (≤ n ×
+    groups-in-batch rows emitted); driver merges the O(n · n_groups ·
+    n_batches) partials — group-bounded, never corpus-sized; no shuffle.
+    Returns (group, rank, doc_id) ordered by (group, rank)."""
+    mix = splitmix64(np.array([seed], _U64))[0]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(_U64) ^ mix)
+        codes_arr = pc.dictionary_encode(batch[by].combine_chunks())
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids):
+            order = np.lexsort((ids, h, codes))
+            new_grp = np.concatenate([[True], codes[order][1:] != codes[order][:-1]])
+            grp_start = np.flatnonzero(new_grp)
+            start_of = np.repeat(grp_start, np.diff(np.append(grp_start, len(ids))))
+            keep = order[np.arange(len(ids)) - start_of < n]
+        else:
+            keep = np.empty(0, np.int64)
+        return pa.table({
+            by: batch[by].combine_chunks().take(pa.array(keep, pa.int64())),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "h": pa.array(h[keep], pa.uint64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", by])
+    df = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas(),
+        {by: "object", "doc_id": "int64", "h": "uint64"})
+    df = df.sort_values([by, "h", "doc_id"])
+    df = df.groupby(by, group_keys=False).head(n)
+    df = df.assign(rank=df.groupby(by).cumcount() + 1)
+    df = df[[by, "rank", "doc_id"]].reset_index(drop=True)
+    return pa.Table.from_pandas(df.astype({"rank": "int64"}), preserve_index=False)
+
+
 # PII redaction: (RE2 pattern, replacement token), applied IN THIS ORDER —
 # email first, then IP, then phone (order matters where patterns could
 # overlap; the DuckDB oracle applies the same order). All three are

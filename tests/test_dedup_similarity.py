@@ -524,6 +524,32 @@ def test_uniform_sample_n_exact_size_and_nested(ray_session):
     assert set(full["doc_id"]) == docs
 
 
+def test_group_sample_n_per_group_exact(ray_session):
+    """Per-group bottom-n: every group contributes min(n, group size) docs,
+    the per-group sets are nested prefixes across n, doc/group pairing is
+    faithful, and reruns are identical."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import group_sample_n
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    n_by = docs.groupby("lang").size()
+    big = group_sample_n(SF, n=8, by="lang").to_pandas()
+    for lang, cnt in big.groupby("lang").size().items():
+        assert cnt == min(8, int(n_by[lang]))
+    # pairing faithful: each sampled doc really has that group value
+    merged = big.merge(docs, on="doc_id", suffixes=("", "_true"))
+    assert (merged["lang"] == merged["lang_true"]).all()
+    small = group_sample_n(SF, n=3, by="lang").to_pandas()
+    pd.testing.assert_frame_equal(
+        small, big[big["rank"] <= 3].reset_index(drop=True))
+    again = group_sample_n(SF, n=8, by="lang").to_pandas()
+    pd.testing.assert_frame_equal(big, again)
+    by_src = group_sample_n(SF, n=2, by="source").to_pandas()
+    assert (by_src.groupby("source").size() <= 2).all()
+
+
 def test_incremental_dedup_drops_cross_snapshot_dups(ray_session, tmp_path):
     """Synthetic corpus with known cross-snapshot and in-snapshot duplicate
     structure: docs seen in the prior snapshot are dropped entirely; new
