@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, tau=0.4, n_bits=4, n_tables=16),
         "embedding_dedup_clusters": lambda sf: similarity.embedding_dedup_clusters(sf, tau=0.4),
         "ann_topk": lambda sf: similarity.ann_topk(sf, k=5, n_queries=8),
+        "knn_label_vote": lambda sf: similarity.knn_label_vote(sf, k=5, n_queries=8),
         "lsh_ann_topk": lambda sf: similarity.lsh_ann_topk(sf, k=5, n_queries=64),
         "ivf_ann_topk": lambda sf: similarity.ivf_ann_topk(sf, k=5, n_queries=64),
         # --- exact, oracle-gated (operator coverage: M1/M3/M8, A1-A6, T1-T2, J1) ---
@@ -855,6 +856,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
             QUALIFY "rank" <= 5 ORDER BY query_id, "rank"
+        """,
+        "knn_label_vote": f"""
+            WITH r AS (
+                SELECT a.vec_id AS query_id, b.label,
+                       row_number() OVER (PARTITION BY a.vec_id
+                                          ORDER BY {cos} DESC, b.vec_id) AS rk
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < 8 AND b.vec_id != a.vec_id),
+            v AS (SELECT query_id, label, count(*) AS n_votes
+                  FROM r WHERE rk <= 5 GROUP BY 1, 2),
+            w AS (SELECT query_id, label, n_votes,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY n_votes DESC, label) AS wr
+                  FROM v)
+            SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+                   CAST(n_votes AS BIGINT) AS n_votes
+            FROM w WHERE wr = 1 ORDER BY query_id
         """,
         "top_tokens": f"""
             SELECT token, count(*) AS cnt FROM ({tok}) GROUP BY token

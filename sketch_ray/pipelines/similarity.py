@@ -661,3 +661,34 @@ def lsh_ann_topk(
         bucket_topk, batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
     return _merge_topk(partials, k)
+
+
+def knn_label_vote(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
+    """k-NN majority-vote label prediction — the classifier shape of a
+    label-propagation / weak-supervision stage: each query vector's
+    predicted label is the most common label among its exact top-k cosine
+    neighbors (self excluded), ties broken by the smaller label id.
+
+    Composes on the oracle-gated ``ann_topk`` (per-batch partial top-k +
+    driver merge — nothing corpus-sized anywhere); neighbor labels come
+    from a predicate-pushdown read bounded by the n_queries·k neighbor
+    set. Returns (query_id, pred_label, n_votes)."""
+    import pyarrow.parquet as pq
+
+    neigh = ann_topk(sf_dir, k=k, n_queries=n_queries).to_pandas()
+    wanted = sorted(set(neigh["vec_id"].tolist()))
+    labels = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"],
+        filters=[("vec_id", "in", wanted)]).to_pandas()
+    merged = neigh.merge(labels, on="vec_id")
+    votes = (merged.groupby(["query_id", "label"]).size()
+             .rename("n_votes").reset_index())
+    votes = votes.sort_values(["query_id", "n_votes", "label"],
+                              ascending=[True, False, True], kind="stable")
+    win = votes.groupby("query_id", as_index=False).head(1)
+    out = win.rename(columns={"label": "pred_label"}).reset_index(drop=True)
+    return pa.table({
+        "query_id": pa.array(out["query_id"].to_numpy(np.int64), pa.int64()),
+        "pred_label": pa.array(out["pred_label"].to_numpy(np.int64), pa.int64()),
+        "n_votes": pa.array(out["n_votes"].to_numpy(np.int64), pa.int64()),
+    })

@@ -636,3 +636,40 @@ def test_semantic_decontaminate_matches_numpy(ray_session):
     assert (out["contaminated"].to_numpy()
             == (mx[order] >= 0.4).astype(np.int64)).all()
     assert (ids < 20).sum() and len(out) == (ids >= 20).sum()
+
+
+def test_knn_label_vote_hand_case(ray_session, tmp_path):
+    """Majority vote checked by hand on planted geometry: clear majority
+    wins; an exact 2-2 tie goes to the smaller label id."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.similarity import knn_label_vote
+
+    # query 0 at e1; ids 1-2 (label 5) closest, ids 3-4 (label 2) next,
+    # id 5 (label 9) nearly orthogonal
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],      # 0: query
+        [1.0, 0.1, 0.0, 0.0],      # 1: label 5
+        [1.0, -0.1, 0.0, 0.0],     # 2: label 5
+        [1.0, 0.4, 0.0, 0.0],      # 3: label 2
+        [1.0, -0.4, 0.0, 0.0],     # 4: label 2
+        [0.1, 1.0, 0.0, 0.0],      # 5: label 9
+    ]
+    labels = [0, 5, 5, 2, 2, 9]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), f"{tmp_path}/embeddings.parquet")
+
+    # k=5: votes 5->2, 2->2, 9->1 — tie on count, smaller label (2) wins
+    out = knn_label_vote(str(tmp_path), k=5, n_queries=1).to_pandas()
+    assert out.to_dict("records") == [
+        {"query_id": 0, "pred_label": 2, "n_votes": 2}]
+    # k=4 drops the orthogonal vector: still 2-2, same tie-break
+    out4 = knn_label_vote(str(tmp_path), k=4, n_queries=1).to_pandas()
+    assert out4["pred_label"].tolist() == [2]
+    # k=2: only the two label-5 neighbors remain -> clear majority
+    out2 = knn_label_vote(str(tmp_path), k=2, n_queries=1).to_pandas()
+    assert out2.to_dict("records") == [
+        {"query_id": 0, "pred_label": 5, "n_votes": 2}]
