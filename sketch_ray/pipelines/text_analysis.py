@@ -412,9 +412,10 @@ def tfidf_keywords(sf_dir: str, k: int = 3, seed: int = 7,
 
     def flat(batch: pa.Table):
         text = batch["text"].combine_chunks()
-        toks = pc.list_flatten(pc.split_pattern(text, " "))
-        ntok = pc.list_value_length(pc.split_pattern(text, " ")) \
-            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lists = pc.split_pattern(text, " ")
+        toks = pc.list_flatten(lists)
+        ntok = pc.list_value_length(lists).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
         # int64 view so df-pass vocab (int64) and score-pass searchsorted
         # share one sort order
         h = hash_arrow_strings(toks, seed=seed).view(np.int64)
