@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": lambda sf: text_analysis.tfidf_keywords(sf, k=3),
         "user_event_gaps": relational.user_event_gaps,
         "group_sample_n": lambda sf: text_analysis.group_sample_n(sf, n=8, by="lang", seed=17),
+        "normalize_text": text_analysis.normalize_text,
         "shard_assignments": lambda sf: sharding.shard_assignments(sf, n_shards=16, seed=7),
         "pack_sequences": lambda sf: sharding.pack_sequences(sf, seq_len=512, seed=7),
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, tau=0.4),
@@ -165,6 +166,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, CAST(c AS BIGINT) AS copy
         FROM upn, LATERAL (SELECT unnest(range(n_copies)) AS c)
         ORDER BY doc_id, copy
+    """
+    # normalize_text: lowercase -> collapse \s+ -> trim, over the same
+    # doc_id-derived noise injection as the engine (_augment_messy)
+    normalize = r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   concat(CASE WHEN doc_id % 2 = 0
+                               THEN '  The QUICK' || chr(9) ELSE 'NOISE  ' END,
+                          text,
+                          CASE WHEN doc_id % 3 = 0
+                               THEN ' ' || chr(9) || ' trailing MESS  ' ELSE '' END
+                   ) AS t
+            FROM documents)
+        SELECT doc_id, length(t) AS n_chars_raw,
+               length(trim(regexp_replace(lower(t), '\s+', ' ', 'g'))) AS n_chars_norm,
+               trim(regexp_replace(lower(t), '\s+', ' ', 'g')) AS text_norm
+        FROM aug ORDER BY doc_id
     """
     # group_sample_n: per-lang bottom-8 by the same rendered hash
     gs_ctes, gs_f = splitmix64_ctes(
@@ -791,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": tfidf,
         "user_event_gaps": user_gaps,
         "group_sample_n": group_n,
+        "normalize_text": normalize,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,

@@ -950,6 +950,56 @@ def group_sample_n(sf_dir: str, n: int = 8, by: str = "lang",
     return pa.Table.from_pandas(df.astype({"rank": "int64"}), preserve_index=False)
 
 
+def _augment_messy(batch: pa.Table) -> pa.Table:
+    """Deterministic mixed-case/whitespace noise derived from doc_id (the
+    synthetic corpus is already lowercase single-spaced, so the
+    normalization oracle would be vacuous on raw text). Same derivation in
+    the SQL oracle — the pii_redact augment precedent."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pre = np.where(ids % 2 == 0, "  The QUICK\t", "NOISE  ")
+    post = np.where(ids % 3 == 0, " \t trailing MESS  ", "")
+    aug = pc.binary_join_element_wise(
+        pa.array(pre, pa.string()),
+        batch["text"].combine_chunks().cast(pa.string()),
+        pa.array(post, pa.string()), "")
+    return batch.set_column(batch.schema.get_field_index("text"), "text", aug)
+
+
+def normalize_text(sf_dir: str, augment: bool = True) -> pa.Table:
+    """Text normalization — the first preprocessing stage of every web
+    corpus pipeline: lowercase, collapse whitespace runs to one space,
+    trim. Fixed step order; every step is an RE2/scalar kernel that exists
+    byte-identically in DuckDB, so the normalized TEXT itself is
+    value-hash-gated (the pii_redact discipline). One vectorized
+    map_batches, no shuffle, no driver state.
+
+    ``augment`` injects deterministic doc_id-derived case/whitespace noise
+    (mirrored in the oracle) because the synthetic corpus is already
+    normal-form. Returns (doc_id, n_chars_raw, n_chars_norm, text_norm)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        if augment:
+            batch = _augment_messy(batch)
+        text = batch["text"].combine_chunks()
+        t = pc.utf8_lower(text)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars_raw": pc.utf8_length(text).cast(pa.int64()),
+            "n_chars_norm": pc.utf8_length(t).cast(pa.int64()),
+            "text_norm": t,
+        })
+
+    df = ensure_columns(
+        ds.map_batches(norm, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_chars_raw": "int64", "n_chars_norm": "int64",
+         "text_norm": "object"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # PII redaction: (RE2 pattern, replacement token), applied IN THIS ORDER —
 # email first, then IP, then phone (order matters where patterns could
 # overlap; the DuckDB oracle applies the same order). All three are

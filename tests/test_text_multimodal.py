@@ -422,3 +422,25 @@ def test_tfidf_keywords_hand_case(ray_session, tmp_path):
     a = tfidf_keywords(SF, k=3, force="driver").to_pandas()
     b = tfidf_keywords(SF, k=3, force="distributed").to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_normalize_text_adversarial(ray_session, tmp_path):
+    """Normalization on adversarial raw text: mixed case, tabs/newlines,
+    leading/trailing runs, and an already-normal doc (identity)."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import normalize_text
+
+    texts = ["  MiXeD\t\tCase \n text  ", "already normal", "\t\n ", "A  B"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = normalize_text(str(tmp_path), augment=False).to_pandas()
+    assert out["text_norm"].tolist() == [
+        "mixed case text", "already normal", "", "a b"]
+    assert out["n_chars_raw"].tolist() == [len(t) for t in texts]
+    assert out["n_chars_norm"].tolist() == [15, 14, 0, 3]
