@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts_min": lambda sf: exact.bigram_counts_min(sf, min_cnt=25),
         "tokens_per_lang": exact.tokens_per_lang,
         "distinct_sources_per_lang": exact.distinct_sources_per_lang,
+        "source_profile": exact.source_profile,
         "doc_token_stats": exact.doc_token_stats,
         "len_histogram": exact.len_histogram,
         "quantiles_exact": exact.quantiles_exact,
@@ -166,6 +167,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, CAST(c AS BIGINT) AS copy
         FROM upn, LATERAL (SELECT unnest(range(n_copies)) AS c)
         ORDER BY doc_id, copy
+    """
+    # source_profile: per-source stats; dup = text occurs >= 2x corpus-wide
+    source_prof = """
+        WITH dupset AS (
+            SELECT text FROM documents GROUP BY text HAVING count(*) >= 2),
+        marked AS (
+            SELECT d.source, d.lang,
+                   len(string_split(d.text, ' ')) AS ntok,
+                   length(d.text) AS nchr,
+                   CASE WHEN dupset.text IS NOT NULL THEN 1 ELSE 0 END AS dup
+            FROM documents d LEFT JOIN dupset ON d.text = dupset.text)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               round(CAST(sum(nchr) AS DOUBLE) / count(*), 6) AS avg_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               round(CAST(sum(dup) AS DOUBLE) / count(*), 6) AS dup_doc_frac
+        FROM marked GROUP BY source ORDER BY source
     """
     # normalize_text: lowercase -> collapse \s+ -> trim, over the same
     # doc_id-derived noise injection as the engine (_augment_messy)
@@ -810,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_gaps": user_gaps,
         "group_sample_n": group_n,
         "normalize_text": normalize,
+        "source_profile": source_prof,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,

@@ -519,3 +519,89 @@ def heavy_users(sf_dir: str, rel_threshold: float = 0.002) -> pa.Table:
     df["user_id"] = df["token"].astype("int64")
     df = df[["user_id", "cnt"]].sort_values("user_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def source_profile(sf_dir: str) -> pa.Table:
+    """Per-source corpus profile — the statistics table mixture weights are
+    chosen from (and `upsample_mix` / `stratified_sample` consume): doc
+    count, token count, mean chars, distinct languages, and the fraction
+    of docs that are exact duplicates of ANY doc corpus-wide.
+
+    Two streaming passes, all state group- or dup-bounded:
+    1. hash pass: per-batch (text_hash) partials → groupby count ≥ 2 →
+       the dup-hash set, broadcast once (dedup discipline — sized by
+       duplicated content).
+    2. profile pass: per-batch per-source partial sums (+ searchsorted dup
+       mark) → one group-bounded groupby fold; distinct langs via the
+       batch-local-dedup → global-dedup shape of distinct_sources_per_lang.
+    The single float op (sum_chars/n_docs) mirrors the oracle's division."""
+    import ray
+
+    from ..kernels.hashing import hash_arrow_strings
+    from ..stages.broadcast import cached
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def hash_partials(batch: pa.Table) -> pa.Table:
+        h = hash_arrow_strings(batch["text"], seed=1).view(np.int64)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"g": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = (
+        ds.map_batches(hash_partials, batch_format="pyarrow", batch_size=8192)
+        .repartition(32).groupby("g").aggregate(Sum("c", alias_name="cnt"))
+    )
+    dup_df = ensure_columns(counts.filter(expr="cnt >= 2").to_pandas(), {"g": "int64"})
+    dup = np.sort(dup_df["g"].to_numpy())
+    ref = ray.put(np.ascontiguousarray(dup))
+
+    def profile_partials(batch: pa.Table) -> pa.Table:
+        hs = cached(ref)
+        h = hash_arrow_strings(batch["text"], seed=1).view(np.int64)
+        if len(hs) and len(h):
+            pos = np.minimum(np.searchsorted(hs, h), len(hs) - 1)
+            is_dup = (hs[pos] == h).astype(np.int64)
+        else:
+            is_dup = np.zeros(len(h), np.int64)
+        ntok = pc.list_value_length(pc.split_pattern(
+            batch["text"].combine_chunks(), " ")).cast(pa.int64())
+        t = pa.table({
+            "source": batch["source"],
+            "one": pa.array(np.ones(len(h), np.int64)),
+            "ntok": ntok,
+            "nchr": pc.utf8_length(batch["text"].combine_chunks()).cast(pa.int64()),
+            "dup": pa.array(is_dup, pa.int64()),
+        })
+        g = t.group_by("source").aggregate(
+            [("one", "sum"), ("ntok", "sum"), ("nchr", "sum"), ("dup", "sum")])
+        return g.rename_columns(["source", "n", "ntok", "nchr", "ndup"])
+
+    prof = (
+        ds.map_batches(profile_partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("ntok", alias_name="n_tokens"),
+                   Sum("nchr", alias_name="sum_chars"), Sum("ndup", alias_name="n_dup"))
+    ).to_pandas()
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        return batch.select(["source", "lang"]).group_by(["source", "lang"]).aggregate([])
+
+    pairs = ds.map_batches(pair_dedup, batch_format="pyarrow", batch_size=8192)
+    uniq = pairs.groupby(["source", "lang"]).aggregate(Count(alias_name="_c"))
+    langs = uniq.groupby("source").aggregate(Count(alias_name="n_langs")).to_pandas()
+
+    df = prof.merge(langs[["source", "n_langs"]], on="source")
+    df = df.sort_values("source").reset_index(drop=True)
+    return pa.table({
+        "source": pa.array(df["source"], pa.string()),
+        "n_docs": pa.array(df["n_docs"].to_numpy(np.int64), pa.int64()),
+        "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64), pa.int64()),
+        "avg_chars": pa.array(
+            np.round(df["sum_chars"].to_numpy(np.float64)
+                     / df["n_docs"].to_numpy(np.float64), 6), pa.float64()),
+        "n_langs": pa.array(df["n_langs"].to_numpy(np.int64), pa.int64()),
+        "dup_doc_frac": pa.array(
+            np.round(df["n_dup"].to_numpy(np.float64)
+                     / df["n_docs"].to_numpy(np.float64), 6), pa.float64()),
+    })

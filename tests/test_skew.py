@@ -121,3 +121,30 @@ def test_doc_length_deciles_invariants(ray_session):
     assert s["decile"].is_monotonic_increasing
     assert (out.groupby("n_chars")["decile"].nunique() == 1).all()
     assert s["decile"].iloc[0] == 1 and s["decile"].iloc[-1] == 10
+
+
+def test_source_profile_hand_case(ray_session, tmp_path):
+    """Planted corpus: dup fraction counts BOTH members of a duplicate
+    pair, distinct langs per source, exact token/char averages."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.exact import source_profile
+
+    texts = ["a b", "a b", "c d e", "x"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "de", "en", "en"]),
+        "source": pa.array(["s1", "s1", "s1", "s2"]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = source_profile(str(tmp_path)).to_pandas().set_index("source")
+    assert out.loc["s1", "n_docs"] == 3
+    assert out.loc["s1", "n_tokens"] == 7
+    assert out.loc["s1", "n_langs"] == 2
+    assert out.loc["s1", "dup_doc_frac"] == round(2 / 3, 6)
+    assert out.loc["s1", "avg_chars"] == round((3 + 3 + 5) / 3, 6)
+    assert out.loc["s2", "n_docs"] == 1
+    assert out.loc["s2", "dup_doc_frac"] == 0.0
+    assert out.loc["s2", "n_langs"] == 1
