@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_signals": text_analysis.gopher_quality_signals,
         "dup_ngram_fracs": text_analysis.dup_ngram_fracs,
         "dup_span_stats": text_analysis.dup_span_stats,
+        "remove_dup_spans": text_analysis.remove_dup_spans,
         "token_entropy": text_analysis.token_entropy,
         "bigram_lm_scores": text_analysis.bigram_lm_scores,
         # iterative greedy merges are not SQL-expressible: rows-only gate,
@@ -729,6 +730,38 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(agg.cnt, 0) * 1.0
                          / greatest(len(t.toks), 1), 6) AS dup_span_frac
             FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN nd USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        "remove_dup_spans": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+                SELECT doc_id, i,
+                       array_to_string(list_slice(toks, i + 1, i + 4), ' ') AS s
+                FROM (SELECT doc_id, toks,
+                             unnest(range(len(toks) - 3)) AS i FROM t)
+            ), dupg AS (
+                SELECT s FROM g GROUP BY s HAVING count(*) >= 2
+            ), starts AS (
+                SELECT g.doc_id, g.i FROM g JOIN dupg USING (s)
+            ), cov AS (
+                SELECT DISTINCT s.doc_id, s.i + u AS p
+                FROM starts s, LATERAL (SELECT unnest(range(4)) AS u)
+            ), pos AS (
+                SELECT doc_id, unnest(range(len(toks))) AS p, toks FROM t
+            ), kept AS (
+                SELECT pos.doc_id, pos.p, pos.toks[pos.p + 1] AS tok
+                FROM pos LEFT JOIN cov USING (doc_id, p)
+                WHERE cov.p IS NULL
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY p) AS clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+                   (len(t.toks) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed,
+                   coalesce(agg.clean, '') AS text_clean
+            FROM t LEFT JOIN agg USING (doc_id)
             ORDER BY t.doc_id
         """,
         "dup_ngram_fracs": """

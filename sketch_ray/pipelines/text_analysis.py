@@ -285,6 +285,38 @@ def token_entropy(sf_dir: str) -> pa.Table:
 _SMALL_DOCS = 2_000_000  # below this the distributed gram-count fold is pure overhead
 
 
+def _dup_gram_set(ds, n: int, force: str | None) -> np.ndarray:
+    """Sorted int64 hashes of every n-gram occurring >= 2 times corpus-wide
+    (any doc, including a repeat within one doc) — the shared count pass of
+    dup_span_stats / remove_dup_spans. Adaptive fold: driver bincount below
+    ``_SMALL_DOCS`` docs, else a distributed groupby(g).sum with only the
+    survivors (count >= 2) pulled — dup-set-sized either way."""
+    from ray.data.aggregate import Sum
+
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        g, _, _, _ = _flat_gram_hashes(batch, n)
+        uniq, cnt = np.unique(g, return_counts=True)
+        return pa.table({"g": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    partials = ds.map_batches(gram_partials, batch_format="pyarrow",
+                              batch_size=8192)
+    small = (ds.count() < _SMALL_DOCS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(partials.to_pandas(), {"g": "int64", "c": "int64"})
+        uniq, inv = np.unique(pdf["g"].to_numpy(), return_inverse=True)
+        tot = np.bincount(inv, weights=pdf["c"].to_numpy())
+        dup = uniq[tot >= 2]
+    else:
+        # few-block sort-shuffle pathology: spread before the groupby
+        counts = partials.repartition(32).groupby("g") \
+            .aggregate(Sum("c", alias_name="cnt"))
+        dup_df = ensure_columns(counts.filter(expr="cnt >= 2").to_pandas(),
+                                {"g": "int64"})  # dup clusters only
+        dup = np.sort(dup_df["g"].to_numpy())
+    return np.ascontiguousarray(dup, dtype=np.int64)
+
+
 def dup_span_stats(sf_dir: str, n: int = 4, force: str | None = None) -> pa.Table:
     """Cross-document duplicate n-gram span coverage — the exact-substring
     dedup statistic of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -317,34 +349,11 @@ def dup_span_stats(sf_dir: str, n: int = 4, force: str | None = None) -> pa.Tabl
     Returns (doc_id, n_tokens, n_dup_grams, dup_span_frac) sorted by doc_id.
     """
     import ray
-    from ray.data.aggregate import Sum
 
     from ..stages.broadcast import cached
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def gram_partials(batch: pa.Table) -> pa.Table:
-        g, _, _, _ = _flat_gram_hashes(batch, n)
-        uniq, cnt = np.unique(g, return_counts=True)
-        return pa.table({"g": pa.array(uniq, pa.int64()),
-                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
-
-    partials = ds.map_batches(gram_partials, batch_format="pyarrow",
-                              batch_size=8192)
-    small = (ds.count() < _SMALL_DOCS) if force is None else (force == "driver")
-    if small:
-        pdf = ensure_columns(partials.to_pandas(), {"g": "int64", "c": "int64"})
-        uniq, inv = np.unique(pdf["g"].to_numpy(), return_inverse=True)
-        tot = np.bincount(inv, weights=pdf["c"].to_numpy())
-        dup = uniq[tot >= 2]
-    else:
-        # few-block sort-shuffle pathology: spread before the groupby
-        counts = partials.repartition(32).groupby("g") \
-            .aggregate(Sum("c", alias_name="cnt"))
-        dup_df = ensure_columns(counts.filter(expr="cnt >= 2").to_pandas(),
-                                {"g": "int64"})  # dup clusters only
-        dup = np.sort(dup_df["g"].to_numpy())
-    ref = ray.put(np.ascontiguousarray(dup, dtype=np.int64))
+    ref = ray.put(_dup_gram_set(ds, n, force))
 
     def mark(batch: pa.Table) -> pa.Table:
         hs = cached(ref)
@@ -478,6 +487,66 @@ def tfidf_keywords(sf_dir: str, k: int = 3, seed: int = 7,
         {"doc_id": "int64", "rank": "int64", "token": "object", "score": "float64"})
     out = out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def remove_dup_spans(sf_dir: str, n: int = 4, force: str | None = None) -> pa.Table:
+    """Exact-substring dedup REWRITE (Lee et al. 2022's removal step at
+    n-gram granularity): delete every token position covered by at least
+    one corpus-duplicated n-gram (the exact positions `dup_span_stats`
+    counts) and re-join the survivors — turning the statistic into the
+    cleaning transform.
+
+    Same two-pass scale shape as dup_span_stats (shared count fold,
+    `_dup_gram_set`): broadcast the sorted dup-hash array once, then one
+    streaming rewrite pass — per batch, a difference-array coverage mask,
+    one Arrow filter of the flat token array, and a vectorized per-doc
+    re-join (`ListArray.from_arrays` + ``binary_join``). No per-doc
+    Python, no shuffle; output rows stream (driver table here only for
+    the gate). Returns (doc_id, n_tokens, n_removed, text_clean)."""
+    import ray
+
+    from ..stages.broadcast import cached
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ray.put(_dup_gram_set(ds, n, force))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        hs = cached(ref)
+        g, start_idx, doc_index, ntok = _flat_gram_hashes(batch, n)
+        n_docs = len(ntok)
+        t_tokens = len(doc_index)
+        if len(hs) and len(g):
+            pos = np.minimum(np.searchsorted(hs, g), len(hs) - 1)
+            dup_starts = start_idx[hs[pos] == g]
+        else:
+            dup_starts = np.array([], np.int64)
+        diff = np.zeros(t_tokens + n + 1, np.int64)
+        np.add.at(diff, dup_starts, 1)
+        np.add.at(diff, dup_starts + n, -1)
+        covered = np.cumsum(diff[:t_tokens]) > 0
+        kept = ~covered
+        flat = pc.list_flatten(pc.split_pattern(batch["text"].combine_chunks(), " "))
+        kept_flat = flat.filter(pa.array(kept))
+        kept_per_doc = (np.bincount(doc_index[kept], minlength=n_docs).astype(np.int64)
+                        if t_tokens else np.zeros(n_docs, np.int64))
+        offsets = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         kept_flat.cast(pa.string()))
+        clean = pc.binary_join(lists, " ")
+        removed = ntok - kept_per_doc
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "n_removed": pa.array(removed, pa.int64()),
+            "text_clean": clean,
+        })
+
+    df = ensure_columns(
+        ds.map_batches(rewrite, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_tokens": "int64", "n_removed": "int64",
+         "text_clean": "object"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def quality_filter_corpus(

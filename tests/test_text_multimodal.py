@@ -444,3 +444,31 @@ def test_normalize_text_adversarial(ray_session, tmp_path):
         "mixed case text", "already normal", "", "a b"]
     assert out["n_chars_raw"].tolist() == [len(t) for t in texts]
     assert out["n_chars_norm"].tolist() == [15, 14, 0, 3]
+
+
+def test_remove_dup_spans_hand_case(ray_session, tmp_path):
+    """Span removal checked by hand: a 4-gram shared by two docs is cut
+    from BOTH (coverage spans overlap-merge); an untouched doc passes
+    through byte-identical; a doc that is one big duplicate empties."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import remove_dup_spans
+
+    texts = [
+        "p q r s x y z w",          # 0: "p q r s" duplicated in doc 1
+        "a b p q r s c d",          # 1: same 4-gram mid-doc
+        "u v w x unique tail here",  # 2: untouched
+        "p q r s",                  # 3: entirely the duplicated gram
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = remove_dup_spans(str(tmp_path), n=4).to_pandas()
+    assert out["text_clean"].tolist() == [
+        "x y z w", "a b c d", "u v w x unique tail here", ""]
+    assert out["n_removed"].tolist() == [4, 4, 0, 4]
+    assert out["n_tokens"].tolist() == [8, 8, 7, 4]
