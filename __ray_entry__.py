@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": text_analysis.dup_span_stats,
         "remove_dup_spans": text_analysis.remove_dup_spans,
         "token_entropy": text_analysis.token_entropy,
+        "quality_zscores": text_analysis.quality_zscores,
         "bigram_lm_scores": text_analysis.bigram_lm_scores,
         # iterative greedy merges are not SQL-expressible: rows-only gate,
         # hand-case + monotone-compression pytests pin the semantics
@@ -225,6 +226,20 @@ def oracle_sql() -> dict[str, str]:
         WITH {us_ctes}
         SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank, doc_id
         FROM {us_f} ORDER BY h, doc_id LIMIT 64
+    """
+    # quality_zscores: per-lang moments from exact INTEGER sums; float ops
+    # ((x - s/n) / sqrt((ss - s*(s/n))/(n-1))) in the engine's order
+    zscores = """
+        WITH d AS (SELECT doc_id, lang,
+                          len(string_split(text, ' ')) AS x FROM documents),
+        m AS (SELECT lang, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+              FROM d GROUP BY lang)
+        SELECT doc_id, lang, CAST(x AS BIGINT) AS n_tokens,
+               round((x - CAST(s AS DOUBLE) / n)
+                     / sqrt((ss - s * (CAST(s AS DOUBLE) / n)) / (n - 1)), 6) AS z
+        FROM d JOIN m USING (lang)
+        WHERE n >= 2 AND (ss - s * (CAST(s AS DOUBLE) / n)) / (n - 1) > 0
+        ORDER BY doc_id
     """
     # user_event_gaps: LAG diff in integer microseconds; the single float
     # op (sum/n)/1e6 mirrors the engine's division order
@@ -863,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         "group_sample_n": group_n,
         "normalize_text": normalize,
         "source_profile": source_prof,
+        "quality_zscores": zscores,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,

@@ -389,6 +389,84 @@ def dup_span_stats(sf_dir: str, n: int = 4, force: str | None = None) -> pa.Tabl
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def quality_zscores(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Per-language z-score normalization of document length (n_tokens) —
+    the cross-stratum score-calibration step quality filters need before a
+    single global threshold makes sense (raw lengths aren't comparable
+    across languages).
+
+    Two streaming passes: per-batch per-lang (n, Σx, Σx²) INTEGER partials
+    (exact — no float accumulation order to mirror) folded adaptively
+    (driver below _SMALL_DOCS, else distributed groupby); the lang →
+    moment map broadcasts once, the scoring pass computes
+    z = (x − s/n) / sqrt((ss − s·(s/n)) / (n−1)) with the float ops in
+    exactly the oracle's order. Languages with n < 2 or zero variance are
+    excluded. Returns (doc_id, lang, n_tokens, z) sorted by doc_id."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.broadcast import cached
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def moment_partials(batch: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(
+            batch["text"].combine_chunks(), " ")).cast(pa.int64())
+        x = ntok.to_numpy(zero_copy_only=False)
+        t = pa.table({"lang": batch["lang"],
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "s": ntok, "ss": pa.array(x * x, pa.int64())})
+        g = t.group_by("lang").aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["lang", "n", "s", "ss"])
+
+    partials = ds.map_batches(moment_partials, batch_format="pyarrow",
+                              batch_size=8192)
+    small = (ds.count() < _SMALL_DOCS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(partials.to_pandas(),
+                             {"lang": "object", "n": "int64", "s": "int64", "ss": "int64"})
+        mom = pdf.groupby("lang", as_index=False).sum()
+    else:
+        mom = (partials.repartition(32).groupby("lang")
+               .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                          Sum("ss", alias_name="ss"))).to_pandas()
+    moments = {r["lang"]: (int(r["n"]), int(r["s"]), int(r["ss"]))
+               for _, r in mom.iterrows()}
+    ref = ray.put(moments)
+
+    def score(batch: pa.Table) -> pa.Table:
+        mo = cached(ref)
+        ntok = pc.list_value_length(pc.split_pattern(
+            batch["text"].combine_chunks(), " ")).cast(pa.int64())
+        x = ntok.to_numpy(zero_copy_only=False).astype(np.float64)
+        codes_arr = pc.dictionary_encode(batch["lang"].combine_chunks())
+        uniq = codes_arr.dictionary.to_pylist()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        mu = np.empty(len(uniq)); sd = np.empty(len(uniq)); ok = np.empty(len(uniq), bool)
+        for i, l in enumerate(uniq):
+            n, s, ss = mo.get(l, (0, 0, 0))
+            mean = s / n if n else 0.0
+            var = (ss - s * mean) / (n - 1) if n >= 2 else 0.0
+            mu[i], sd[i] = mean, np.sqrt(var) if var > 0 else 0.0
+            ok[i] = n >= 2 and var > 0
+        if len(uniq):
+            keep = ok[codes] & np.ones(len(x), bool)
+            z = np.round((x - mu[codes]) / np.where(sd[codes] > 0, sd[codes], 1.0), 6)
+        else:
+            keep = np.zeros(len(x), bool); z = x
+        t = pa.table({
+            "doc_id": batch["doc_id"], "lang": batch["lang"],
+            "n_tokens": ntok, "z": pa.array(z, pa.float64()),
+        })
+        return t.filter(pa.array(keep))
+
+    df = ensure_columns(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "lang": "object", "n_tokens": "int64", "z": "float64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def tfidf_keywords(sf_dir: str, k: int = 3, seed: int = 7,
                    force: str | None = None) -> pa.Table:
     """Per-document top-k tf-idf keywords — the classic keyword-extraction

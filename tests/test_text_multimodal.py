@@ -472,3 +472,32 @@ def test_remove_dup_spans_hand_case(ray_session, tmp_path):
         "x y z w", "a b c d", "u v w x unique tail here", ""]
     assert out["n_removed"].tolist() == [4, 4, 0, 4]
     assert out["n_tokens"].tolist() == [8, 8, 7, 4]
+
+
+def test_quality_zscores_hand_case(ray_session, tmp_path):
+    """z-scores by hand: en docs of 2/4 tokens -> mean 3, sample sd
+    sqrt(2), z = ±1/sqrt(2); a single-doc lang and a zero-variance lang
+    are excluded; adaptive branches agree."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import quality_zscores
+
+    texts = ["a b", "a b c d", "solo doc here", "x y", "x y"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "en", "fr", "de", "de"]),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = quality_zscores(str(tmp_path)).to_pandas()
+    # fr has n=1, de has zero variance: only the two en docs remain
+    assert out["doc_id"].tolist() == [0, 1]
+    want = 1.0 / math.sqrt(2.0)
+    assert out["z"].tolist() == [-round(want, 6), round(want, 6)]
+
+    a = quality_zscores(SF, force="driver").to_pandas()
+    b = quality_zscores(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
