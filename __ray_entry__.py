@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": lambda sf: exact.heavy_hitter_tokens(sf, rel_threshold=0.02),
         "emerging_tokens": lambda sf: exact.emerging_tokens(sf, rel_threshold=0.01, growth=2),
         "bigram_counts_min": lambda sf: exact.bigram_counts_min(sf, min_cnt=25),
+        "pmi_collocations": lambda sf: exact.pmi_collocations(sf, min_cnt=25, k=20),
         "tokens_per_lang": exact.tokens_per_lang,
         "distinct_sources_per_lang": exact.distinct_sources_per_lang,
         "source_profile": exact.source_profile,
@@ -1019,6 +1020,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.tok || ' ' || b.tok AS bigram, count(*) AS cnt
             FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY 1 HAVING count(*) >= 25 ORDER BY bigram
+        """,
+        "pmi_collocations": """
+            WITH toks AS (
+                SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ), big AS (
+                SELECT a.tok AS ta, b.tok AS tb, count(*) AS cnt
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY 1, 2 HAVING count(*) >= 25
+            ), uni AS (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ), tot AS (
+                SELECT CAST((SELECT count(*) FROM toks) AS DOUBLE) AS n1,
+                       CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                       - CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n2
+            ), scored AS (
+                SELECT big.ta || ' ' || big.tb AS bigram, big.cnt,
+                       round(ln((big.cnt / tot.n2)
+                                / ((ux.c / tot.n1) * (uy.c / tot.n1))), 6) AS pmi
+                FROM big JOIN uni ux ON ux.tok = big.ta
+                         JOIN uni uy ON uy.tok = big.tb, tot
+            )
+            SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS BIGINT) AS rank,
+                   bigram, CAST(cnt AS BIGINT) AS cnt, pmi
+            FROM scored ORDER BY pmi DESC, bigram LIMIT 20
         """,
         "tokens_per_lang": """
             SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

@@ -605,3 +605,52 @@ def source_profile(sf_dir: str) -> pa.Table:
             np.round(df["n_dup"].to_numpy(np.float64)
                      / df["n_docs"].to_numpy(np.float64), 6), pa.float64()),
     })
+
+
+def pmi_collocations(sf_dir: str, min_cnt: int = 25, k: int = 20) -> pa.Table:
+    """Top-k collocations by pointwise mutual information — the classic
+    phrase-mining / tokenizer-merge-candidate measurement:
+    pmi(x,y) = ln( (c_xy/N2) / ((c_x/N1)·(c_y/N1)) ) over bigrams with
+    c_xy >= min_cnt.
+
+    Two distributed count passes this engine already owns (salted unigram
+    counts + bigram groupby); the driver combines only count-bounded
+    tables (qualifying bigrams × vocab lookup). N2 = N1 − n_docs (windows
+    never cross docs; every doc has ≥ 1 token). Float ops in exactly the
+    oracle's order; ranked on the 6dp-rounded pmi, bigram-asc tie-break.
+    Returns (rank, bigram, cnt, pmi)."""
+    from ..stages.tokenize import ngram_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys, counts = ngram_counts(batch["text"], (2,))
+        return pa.table({"bigram": keys.cast(pa.large_string()),
+                         "partial": pa.array(counts, pa.int64())})
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("bigram")
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+    big = agg.to_pandas()
+    big = big[big["cnt"] >= min_cnt].reset_index(drop=True)
+
+    uni = token_counts_ds(sf_dir).to_pandas()  # vocab-sized by construction
+    cmap = dict(zip(uni["token"], uni["cnt"].astype(np.int64)))
+    n1 = float(uni["cnt"].sum())
+    n2 = n1 - float(ds.count())
+
+    parts = big["bigram"].str.split(" ", n=1, expand=True) if len(big) else None
+    if len(big):
+        cx = parts[0].map(cmap).to_numpy(np.float64)
+        cy = parts[1].map(cmap).to_numpy(np.float64)
+        cxy = big["cnt"].to_numpy(np.float64)
+        big["pmi"] = np.round(np.log((cxy / n2) / ((cx / n1) * (cy / n1))), 6)
+    else:
+        big["pmi"] = np.array([], np.float64)
+    big = big.sort_values(["pmi", "bigram"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+    big.insert(0, "rank", np.arange(1, len(big) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(
+        big.astype({"cnt": "int64"}), preserve_index=False)

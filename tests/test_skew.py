@@ -148,3 +148,38 @@ def test_source_profile_hand_case(ray_session, tmp_path):
     assert out.loc["s2", "n_docs"] == 1
     assert out.loc["s2", "dup_doc_frac"] == 0.0
     assert out.loc["s2", "n_langs"] == 1
+
+
+def test_pmi_collocations_hand_case(ray_session, tmp_path):
+    """PMI by hand on a tiny corpus: a bigram that always co-occurs gets
+    the max PMI; a frequent-token pair scores lower; min_cnt filters."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.exact import pmi_collocations
+
+    # "new york" appears 3x and neither token elsewhere; "the cat" 3x but
+    # "the" is everywhere
+    texts = ["new york the cat sat", "new york the cat ran",
+             "new york the cat hid", "the dog the bird"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = pmi_collocations(str(tmp_path), min_cnt=3, k=10).to_pandas()
+    n1 = 19.0   # total tokens
+    n2 = 15.0   # total bigrams = n1 - 4 docs
+    want_ny = round(math.log((3 / n2) / ((3 / n1) * (3 / n1))), 6)
+    want_tc = round(math.log((3 / n2) / ((5 / n1) * (3 / n1))), 6)
+    got = out.set_index("bigram")
+    assert got.loc["new york", "pmi"] == want_ny
+    assert got.loc["the cat", "pmi"] == want_tc
+    assert want_ny > want_tc
+    assert out.iloc[0]["bigram"] == "new york" and out.iloc[0]["rank"] == 1
+    # nothing below min_cnt leaks in
+    assert (out["cnt"] >= 3).all()
