@@ -310,3 +310,75 @@ def write_shards_from(ds, out_dir: str, n_shards: int = 16, seed: int = 7,
         "out_dir": out_dir,
         "shards": manifest.to_dict("records"),
     }
+
+
+def upsampled_corpus_ds(sf_dir: str, rates: dict[str, float] | None = None,
+                        default_rate: float = 1.0, seed: int = 43,
+                        max_copies: int = 64):
+    """The REPLICATED corpus as a streaming Dataset — `upsample_mix`'s
+    decision applied to full document rows so the mixture actually feeds
+    the shard writer: each doc appears n_copies times (floor(rate) +
+    hash-gated fractional copy, identical decision to upsample_mix at the
+    same seed), every copy re-keyed with a fresh unique
+    ``doc_id = orig·max_copies + copy`` (original kept as ``orig_doc_id``,
+    replica index as ``copy``) so downstream shard/order hashing spreads
+    copies across shards instead of stacking them.
+
+    One vectorized map_batches (Arrow ``take`` row expansion), no shuffle,
+    nothing driver-side; composes with ``write_shards_from``."""
+    from .text_analysis import DEFAULT_UPSAMPLE_RATES, upsample_rate_parts
+
+    rates = DEFAULT_UPSAMPLE_RATES if rates is None else rates
+    for src, r in list(rates.items()) + [("<default>", default_rate)]:
+        if int(np.floor(max(float(r), 0.0))) + 1 > max_copies:
+            raise ValueError(f"rate {r} for {src!r} exceeds max_copies={max_copies}")
+    mix = splitmix64(np.array([seed], _U64))[0]
+    parts = {src: upsample_rate_parts(r) for src, r in rates.items()}
+    default_parts = upsample_rate_parts(default_rate)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(_U64) ^ mix)
+        codes_arr = pc.dictionary_encode(batch["source"].combine_chunks())
+        uniq = codes_arr.dictionary.to_pylist()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        if len(uniq):
+            base = np.array([parts.get(s, default_parts)[0] for s in uniq], np.int64)
+            thr = np.array([parts.get(s, default_parts)[1] for s in uniq], _U64)
+            n_copies = base[codes] + (h < thr[codes]).astype(np.int64)
+        else:
+            n_copies = np.empty(0, np.int64)
+        idx = np.repeat(np.arange(len(ids)), n_copies)
+        starts = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
+        copy = np.arange(int(n_copies.sum()), dtype=np.int64) - starts[idx]
+        out = batch.take(pa.array(idx, pa.int64()))
+        orig = ids[idx]
+        out = out.set_column(out.schema.get_field_index("doc_id"), "doc_id",
+                             pa.array(orig * max_copies + copy, pa.int64()))
+        return out.append_column("orig_doc_id", pa.array(orig, pa.int64())) \
+                  .append_column("copy", pa.array(copy, pa.int64()))
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=8192)
+
+
+def write_upsampled_shards(sf_dir: str, out_dir: str,
+                           rates: dict[str, float] | None = None,
+                           default_rate: float = 1.0, sample_seed: int = 43,
+                           n_shards: int = 16, seed: int = 7,
+                           rows_per_file: int = 100_000, **kw) -> dict:
+    """Mixture-weighted training shards: the upsampled corpus stream
+    (rates > 1 replicate) through the one groupby(shard) exchange of
+    ``write_shards_from``. Copies spread deterministically across shards
+    (fresh per-copy keys); rerun/resume byte-identity carries over because
+    every decision stays a pure function of (doc_id, seeds)."""
+    ds = upsampled_corpus_ds(sf_dir, rates=rates, default_rate=default_rate,
+                             seed=sample_seed)
+    manifest = write_shards_from(ds, out_dir, n_shards=n_shards, seed=seed,
+                                 rows_per_file=rows_per_file, **kw)
+    manifest["sample_seed"] = sample_seed
+    return manifest

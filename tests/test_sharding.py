@@ -181,3 +181,41 @@ def test_write_training_shards_roundtrip(ray_session, tmp_path):
     allrows = pd.concat(seen, ignore_index=True).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         allrows, corpus.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_upsampled_shards_roundtrip(ray_session, tmp_path):
+    """Mixture-weighted shards: per-doc copy counts match upsample_mix's
+    decision exactly, per-copy keys are unique, copies of multi-copy docs
+    SPREAD across shards, and a rerun is byte-identical."""
+    from sketch_ray.pipelines.sharding import write_upsampled_shards
+    from sketch_ray.pipelines.text_analysis import upsample_mix
+
+    rates = {"src0": 3.0, "src1": 2.5}
+    out = str(tmp_path / "mix")
+    man = write_upsampled_shards(SF, out, rates=rates, default_rate=1.0,
+                                 sample_seed=43, n_shards=8, seed=7)
+    files = sorted(glob.glob(os.path.join(out, "shard=*", "part-*.parquet")))
+    got = pd.concat([pq.read_table(f).to_pandas().assign(
+        _shard=int(f.split("shard=")[1][:5])) for f in files])
+    want = upsample_mix(SF, rates=rates, default_rate=1.0, seed=43).to_pandas()
+    assert man["n_docs"] == len(want) == len(got)
+    # per-orig-doc copy multiset matches the gate-checked operator
+    got_counts = got.groupby("orig_doc_id").size().sort_index()
+    want_counts = want.groupby("doc_id").size().sort_index()
+    pd.testing.assert_series_equal(got_counts, want_counts,
+                                   check_names=False)
+    assert got["doc_id"].is_unique
+    # copies spread: at least one replicated doc spans >= 2 shards
+    multi = got[got.groupby("orig_doc_id")["copy"].transform("max") > 0]
+    spread = multi.groupby("orig_doc_id")["_shard"].nunique()
+    assert (spread >= 2).any()
+    # rerun byte-identical
+    out2 = str(tmp_path / "mix2")
+    write_upsampled_shards(SF, out2, rates=rates, default_rate=1.0,
+                           sample_seed=43, n_shards=8, seed=7)
+    f1 = sorted(glob.glob(os.path.join(out, "shard=*", "part-*.parquet")))
+    f2 = sorted(glob.glob(os.path.join(out2, "shard=*", "part-*.parquet")))
+    assert [os.path.relpath(f, out) for f in f1] == \
+           [os.path.relpath(f, out2) for f in f2]
+    for a, b in zip(f1, f2):
+        assert open(a, "rb").read() == open(b, "rb").read()
