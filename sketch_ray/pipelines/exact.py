@@ -521,26 +521,31 @@ def heavy_users(sf_dir: str, rel_threshold: float = 0.002) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def source_profile(sf_dir: str) -> pa.Table:
+def source_profile(sf_dir: str, force: str | None = None) -> pa.Table:
     """Per-source corpus profile — the statistics table mixture weights are
     chosen from (and `upsample_mix` / `stratified_sample` consume): doc
     count, token count, mean chars, distinct languages, and the fraction
     of docs that are exact duplicates of ANY doc corpus-wide.
 
     Two streaming passes, all state group- or dup-bounded:
-    1. hash pass: per-batch (text_hash) partials → groupby count ≥ 2 →
-       the dup-hash set, broadcast once (dedup discipline — sized by
-       duplicated content).
-    2. profile pass: per-batch per-source partial sums (+ searchsorted dup
-       mark) → one group-bounded groupby fold; distinct langs via the
-       batch-local-dedup → global-dedup shape of distinct_sources_per_lang.
-    The single float op (sum_chars/n_docs) mirrors the oracle's division."""
+    1. hash pass: per-batch (text_hash, count) partials; adaptive fold
+       (driver bincount below ``_SMALL_ROWS`` docs, else a distributed
+       groupby with only count ≥ 2 survivors pulled); the dup-hash set
+       broadcasts once (dedup discipline — sized by duplicated content).
+    2. profile pass: per-batch per-source partials — sums + searchsorted
+       dup mark + DISTINCT (source, lang) pairs, fused into ONE pass; the
+       group-bounded fold is adaptive the same way (per-batch partial
+       rows grow with batch count at 100 TB, so the distributed groupby
+       takes over above the threshold).
+    The single float op (sum_chars/n_docs) mirrors the oracle's division.
+    ``force`` pins the fold branch ("driver"/"distributed") for tests."""
     import ray
 
     from ..kernels.hashing import hash_arrow_strings
     from ..stages.broadcast import cached
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    small = (ds.count() < 2_000_000) if force is None else (force == "driver")
 
     def hash_partials(batch: pa.Table) -> pa.Table:
         h = hash_arrow_strings(batch["text"], seed=1).view(np.int64)
@@ -548,13 +553,19 @@ def source_profile(sf_dir: str) -> pa.Table:
         return pa.table({"g": pa.array(uniq, pa.int64()),
                          "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    counts = (
-        ds.map_batches(hash_partials, batch_format="pyarrow", batch_size=8192)
-        .repartition(32).groupby("g").aggregate(Sum("c", alias_name="cnt"))
-    )
-    dup_df = ensure_columns(counts.filter(expr="cnt >= 2").to_pandas(), {"g": "int64"})
-    dup = np.sort(dup_df["g"].to_numpy())
-    ref = ray.put(np.ascontiguousarray(dup))
+    partials = ds.map_batches(hash_partials, batch_format="pyarrow", batch_size=8192)
+    if small:
+        pdf = ensure_columns(partials.to_pandas(), {"g": "int64", "c": "int64"})
+        uniq, inv = np.unique(pdf["g"].to_numpy(), return_inverse=True)
+        tot = np.bincount(inv, weights=pdf["c"].to_numpy())
+        dup = uniq[tot >= 2]
+    else:
+        counts = (partials.repartition(32).groupby("g")
+                  .aggregate(Sum("c", alias_name="cnt")))
+        dup_df = ensure_columns(counts.filter(expr="cnt >= 2").to_pandas(),
+                                {"g": "int64"})
+        dup = np.sort(dup_df["g"].to_numpy())
+    ref = ray.put(np.ascontiguousarray(dup, dtype=np.int64))
 
     def profile_partials(batch: pa.Table) -> pa.Table:
         hs = cached(ref)
@@ -567,31 +578,36 @@ def source_profile(sf_dir: str) -> pa.Table:
         ntok = pc.list_value_length(pc.split_pattern(
             batch["text"].combine_chunks(), " ")).cast(pa.int64())
         t = pa.table({
-            "source": batch["source"],
+            "source": batch["source"], "lang": batch["lang"],
             "one": pa.array(np.ones(len(h), np.int64)),
             "ntok": ntok,
             "nchr": pc.utf8_length(batch["text"].combine_chunks()).cast(pa.int64()),
             "dup": pa.array(is_dup, pa.int64()),
         })
-        g = t.group_by("source").aggregate(
+        g = t.group_by(["source", "lang"]).aggregate(
             [("one", "sum"), ("ntok", "sum"), ("nchr", "sum"), ("dup", "sum")])
-        return g.rename_columns(["source", "n", "ntok", "nchr", "ndup"])
+        return g.rename_columns(["source", "lang", "n", "ntok", "nchr", "ndup"])
 
-    prof = (
-        ds.map_batches(profile_partials, batch_format="pyarrow", batch_size=8192)
-        .groupby("source")
-        .aggregate(Sum("n", alias_name="n_docs"), Sum("ntok", alias_name="n_tokens"),
-                   Sum("nchr", alias_name="sum_chars"), Sum("ndup", alias_name="n_dup"))
-    ).to_pandas()
+    pair_partials = ds.map_batches(profile_partials, batch_format="pyarrow",
+                                   batch_size=8192)
+    if small:
+        ppdf = ensure_columns(
+            pair_partials.to_pandas(),
+            {"source": "object", "lang": "object", "n": "int64",
+             "ntok": "int64", "nchr": "int64", "ndup": "int64"})
+        by_pair = ppdf.groupby(["source", "lang"], as_index=False).sum()
+    else:
+        by_pair = (
+            pair_partials.repartition(32).groupby(["source", "lang"])
+            .aggregate(Sum("n", alias_name="n"), Sum("ntok", alias_name="ntok"),
+                       Sum("nchr", alias_name="nchr"), Sum("ndup", alias_name="ndup"))
+        ).to_pandas()
+    prof = by_pair.groupby("source", as_index=False).agg(
+        n_docs=("n", "sum"), n_tokens=("ntok", "sum"),
+        sum_chars=("nchr", "sum"), n_dup=("ndup", "sum"),
+        n_langs=("lang", "nunique"))
 
-    def pair_dedup(batch: pa.Table) -> pa.Table:
-        return batch.select(["source", "lang"]).group_by(["source", "lang"]).aggregate([])
-
-    pairs = ds.map_batches(pair_dedup, batch_format="pyarrow", batch_size=8192)
-    uniq = pairs.groupby(["source", "lang"]).aggregate(Count(alias_name="_c"))
-    langs = uniq.groupby("source").aggregate(Count(alias_name="n_langs")).to_pandas()
-
-    df = prof.merge(langs[["source", "n_langs"]], on="source")
+    df = prof
     df = df.sort_values("source").reset_index(drop=True)
     return pa.table({
         "source": pa.array(df["source"], pa.string()),

@@ -149,6 +149,13 @@ def test_source_profile_hand_case(ray_session, tmp_path):
     assert out.loc["s2", "dup_doc_frac"] == 0.0
     assert out.loc["s2", "n_langs"] == 1
 
+    # adaptive fold branches agree on real data
+    import pandas as pd
+
+    a = source_profile("/root/testdata/sf0.001", force="driver").to_pandas()
+    b = source_profile("/root/testdata/sf0.001", force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
 
 def test_pmi_collocations_hand_case(ray_session, tmp_path):
     """PMI by hand on a tiny corpus: a bigram that always co-occurs gets
