@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniform_sample_n": lambda sf: text_analysis.uniform_sample_n(sf, n=64, seed=17),
         "tfidf_keywords": lambda sf: text_analysis.tfidf_keywords(sf, k=3),
         "user_event_gaps": relational.user_event_gaps,
+        "user_activity_reconcile": relational.user_activity_reconcile,
         "group_sample_n": lambda sf: text_analysis.group_sample_n(sf, n=8, by="lang", seed=17),
         "normalize_text": text_analysis.normalize_text,
         "shard_assignments": lambda sf: sharding.shard_assignments(sf, n_shards=16, seed=7),
@@ -227,6 +228,20 @@ def oracle_sql() -> dict[str, str]:
         WITH {us_ctes}
         SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank, doc_id
         FROM {us_f} ORDER BY h, doc_id LIMIT 64
+    """
+    # user_activity_reconcile: FULL OUTER with two-sided unmatched rows
+    reconcile = """
+        WITH ev AS (SELECT user_id, count(*) AS n_events,
+                           round(sum(value), 2) AS total_value
+                    FROM events GROUP BY user_id),
+        cu AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
+        SELECT coalesce(ev.user_id, cu.c_custkey) AS key,
+               coalesce(n_events, 0)::BIGINT AS n_events,
+               coalesce(total_value, 0) AS total_value,
+               round(coalesce(c_acctbal, 0), 2) AS acctbal,
+               (CASE WHEN ev.user_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS in_events,
+               (CASE WHEN cu.c_custkey IS NULL THEN 0 ELSE 1 END)::BIGINT AS in_customers
+        FROM ev FULL JOIN cu ON ev.user_id = cu.c_custkey ORDER BY key
     """
     # quality_zscores: per-lang moments from exact INTEGER sums; float ops
     # ((x - s/n) / sqrt((ss - s*(s/n))/(n-1))) in the engine's order
@@ -880,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": normalize,
         "source_profile": source_prof,
         "quality_zscores": zscores,
+        "user_activity_reconcile": reconcile,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,

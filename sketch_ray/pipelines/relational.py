@@ -431,6 +431,94 @@ def customer_order_profile(sf_dir: str, force: str | None = None) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def user_activity_reconcile(sf_dir: str, force: str | None = None) -> pa.Table:
+    """FULL OUTER join — the reconciliation shape that completes the join
+    family (semi/anti/inner/left/as-of/range): per-user event activity
+    matched against the even-custkey account slice, keeping BOTH unmatched
+    sides (users with events but no account row, accounts with no events)
+    with zero-fills and membership flags.
+
+    Events pre-aggregate per user inside map_batches before any exchange
+    (key-bounded rows move, not events). Adaptive plan: small event side →
+    driver outer merge against the pruned customer read; both sides large
+    → native ``Dataset.join(join_type="full_outer")`` with the same
+    partition clamp as customer_order_profile (empty right partitions
+    break the Arrow join). ``force``="driver"/"native" pins the branch.
+    Returns (key, n_events, total_value, acctbal, in_events,
+    in_customers) sorted by key."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    events = _read(sf_dir, "events", ["user_id", "value"])
+
+    def e_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("user_id").aggregate(
+            [("value", "sum"), ([], "count_all")])
+        return g.rename_columns(["user_id", "val_p", "cnt_p"])
+
+    parts = events.map_batches(e_partials, batch_format="pyarrow",
+                               batch_size=65536)
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch["c_custkey"], 1), 0)
+        return batch.filter(keep)
+
+    try:
+        ev_bytes = os.path.getsize(f"{sf_dir}/events.parquet")
+    except OSError:
+        ev_bytes = _BCAST_JOIN_BYTES + 1
+    small = (ev_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"user_id": "int64", "val_p": "float64",
+                              "cnt_p": "int64"})
+        agg = pdf.groupby("user_id", as_index=False).agg(
+            n_events=("cnt_p", "sum"), total_value=("val_p", "sum"))
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_acctbal"]).to_pandas()
+        cust = cust[cust["c_custkey"] % 2 == 0]
+        df = agg.merge(cust, how="outer", left_on="user_id",
+                       right_on="c_custkey")
+    else:
+        agg = parts.repartition(32).groupby("user_id").aggregate(
+            Sum("cnt_p", alias_name="n_events"),
+            Sum("val_p", alias_name="total_value"))
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+            .map_batches(cust_filter, batch_format="pyarrow", batch_size=65536)
+        n_left, n_right = agg.count(), cust.count()
+        if n_left == 0 or n_right == 0:
+            df = agg.to_pandas() if n_right == 0 else cust.to_pandas()
+            for c in ("user_id", "n_events", "total_value",
+                      "c_custkey", "c_acctbal"):
+                if c not in df.columns:
+                    df[c] = np.nan
+        else:
+            n_parts = max(1, min(_join_partitions(sf_dir, "events", "customer"),
+                                 min(n_left, n_right) // 64 + 1))
+            joined = agg.join(cust, join_type="full_outer",
+                              num_partitions=n_parts,
+                              on=("user_id",), right_on=("c_custkey",))
+            df = joined.to_pandas()
+    # membership from value-null indicators (the native full_outer COALESCES
+    # the key into the left key column, so key nulls can't be used)
+    key = df["user_id"]
+    if "c_custkey" in df.columns:
+        key = key.fillna(df["c_custkey"])
+    out = pd.DataFrame({
+        "key": key.astype("int64"),
+        "n_events": df["n_events"].fillna(0).astype("int64"),
+        "total_value": df["total_value"].fillna(0.0).round(2),
+        "acctbal": df["c_acctbal"].fillna(0.0).round(2),
+        "in_events": df["n_events"].notna().astype("int64"),
+        "in_customers": df["c_acctbal"].notna().astype("int64"),
+    })
+    out = out.sort_values("key").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # plan selector for top_orders, monkeypatchable in tests: "partial" (default
 # — per-batch top-k, no shuffle) or "sort" (full ds.sort().limit(), the
 # operator-pair demonstration; an all-to-all at scale)

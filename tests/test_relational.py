@@ -319,3 +319,42 @@ def test_funnel_steps_hand_case(ray_session, tmp_path):
     out = funnel_steps(str(tmp_path)).to_pandas()
     assert out["step_name"].tolist() == ["view", "click", "purchase"]
     assert out["n_users"].tolist() == [3, 1, 1]
+
+
+def test_user_activity_reconcile_full_outer(ray_session, tmp_path):
+    """FULL OUTER hand case: an events-only user, a customers-only
+    account, and a matched pair all survive with correct flags and
+    zero-fills; driver and native plans agree on real data."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import user_activity_reconcile
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([base] * 3, pa.timestamp("us")),
+        "user_id": pa.array([3, 3, 2], pa.int64()),  # 3 events-only (odd)
+        "event_type": pa.array(["view"] * 3),
+        "value": pa.array([1.5, 2.5, 7.0], pa.float64()),
+        "props": pa.array(["{}"] * 3),
+    }), f"{tmp_path}/events.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([2, 4, 5], pa.int64()),  # 4 cust-only, 5 odd->filtered
+        "c_name": pa.array(["a", "b", "c"]),
+        "c_nationkey": pa.array([0, 0, 0], pa.int64()),
+        "c_acctbal": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        "c_mktsegment": pa.array(["x", "x", "x"]),
+    }), f"{tmp_path}/customer.parquet")
+    out = user_activity_reconcile(str(tmp_path)).to_pandas()
+    assert out["key"].tolist() == [2, 3, 4]
+    assert out["in_events"].tolist() == [1, 1, 0]
+    assert out["in_customers"].tolist() == [1, 0, 1]
+    assert out["n_events"].tolist() == [1, 2, 0]
+    assert out["total_value"].tolist() == [7.0, 4.0, 0.0]
+    assert out["acctbal"].tolist() == [10.0, 0.0, 20.0]
+
+    a = user_activity_reconcile(SF, force="driver").to_pandas()
+    b = user_activity_reconcile(SF, force="native").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
