@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": lambda sf: text_analysis.tfidf_keywords(sf, k=3),
         "user_event_gaps": relational.user_event_gaps,
         "user_activity_reconcile": relational.user_activity_reconcile,
+        "daily_active_users": relational.daily_active_users,
+        "user_retention_cohorts": relational.user_retention_cohorts,
         "group_sample_n": lambda sf: text_analysis.group_sample_n(sf, n=8, by="lang", seed=17),
         "normalize_text": text_analysis.normalize_text,
         "shard_assignments": lambda sf: sharding.shard_assignments(sf, n_shards=16, seed=7),
@@ -228,6 +230,23 @@ def oracle_sql() -> dict[str, str]:
         WITH {us_ctes}
         SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank, doc_id
         FROM {us_f} ORDER BY h, doc_id LIMIT 64
+    """
+    # daily_active_users: windowed exact distinct
+    dau = """
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY day
+    """
+    # user_retention_cohorts: first-active-day cohort triangle
+    retention = """
+        WITH p AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                   FROM events),
+        f AS (SELECT user_id, min(day) AS cohort FROM p GROUP BY user_id)
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, p.day) AS BIGINT) AS day_offset,
+               count(*) AS n_users
+        FROM p JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     # user_activity_reconcile: FULL OUTER with two-sided unmatched rows
     reconcile = """
@@ -896,6 +915,8 @@ def oracle_sql() -> dict[str, str]:
         "source_profile": source_prof,
         "quality_zscores": zscores,
         "user_activity_reconcile": reconcile,
+        "daily_active_users": dau,
+        "user_retention_cohorts": retention,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,

@@ -183,6 +183,128 @@ def events_daily_windows(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["day", "event_type", "value_sum", "n_events"]], preserve_index=False)
 
 
+def daily_active_users(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Windowed EXACT distinct — daily active users + event volume (the
+    DAU metric): per day, count of distinct users and total events. The
+    distinct-inside-a-window shape events_daily_windows (plain sums) and
+    hll_cardinalities (approximate) don't cover.
+
+    Per-batch (day, user) pre-aggregation; adaptive fold: driver pandas
+    dedup below _SMALL_ROWS, else TWO distributed groupbys — (day, user)
+    sum (global dedup) then per-day Count/Sum — with only day-sized rows
+    pulled. ``force``="driver"/"distributed" pins the branch."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        t = pa.table({"day": day, "user_id": batch["user_id"]})
+        g = t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "user_id", "n_p"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"day": "datetime64[us]", "user_id": "int64",
+                              "n_p": "int64"})
+        agg = pdf.groupby(["day", "user_id"], as_index=False)["n_p"].sum()
+        out = agg.groupby("day", as_index=False).agg(
+            n_users=("user_id", "nunique"), n_events=("n_p", "sum"))
+    else:
+        pairs = parts.repartition(32).groupby(["day", "user_id"]) \
+            .aggregate(Sum("n_p", alias_name="n"))
+        per_day = pairs.groupby("day").aggregate(
+            Count(alias_name="n_users"), Sum("n", alias_name="n_events"))
+        out = ensure_columns(per_day.to_pandas(),
+                             {"day": "datetime64[us]", "n_users": "int64",
+                              "n_events": "int64"})
+    out = out.sort_values("day").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out.astype({"n_users": "int64", "n_events": "int64"}),
+        preserve_index=False)
+
+
+def user_retention_cohorts(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Cohort retention — the classic product-analytics triangle: users
+    grouped by their FIRST-active day (cohort), counted on each later
+    active day as (cohort, day_offset, n_users).
+
+    Adaptive plan: below _SMALL_ROWS one driver pass over the deduped
+    (user, day) pairs; above, the distributed (day, user) groupby dedups
+    globally, a user-bounded groupby(user).min(day) builds the cohort map
+    (broadcast once), and a streaming pass over the deduped pairs emits
+    (cohort, offset) partials folded to the cohort-triangle-sized result
+    — the corpus never lands on the driver."""
+    import ray
+
+    from ..stages.broadcast import cached
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        t = pa.table({"day": day, "user_id": batch["user_id"]})
+        return t.group_by(["day", "user_id"]).aggregate([]) \
+            .rename_columns(["day", "user_id"])
+
+    parts = ds.map_batches(pair_partials, batch_format="pyarrow",
+                           batch_size=32768)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    us_per_day = np.int64(86_400_000_000)
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"day": "datetime64[us]", "user_id": "int64"})
+        pdf = pdf.drop_duplicates(["day", "user_id"])
+        d = pdf["day"].to_numpy("datetime64[us]").astype(np.int64)
+        cohort = pdf.assign(_d=d).groupby("user_id")["_d"].transform("min").to_numpy()
+        off = (d - cohort) // us_per_day
+        tri = pd.DataFrame({"cohort": cohort.astype("datetime64[us]"),
+                            "day_offset": off.astype(np.int64)})
+        out = tri.groupby(["cohort", "day_offset"], as_index=False) \
+            .size().rename(columns={"size": "n_users"})
+    else:
+        from ray.data.aggregate import Count, Min
+
+        pairs = parts.repartition(32).groupby(["day", "user_id"]) \
+            .aggregate(Count(alias_name="_c"))
+        first = pairs.groupby("user_id").aggregate(Min("day", alias_name="cohort"))
+        fdf = ensure_columns(first.to_pandas(),
+                             {"user_id": "int64", "cohort": "datetime64[us]"})
+        uid = np.sort(fdf["user_id"].to_numpy(np.int64))
+        coh = fdf.sort_values("user_id")["cohort"] \
+            .to_numpy("datetime64[us]").astype(np.int64)
+        ref = ray.put((uid, coh))
+
+        def offsets(batch: pa.Table) -> pa.Table:
+            u, c = cached(ref)
+            ids = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = batch["day"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64)
+            pos = np.searchsorted(u, ids)
+            coh_b = c[pos]
+            t = pa.table({
+                "cohort": pa.array(coh_b.astype("datetime64[us]"),
+                                   pa.timestamp("us")),
+                "day_offset": pa.array((d - coh_b) // us_per_day, pa.int64()),
+            })
+            return t.group_by(["cohort", "day_offset"]) \
+                .aggregate([([], "count_all")]) \
+                .rename_columns(["cohort", "day_offset", "n_p"])
+
+        folded = pairs.map_batches(offsets, batch_format="pyarrow",
+                                   batch_size=65536) \
+            .groupby(["cohort", "day_offset"]) \
+            .aggregate(Sum("n_p", alias_name="n_users"))
+        out = ensure_columns(folded.to_pandas(),
+                             {"cohort": "datetime64[us]", "day_offset": "int64",
+                              "n_users": "int64"})
+    out = out.sort_values(["cohort", "day_offset"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out.astype({"n_users": "int64"}),
+                                preserve_index=False)
+
+
 def _join_partitions(sf_dir: str, *tables: str, floor: int = 8,
                      bytes_per_partition: int = 256 << 20) -> int:
     """Size ``Dataset.join``'s hash-shuffle partition count from the data.

@@ -358,3 +358,44 @@ def test_user_activity_reconcile_full_outer(ray_session, tmp_path):
     a = user_activity_reconcile(SF, force="driver").to_pandas()
     b = user_activity_reconcile(SF, force="native").to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dau_and_retention_hand_case(ray_session, tmp_path):
+    """DAU and cohort retention by hand: user 1 first active day 0 and
+    returning day 2, user 2 joins day 2; duplicate events within a day
+    count once for DAU/retention but fully for n_events."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import (daily_active_users,
+                                                 user_retention_cohorts)
+
+    d0 = np.datetime64("2024-01-01T05:00:00", "us")
+    d2 = np.datetime64("2024-01-03T07:00:00", "us")
+    ts = [d0, d0 + np.timedelta64(1, "h"), d2, d2, d2 + np.timedelta64(2, "h")]
+    users = [1, 1, 1, 2, 2]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["view"] * 5),
+        "value": pa.array([1.0] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5),
+    }), f"{tmp_path}/events.parquet")
+
+    dau = daily_active_users(str(tmp_path)).to_pandas()
+    assert dau["n_users"].tolist() == [1, 2]
+    assert dau["n_events"].tolist() == [2, 3]
+
+    ret = user_retention_cohorts(str(tmp_path)).to_pandas()
+    # cohort day0: user 1 at offsets 0 and 2; cohort day2: user 2 at 0
+    rows = list(zip(ret["cohort"].dt.day.tolist(),
+                    ret["day_offset"].tolist(), ret["n_users"].tolist()))
+    assert rows == [(1, 0, 1), (1, 2, 1), (3, 0, 1)]
+
+    for fn in (daily_active_users, user_retention_cohorts):
+        a = fn(SF, force="driver").to_pandas()
+        b = fn(SF, force="distributed").to_pandas()
+        pd.testing.assert_frame_equal(
+            a, b.astype(a.dtypes.to_dict()))
