@@ -88,9 +88,18 @@ def assemble_training_corpus(
     sample_seed: int = 42, n_shards: int = 16, shard_seed: int = 7,
     rows_per_file: int = 100_000, with_counts: bool = True,
     pack_seq_len: int | None = None,
+    upsample_rates: dict[str, float] | None = None,
+    upsample_seed: int = 43,
 ) -> dict:
     """Run the full assembly and write shards; returns the manifest dict
-    (per-stage drop counts, kept count, shard records)."""
+    (per-stage drop counts, kept count, shard records).
+
+    ``upsample_rates`` (optional) adds the mixture-replication stage after
+    all filters: kept docs from a source with rate r emit floor(r) +
+    hash-gated copies (upsample_mix's exact decision at ``upsample_seed``),
+    each copy re-keyed ``doc_id·64 + copy`` (original kept as
+    ``orig_doc_id``) so replicas spread across shards. Absent sources keep
+    rate 1.0 (identity)."""
     import ray
     import ray.data as rd
 
@@ -139,13 +148,45 @@ def assemble_training_corpus(
                     .to_pandas())
         counts = {s: int(partials[s].sum()) for s in stages}
 
+    up_parts = None
+    if upsample_rates is not None:
+        from .text_analysis import upsample_rate_parts
+
+        up_parts = {s: upsample_rate_parts(r) for s, r in upsample_rates.items()}
+        up_default = upsample_rate_parts(1.0)
+        up_mix = splitmix64(np.array([upsample_seed], _U64))[0]
+
     def clean_batch(batch: pa.Table) -> pa.Table:
         m = _stage_masks(batch, drop_w=cached(drop_ref), contam_w=cached(contam_ref),
                          **mask_kw)
         kept = batch.filter(pa.array(m["kept"]))
         red = redact_pii_batch(kept)  # counts + text_redacted, original text dropped
-        return red.drop_columns([c for c in ("n_emails", "n_ips", "n_phones")
-                                 if c in red.column_names])
+        red = red.drop_columns([c for c in ("n_emails", "n_ips", "n_phones")
+                                if c in red.column_names])
+        if up_parts is None:
+            return red
+        # mixture replication: upsample_mix's decision on the KEPT rows,
+        # per-copy re-key so the shard exchange spreads replicas
+        ids = red["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(_U64) ^ up_mix)
+        codes_arr = pc.dictionary_encode(red["source"].combine_chunks())
+        uniq = codes_arr.dictionary.to_pylist()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        if len(uniq):
+            base = np.array([up_parts.get(s, up_default)[0] for s in uniq], np.int64)
+            thr = np.array([up_parts.get(s, up_default)[1] for s in uniq], _U64)
+            n_copies = base[codes] + (h < thr[codes]).astype(np.int64)
+        else:
+            n_copies = np.empty(0, np.int64)
+        idx = np.repeat(np.arange(len(ids)), n_copies)
+        starts = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
+        copy = np.arange(int(n_copies.sum()), dtype=np.int64) - starts[idx]
+        out = red.take(pa.array(idx, pa.int64()))
+        orig = ids[idx]
+        out = out.set_column(out.schema.get_field_index("doc_id"), "doc_id",
+                             pa.array(orig * 64 + copy, pa.int64()))
+        return out.append_column("orig_doc_id", pa.array(orig, pa.int64())) \
+                  .append_column("copy", pa.array(copy, pa.int64()))
 
     # deliberately unpruned read: the sink carries every corpus column
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")

@@ -92,3 +92,41 @@ def test_assemble_with_packing_manifests(ray_session, tmp_path):
                          ignore_index=True)
         want = (docs["text_redacted"].str.count(" ") + 1).sum()
         assert spans["n_toks"].sum() == want
+
+
+def test_assemble_with_upsampling(ray_session, tmp_path):
+    """Assembly with the mixture-replication stage: an integer rate
+    exactly multiplies that source's kept docs, other sources pass
+    through once, per-copy keys are unique, and a rerun is
+    byte-identical."""
+    from sketch_ray.pipelines.assemble import assemble_training_corpus
+
+    base_out = str(tmp_path / "plain")
+    man0 = assemble_training_corpus(SF, base_out, n_bench=5, n_shards=4,
+                                    rows_per_file=7, with_counts=False)
+    plain = _read_shards(base_out)
+
+    up_out = str(tmp_path / "upsampled")
+    man1 = assemble_training_corpus(SF, up_out, n_bench=5, n_shards=4,
+                                    rows_per_file=7, with_counts=False,
+                                    upsample_rates={"src0": 3.0})
+    up = _read_shards(up_out)
+
+    kept_src0 = int((plain["source"] == "src0").sum())
+    assert int((up["source"] == "src0").sum()) == 3 * kept_src0
+    assert int((up["source"] != "src0").sum()) == int((plain["source"] != "src0").sum())
+    assert man1["n_docs"] == man0["n_docs"] + 2 * kept_src0
+    assert up["doc_id"].is_unique
+    # kept-doc set identical pre-replication
+    assert set(up["orig_doc_id"]) == set(plain["doc_id"])
+    # rerun byte-identical
+    up2_out = str(tmp_path / "upsampled2")
+    assemble_training_corpus(SF, up2_out, n_bench=5, n_shards=4,
+                             rows_per_file=7, with_counts=False,
+                             upsample_rates={"src0": 3.0})
+    f1 = sorted(glob.glob(os.path.join(up_out, "shard=*", "part-*.parquet")))
+    f2 = sorted(glob.glob(os.path.join(up2_out, "shard=*", "part-*.parquet")))
+    assert [os.path.relpath(f, up_out) for f in f1] == \
+           [os.path.relpath(f, up2_out) for f in f2]
+    for a, b in zip(f1, f2):
+        assert open(a, "rb").read() == open(b, "rb").read()
