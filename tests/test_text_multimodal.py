@@ -501,3 +501,51 @@ def test_quality_zscores_hand_case(ray_session, tmp_path):
     a = quality_zscores(SF, force="driver").to_pandas()
     b = quality_zscores(SF, force="distributed").to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_remove_dup_spans_randomized_vs_bruteforce(ray_session, tmp_path):
+    """Seeded random corpora over a 5-token vocabulary (dense collisions,
+    overlapping spans, repeats within one doc) checked against a
+    brute-force Python implementation of the same semantics."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import remove_dup_spans
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    for trial in range(6):
+        n = int(rng.integers(2, 4))
+        texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 13))))
+                 for _ in range(int(rng.integers(2, 8)))]
+        d = str(tmp_path / f"t{trial}")
+        import os
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), f"{d}/documents.parquet")
+
+        grams = Counter()
+        toks = [t.split(" ") for t in texts]
+        for tk in toks:
+            for i in range(len(tk) - n + 1):
+                grams[tuple(tk[i:i + n])] += 1
+        want_clean, want_removed = [], []
+        for tk in toks:
+            covered = [False] * len(tk)
+            for i in range(len(tk) - n + 1):
+                if grams[tuple(tk[i:i + n])] >= 2:
+                    for j in range(i, i + n):
+                        covered[j] = True
+            want_clean.append(" ".join(
+                t for t, c in zip(tk, covered) if not c))
+            want_removed.append(sum(covered))
+
+        out = remove_dup_spans(d, n=n).to_pandas()
+        assert out["text_clean"].tolist() == want_clean, (trial, n, texts)
+        assert out["n_removed"].tolist() == want_removed, (trial, n, texts)
