@@ -150,8 +150,10 @@ def assemble_training_corpus(
 
     up_parts = None
     if upsample_rates is not None:
-        from .text_analysis import upsample_rate_parts
+        from .text_analysis import (check_upsample_max_copies,
+                                    replicate_rekey_batch, upsample_rate_parts)
 
+        check_upsample_max_copies(upsample_rates, 1.0, 64)
         up_parts = {s: upsample_rate_parts(r) for s, r in upsample_rates.items()}
         up_default = upsample_rate_parts(1.0)
         up_mix = splitmix64(np.array([upsample_seed], _U64))[0]
@@ -166,27 +168,10 @@ def assemble_training_corpus(
         if up_parts is None:
             return red
         # mixture replication: upsample_mix's decision on the KEPT rows,
-        # per-copy re-key so the shard exchange spreads replicas
-        ids = red["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = splitmix64(ids.astype(_U64) ^ up_mix)
-        codes_arr = pc.dictionary_encode(red["source"].combine_chunks())
-        uniq = codes_arr.dictionary.to_pylist()
-        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
-        if len(uniq):
-            base = np.array([up_parts.get(s, up_default)[0] for s in uniq], np.int64)
-            thr = np.array([up_parts.get(s, up_default)[1] for s in uniq], _U64)
-            n_copies = base[codes] + (h < thr[codes]).astype(np.int64)
-        else:
-            n_copies = np.empty(0, np.int64)
-        idx = np.repeat(np.arange(len(ids)), n_copies)
-        starts = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
-        copy = np.arange(int(n_copies.sum()), dtype=np.int64) - starts[idx]
-        out = red.take(pa.array(idx, pa.int64()))
-        orig = ids[idx]
-        out = out.set_column(out.schema.get_field_index("doc_id"), "doc_id",
-                             pa.array(orig * 64 + copy, pa.int64()))
-        return out.append_column("orig_doc_id", pa.array(orig, pa.int64())) \
-                  .append_column("copy", pa.array(copy, pa.int64()))
+        # per-copy re-key so the shard exchange spreads replicas (shared
+        # implementation: text_analysis.replicate_rekey_batch)
+        return replicate_rekey_batch(red, up_parts, up_default, up_mix,
+                                     max_copies=64)
 
     # deliberately unpruned read: the sink carries every corpus column
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")

@@ -545,7 +545,7 @@ def source_profile(sf_dir: str, force: str | None = None) -> pa.Table:
     from ..stages.broadcast import cached
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
-    small = (ds.count() < 2_000_000) if force is None else (force == "driver")
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
 
     def hash_partials(batch: pa.Table) -> pa.Table:
         h = hash_arrow_strings(batch["text"], seed=1).view(np.int64)
@@ -635,27 +635,14 @@ def pmi_collocations(sf_dir: str, min_cnt: int = 25, k: int = 20) -> pa.Table:
     never cross docs; every doc has ≥ 1 token). Float ops in exactly the
     oracle's order; ranked on the 6dp-rounded pmi, bigram-asc tie-break.
     Returns (rank, bigram, cnt, pmi)."""
-    from ..stages.tokenize import ngram_counts
-
-    ds = _read(sf_dir, "documents", ["text"])
-
-    def partials(batch: pa.Table) -> pa.Table:
-        keys, counts = ngram_counts(batch["text"], (2,))
-        return pa.table({"bigram": keys.cast(pa.large_string()),
-                         "partial": pa.array(counts, pa.int64())})
-
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
-        .groupby("bigram")
-        .aggregate(Sum("partial", alias_name="cnt"))
-    )
-    big = agg.to_pandas()
-    big = big[big["cnt"] >= min_cnt].reset_index(drop=True)
+    # reuse the oracle-gated bigram count pass verbatim (one implementation)
+    big = bigram_counts_min(sf_dir, min_cnt=min_cnt).to_pandas() \
+        .reset_index(drop=True)
 
     uni = token_counts_ds(sf_dir).to_pandas()  # vocab-sized by construction
     cmap = dict(zip(uni["token"], uni["cnt"].astype(np.int64)))
     n1 = float(uni["cnt"].sum())
-    n2 = n1 - float(ds.count())
+    n2 = n1 - float(_read(sf_dir, "documents", ["doc_id"]).count())
 
     parts = big["bigram"].str.split(" ", n=1, expand=True) if len(big) else None
     if len(big):

@@ -267,8 +267,11 @@ def user_retention_cohorts(sf_dir: str, force: str | None = None) -> pa.Table:
     else:
         from ray.data.aggregate import Count, Min
 
+        # materialize: the deduped pairs feed TWO consumers (cohort map +
+        # offsets pass) and an unmaterialized shuffle re-executes per
+        # consumer (house trap)
         pairs = parts.repartition(32).groupby(["day", "user_id"]) \
-            .aggregate(Count(alias_name="_c"))
+            .aggregate(Count(alias_name="_c")).materialize()
         first = pairs.groupby("user_id").aggregate(Min("day", alias_name="cohort"))
         fdf = ensure_columns(first.to_pandas(),
                              {"user_id": "int64", "cohort": "datetime64[us]"})
@@ -584,7 +587,12 @@ def user_activity_reconcile(sf_dir: str, force: str | None = None) -> pa.Table:
 
     def cust_filter(batch: pa.Table) -> pa.Table:
         keep = pc.equal(pc.bit_wise_and(batch["c_custkey"], 1), 0)
-        return batch.filter(keep)
+        out = batch.filter(keep)
+        # explicit membership marker: the native full_outer COALESCES the
+        # key into the left column and c_acctbal could legitimately be
+        # null, so neither works as a presence indicator
+        return out.append_column(
+            "in_cust", pa.array(np.ones(out.num_rows, np.int64)))
 
     try:
         ev_bytes = os.path.getsize(f"{sf_dir}/events.parquet")
@@ -601,20 +609,23 @@ def user_activity_reconcile(sf_dir: str, force: str | None = None) -> pa.Table:
             n_events=("cnt_p", "sum"), total_value=("val_p", "sum"))
         cust = pq.read_table(f"{sf_dir}/customer.parquet",
                              columns=["c_custkey", "c_acctbal"]).to_pandas()
-        cust = cust[cust["c_custkey"] % 2 == 0]
+        cust = cust[cust["c_custkey"] % 2 == 0].assign(in_cust=1)
         df = agg.merge(cust, how="outer", left_on="user_id",
                        right_on="c_custkey")
     else:
+        # materialize both sides: .count() + .join() are two consumers and
+        # an unmaterialized shuffle re-executes per consumer (house trap)
         agg = parts.repartition(32).groupby("user_id").aggregate(
             Sum("cnt_p", alias_name="n_events"),
-            Sum("val_p", alias_name="total_value"))
+            Sum("val_p", alias_name="total_value")).materialize()
         cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
-            .map_batches(cust_filter, batch_format="pyarrow", batch_size=65536)
+            .map_batches(cust_filter, batch_format="pyarrow",
+                         batch_size=65536).materialize()
         n_left, n_right = agg.count(), cust.count()
         if n_left == 0 or n_right == 0:
             df = agg.to_pandas() if n_right == 0 else cust.to_pandas()
             for c in ("user_id", "n_events", "total_value",
-                      "c_custkey", "c_acctbal"):
+                      "c_custkey", "c_acctbal", "in_cust"):
                 if c not in df.columns:
                     df[c] = np.nan
         else:
@@ -635,7 +646,7 @@ def user_activity_reconcile(sf_dir: str, force: str | None = None) -> pa.Table:
         "total_value": df["total_value"].fillna(0.0).round(2),
         "acctbal": df["c_acctbal"].fillna(0.0).round(2),
         "in_events": df["n_events"].notna().astype("int64"),
-        "in_customers": df["c_acctbal"].notna().astype("int64"),
+        "in_customers": df["in_cust"].notna().astype("int64"),
     })
     out = out.sort_values("key").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -326,39 +326,18 @@ def upsampled_corpus_ds(sf_dir: str, rates: dict[str, float] | None = None,
 
     One vectorized map_batches (Arrow ``take`` row expansion), no shuffle,
     nothing driver-side; composes with ``write_shards_from``."""
-    from .text_analysis import DEFAULT_UPSAMPLE_RATES, upsample_rate_parts
+    from .text_analysis import (DEFAULT_UPSAMPLE_RATES, check_upsample_max_copies,
+                                replicate_rekey_batch, upsample_rate_parts)
 
     rates = DEFAULT_UPSAMPLE_RATES if rates is None else rates
-    for src, r in list(rates.items()) + [("<default>", default_rate)]:
-        if int(np.floor(max(float(r), 0.0))) + 1 > max_copies:
-            raise ValueError(f"rate {r} for {src!r} exceeds max_copies={max_copies}")
+    check_upsample_max_copies(rates, default_rate, max_copies)
     mix = splitmix64(np.array([seed], _U64))[0]
     parts = {src: upsample_rate_parts(r) for src, r in rates.items()}
     default_parts = upsample_rate_parts(default_rate)
 
     def expand(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = splitmix64(ids.astype(_U64) ^ mix)
-        codes_arr = pc.dictionary_encode(batch["source"].combine_chunks())
-        uniq = codes_arr.dictionary.to_pylist()
-        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
-        if len(uniq):
-            base = np.array([parts.get(s, default_parts)[0] for s in uniq], np.int64)
-            thr = np.array([parts.get(s, default_parts)[1] for s in uniq], _U64)
-            n_copies = base[codes] + (h < thr[codes]).astype(np.int64)
-        else:
-            n_copies = np.empty(0, np.int64)
-        idx = np.repeat(np.arange(len(ids)), n_copies)
-        starts = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
-        copy = np.arange(int(n_copies.sum()), dtype=np.int64) - starts[idx]
-        out = batch.take(pa.array(idx, pa.int64()))
-        orig = ids[idx]
-        out = out.set_column(out.schema.get_field_index("doc_id"), "doc_id",
-                             pa.array(orig * max_copies + copy, pa.int64()))
-        return out.append_column("orig_doc_id", pa.array(orig, pa.int64())) \
-                  .append_column("copy", pa.array(copy, pa.int64()))
+        return replicate_rekey_batch(batch, parts, default_parts, mix,
+                                     max_copies=max_copies)
 
     import ray.data as rd
 

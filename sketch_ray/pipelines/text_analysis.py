@@ -450,7 +450,7 @@ def quality_zscores(sf_dir: str, force: str | None = None) -> pa.Table:
             mu[i], sd[i] = mean, np.sqrt(var) if var > 0 else 0.0
             ok[i] = n >= 2 and var > 0
         if len(uniq):
-            keep = ok[codes] & np.ones(len(x), bool)
+            keep = ok[codes]
             z = np.round((x - mu[codes]) / np.where(sd[codes] > 0, sd[codes], 1.0), 6)
         else:
             keep = np.zeros(len(x), bool); z = x
@@ -607,10 +607,11 @@ def remove_dup_spans(sf_dir: str, n: int = 4, force: str | None = None) -> pa.Ta
         kept_flat = flat.filter(pa.array(kept))
         kept_per_doc = (np.bincount(doc_index[kept], minlength=n_docs).astype(np.int64)
                         if t_tokens else np.zeros(n_docs, np.int64))
-        offsets = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                         kept_flat.cast(pa.string()))
-        clean = pc.binary_join(lists, " ")
+        # int64 offsets + LargeList: a batch can hold > 2^31 kept tokens
+        offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_flat.cast(pa.large_string()))
+        clean = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
         removed = ntok - kept_per_doc
         return pa.table({
             "doc_id": batch["doc_id"],
@@ -972,6 +973,55 @@ def upsample_rate_parts(rate: float) -> tuple[int, int]:
     return base, rate_threshold(r - base)
 
 
+def _upsample_expansion(batch: pa.Table, parts: dict, default_parts: tuple,
+                        mix: np.uint64, source_col: str = "source"):
+    """The mixture-replication decision for one batch, shared by
+    upsample_mix / sharding.upsampled_corpus_ds / assemble's replication
+    stage (ONE implementation — the decision is provably identical, not
+    asserted-identical): returns (row index to take, copy index, orig ids)
+    where n_copies = floor(rate) + (splitmix64(doc_id ^ mix) <
+    frac(rate)·2⁶⁴)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = splitmix64(ids.astype(_U64) ^ mix)
+    codes_arr = pc.dictionary_encode(batch[source_col].combine_chunks())
+    uniq = codes_arr.dictionary.to_pylist()
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+    if len(uniq):
+        base = np.array([parts.get(s, default_parts)[0] for s in uniq], np.int64)
+        thr = np.array([parts.get(s, default_parts)[1] for s in uniq], _U64)
+        n_copies = base[codes] + (h < thr[codes]).astype(np.int64)
+    else:
+        n_copies = np.empty(0, np.int64)
+    idx = np.repeat(np.arange(len(ids)), n_copies)
+    starts = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
+    copy = np.arange(int(n_copies.sum()), dtype=np.int64) - starts[idx]
+    return idx, copy, ids
+
+
+def check_upsample_max_copies(rates: dict[str, float], default_rate: float,
+                              max_copies: int) -> None:
+    """Reject any rate whose ceiling exceeds the per-copy re-key capacity
+    (doc_id·max_copies + copy must stay collision-free)."""
+    for src, r in list(rates.items()) + [("<default>", default_rate)]:
+        if int(np.floor(max(float(r), 0.0))) + 1 > max_copies:
+            raise ValueError(
+                f"rate {r} for {src!r} exceeds max_copies={max_copies}")
+
+
+def replicate_rekey_batch(batch: pa.Table, parts: dict, default_parts: tuple,
+                          mix: np.uint64, max_copies: int = 64) -> pa.Table:
+    """Full-row mixture replication with per-copy re-key (doc_id·max_copies
+    + copy, original kept as ``orig_doc_id``) — the shard-writer-facing
+    form shared by sharding.upsampled_corpus_ds and assemble."""
+    idx, copy, ids = _upsample_expansion(batch, parts, default_parts, mix)
+    out = batch.take(pa.array(idx, pa.int64()))
+    orig = ids[idx]
+    out = out.set_column(out.schema.get_field_index("doc_id"), "doc_id",
+                         pa.array(orig * max_copies + copy, pa.int64()))
+    return out.append_column("orig_doc_id", pa.array(orig, pa.int64())) \
+              .append_column("copy", pa.array(copy, pa.int64()))
+
+
 def upsample_mix(sf_dir: str, rates: dict[str, float] | None = None,
                  default_rate: float = 1.0, seed: int = 43) -> pa.Table:
     """Deterministic domain-mix resampling with rates ABOVE 1 — the
@@ -993,20 +1043,7 @@ def upsample_mix(sf_dir: str, rates: dict[str, float] | None = None,
     default_parts = upsample_rate_parts(default_rate)
 
     def expand(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = splitmix64(ids.astype(_U64) ^ mix)
-        codes_arr = pc.dictionary_encode(batch["source"].combine_chunks())
-        uniq = codes_arr.dictionary.to_pylist()
-        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
-        base_by_uniq = np.array([parts.get(s, default_parts)[0] for s in uniq], np.int64)
-        thr_by_uniq = np.array([parts.get(s, default_parts)[1] for s in uniq], _U64)
-        if len(uniq):
-            n_copies = base_by_uniq[codes] + (h < thr_by_uniq[codes]).astype(np.int64)
-        else:
-            n_copies = np.empty(0, np.int64)
-        idx = np.repeat(np.arange(len(ids)), n_copies)
-        starts = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
-        copy = np.arange(int(n_copies.sum()), dtype=np.int64) - starts[idx]
+        idx, copy, ids = _upsample_expansion(batch, parts, default_parts, mix)
         return pa.table({
             "doc_id": pa.array(ids[idx], pa.int64()),
             "source": batch["source"].combine_chunks().take(pa.array(idx, pa.int64())),

@@ -472,6 +472,11 @@ def test_remove_dup_spans_hand_case(ray_session, tmp_path):
         "x y z w", "a b c d", "u v w x unique tail here", ""]
     assert out["n_removed"].tolist() == [4, 4, 0, 4]
     assert out["n_tokens"].tolist() == [8, 8, 7, 4]
+    # adaptive count-fold branches agree (the full operator, not just the
+    # shared _dup_gram_set fold)
+    a = remove_dup_spans(SF, n=4, force="driver").to_pandas()
+    b = remove_dup_spans(SF, n=4, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_quality_zscores_hand_case(ray_session, tmp_path):
