@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": relational.user_event_gaps,
         "user_activity_reconcile": relational.user_activity_reconcile,
         "daily_active_users": relational.daily_active_users,
+        "event_transitions": relational.event_transitions,
         "user_retention_cohorts": relational.user_retention_cohorts,
         "group_sample_n": lambda sf: text_analysis.group_sample_n(sf, n=8, by="lang", seed=17),
         "normalize_text": text_analysis.normalize_text,
@@ -230,6 +231,21 @@ def oracle_sql() -> dict[str, str]:
         WITH {us_ctes}
         SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank, doc_id
         FROM {us_f} ORDER BY h, doc_id LIMIT 64
+    """
+    # event_transitions: per-user LEAD pairs, row-normalized probabilities
+    transitions = """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events),
+        c AS (SELECT event_type AS from_type, next_type AS to_type,
+                     count(*) AS n
+              FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM c ORDER BY from_type, to_type
     """
     # daily_active_users: windowed exact distinct
     dau = """
@@ -916,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_zscores": zscores,
         "user_activity_reconcile": reconcile,
         "daily_active_users": dau,
+        "event_transitions": transitions,
         "user_retention_cohorts": retention,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,

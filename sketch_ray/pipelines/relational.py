@@ -1027,6 +1027,56 @@ def rolling_user_stats(sf_dir: str, k: int = 3) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def event_transitions(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Per-user event-type transition counts — the Markov-chain /
+    next-event-prediction statistic (the LEAD window shape): for every
+    consecutive pair of events of one user (ordered by ts, event_id),
+    count (from_type, to_type) corpus-wide and report the row-normalized
+    transition probability.
+
+    Same adaptive shape as user_event_gaps: driver pass below
+    _SMALL_ROWS, else user-bucket map_groups emitting (from, to, n)
+    partials — (types² × buckets)-bounded rows only. The one float op
+    (n / row_total) mirrors the oracle's division. Returns
+    (from_type, to_type, n, p) sorted by (from_type, to_type)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"from_type": pd.Series([], dtype="object"),
+                                 "to_type": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        b = batch.sort_values(["user_id", "ts", "event_id"])
+        uid = b["user_id"].to_numpy(np.int64)
+        et = b["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        return pd.DataFrame({"from_type": et[:-1][same],
+                             "to_type": et[1:][same]}) \
+            .groupby(["from_type", "to_type"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        df = per_batch(ds.to_pandas())
+    else:
+        out = (
+            ds.map_batches(_bucket_users, batch_format="pyarrow", batch_size=65536)
+            .groupby("bucket")
+            .map_groups(lambda g: per_batch(g.drop(columns=["bucket"])),
+                        batch_format="pandas")
+        )
+        df = ensure_columns(out.to_pandas(),
+                            {"from_type": "object", "to_type": "object",
+                             "n": "int64"})
+        df = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    totals = df.groupby("from_type")["n"].transform("sum")
+    df = df.assign(n=df["n"].astype("int64"),
+                   p=np.round(df["n"].to_numpy(np.float64)
+                              / totals.to_numpy(np.float64), 6))
+    df = df.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def user_event_gaps(sf_dir: str, force: str | None = None) -> pa.Table:
     """Per-user inter-event-time statistics — the SQL LAG window primitive
     (gap = ts − lag(ts) OVER (PARTITION BY user ORDER BY ts, event_id))

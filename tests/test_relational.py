@@ -399,3 +399,28 @@ def test_dau_and_retention_hand_case(ray_session, tmp_path):
         b = fn(SF, force="distributed").to_pandas()
         pd.testing.assert_frame_equal(
             a, b.astype(a.dtypes.to_dict()))
+
+
+def test_event_transitions_hand_case(ray_session, tmp_path):
+    """Transition matrix by hand: user boundaries break pairs, counts and
+    row-normalized probabilities are exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import event_transitions
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # user 1: a -> b -> a ; user 2: a -> c  (no pair across the boundary)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array([base + np.timedelta64(m, "m") for m in (0, 1, 2, 0, 1)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "c"]),
+        "value": pa.array([1.0] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5),
+    }), f"{tmp_path}/events.parquet")
+    out = event_transitions(str(tmp_path)).to_pandas()
+    rows = list(zip(out["from_type"], out["to_type"], out["n"], out["p"]))
+    assert rows == [("a", "b", 1, 0.5), ("a", "c", 1, 0.5), ("b", "a", 1, 1.0)]
