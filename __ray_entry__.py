@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cmcu_token_estimates": lambda sf: sketch_queries.cmcu_token_estimates(sf, top=50),
         "hll_cardinalities": sketch_queries.hll_cardinalities,
         "kll_quantiles": lambda sf: sketch_queries.quantile_sketches(sf, "kll"),
+        "dynamic_quantiles": sketch_queries.dynamic_quantiles,
         "tdigest_quantiles": lambda sf: sketch_queries.quantile_sketches(sf, "tdigest"),
         "bloom_membership": sketch_queries.bloom_membership,
         "grouped_sketch_stats": sketch_queries.grouped_sketch_stats,

@@ -14,11 +14,12 @@ from .countmin import CountMin, CountMinCU
 from .hashing import hash_arrow_strings, hash_ints, hash_strings, row_hashes, splitmix64
 from .hll import HLL
 from .kll import KLL
+from .kllpm import KLLPM
 from .spacesaving import MisraGries
 from .tdigest import TDigest
 
 __all__ = [
     "MergeableSketch", "SketchBase", "make_sketch", "registry", "sketch_from_bytes",
-    "CountMin", "CountMinCU", "HLL", "BloomFilter", "BottomK", "KLL", "MisraGries", "TDigest",
+    "CountMin", "CountMinCU", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
     "hash_strings", "hash_arrow_strings", "hash_ints", "row_hashes", "splitmix64",
 ]

@@ -75,6 +75,26 @@ def quantile_sketches(sf_dir: str, kind: str = "kll") -> pa.Table:
     return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(np.asarray(vals, dtype=np.float64))})
 
 
+def dynamic_quantiles(sf_dir: str) -> pa.Table:
+    """Quantiles over a DYNAMIC value stream via KLL± (kernels/kllpm.py,
+    after the retrieved VLDB'21 KLL± paper): every event's value is
+    inserted, and 'error' events additionally RETRACT theirs — the
+    turnstile workload no plain quantile sketch supports. One streaming
+    pass, shuffle-free per-side merge fold; rows-only gated (estimates),
+    with exactness/bounds pinned in pytest against the surviving
+    (non-error) multiset."""
+    spec = SketchSpec("dyn", "kllpm", "value", mode="numeric",
+                      params={"k": 200, "seed": 42},
+                      delete_eq=("event_type", "error"))
+    sk = build_sketches(_read(sf_dir, "events", ["value", "event_type"]),
+                        [spec], batch_size=8192)["dyn"]
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = sk.quantile(np.array(qs))
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array(np.asarray(vals, np.float64)),
+                     "n_live": pa.array([int(sk.n)] * len(qs), pa.int64())})
+
+
 def kmv_sample_sources(sf_dir: str, k: int = 16) -> pa.Table:
     """Deterministic distinct sample of `source` values via the mergeable
     bottom-k (KMV) sketch — the engine's seeded-sampling primitive. Same

@@ -25,6 +25,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..kernels import make_sketch, sketch_from_bytes
 from ..kernels.base import SketchBase
@@ -58,6 +59,11 @@ class SketchSpec:
     lengths: tuple[int, ...] = (2,)
     lowercase: bool = False
     params: dict[str, Any] = field(default_factory=dict)
+    # turnstile retraction (delete-capable kinds, e.g. "kllpm"): every row
+    # inserts +1; rows where ``batch[delete_eq[0]] == delete_eq[1]`` emit an
+    # ADDITIONAL −1, so each delete retracts a value that was inserted (the
+    # KLL± contract)
+    delete_eq: tuple[str, str] | None = None
 
     def make(self) -> SketchBase:
         return make_sketch(self.kind, **self.params)
@@ -72,7 +78,18 @@ class SketchSpec:
         if self.mode == "ngrams":
             return ngram_counts(col, self.lengths, lowercase=self.lowercase)
         if self.mode == "numeric":
-            return col.to_numpy(zero_copy_only=False), None
+            vals = col.to_numpy(zero_copy_only=False)
+            if self.delete_eq is not None:
+                dcol, dval = self.delete_eq
+                c = batch[dcol]
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                is_del = pc.equal(c, dval).to_numpy(zero_copy_only=False)
+                dels = vals[is_del]
+                return (np.concatenate([vals, dels]),
+                        np.concatenate([np.ones(len(vals), np.int64),
+                                        np.full(len(dels), -1, np.int64)]))
+            return vals, None
         if self.mode == "column":
             return col, None
         raise ValueError(f"unknown mode {self.mode}")

@@ -358,3 +358,94 @@ def test_value_quantiles_rank_error(ray_session):
             lo = np.searchsorted(s, v, side="left") / n
             hi = np.searchsorted(s, v, side="right") / n
             assert lo - tol <= r["q"] <= hi + tol, (col, r["q"], v, lo, hi)
+
+
+def test_kllpm_exact_small_and_bounded_large():
+    """KLL± (kernels/kllpm.py): exact below compaction; bounded rank error
+    at scale; merge order-insensitive within bounds; signed-update API and
+    serialization roundtrip."""
+    import numpy as np
+
+    from sketch_ray.kernels import KLLPM, sketch_from_bytes
+
+    rng = np.random.default_rng(0)
+
+    # exact regime: n small enough that neither side compacts
+    sk = KLLPM(k=200, seed=1)
+    ins = rng.uniform(0, 100, 120)
+    sk.update(ins)
+    dels = rng.choice(ins, 40, replace=False)
+    sk.delete(dels)
+    from collections import Counter
+
+    live = list((Counter(ins.tolist()) - Counter(dels.tolist())).elements())
+    live = np.sort(np.array(live))
+    for q in (0.1, 0.5, 0.9):
+        want = live[min(int(np.ceil(q * len(live))) - 1, len(live) - 1)]
+        assert sk.quantile(q) == want
+    assert sk.n == len(live)
+
+    # signed-update API equivalence
+    sk2 = KLLPM(k=200, seed=1)
+    sk2.update(np.concatenate([ins, dels]),
+               np.concatenate([np.ones(len(ins), np.int64),
+                               np.full(len(dels), -1, np.int64)]))
+    assert sk2.quantile(0.5) == sk.quantile(0.5)
+
+    # serialization roundtrip
+    rt = sketch_from_bytes(sk.to_bytes())
+    assert rt.quantile(0.5) == sk.quantile(0.5) and rt.n == sk.n
+
+    # bounded regime: 20k inserts, 30% deleted
+    big = KLLPM(k=200, seed=2)
+    vals = rng.uniform(0, 1, 20_000)
+    big.update(vals)
+    del_mask = rng.random(20_000) < 0.3
+    big.delete(vals[del_mask])
+    live = np.sort(vals[~del_mask])
+    n = len(live)
+    for q in (0.1, 0.5, 0.9):
+        est = big.quantile(q)
+        true_rank = np.searchsorted(live, est, side="right")
+        assert abs(true_rank - q * n) <= 0.05 * 20_000, (q, est)
+
+    # merge: 4 partials combined in two different orders, both within bound
+    parts = []
+    for lo in range(0, 20_000, 5000):
+        p = KLLPM(k=200, seed=2)
+        p.update(vals[lo:lo + 5000])
+        p.delete(vals[lo:lo + 5000][del_mask[lo:lo + 5000]])
+        parts.append(p)
+    m1 = sketch_from_bytes(parts[0].to_bytes())
+    for p in parts[1:]:
+        m1.merge(sketch_from_bytes(p.to_bytes()))
+    m2 = sketch_from_bytes(parts[3].to_bytes())
+    for p in (parts[1], parts[0], parts[2]):
+        m2.merge(sketch_from_bytes(p.to_bytes()))
+    for m in (m1, m2):
+        assert m.n == n
+        est = m.quantile(0.5)
+        true_rank = np.searchsorted(live, est, side="right")
+        assert abs(true_rank - 0.5 * n) <= 0.05 * 20_000
+
+
+def test_dynamic_quantiles_pipeline_tracks_survivors(ray_session):
+    """The KLL± pipeline's net count equals the non-error event count and
+    its median lands within rank bounds of the exact surviving multiset."""
+    import duckdb
+    import numpy as np
+
+    from sketch_ray.pipelines.sketch_queries import dynamic_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    out = dynamic_quantiles(sf).to_pandas()
+    con = duckdb.connect()
+    live = con.execute(
+        f"SELECT value FROM read_parquet('{sf}/events.parquet') "
+        "WHERE event_type != 'error' ORDER BY value").df()["value"].to_numpy()
+    n_ins = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')").fetchone()[0]
+    assert (out["n_live"] == len(live)).all()
+    for q, est in zip(out["q"], out["value"]):
+        true_rank = np.searchsorted(live, est, side="right")
+        assert abs(true_rank - q * len(live)) <= max(0.05 * n_ins, 2.0), (q, est)
