@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": text_analysis.stratified_sample,
         "upsample_mix": text_analysis.upsample_mix,
         "uniform_sample_n": lambda sf: text_analysis.uniform_sample_n(sf, n=64, seed=17),
+        "weighted_sample_n": lambda sf: text_analysis.weighted_sample_n(sf, n=32, seed=19),
         "tfidf_keywords": lambda sf: text_analysis.tfidf_keywords(sf, k=3),
         "user_event_gaps": relational.user_event_gaps,
         "user_activity_reconcile": relational.user_activity_reconcile,
@@ -223,6 +224,21 @@ def oracle_sql() -> dict[str, str]:
             FROM {gs_f})
         SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
         FROM ranked WHERE rank <= 8 ORDER BY lang, rank
+    """
+    # weighted_sample_n: Efraimidis-Spirakis A-Res key ln(u)/w, largest kept
+    ws_ctes, ws_f = splitmix64_ctes(
+        "ws", f"(SELECT doc_id, n_chars, xor(CAST(doc_id AS UBIGINT), {mix_constant(19)}) AS k"
+              " FROM documents)", "k", "h", ["doc_id", "n_chars"])
+    weighted_n = f"""
+        WITH {ws_ctes},
+        keyed AS (
+            SELECT doc_id, n_chars,
+                   round(ln(CAST(h AS DOUBLE) / 18446744073709551616)
+                         / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS key
+            FROM {ws_f})
+        SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank,
+               doc_id, n_chars, key
+        FROM keyed ORDER BY key DESC, doc_id LIMIT 32
     """
     # uniform_sample_n: the 64 docs with smallest splitmix64(doc_id ^ mix(17))
     us_ctes, us_f = splitmix64_ctes(
@@ -925,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified,
         "upsample_mix": upsample,
         "uniform_sample_n": uniform_n,
+        "weighted_sample_n": weighted_n,
         "tfidf_keywords": tfidf,
         "user_event_gaps": user_gaps,
         "group_sample_n": group_n,

@@ -1090,6 +1090,50 @@ def uniform_sample_n(sf_dir: str, n: int = 64, seed: int = 17) -> pa.Table:
                      "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64())})
 
 
+def weighted_sample_n(sf_dir: str, n: int = 32, seed: int = 19) -> pa.Table:
+    """EXACT weighted sample without replacement (Efraimidis–Spirakis
+    A-Res): keep the n docs with the LARGEST ``u^(1/w)`` where u =
+    splitmix64(doc_id ^ mix)/2⁶⁴ and w = n_chars — longer documents
+    proportionally likelier, decision still a pure function of
+    (doc_id, seed). The importance-sampling primitive (sample by length /
+    quality weight) the uniform samplers can't express.
+
+    Per-batch partial top-n by key (argpartition), n-bounded driver merge
+    — the uniform_sample_n scale shape. The float path (u = h/2⁶⁴ then
+    ln(u)/w as the sort key — log form avoids pow underflow and is order-
+    equivalent) mirrors the oracle exactly; ranked on the 6dp-rounded key
+    with doc_id tie-break. Returns (rank, doc_id, n_chars, key)."""
+    mix = splitmix64(np.array([seed], _U64))[0]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = splitmix64(ids.astype(_U64) ^ mix)
+        u = h.astype(np.float64) / 2.0**64
+        # ln(u)/w: monotone transform of u^(1/w); w >= 1 in this corpus,
+        # u in (0,1) so ln(u) < 0 and LARGER key = likelier kept
+        key = np.round(np.log(u) / np.maximum(w, 1.0), 6)
+        if len(ids) > n:
+            sel = np.argpartition(-key, n)[:n]
+            ids, w, key = ids[sel], w[sel], key[sel]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chars": pa.array(w.astype(np.int64), pa.int64()),
+                         "key": pa.array(key, pa.float64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    df = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas(),
+        {"doc_id": "int64", "n_chars": "int64", "key": "float64"})
+    df = df.sort_values(["key", "doc_id"], ascending=[False, True],
+                        kind="stable").head(n).reset_index(drop=True)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(df) + 1), pa.int64()),
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
+        "key": pa.array(df["key"].to_numpy(), pa.float64()),
+    })
+
+
 def group_sample_n(sf_dir: str, n: int = 8, by: str = "lang",
                    seed: int = 17) -> pa.Table:
     """EXACT fixed-size per-group sample: for every group (default: per

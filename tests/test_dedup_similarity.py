@@ -673,3 +673,31 @@ def test_knn_label_vote_hand_case(ray_session, tmp_path):
     out2 = knn_label_vote(str(tmp_path), k=2, n_queries=1).to_pandas()
     assert out2.to_dict("records") == [
         {"query_id": 0, "pred_label": 5, "n_votes": 2}]
+
+
+def test_weighted_sample_n_bias_and_determinism(ray_session, tmp_path):
+    """Efraimidis-Spirakis weighted sampling: deterministic across runs;
+    over many seeds a doc with 9x the weight is drawn ~9x as often (1-of-2
+    draws follow w_a/(w_a+w_b) exactly in E-S)."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import weighted_sample_n
+
+    a = weighted_sample_n(SF, n=16).to_pandas()
+    b = weighted_sample_n(SF, n=16).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 16 and list(a["rank"]) == list(range(1, 17))
+
+    # two docs, weights 9 : 1 -> doc 0 wins rank 1 with p = 0.9
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["x", "y"]),
+        "lang": pa.array(["en"] * 2),
+        "source": pa.array(["s"] * 2),
+        "n_chars": pa.array([900, 100], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    wins = sum(
+        weighted_sample_n(str(tmp_path), n=1, seed=s).to_pandas()["doc_id"][0] == 0
+        for s in range(60))
+    # Binomial(60, 0.9): 5 sigma ~ 12
+    assert abs(wins - 54) <= 12, wins
