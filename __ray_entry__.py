@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_reconcile": relational.user_activity_reconcile,
         "daily_active_users": relational.daily_active_users,
         "event_transitions": relational.event_transitions,
+        "top_return_customers": lambda sf: relational.top_return_customers(sf, k=20),
         "user_retention_cohorts": relational.user_retention_cohorts,
         "group_sample_n": lambda sf: text_analysis.group_sample_n(sf, n=8, by="lang", seed=17),
         "normalize_text": text_analysis.normalize_text,
@@ -248,6 +249,24 @@ def oracle_sql() -> dict[str, str]:
         WITH {us_ctes}
         SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank, doc_id
         FROM {us_f} ORDER BY h, doc_id LIMIT 64
+    """
+    # top_return_customers: TPC-H Q10 shape, ranked on 2dp-rounded revenue
+    q10 = """
+        WITH r AS (
+            SELECT o.o_custkey AS c_custkey,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS rev,
+                   count(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R' GROUP BY 1),
+        t AS (SELECT c_custkey, round(rev, 2) AS revenue, n_items FROM r),
+        top AS (SELECT * FROM t ORDER BY revenue DESC, c_custkey LIMIT 20)
+        SELECT CAST(row_number() OVER (ORDER BY revenue DESC, top.c_custkey)
+                    AS BIGINT) AS rank,
+               top.c_custkey, c.c_name, n.n_name, revenue,
+               CAST(n_items AS BIGINT) AS n_items
+        FROM top JOIN customer c ON c.c_custkey = top.c_custkey
+                 JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ORDER BY rank
     """
     # event_transitions: per-user LEAD pairs, row-normalized probabilities
     transitions = """
@@ -951,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_reconcile": reconcile,
         "daily_active_users": dau,
         "event_transitions": transitions,
+        "top_return_customers": q10,
         "user_retention_cohorts": retention,
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,

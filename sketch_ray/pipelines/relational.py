@@ -183,6 +183,121 @@ def events_daily_windows(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["day", "event_type", "value_sum", "n_events"]], preserve_index=False)
 
 
+def top_return_customers(sf_dir: str, k: int = 20,
+                         force: str | None = None) -> pa.Table:
+    """TPC-H Q10 shape — the classic multi-join composed query: revenue
+    lost to returned items (l_returnflag = 'R') per customer, decorated
+    with name + nation, top-k by revenue.
+
+    Plan: lineitem filters + pre-aggregates per orderkey INSIDE
+    map_batches; the orderkey→custkey hop is adaptive (broadcast
+    searchsorted probe when orders is dimension-small, else Ray's native
+    hash-shuffle join of the pre-aggregated partials — the
+    revenue_per_priority gate); the per-custkey fold is group-bounded
+    (_fold_partials discipline applied driver-side on custkey-bounded
+    rows); customer/nation decoration is a broadcast dimension lookup; the
+    final top-k ranks on the 2dp-rounded revenue with custkey tie-break
+    (mirrored in the oracle). ``force``="driver"/"native" pins the join
+    branch."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        flag = pc.equal(batch["l_returnflag"].combine_chunks(), "R") \
+            .to_numpy(zero_copy_only=False)
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)[flag]
+        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)[flag]
+               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[flag]))
+        uniq, inv = np.unique(lk, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq, pa.int64()),
+            "rev_p": pa.array(np.bincount(inv, weights=rev,
+                                          minlength=len(uniq)), pa.float64()),
+            "cnt_p": pa.array(np.bincount(inv, minlength=len(uniq))
+                              .astype(np.int64), pa.int64()),
+        })
+
+    parts = li.map_batches(li_partials, batch_format="pyarrow",
+                           batch_size=65536)
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+        ok = ot["o_orderkey"].to_numpy()
+        order = np.argsort(ok, kind="stable")
+        ref = ray.put((ok[order], ot["o_custkey"].to_numpy()[order]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ok_s, ck_s = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+            hit = ok_s[pos] == lk
+            t = pa.table({
+                "c_custkey": pa.array(ck_s[pos[hit]], pa.int64()),
+                "rev_p": batch["rev_p"].filter(pa.array(hit)),
+                "cnt_p": batch["cnt_p"].filter(pa.array(hit)),
+            })
+            g = t.group_by("c_custkey").aggregate(
+                [("rev_p", "sum"), ("cnt_p", "sum")])
+            return g.rename_columns(["c_custkey", "rev_p", "cnt_p"])
+
+        per_cust_parts = parts.map_batches(attach, batch_format="pyarrow",
+                                           batch_size=65536)
+        per_cust = ensure_columns(
+            per_cust_parts.to_pandas(),
+            {"c_custkey": "int64", "rev_p": "float64", "cnt_p": "int64"}) \
+            .groupby("c_custkey", as_index=False) \
+            .agg(revenue=("rev_p", "sum"), n_items=("cnt_p", "sum"))
+    else:
+        agg = parts.repartition(32).groupby("l_orderkey").aggregate(
+            Sum("rev_p", alias_name="rev"), Sum("cnt_p", alias_name="cnt"))
+        ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        n_right = agg.count()
+        if n_right == 0:
+            per_cust = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                     "revenue": pd.Series([], dtype="float64"),
+                                     "n_items": pd.Series([], dtype="int64")})
+        else:
+            n_parts = max(1, min(_join_partitions(sf_dir, "lineitem", "orders"),
+                                 n_right // 64 + 1))
+            joined = ords.join(agg, join_type="inner",
+                               num_partitions=n_parts,
+                               on=("o_orderkey",), right_on=("l_orderkey",))
+            jdf = ensure_columns(joined.to_pandas(),
+                                 {"o_custkey": "int64", "rev": "float64",
+                                  "cnt": "int64"})
+            per_cust = jdf.groupby("o_custkey", as_index=False) \
+                .agg(revenue=("rev", "sum"), n_items=("cnt", "sum")) \
+                .rename(columns={"o_custkey": "c_custkey"})
+
+    per_cust["revenue"] = per_cust["revenue"].round(2)
+    per_cust = per_cust.sort_values(["revenue", "c_custkey"],
+                                    ascending=[False, True],
+                                    kind="stable").head(k).reset_index(drop=True)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = per_cust.merge(cust, on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out = out[["rank", "c_custkey", "c_name", "n_name", "revenue", "n_items"]]
+    return pa.Table.from_pandas(
+        out.astype({"n_items": "int64"}), preserve_index=False)
+
+
 def daily_active_users(sf_dir: str, force: str | None = None) -> pa.Table:
     """Windowed EXACT distinct — daily active users + event volume (the
     DAU metric): per day, count of distinct users and total events. The

@@ -424,3 +424,29 @@ def test_event_transitions_hand_case(ray_session, tmp_path):
     out = event_transitions(str(tmp_path)).to_pandas()
     rows = list(zip(out["from_type"], out["to_type"], out["n"], out["p"]))
     assert rows == [("a", "b", 1, 0.5), ("a", "c", 1, 0.5), ("b", "a", 1, 1.0)]
+
+
+def test_top_return_customers_plans_and_oracle(ray_session):
+    """Q10-shape composed query: adaptive join branches agree and match
+    DuckDB exactly (revenue rounding, rank tie-break, decoration joins)."""
+    from sketch_ray.pipelines.relational import top_return_customers
+
+    a = top_return_customers(SF, k=10, force="driver").to_pandas()
+    b = top_return_customers(SF, k=10, force="native").to_pandas()
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    want = _duck().execute("""
+        WITH r AS (
+            SELECT o.o_custkey AS c_custkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R' GROUP BY 1),
+        top AS (SELECT * FROM r ORDER BY revenue DESC, c_custkey LIMIT 10)
+        SELECT CAST(row_number() OVER (ORDER BY revenue DESC, top.c_custkey)
+                    AS BIGINT) AS rank,
+               top.c_custkey, c.c_name, n.n_name, revenue,
+               CAST(n_items AS BIGINT) AS n_items
+        FROM top JOIN customer c ON c.c_custkey = top.c_custkey
+                 JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ORDER BY rank""").df()
+    pd.testing.assert_frame_equal(a, want.astype(a.dtypes.to_dict()))
