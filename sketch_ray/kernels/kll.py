@@ -67,9 +67,11 @@ class KLL(SketchBase):
     # -- update ------------------------------------------------------------
     def update(self, values, counts=None) -> None:
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        keep = ~np.isnan(v)
+        v = v[keep]
         if counts is not None:
-            c = np.asarray(counts, dtype=np.int64)
+            # mask counts with the SAME NaN filter (lengths must stay aligned)
+            c = np.asarray(counts, dtype=np.int64)[keep]
             v = np.repeat(v, c)
         if len(v) == 0:
             return

@@ -240,6 +240,10 @@ def top_return_customers(sf_dir: str, k: int = 20,
         def attach(batch: pa.Table) -> pa.Table:
             ok_s, ck_s = cached(ref)
             lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(ok_s) == 0:
+                return pa.table({"c_custkey": pa.array([], pa.int64()),
+                                 "rev_p": pa.array([], pa.float64()),
+                                 "cnt_p": pa.array([], pa.int64())})
             pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
             hit = ok_s[pos] == lk
             t = pa.table({
@@ -259,8 +263,10 @@ def top_return_customers(sf_dir: str, k: int = 20,
             .groupby("c_custkey", as_index=False) \
             .agg(revenue=("rev_p", "sum"), n_items=("cnt_p", "sum"))
     else:
+        # materialize: .count() + .join() are two consumers of this shuffle
         agg = parts.repartition(32).groupby("l_orderkey").aggregate(
-            Sum("rev_p", alias_name="rev"), Sum("cnt_p", alias_name="cnt"))
+            Sum("rev_p", alias_name="rev"),
+            Sum("cnt_p", alias_name="cnt")).materialize()
         ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
         n_right = agg.count()
         if n_right == 0:

@@ -1114,7 +1114,10 @@ def weighted_sample_n(sf_dir: str, n: int = 32, seed: int = 19) -> pa.Table:
         # u in (0,1) so ln(u) < 0 and LARGER key = likelier kept
         key = np.round(np.log(u) / np.maximum(w, 1.0), 6)
         if len(ids) > n:
-            sel = np.argpartition(-key, n)[:n]
+            # lexsort (not argpartition): ties on the ROUNDED key at the
+            # batch boundary must keep the smallest doc_id, matching the
+            # oracle's (key DESC, doc_id) order
+            sel = np.lexsort((ids, -key))[:n]
             ids, w, key = ids[sel], w[sel], key[sel]
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "n_chars": pa.array(w.astype(np.int64), pa.int64()),

@@ -84,7 +84,8 @@ class SketchSpec:
                 c = batch[dcol]
                 if isinstance(c, pa.ChunkedArray):
                     c = c.combine_chunks()
-                is_del = pc.equal(c, dval).to_numpy(zero_copy_only=False)
+                is_del = pc.fill_null(pc.equal(c, dval), False) \
+                    .to_numpy(zero_copy_only=False)
                 dels = vals[is_del]
                 return (np.concatenate([vals, dels]),
                         np.concatenate([np.ones(len(vals), np.int64),

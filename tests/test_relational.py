@@ -425,6 +425,10 @@ def test_event_transitions_hand_case(ray_session, tmp_path):
     rows = list(zip(out["from_type"], out["to_type"], out["n"], out["p"]))
     assert rows == [("a", "b", 1, 0.5), ("a", "c", 1, 0.5), ("b", "a", 1, 1.0)]
 
+    a = event_transitions(SF, force="driver").to_pandas()
+    b = event_transitions(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
 
 def test_top_return_customers_plans_and_oracle(ray_session):
     """Q10-shape composed query: adaptive join branches agree and match
