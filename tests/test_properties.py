@@ -247,3 +247,32 @@ def test_string_hash_sql_matches_numpy_kernel(strs, seed):
     ctes, final = string_hash_ctes("p", "(SELECT i, s FROM t)", "s", "h", ["i"], seed=seed)
     got = con.execute(f"WITH {ctes} SELECT h FROM {final} ORDER BY i").df()["h"]
     assert np.array_equal(np.array(got, dtype=np.uint64), hash_strings(strs, seed))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2**64 - 1),
+                min_size=1, max_size=64),
+       st.lists(st.integers(min_value=1, max_value=10**6),
+                min_size=1, max_size=64))
+def test_weighted_sample_key_sql_matches_numpy(hs, ws):
+    """weighted_sample_n's A-Res key round(ln(h/2^64)/max(w,1), 6) must be
+    bit-for-bit equal between the numpy engine path and the DuckDB oracle
+    expression on arbitrary (hash, weight) pairs — the float contract the
+    exact gate relies on."""
+    import duckdb
+
+    n = min(len(hs), len(ws))
+    hs, ws = hs[:n], ws[:n]
+    h = np.array(hs, dtype=np.uint64)
+    w = np.array(ws, dtype=np.float64)
+    want = np.round(np.log(h.astype(np.float64) / 2.0**64)
+                    / np.maximum(w, 1.0), 6)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, h UBIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                    [(i, int(a), int(b)) for i, (a, b) in enumerate(zip(hs, ws))])
+    got = con.execute(
+        "SELECT round(ln(CAST(h AS DOUBLE) / 18446744073709551616)"
+        " / greatest(CAST(w AS DOUBLE), 1.0), 6) AS k FROM t ORDER BY i"
+    ).df()["k"].to_numpy()
+    assert np.array_equal(got, want), (got, want)
