@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_histogram": exact.len_histogram,
         "quantiles_exact": exact.quantiles_exact,
         "grouped_quantiles_exact": exact.grouped_quantiles_exact,
+        "robust_length_stats": exact.robust_length_stats,
+        "grep_corpus": text_analysis.grep_corpus,
         "doc_length_deciles": exact.doc_length_deciles,
         "events_per_type": exact.events_per_type,
         "props_field_stats": exact.props_field_stats,
@@ -282,6 +284,26 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n AS DOUBLE)
                      / sum(n) OVER (PARTITION BY from_type), 6) AS p
         FROM c ORDER BY from_type, to_type
+    """
+    # robust_length_stats: median/MAD/IQR per lang, quantile_disc semantics
+    robust = """
+        WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+                   FROM documents GROUP BY lang)
+        SELECT d.lang, CAST(m.med AS BIGINT) AS median,
+               CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT) AS mad,
+               CAST(quantile_disc(d.n_chars, 0.75)
+                    - quantile_disc(d.n_chars, 0.25) AS BIGINT) AS iqr
+        FROM documents d JOIN m USING (lang)
+        GROUP BY d.lang, m.med ORDER BY d.lang
+    """
+    # grep_corpus: RE2 match counting, docs with >= 1 hit
+    grep = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '(fast|slow) (table|query)'))
+                    AS BIGINT) AS n_matches
+        FROM documents
+        WHERE len(regexp_extract_all(text, '(fast|slow) (table|query)')) > 0
+        ORDER BY doc_id
     """
     # daily_active_users: windowed exact distinct
     dau = """
@@ -969,6 +991,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_zscores": zscores,
         "user_activity_reconcile": reconcile,
         "daily_active_users": dau,
+        "robust_length_stats": robust,
+        "grep_corpus": grep,
         "event_transitions": transitions,
         "top_return_customers": q10,
         "user_retention_cohorts": retention,

@@ -657,3 +657,64 @@ def pmi_collocations(sf_dir: str, min_cnt: int = 25, k: int = 20) -> pa.Table:
     big.insert(0, "rank", np.arange(1, len(big) + 1, dtype=np.int64))
     return pa.Table.from_pandas(
         big.astype({"cnt": "int64"}), preserve_index=False)
+
+
+def robust_length_stats(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Per-language ROBUST length statistics — median, MAD (median
+    absolute deviation) and IQR of n_chars: the outlier-insensitive
+    spread measures a quality pipeline thresholds on when means/stddevs
+    are skew-poisoned.
+
+    ONE streaming histogram pass (the grouped_quantiles_exact shape —
+    group-bounded (lang, n_chars) rows, adaptive fold); median, the
+    |v − med| deviation histogram, and IQR are all derived driver-side
+    from that single histogram — the MAD needs NO second corpus pass
+    because deviations of a histogram are a histogram transform.
+    quantile_disc semantics throughout (smallest value with cum_count >=
+    ceil(q·n)). Returns (lang, median, mad, iqr)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    n = ds.count()
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "partial"])
+
+    parts = ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+    small = (n < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"lang": "object", "n_chars": "int64",
+                              "partial": "int64"})
+        hist = pdf.groupby(["lang", "n_chars"], as_index=False) \
+            .agg(cnt=("partial", "sum"))
+    else:
+        hist = ensure_columns(
+            parts.repartition(32).groupby(["lang", "n_chars"])
+            .aggregate(Sum("partial", alias_name="cnt")).to_pandas(),
+            {"lang": "object", "n_chars": "int64", "cnt": "int64"})
+    hist = hist.sort_values(["lang", "n_chars"]).reset_index(drop=True)
+
+    def disc(values: np.ndarray, counts: np.ndarray, q: float) -> int:
+        cum = counts.cumsum()
+        target = max(int(np.ceil(q * int(cum[-1]))), 1)
+        return int(values[min(int(np.searchsorted(cum, target)),
+                              len(values) - 1)])
+
+    rows = []
+    for lang, sub in hist.groupby("lang", sort=True):  # n_langs iterations
+        v = sub["n_chars"].to_numpy()
+        c = sub["cnt"].to_numpy()
+        med = disc(v, c, 0.5)
+        dev = np.abs(v - med)
+        order = np.argsort(dev, kind="stable")
+        dv, dc = dev[order], c[order]
+        # merge equal deviations (med±d collapse to one bin)
+        uniq, inv = np.unique(dv, return_inverse=True)
+        dcounts = np.bincount(inv, weights=dc).astype(np.int64)
+        mad = disc(uniq, dcounts, 0.5)
+        iqr = disc(v, c, 0.75) - disc(v, c, 0.25)
+        rows.append((lang, med, mad, iqr))
+    out = pd.DataFrame(rows, columns=["lang", "median", "mad", "iqr"]).astype(
+        {"lang": "object", "median": "int64", "mad": "int64", "iqr": "int64"})
+    out = out.sort_values("lang").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1297,3 +1297,25 @@ def pii_redact(sf_dir: str, augment: bool = True) -> pa.Table:
     return pa.Table.from_pandas(
         df[["doc_id", "n_emails", "n_ips", "n_phones", "text_redacted"]],
         preserve_index=False)
+
+
+def grep_corpus(sf_dir: str, pattern: str = r"(fast|slow) (table|query)") -> pa.Table:
+    """Corpus regex search — the grep / content-audit primitive (find docs
+    matching a pattern, count non-overlapping matches). One vectorized
+    RE2 pass (`pc.count_substring_regex`), match-bounded output (only
+    docs with ≥ 1 hit leave the tasks), no shuffle. RE2 semantics are
+    shared byte-for-byte with the DuckDB oracle (the regex_token_stats
+    precedent). Returns (doc_id, n_matches) sorted by doc_id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hits(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"].combine_chunks(),
+                                     pattern=pattern).cast(pa.int64())
+        t = pa.table({"doc_id": batch["doc_id"], "n_matches": n})
+        return t.filter(pc.greater(t["n_matches"], 0))
+
+    df = ensure_columns(
+        ds.map_batches(hits, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_matches": "int64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -190,3 +190,30 @@ def test_pmi_collocations_hand_case(ray_session, tmp_path):
     assert out.iloc[0]["bigram"] == "new york" and out.iloc[0]["rank"] == 1
     # nothing below min_cnt leaks in
     assert (out["cnt"] >= 3).all()
+
+
+def test_robust_length_stats_hand_case(ray_session, tmp_path):
+    """MAD/IQR by hand: lengths 1,2,3,4,100 (one outlier) -> median 3,
+    MAD = disc-median of |v-3| = {2,1,0,1,97} -> 1, IQR = q75-q25 = 4-2;
+    MAD is outlier-insensitive where stddev is not. Branches agree."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.exact import robust_length_stats
+
+    lens = [1, 2, 3, 4, 100]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(["x" * n for n in lens]),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array(lens, pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = robust_length_stats(str(tmp_path)).to_pandas()
+    assert out.to_dict("records") == [
+        {"lang": "en", "median": 3, "mad": 1, "iqr": 2}]
+
+    a = robust_length_stats("/root/testdata/sf0.001", force="driver").to_pandas()
+    b = robust_length_stats("/root/testdata/sf0.001", force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)

@@ -554,3 +554,23 @@ def test_remove_dup_spans_randomized_vs_bruteforce(ray_session, tmp_path):
         out = remove_dup_spans(d, n=n).to_pandas()
         assert out["text_clean"].tolist() == want_clean, (trial, n, texts)
         assert out["n_removed"].tolist() == want_removed, (trial, n, texts)
+
+
+def test_grep_corpus_hand_case(ray_session, tmp_path):
+    """Regex search: non-overlapping match counting, no-hit docs excluded."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import grep_corpus
+
+    texts = ["fast table and slow query here", "nothing relevant",
+             "fast query fast query fast query"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = grep_corpus(str(tmp_path)).to_pandas()
+    assert out.to_dict("records") == [
+        {"doc_id": 0, "n_matches": 2}, {"doc_id": 2, "n_matches": 3}]
