@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_exact": exact.quantiles_exact,
         "grouped_quantiles_exact": exact.grouped_quantiles_exact,
         "robust_length_stats": exact.robust_length_stats,
+        "rollup_doc_stats": exact.rollup_doc_stats,
         "grep_corpus": text_analysis.grep_corpus,
         "doc_length_deciles": exact.doc_length_deciles,
         "events_per_type": exact.events_per_type,
@@ -295,6 +296,15 @@ def oracle_sql() -> dict[str, str]:
                     - quantile_disc(d.n_chars, 0.25) AS BIGINT) AS iqr
         FROM documents d JOIN m USING (lang)
         GROUP BY d.lang, m.med ORDER BY d.lang
+    """
+    # rollup_doc_stats: GROUP BY ROLLUP, NULL levels -> '<all>' sentinel
+    rollup = """
+        SELECT coalesce(source, '<all>') AS source,
+               coalesce(lang, '<all>') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY ROLLUP (source, lang)
+        ORDER BY source, lang
     """
     # grep_corpus: RE2 match counting, docs with >= 1 hit
     grep = r"""
@@ -992,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_reconcile": reconcile,
         "daily_active_users": dau,
         "robust_length_stats": robust,
+        "rollup_doc_stats": rollup,
         "grep_corpus": grep,
         "event_transitions": transitions,
         "top_return_customers": q10,

@@ -718,3 +718,52 @@ def robust_length_stats(sf_dir: str, force: str | None = None) -> pa.Table:
         {"lang": "object", "median": "int64", "mad": "int64", "iqr": "int64"})
     out = out.sort_values("lang").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def rollup_doc_stats(sf_dir: str, force: str | None = None) -> pa.Table:
+    """GROUP BY ROLLUP(source, lang) — the grouping-sets operator class
+    (subtotals + grand total in one result): doc and token counts at
+    (source, lang), (source), and () granularity, rolled levels marked
+    with the '<all>' sentinel (no NULL keys to hash).
+
+    Scale shape: ONE streaming pass of (source, lang) partials — the
+    FINEST level; every coarser level is a driver-side re-aggregation of
+    the group-bounded finest table (n_sources × n_langs rows), so the
+    rollup costs nothing beyond the base groupby. Adaptive fold
+    (``force``="driver"/"distributed")."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "text"])
+    n = ds.count()
+
+    def local(batch: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(
+            batch["text"].combine_chunks(), " ")).cast(pa.int64())
+        t = pa.table({"source": batch["source"], "lang": batch["lang"],
+                      "one": pa.array(np.ones(len(ntok), np.int64)),
+                      "ntok": ntok})
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("one", "sum"), ("ntok", "sum")])
+        return g.rename_columns(["source", "lang", "n", "ntok"])
+
+    parts = ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+    small = (n < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"source": "object", "lang": "object",
+                              "n": "int64", "ntok": "int64"})
+        fine = pdf.groupby(["source", "lang"], as_index=False).sum()
+    else:
+        fine = ensure_columns(
+            parts.repartition(32).groupby(["source", "lang"])
+            .aggregate(Sum("n", alias_name="n"), Sum("ntok", alias_name="ntok"))
+            .to_pandas(),
+            {"source": "object", "lang": "object", "n": "int64", "ntok": "int64"})
+    mid = fine.groupby("source", as_index=False)[["n", "ntok"]].sum() \
+        .assign(lang="<all>")
+    top = pd.DataFrame({"source": ["<all>"], "lang": ["<all>"],
+                        "n": [fine["n"].sum()], "ntok": [fine["ntok"].sum()]})
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out = out.rename(columns={"n": "n_docs", "ntok": "n_tokens"})
+    out = out[["source", "lang", "n_docs", "n_tokens"]] \
+        .astype({"n_docs": "int64", "n_tokens": "int64"}) \
+        .sort_values(["source", "lang"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

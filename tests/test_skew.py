@@ -217,3 +217,32 @@ def test_robust_length_stats_hand_case(ray_session, tmp_path):
     a = robust_length_stats("/root/testdata/sf0.001", force="driver").to_pandas()
     b = robust_length_stats("/root/testdata/sf0.001", force="distributed").to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_rollup_doc_stats_levels_consistent(ray_session, tmp_path):
+    """ROLLUP hand case: subtotals and grand total partition the finest
+    level exactly; the '<all>' sentinel marks rolled dimensions."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.exact import rollup_doc_stats
+
+    texts = ["a b", "c", "d e f", "g h"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "de", "en", "en"]),
+        "source": pa.array(["s1", "s1", "s2", "s2"]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = rollup_doc_stats(str(tmp_path)).to_pandas()
+    r = {(row["source"], row["lang"]): (row["n_docs"], row["n_tokens"])
+         for _, row in out.iterrows()}
+    assert r[("s1", "en")] == (1, 2) and r[("s1", "de")] == (1, 1)
+    assert r[("s2", "en")] == (2, 5)
+    assert r[("s1", "<all>")] == (2, 3) and r[("s2", "<all>")] == (2, 5)
+    assert r[("<all>", "<all>")] == (4, 8)
+    # every level sums to the grand total
+    fine = out[(out["source"] != "<all>") & (out["lang"] != "<all>")]
+    assert fine["n_docs"].sum() == 4 and fine["n_tokens"].sum() == 8
