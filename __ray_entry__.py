@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_exact": exact.grouped_quantiles_exact,
         "robust_length_stats": exact.robust_length_stats,
         "rollup_doc_stats": exact.rollup_doc_stats,
+        "grouped_quantiles_cont": exact.grouped_quantiles_cont,
         "grep_corpus": text_analysis.grep_corpus,
         "doc_length_deciles": exact.doc_length_deciles,
         "events_per_type": exact.events_per_type,
@@ -297,6 +298,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN m USING (lang)
         GROUP BY d.lang, m.med ORDER BY d.lang
     """
+    # grouped_quantiles_cont: interpolated quantiles (quantile_cont)
+    gq_cont = " UNION ALL ".join(
+        f"SELECT lang, {q} AS q, round(quantile_cont(n_chars, {q}), 6) AS value"
+        " FROM documents GROUP BY lang"
+        for q in (0.25, 0.5, 0.75, 0.9)
+    ) + " ORDER BY lang, q"
     # rollup_doc_stats: GROUP BY ROLLUP, NULL levels -> '<all>' sentinel
     rollup = """
         SELECT coalesce(source, '<all>') AS source,
@@ -1003,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_active_users": dau,
         "robust_length_stats": robust,
         "rollup_doc_stats": rollup,
+        "grouped_quantiles_cont": gq_cont,
         "grep_corpus": grep,
         "event_transitions": transitions,
         "top_return_customers": q10,

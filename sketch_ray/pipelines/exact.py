@@ -767,3 +767,55 @@ def rollup_doc_stats(sf_dir: str, force: str | None = None) -> pa.Table:
         .astype({"n_docs": "int64", "n_tokens": "int64"}) \
         .sort_values(["source", "lang"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def grouped_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),
+                           force: str | None = None) -> pa.Table:
+    """EXACT per-language INTERPOLATED quantiles (quantile_cont semantics:
+    value at zero-indexed position q·(n−1) of the sorted values, linearly
+    interpolated) — completes the quantile-semantics family next to the
+    disc form (grouped_quantiles_exact). Same one-histogram-pass scale
+    shape; the interpolation v0 + frac·(v1−v0) runs driver-side on the
+    group-bounded histogram with the float ops in the oracle's order,
+    rounded 6dp."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    n = ds.count()
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "partial"])
+
+    parts = ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+    small = (n < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"lang": "object", "n_chars": "int64",
+                              "partial": "int64"})
+        hist = pdf.groupby(["lang", "n_chars"], as_index=False) \
+            .agg(cnt=("partial", "sum"))
+    else:
+        hist = ensure_columns(
+            parts.repartition(32).groupby(["lang", "n_chars"])
+            .aggregate(Sum("partial", alias_name="cnt")).to_pandas(),
+            {"lang": "object", "n_chars": "int64", "cnt": "int64"})
+    hist = hist.sort_values(["lang", "n_chars"]).reset_index(drop=True)
+
+    rows = []
+    for lang, sub in hist.groupby("lang", sort=True):
+        v = sub["n_chars"].to_numpy().astype(np.float64)
+        cum = sub["cnt"].to_numpy().cumsum()
+        ntot = int(cum[-1])
+
+        def at(j: int) -> float:  # value at zero-indexed sorted position j
+            return float(v[min(int(np.searchsorted(cum, j + 1)), len(v) - 1)])
+
+        for q in qs:
+            p = q * (ntot - 1)
+            lo = int(np.floor(p))
+            frac = p - lo
+            val = at(lo) if frac == 0.0 else at(lo) + frac * (at(lo + 1) - at(lo))
+            rows.append((lang, float(q), round(val, 6)))
+    out = pd.DataFrame(rows, columns=["lang", "q", "value"]).astype(
+        {"lang": "object", "q": "float64", "value": "float64"})
+    out = out.sort_values(["lang", "q"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

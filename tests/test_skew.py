@@ -246,3 +246,28 @@ def test_rollup_doc_stats_levels_consistent(ray_session, tmp_path):
     # every level sums to the grand total
     fine = out[(out["source"] != "<all>") & (out["lang"] != "<all>")]
     assert fine["n_docs"].sum() == 4 and fine["n_tokens"].sum() == 8
+
+
+def test_grouped_quantiles_cont_hand_case(ray_session, tmp_path):
+    """quantile_cont rule by hand on lengths 1..4: position q*(n-1) with
+    linear interpolation -> q=.25 -> 1.75, q=.5 -> 2.5, q=.75 -> 3.25,
+    q=.9 -> 3.7. Branches agree on real data."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.exact import grouped_quantiles_cont
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["a", "ab", "abc", "abcd"]),
+        "lang": pa.array(["x"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([1, 2, 3, 4], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = grouped_quantiles_cont(str(tmp_path)).to_pandas()
+    assert out["value"].tolist() == [1.75, 2.5, 3.25, 3.7]
+
+    a = grouped_quantiles_cont("/root/testdata/sf0.001", force="driver").to_pandas()
+    b = grouped_quantiles_cont("/root/testdata/sf0.001", force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
