@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emerging_tokens": lambda sf: exact.emerging_tokens(sf, rel_threshold=0.01, growth=2),
         "bigram_counts_min": lambda sf: exact.bigram_counts_min(sf, min_cnt=25),
         "pmi_collocations": lambda sf: exact.pmi_collocations(sf, min_cnt=25, k=20),
+        "skipgram_counts": lambda sf: exact.skipgram_counts(sf, window=3, min_cnt=60),
         "tokens_per_lang": exact.tokens_per_lang,
         "distinct_sources_per_lang": exact.distinct_sources_per_lang,
         "source_profile": exact.source_profile,
@@ -304,6 +305,18 @@ def oracle_sql() -> dict[str, str]:
         " FROM documents GROUP BY lang"
         for q in (0.25, 0.5, 0.75, 0.9)
     ) + " ORDER BY lang, q"
+    # skipgram_counts: ordered pairs within 3 positions, same doc
+    skipgram = """
+        WITH toks AS (
+            SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+        SELECT a.tok || ' ' || b.tok AS pair, count(*) AS cnt
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+        GROUP BY 1 HAVING count(*) >= 60 ORDER BY pair
+    """
     # rollup_doc_stats: GROUP BY ROLLUP, NULL levels -> '<all>' sentinel
     rollup = """
         SELECT coalesce(source, '<all>') AS source,
@@ -1010,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_active_users": dau,
         "robust_length_stats": robust,
         "rollup_doc_stats": rollup,
+        "skipgram_counts": skipgram,
         "grouped_quantiles_cont": gq_cont,
         "grep_corpus": grep,
         "event_transitions": transitions,

@@ -819,3 +819,50 @@ def grouped_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),
         {"lang": "object", "q": "float64", "value": "float64"})
     out = out.sort_values(["lang", "q"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def skipgram_counts(sf_dir: str, window: int = 3, min_cnt: int = 60) -> pa.Table:
+    """Skip-gram co-occurrence counts — the word2vec / embedding-training
+    statistic: ordered (left, right) token pairs within ``window``
+    positions in the same document, counted corpus-wide, kept at
+    cnt >= min_cnt.
+
+    Per-batch: for each offset 1..window one vectorized slice-pair join
+    (``binary_join_element_wise`` of the flat token array against its
+    shifted self, doc-boundary pairs masked) + batch-local value_counts;
+    one groupby over the pre-aggregated partials (pair-vocabulary-bounded
+    rows move, never raw pairs). Returns (pair, cnt) sorted by pair."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch["text"].combine_chunks())
+        n = len(flat)
+        doc_index = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        out = []
+        for off in range(1, window + 1):
+            if n <= off:
+                continue
+            valid = doc_index[:-off] == doc_index[off:]
+            left = flat.slice(0, n - off).filter(pa.array(valid))
+            right = flat.slice(off, n - off).filter(pa.array(valid))
+            pairs = pc.binary_join_element_wise(
+                left.cast(pa.large_string()), right.cast(pa.large_string()),
+                pa.scalar(" ", pa.large_string()))
+            out.append(pairs)
+        if not out:
+            return pa.table({"pair": pa.array([], pa.large_string()),
+                             "partial": pa.array([], pa.int64())})
+        vc = pc.value_counts(pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in out]))
+        return pa.table({"pair": vc.field("values"),
+                         "partial": vc.field("counts").cast(pa.int64())})
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("pair")
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+    df = ensure_columns(agg.to_pandas(), {"pair": "object", "cnt": "int64"})
+    df = df[df["cnt"] >= min_cnt].sort_values("pair").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -271,3 +271,27 @@ def test_grouped_quantiles_cont_hand_case(ray_session, tmp_path):
     a = grouped_quantiles_cont("/root/testdata/sf0.001", force="driver").to_pandas()
     b = grouped_quantiles_cont("/root/testdata/sf0.001", force="distributed").to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_skipgram_counts_hand_case(ray_session, tmp_path):
+    """Skip-gram window semantics by hand: ordered pairs within 2
+    positions, doc boundaries cut windows, min_cnt filters."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.exact import skipgram_counts
+
+    texts = ["a b c", "a b"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(2), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 2),
+        "source": pa.array(["s"] * 2),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    # window=2: doc0 -> (a b),(b c),(a c); doc1 -> (a b); NO cross-doc pair
+    out = skipgram_counts(str(tmp_path), window=2, min_cnt=1).to_pandas()
+    assert dict(zip(out["pair"], out["cnt"])) == {
+        "a b": 2, "a c": 1, "b c": 1}
+    out2 = skipgram_counts(str(tmp_path), window=2, min_cnt=2).to_pandas()
+    assert out2["pair"].tolist() == ["a b"]
