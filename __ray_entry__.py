@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_exact": exact.grouped_quantiles_exact,
         "robust_length_stats": exact.robust_length_stats,
         "rollup_doc_stats": exact.rollup_doc_stats,
+        "cube_doc_stats": lambda sf: exact.rollup_doc_stats(sf, cube=True),
         "grouped_quantiles_cont": exact.grouped_quantiles_cont,
         "grep_corpus": text_analysis.grep_corpus,
         "doc_length_deciles": exact.doc_length_deciles,
@@ -305,6 +306,15 @@ def oracle_sql() -> dict[str, str]:
         " FROM documents GROUP BY lang"
         for q in (0.25, 0.5, 0.75, 0.9)
     ) + " ORDER BY lang, q"
+    # cube_doc_stats: the full grouping-set lattice
+    cube_sql = """
+        SELECT coalesce(source, '<all>') AS source,
+               coalesce(lang, '<all>') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY CUBE (source, lang)
+        ORDER BY source, lang
+    """
     # skipgram_counts: ordered pairs within 3 positions, same doc
     skipgram = """
         WITH toks AS (
@@ -1024,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_length_stats": robust,
         "rollup_doc_stats": rollup,
         "skipgram_counts": skipgram,
+        "cube_doc_stats": cube_sql,
         "grouped_quantiles_cont": gq_cont,
         "grep_corpus": grep,
         "event_transitions": transitions,

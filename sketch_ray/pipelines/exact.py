@@ -720,16 +720,18 @@ def robust_length_stats(sf_dir: str, force: str | None = None) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def rollup_doc_stats(sf_dir: str, force: str | None = None) -> pa.Table:
+def rollup_doc_stats(sf_dir: str, force: str | None = None,
+                     cube: bool = False) -> pa.Table:
     """GROUP BY ROLLUP(source, lang) — the grouping-sets operator class
     (subtotals + grand total in one result): doc and token counts at
     (source, lang), (source), and () granularity, rolled levels marked
-    with the '<all>' sentinel (no NULL keys to hash).
+    with the '<all>' sentinel (no NULL keys to hash). ``cube=True`` adds
+    the (lang)-only grouping set — the full GROUP BY CUBE lattice.
 
     Scale shape: ONE streaming pass of (source, lang) partials — the
     FINEST level; every coarser level is a driver-side re-aggregation of
     the group-bounded finest table (n_sources × n_langs rows), so the
-    rollup costs nothing beyond the base groupby. Adaptive fold
+    rollup/cube costs nothing beyond the base groupby. Adaptive fold
     (``force``="driver"/"distributed")."""
     ds = _read(sf_dir, "documents", ["source", "lang", "text"])
     n = ds.count()
@@ -761,7 +763,11 @@ def rollup_doc_stats(sf_dir: str, force: str | None = None) -> pa.Table:
         .assign(lang="<all>")
     top = pd.DataFrame({"source": ["<all>"], "lang": ["<all>"],
                         "n": [fine["n"].sum()], "ntok": [fine["ntok"].sum()]})
-    out = pd.concat([fine, mid, top], ignore_index=True)
+    levels = [fine, mid, top]
+    if cube:
+        levels.append(fine.groupby("lang", as_index=False)[["n", "ntok"]]
+                      .sum().assign(source="<all>"))
+    out = pd.concat(levels, ignore_index=True)
     out = out.rename(columns={"n": "n_docs", "ntok": "n_tokens"})
     out = out[["source", "lang", "n_docs", "n_tokens"]] \
         .astype({"n_docs": "int64", "n_tokens": "int64"}) \
