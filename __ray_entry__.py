@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": relational.user_event_gaps,
         "user_activity_reconcile": relational.user_activity_reconcile,
         "daily_active_users": relational.daily_active_users,
+        "daily_type_deltas": relational.daily_type_deltas,
         "event_transitions": relational.event_transitions,
         "top_return_customers": lambda sf: relational.top_return_customers(sf, k=20),
         "user_retention_cohorts": relational.user_retention_cohorts,
@@ -344,6 +345,21 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE len(regexp_extract_all(text, '(fast|slow) (table|query)')) > 0
         ORDER BY doc_id
+    """
+    # daily_type_deltas: LAG over the (day, type) windowed aggregate
+    deltas = """
+        WITH c AS (
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2)
+        SELECT day, event_type, CAST(n_events AS BIGINT) AS n_events,
+               CAST(coalesce(lag(n_events) OVER (PARTITION BY event_type
+                                                 ORDER BY day), 0)
+                    AS BIGINT) AS prev_events,
+               CAST(n_events - coalesce(lag(n_events) OVER (
+                        PARTITION BY event_type ORDER BY day), 0)
+                    AS BIGINT) AS delta
+        FROM c ORDER BY day, event_type
     """
     # daily_active_users: windowed exact distinct
     dau = """
@@ -1031,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_zscores": zscores,
         "user_activity_reconcile": reconcile,
         "daily_active_users": dau,
+        "daily_type_deltas": deltas,
         "robust_length_stats": robust,
         "rollup_doc_stats": rollup,
         "skipgram_counts": skipgram,

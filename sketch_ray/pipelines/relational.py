@@ -1395,3 +1395,24 @@ def range_join_events_rows(
         expand, batch_format="pyarrow", batch_size=65536)
     df = out.to_pandas().sort_values(["event_id", "campaign_id"]).reset_index(drop=True)
     return pa.Table.from_pandas(df.astype("int64"), preserve_index=False)
+
+
+def daily_type_deltas(sf_dir: str) -> pa.Table:
+    """Day-over-day change per event type — the trend/anomaly statistic
+    over the tumbling-window aggregate: for every (day, type), the event
+    count, previous PRESENT day's count (0 when the type has no earlier
+    day), and the delta. Derived driver-side from the group-bounded
+    (day, type) table the windowed aggregate already produces — no extra
+    corpus pass. Returns (day, event_type, n_events, prev_events, delta)."""
+    base = events_daily_windows(sf_dir).to_pandas()
+    base = base.sort_values(["event_type", "day"]).reset_index(drop=True)
+    prev = base.groupby("event_type")["n_events"].shift(1).fillna(0).astype("int64")
+    out = pd.DataFrame({
+        "day": base["day"],
+        "event_type": base["event_type"],
+        "n_events": base["n_events"].astype("int64"),
+        "prev_events": prev,
+        "delta": (base["n_events"] - prev).astype("int64"),
+    })
+    out = out.sort_values(["day", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -454,3 +454,29 @@ def test_top_return_customers_plans_and_oracle(ray_session):
                  JOIN nation n ON n.n_nationkey = c.c_nationkey
         ORDER BY rank""").df()
     pd.testing.assert_frame_equal(a, want.astype(a.dtypes.to_dict()))
+
+
+def test_daily_type_deltas_hand_case(ray_session, tmp_path):
+    """Day-over-day LAG semantics: first present day gets prev 0; gaps use
+    the previous PRESENT day (LAG over present rows, not calendar days)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import daily_type_deltas
+
+    d = np.datetime64("2024-01-01T10:00:00", "us")
+    day3 = d + np.timedelta64(2, "D")
+    ts = [d, d, day3, day3, day3]  # type 'a': day1 x2, day3 x3 (day2 gap)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_type": pa.array(["a"] * 5),
+        "value": pa.array([1.0] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5),
+    }), f"{tmp_path}/events.parquet")
+    out = daily_type_deltas(str(tmp_path)).to_pandas()
+    assert out["n_events"].tolist() == [2, 3]
+    assert out["prev_events"].tolist() == [0, 2]
+    assert out["delta"].tolist() == [2, 1]
