@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_doc_stats": lambda sf: exact.rollup_doc_stats(sf, cube=True),
         "grouped_quantiles_cont": exact.grouped_quantiles_cont,
         "grep_corpus": text_analysis.grep_corpus,
+        "char_class_profile": text_analysis.char_class_profile,
         "doc_length_deciles": exact.doc_length_deciles,
         "events_per_type": exact.events_per_type,
         "props_field_stats": exact.props_field_stats,
@@ -336,6 +337,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY ROLLUP (source, lang)
         ORDER BY source, lang
+    """
+    # char_class_profile: per-class RE2 counts over the original text
+    charclass = """
+        WITH c AS (
+            SELECT doc_id, length(text) AS n,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS l,
+                   len(regexp_extract_all(text, '[0-9]')) AS d,
+                   len(regexp_extract_all(text, ' ')) AS s
+            FROM documents)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+               round(l / CAST(greatest(n, 1) AS DOUBLE), 6) AS letter_frac,
+               round(d / CAST(greatest(n, 1) AS DOUBLE), 6) AS digit_frac,
+               round(s / CAST(greatest(n, 1) AS DOUBLE), 6) AS space_frac,
+               round((n - l - d - s) / CAST(greatest(n, 1) AS DOUBLE), 6) AS other_frac
+        FROM c ORDER BY doc_id
     """
     # grep_corpus: RE2 match counting, docs with >= 1 hit
     grep = r"""
@@ -1054,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_doc_stats": cube_sql,
         "grouped_quantiles_cont": gq_cont,
         "grep_corpus": grep,
+        "char_class_profile": charclass,
         "event_transitions": transitions,
         "top_return_customers": q10,
         "user_retention_cohorts": retention,

@@ -1319,3 +1319,44 @@ def grep_corpus(sf_dir: str, pattern: str = r"(fast|slow) (table|query)") -> pa.
         {"doc_id": "int64", "n_matches": "int64"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def char_class_profile(sf_dir: str) -> pa.Table:
+    """Per-document character-class fractions — the charset-sanity quality
+    signal (mojibake / code / table-dump detection): fraction of letters,
+    digits, spaces, and other characters. One vectorized RE2-count pass,
+    no shuffle; divisions mirrored 6dp in the oracle. Returns
+    (doc_id, n_chars, letter_frac, digit_frac, space_frac, other_frac)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def r6(x: np.ndarray) -> np.ndarray:
+        # HALF-AWAY rounding (DuckDB's round), not numpy's banker's round:
+        # power-of-two lengths make exact .5 ties at 6dp common (105/128)
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    def profile(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        n = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        denom = np.maximum(n, 1).astype(np.float64)
+        letters = pc.count_substring_regex(text, pattern="[A-Za-z]") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        digits = pc.count_substring_regex(text, pattern="[0-9]") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        spaces = pc.count_substring_regex(text, pattern=" ") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        other = n - letters - digits - spaces
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n, pa.int64()),
+            "letter_frac": pa.array(r6(letters / denom), pa.float64()),
+            "digit_frac": pa.array(r6(digits / denom), pa.float64()),
+            "space_frac": pa.array(r6(spaces / denom), pa.float64()),
+            "other_frac": pa.array(r6(other / denom), pa.float64()),
+        })
+
+    df = ensure_columns(
+        ds.map_batches(profile, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_chars": "int64", "letter_frac": "float64",
+         "digit_frac": "float64", "space_frac": "float64", "other_frac": "float64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -574,3 +574,30 @@ def test_grep_corpus_hand_case(ray_session, tmp_path):
     out = grep_corpus(str(tmp_path)).to_pandas()
     assert out.to_dict("records") == [
         {"doc_id": 0, "n_matches": 2}, {"doc_id": 2, "n_matches": 3}]
+
+
+def test_char_class_profile_hand_case(ray_session, tmp_path):
+    """Class fractions by hand, including the half-tie rounding case
+    (105/128 rounds HALF-AWAY to 0.820313, DuckDB semantics) and an
+    empty doc (all-zero fractions, no divide-by-zero)."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import char_class_profile
+
+    tie = "a" * 105 + " " * 23  # 128 chars: letters 105/128 = .8203125
+    texts = ["ab 12!", tie, ""]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = char_class_profile(str(tmp_path)).to_pandas()
+    r0 = out.iloc[0]
+    assert (r0["letter_frac"], r0["digit_frac"], r0["space_frac"],
+            r0["other_frac"]) == (round(2 / 6, 6), round(2 / 6, 6),
+                                  round(1 / 6, 6), round(1 / 6, 6))
+    assert out.iloc[1]["letter_frac"] == 0.820313  # half-away, not banker's
+    r2 = out.iloc[2]
+    assert r2["n_chars"] == 0 and r2["letter_frac"] == 0.0
