@@ -403,6 +403,23 @@ def run_error_sweep(sf_dir: str) -> dict:
     return {"n_updates": n, "n_keys": len(exact), "sweep": out}
 
 
+def _emit(summary: dict, queries: dict[str, float]) -> None:
+    """Print the full per-query detail as an EARLY stdout line + sidecar
+    file, then the compact summary as the LAST stdout line. The driver
+    captures only the stdout tail, and the 97-entry detail line overflowed
+    it in round 3 (BENCH_r03 ``parsed: null``) — the final line must stay
+    small enough to always survive the tail window."""
+    print(json.dumps({**summary, "queries": queries}))
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAIL.json")
+        with open(path, "w") as f:
+            json.dump({**summary, "queries": queries}, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(summary))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -437,13 +454,14 @@ def main() -> None:
         soak_dir = _make_soak_dir(args.sf_dir, args.soak_factor)
         res = run_queries(soak_dir, args.num_cpus,
                           set(args.only) if args.only else None)
-        print(json.dumps({
-            "metric": "soak_suite_wall_time", "value": res["total"],
-            "unit": "sec", "queries": res["queries"],
-            "wall_incl_retimes": res["wall"],
-            "sf": _sf_of(args.sf_dir), "soak_factor": args.soak_factor,
-            "num_cpus": args.num_cpus,
-        }))
+        _emit(
+            {"metric": "soak_suite_wall_time", "value": res["total"],
+             "unit": "sec", "wall_incl_retimes": res["wall"],
+             "n_queries": len(res["queries"]),
+             "sf": _sf_of(args.sf_dir), "soak_factor": args.soak_factor,
+             "num_cpus": args.num_cpus},
+            res["queries"],
+        )
         return
 
     if args.kmer:
@@ -481,15 +499,16 @@ def main() -> None:
         return
 
     res = run_queries(args.sf_dir, args.num_cpus, set(args.only) if args.only else None)
-    print(json.dumps({
-        "metric": "query_suite_wall_time",
-        "value": res["total"],
-        "unit": "sec",
-        "queries": res["queries"],
-        "wall_incl_retimes": res["wall"],
-        "sf": _sf_of(args.sf_dir),
-        "num_cpus": args.num_cpus,
-    }))
+    _emit(
+        {"metric": "query_suite_wall_time",
+         "value": res["total"],
+         "unit": "sec",
+         "n_queries": len(res["queries"]),
+         "wall_incl_retimes": res["wall"],
+         "sf": _sf_of(args.sf_dir),
+         "num_cpus": args.num_cpus},
+        res["queries"],
+    )
 
 
 if __name__ == "__main__":

@@ -2,7 +2,36 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+
+
+def round6(x: "np.ndarray | float") -> "np.ndarray | float":
+    """Round to 6dp HALF-AWAY-FROM-ZERO — DuckDB's ROUND semantics, NOT
+    numpy's half-to-even. Integer ratios hit exact .5 ties at 6dp whenever
+    the denominator is a power of two times a divisor of 10^6 (e.g.
+    105/128 = 0.8203125), and every 6dp-gated ratio query must tie-break
+    the same way its SQL oracle does (char_class_profile precedent,
+    CLAUDE.md house rule)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def n_reducers(floor: int = 32) -> int:
+    """Reducer-partition count for sort-shuffle groupbys, sized from the
+    cluster: ``max(floor, total cluster CPUs)`` — one reducer partition per
+    core once the cluster is bigger than the measured floor. The floor of
+    32 is the few-block sort-shuffle pathology guard measured on this box
+    (CLAUDE.md): Ray's sort-based groupby degrades badly when fed a handful
+    of large blocks, and repartitioning below ~32 does not amortize the
+    shuffle's fixed cost. On a 256-node cluster the count grows with
+    resources instead of bottlenecking at a constant."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return max(floor, cpus)
 
 
 def ensure_columns(df: pd.DataFrame, schema: dict[str, str]) -> pd.DataFrame:

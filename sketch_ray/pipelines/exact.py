@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Sum
 
 from ..stages.tokenize import flat_tokens, ngram_counts, token_counts
-from ._util import ensure_columns
+from ._util import ensure_columns, n_reducers, round6
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -90,7 +90,7 @@ def vocab_coverage(sf_dir: str, v: int = 500) -> pa.Table:
     df = df.sort_values(["cnt", "token"], ascending=[False, True]).head(v)
     df = df.reset_index(drop=True)
     df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
-    df["cum_frac"] = np.round(df["cnt"].cumsum().to_numpy(np.int64) / max(total, 1), 6)
+    df["cum_frac"] = round6(df["cnt"].cumsum().to_numpy(np.int64) / max(total, 1))
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -324,7 +324,7 @@ def grouped_quantiles_exact(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),
     else:
         # spread before the sort-shuffle groupby (few-block pathology)
         hist = ensure_columns(
-            parts.repartition(32).groupby(["lang", "n_chars"])
+            parts.repartition(n_reducers()).groupby(["lang", "n_chars"])
             .aggregate(Sum("partial", alias_name="cnt")).to_pandas(),
             {"lang": "object", "n_chars": "int64", "cnt": "int64"})
     hist = hist.sort_values(["lang", "n_chars"]).reset_index(drop=True)
@@ -438,7 +438,7 @@ def events_per_type(sf_dir: str) -> pa.Table:
         df = (per_user.groupby("event_type", as_index=False)
               .agg(n_users=("user_id", "size"), n_events=("partial", "sum")))
     else:
-        per_user = (pairs.repartition(32).groupby(["event_type", "user_id"])
+        per_user = (pairs.repartition(n_reducers()).groupby(["event_type", "user_id"])
                     .aggregate(Sum("partial", alias_name="cnt")))
         agg = per_user.groupby("event_type").aggregate(
             Count(alias_name="n_users"), Sum("cnt", alias_name="n_events")
@@ -560,7 +560,7 @@ def source_profile(sf_dir: str, force: str | None = None) -> pa.Table:
         tot = np.bincount(inv, weights=pdf["c"].to_numpy())
         dup = uniq[tot >= 2]
     else:
-        counts = (partials.repartition(32).groupby("g")
+        counts = (partials.repartition(n_reducers()).groupby("g")
                   .aggregate(Sum("c", alias_name="cnt")))
         dup_df = ensure_columns(counts.filter(expr="cnt >= 2").to_pandas(),
                                 {"g": "int64"})
@@ -598,7 +598,7 @@ def source_profile(sf_dir: str, force: str | None = None) -> pa.Table:
         by_pair = ppdf.groupby(["source", "lang"], as_index=False).sum()
     else:
         by_pair = (
-            pair_partials.repartition(32).groupby(["source", "lang"])
+            pair_partials.repartition(n_reducers()).groupby(["source", "lang"])
             .aggregate(Sum("n", alias_name="n"), Sum("ntok", alias_name="ntok"),
                        Sum("nchr", alias_name="nchr"), Sum("ndup", alias_name="ndup"))
         ).to_pandas()
@@ -614,12 +614,12 @@ def source_profile(sf_dir: str, force: str | None = None) -> pa.Table:
         "n_docs": pa.array(df["n_docs"].to_numpy(np.int64), pa.int64()),
         "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64), pa.int64()),
         "avg_chars": pa.array(
-            np.round(df["sum_chars"].to_numpy(np.float64)
-                     / df["n_docs"].to_numpy(np.float64), 6), pa.float64()),
+            round6(df["sum_chars"].to_numpy(np.float64)
+                   / df["n_docs"].to_numpy(np.float64)), pa.float64()),
         "n_langs": pa.array(df["n_langs"].to_numpy(np.int64), pa.int64()),
         "dup_doc_frac": pa.array(
-            np.round(df["n_dup"].to_numpy(np.float64)
-                     / df["n_docs"].to_numpy(np.float64), 6), pa.float64()),
+            round6(df["n_dup"].to_numpy(np.float64)
+                   / df["n_docs"].to_numpy(np.float64)), pa.float64()),
     })
 
 
@@ -689,7 +689,7 @@ def robust_length_stats(sf_dir: str, force: str | None = None) -> pa.Table:
             .agg(cnt=("partial", "sum"))
     else:
         hist = ensure_columns(
-            parts.repartition(32).groupby(["lang", "n_chars"])
+            parts.repartition(n_reducers()).groupby(["lang", "n_chars"])
             .aggregate(Sum("partial", alias_name="cnt")).to_pandas(),
             {"lang": "object", "n_chars": "int64", "cnt": "int64"})
     hist = hist.sort_values(["lang", "n_chars"]).reset_index(drop=True)
@@ -755,7 +755,7 @@ def rollup_doc_stats(sf_dir: str, force: str | None = None,
         fine = pdf.groupby(["source", "lang"], as_index=False).sum()
     else:
         fine = ensure_columns(
-            parts.repartition(32).groupby(["source", "lang"])
+            parts.repartition(n_reducers()).groupby(["source", "lang"])
             .aggregate(Sum("n", alias_name="n"), Sum("ntok", alias_name="ntok"))
             .to_pandas(),
             {"source": "object", "lang": "object", "n": "int64", "ntok": "int64"})
@@ -801,7 +801,7 @@ def grouped_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9),
             .agg(cnt=("partial", "sum"))
     else:
         hist = ensure_columns(
-            parts.repartition(32).groupby(["lang", "n_chars"])
+            parts.repartition(n_reducers()).groupby(["lang", "n_chars"])
             .aggregate(Sum("partial", alias_name="cnt")).to_pandas(),
             {"lang": "object", "n_chars": "int64", "cnt": "int64"})
     hist = hist.sort_values(["lang", "n_chars"]).reset_index(drop=True)

@@ -19,7 +19,7 @@ import ray
 from ray.data.aggregate import Count, Sum
 
 from ..stages.broadcast import cached
-from ._util import ensure_columns
+from ._util import ensure_columns, n_reducers, round6
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -42,7 +42,12 @@ def _fold_partials(partials_ds, input_rows: int, keys: list[str],
     exact.events_per_type; the non-default branch is pinned equal by
     pytest (test_relational_adaptive_plans_agree)."""
     if input_rows < _SMALL_ROWS:
-        df = partials_ds.to_pandas()
+        # zero-block inputs lose their schema on to_pandas(): retype the
+        # empty frame so groupby(keys) doesn't KeyError (ADVICE r3)
+        df = ensure_columns(
+            partials_ds.to_pandas(),
+            {**{k: "object" for k in keys},
+             **{col: "float64" for col in sums.values()}})
         return df.groupby(keys, as_index=False).agg(
             **{out: (col, "sum") for out, col in sums.items()})
     agg = partials_ds.groupby(keys).aggregate(
@@ -264,7 +269,7 @@ def top_return_customers(sf_dir: str, k: int = 20,
             .agg(revenue=("rev_p", "sum"), n_items=("cnt_p", "sum"))
     else:
         # materialize: .count() + .join() are two consumers of this shuffle
-        agg = parts.repartition(32).groupby("l_orderkey").aggregate(
+        agg = parts.repartition(n_reducers()).groupby("l_orderkey").aggregate(
             Sum("rev_p", alias_name="rev"),
             Sum("cnt_p", alias_name="cnt")).materialize()
         ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -334,7 +339,7 @@ def daily_active_users(sf_dir: str, force: str | None = None) -> pa.Table:
         out = agg.groupby("day", as_index=False).agg(
             n_users=("user_id", "nunique"), n_events=("n_p", "sum"))
     else:
-        pairs = parts.repartition(32).groupby(["day", "user_id"]) \
+        pairs = parts.repartition(n_reducers()).groupby(["day", "user_id"]) \
             .aggregate(Sum("n_p", alias_name="n"))
         per_day = pairs.groupby("day").aggregate(
             Count(alias_name="n_users"), Sum("n", alias_name="n_events"))
@@ -391,7 +396,7 @@ def user_retention_cohorts(sf_dir: str, force: str | None = None) -> pa.Table:
         # materialize: the deduped pairs feed TWO consumers (cohort map +
         # offsets pass) and an unmaterialized shuffle re-executes per
         # consumer (house trap)
-        pairs = parts.repartition(32).groupby(["day", "user_id"]) \
+        pairs = parts.repartition(n_reducers()).groupby(["day", "user_id"]) \
             .aggregate(Count(alias_name="_c")).materialize()
         first = pairs.groupby("user_id").aggregate(Min("day", alias_name="cohort"))
         fdf = ensure_columns(first.to_pandas(),
@@ -651,7 +656,7 @@ def customer_order_profile(sf_dir: str, force: str | None = None) -> pa.Table:
         df = cust.merge(agg, how="left", left_on="c_custkey",
                         right_on="o_custkey")
     else:
-        agg = parts.repartition(32).groupby("o_custkey").aggregate(
+        agg = parts.repartition(n_reducers()).groupby("o_custkey").aggregate(
             Sum("cnt_p", alias_name="n_orders"),
             Sum("spent_p", alias_name="total_spent"))
         cust = _read(sf_dir, "customer", ["c_custkey"])
@@ -736,7 +741,7 @@ def user_activity_reconcile(sf_dir: str, force: str | None = None) -> pa.Table:
     else:
         # materialize both sides: .count() + .join() are two consumers and
         # an unmaterialized shuffle re-executes per consumer (house trap)
-        agg = parts.repartition(32).groupby("user_id").aggregate(
+        agg = parts.repartition(n_reducers()).groupby("user_id").aggregate(
             Sum("cnt_p", alias_name="n_events"),
             Sum("val_p", alias_name="total_value")).materialize()
         cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
@@ -1192,8 +1197,8 @@ def event_transitions(sf_dir: str, force: str | None = None) -> pa.Table:
         df = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
     totals = df.groupby("from_type")["n"].transform("sum")
     df = df.assign(n=df["n"].astype("int64"),
-                   p=np.round(df["n"].to_numpy(np.float64)
-                              / totals.to_numpy(np.float64), 6))
+                   p=round6(df["n"].to_numpy(np.float64)
+                            / totals.to_numpy(np.float64)))
     df = df.sort_values(["from_type", "to_type"]).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 

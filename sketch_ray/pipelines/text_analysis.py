@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 
 from ..kernels.hashing import hash_arrow_strings, splitmix64
 from ..stages.tokenize import flat_tokens
-from ._util import ensure_columns
+from ._util import ensure_columns, n_reducers, round6
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 WORD_RE = "[a-z]+|[0-9]+"
@@ -59,9 +59,9 @@ def quality_scores(sf_dir: str) -> pa.Table:
         n_stop = np.zeros(len(ntok), dtype=np.int64)
         np.add.at(n_stop, doc_index, is_stop.astype(np.int64))
         denom = np.maximum(ntok, 1)
-        stop_ratio = np.round(n_stop / denom, 6)
+        stop_ratio = round6(n_stop / denom)
         # tokens are single-space joined => total token chars = n_chars - (n_tokens - 1)
-        mean_len = np.round((nchr - (ntok - 1)) / denom, 6)
+        mean_len = round6((nchr - (ntok - 1)) / denom)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -133,9 +133,9 @@ def _gopher_signal_batch(batch: pa.Table) -> pa.Table:
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(ntok, pa.int64()),
             "max_token_len": pa.array(max_len, pa.int64()),
-            "frac_unique_tokens": pa.array(np.round(n_unique / denom, 6), pa.float64()),
-            "top_token_frac": pa.array(np.round(top_cnt / denom, 6), pa.float64()),
-            "symbol_ratio": pa.array(np.round(nsym / np.maximum(nchr, 1), 6), pa.float64()),
+            "frac_unique_tokens": pa.array(round6(n_unique / denom), pa.float64()),
+            "top_token_frac": pa.array(round6(top_cnt / denom), pa.float64()),
+            "symbol_ratio": pa.array(round6(nsym / np.maximum(nchr, 1)), pa.float64()),
         }
     )
 
@@ -207,7 +207,7 @@ def _dup_ngram_batch(batch: pa.Table, ns: tuple[int, ...]) -> pa.Table:
                               minlength=n_docs).astype(np.int64)
         tot = np.maximum(ntok - n + 1, 0)
         cols[f"dup_{n}gram_frac"] = pa.array(
-            np.round(dup / np.maximum(tot, 1), 6), pa.float64())
+            round6(dup / np.maximum(tot, 1)), pa.float64())
     return pa.table(cols)
 
 
@@ -309,7 +309,7 @@ def _dup_gram_set(ds, n: int, force: str | None) -> np.ndarray:
         dup = uniq[tot >= 2]
     else:
         # few-block sort-shuffle pathology: spread before the groupby
-        counts = partials.repartition(32).groupby("g") \
+        counts = partials.repartition(n_reducers()).groupby("g") \
             .aggregate(Sum("c", alias_name="cnt"))
         dup_df = ensure_columns(counts.filter(expr="cnt >= 2").to_pandas(),
                                 {"g": "int64"})  # dup clusters only
@@ -378,7 +378,7 @@ def dup_span_stats(sf_dir: str, n: int = 4, force: str | None = None) -> pa.Tabl
             "n_tokens": pa.array(ntok, pa.int64()),
             "n_dup_grams": pa.array(ndup.astype(np.int64), pa.int64()),
             "dup_span_frac": pa.array(
-                np.round(covered / np.maximum(ntok, 1), 6), pa.float64()),
+                round6(covered / np.maximum(ntok, 1)), pa.float64()),
         })
 
     df = ensure_columns(
@@ -427,7 +427,7 @@ def quality_zscores(sf_dir: str, force: str | None = None) -> pa.Table:
                              {"lang": "object", "n": "int64", "s": "int64", "ss": "int64"})
         mom = pdf.groupby("lang", as_index=False).sum()
     else:
-        mom = (partials.repartition(32).groupby("lang")
+        mom = (partials.repartition(n_reducers()).groupby("lang")
                .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
                           Sum("ss", alias_name="ss"))).to_pandas()
     moments = {r["lang"]: (int(r["n"]), int(r["s"]), int(r["ss"]))
@@ -526,7 +526,7 @@ def tfidf_keywords(sf_dir: str, k: int = 3, seed: int = 7,
         vocab, inv = np.unique(pdf["g"].to_numpy(), return_inverse=True)
         dfreq = np.bincount(inv, weights=pdf["c"].to_numpy()).astype(np.int64)
     else:
-        counts = partials.repartition(32).groupby("g") \
+        counts = partials.repartition(n_reducers()).groupby("g") \
             .aggregate(Sum("c", alias_name="cnt"))
         cdf = ensure_columns(counts.to_pandas(), {"g": "int64", "cnt": "int64"})
         order = np.argsort(cdf["g"].to_numpy())
@@ -661,7 +661,8 @@ def quality_filter_corpus(
         return batch.filter(pa.array(ok))
 
     out = ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)
-    out.write_parquet(out_dir, min_rows_per_file=rows_per_file)
+    out.write_parquet(out_dir, min_rows_per_file=rows_per_file,
+                      max_rows_per_file=rows_per_file)
     import pyarrow.parquet as pq
 
     n_kept = sum(pq.ParquetFile(f"{out_dir}/{f}").metadata.num_rows
@@ -794,7 +795,8 @@ def perplexity_filter_corpus(sf_dir: str, out_dir: str, max_ppl: float,
         return batch.filter(pa.array(ok))
 
     out = ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)
-    out.write_parquet(out_dir, min_rows_per_file=rows_per_file)
+    out.write_parquet(out_dir, min_rows_per_file=rows_per_file,
+                      max_rows_per_file=rows_per_file)
     import os
 
     import pyarrow.parquet as pq
@@ -826,7 +828,7 @@ class LangId:
             hit = pc.is_in(flat, value_set=markers.cast(flat.type)).to_numpy(zero_copy_only=False)
             np.add.at(scores[:, j], doc_index, hit.astype(np.int64))
         best = scores.argmax(axis=1)  # argmax takes first max -> ties by lang name order
-        conf = np.round(scores[np.arange(len(ntok)), best] / np.maximum(ntok, 1), 6)
+        conf = round6(scores[np.arange(len(ntok)), best] / np.maximum(ntok, 1))
         pred = np.array(self.langs, dtype=object)[best]
         pred[scores.max(axis=1) == 0] = "und"
         return pa.table(
@@ -1329,10 +1331,9 @@ def char_class_profile(sf_dir: str) -> pa.Table:
     (doc_id, n_chars, letter_frac, digit_frac, space_frac, other_frac)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def r6(x: np.ndarray) -> np.ndarray:
-        # HALF-AWAY rounding (DuckDB's round), not numpy's banker's round:
-        # power-of-two lengths make exact .5 ties at 6dp common (105/128)
-        return np.floor(x * 1e6 + 0.5) / 1e6
+    # HALF-AWAY rounding (DuckDB's round), not numpy's banker's round:
+    # power-of-two lengths make exact .5 ties at 6dp common (105/128)
+    r6 = round6
 
     def profile(batch: pa.Table) -> pa.Table:
         text = batch["text"].combine_chunks()

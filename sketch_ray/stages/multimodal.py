@@ -1,14 +1,17 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 decoded / feature-extracted by actor-pool ``map_batches`` stages.
 
-The container has no image/audio codecs, so the DECODE step is stubbed two
-ways (clearly marked):
+The container has no image/audio codec libraries, so DECODE has two modes
+(clearly marked):
 
-- ``mode="real"`` raises ``NotImplementedError`` (would use PIL/av in a
-  production image build);
-- ``mode="fake"`` is a deterministic pseudo-decoder (hash-expanded pixel
-  block) so the Ray-side plumbing — schema, batch sizing, actor signature,
-  output layout — is real and testable end-to-end.
+- ``mode="real"`` decodes PNG payloads via the pure-Python stdlib-zlib
+  codec in ``stages/png_codec`` (8-bit gray/RGB/RGBA, all five filters);
+  any other format raises ``NotImplementedError`` naming the format — a
+  production build would route those to PIL/libjpeg/av.
+- ``mode="fake"`` is a deterministic batch-vectorized pseudo-decoder
+  (SplitMix64 stream over the payload content hash) so the Ray-side
+  plumbing — schema, batch sizing, actor signature, output layout — is
+  real and testable end-to-end on arbitrary payload bytes.
 
 Scale notes: payloads are large, so stages that carry them use SMALL
 ``batch_size`` (payload bytes × batch_size × concurrency must fit worker
@@ -18,10 +21,10 @@ KB-sized rows flow downstream.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+
+from ..kernels.hashing import hash_arrow_strings, splitmix64
 
 PAYLOAD_SCHEMA = pa.schema(
     [
@@ -54,13 +57,21 @@ def attach_payload(batch: pa.Table) -> pa.Table:
     )
 
 
-def _fake_decode_one(payload: bytes, out_pixels: int) -> np.ndarray:
-    """Deterministic pseudo-decode: BLAKE2b-expand payload bytes into a fixed
-    pixel block. NOT a real codec — a stand-in with the same data shape."""
-    h = hashlib.blake2b(payload, digest_size=32).digest()
-    reps = (out_pixels + 31) // 32
-    raw = (h * reps)[:out_pixels]
-    return np.frombuffer(raw, dtype=np.uint8)
+def _fake_decode_batch(payloads: pa.Array, out_pixels: int) -> np.ndarray:
+    """Deterministic pseudo-decode, BATCH-vectorized (no per-row loop): one
+    64-bit content hash per payload computed over the Arrow binary buffers,
+    expanded to ``out_pixels`` bytes via a SplitMix64 counter stream. NOT a
+    real codec — a stand-in with the same data shape. Returns
+    uint8[n, out_pixels]."""
+    n = len(payloads)
+    if n == 0:
+        return np.empty((0, out_pixels), np.uint8)
+    h = hash_arrow_strings(payloads, seed=7)  # uint64[n], zero-copy buffers
+    n_words = (out_pixels + 7) // 8
+    ctr = np.arange(1, n_words + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    words = splitmix64((h[:, None] ^ ctr[None, :]).reshape(-1))
+    return np.ascontiguousarray(words.reshape(n, n_words)) \
+        .view(np.uint8)[:, :out_pixels]
 
 
 class DecodeImage:
@@ -78,19 +89,37 @@ class DecodeImage:
         self.n_pixels = side * side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "real image decode needs an image codec (PIL/libjpeg), not "
-                "available in this environment; use mode='fake'"
-            )
         payloads = batch["payload"].combine_chunks()
-        pixels = np.concatenate(
-            [_fake_decode_one(p.as_py(), self.n_pixels) for p in payloads]
-        ) if len(batch) else np.empty(0, np.uint8)
+        if self.mode == "real":
+            pixels = self._real_decode(payloads)
+        else:
+            pixels = _fake_decode_batch(payloads, self.n_pixels).reshape(-1)
         pix_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(pixels, pa.uint8()), self.n_pixels
         )
         return pa.table({"doc_id": batch["doc_id"], "pixels": pix_arr})
+
+    def _real_decode(self, payloads: pa.Array) -> np.ndarray:
+        """Real decode path: pure-Python PNG (stages/png_codec — the one
+        format decodable with stdlib zlib in this codec-less container),
+        luma + nearest-neighbor resample to the fixed block. Decoding is
+        inherently per-item (variable-size compressed payloads); any
+        non-PNG payload raises NotImplementedError naming the format —
+        a production build would route those to PIL/libjpeg/av."""
+        from .png_codec import decode_png, is_png, to_gray_block
+
+        out = np.empty((len(payloads), self.n_pixels), np.uint8)
+        for i, p in enumerate(payloads):
+            data = p.as_py()
+            if data is None or not is_png(data):
+                head = (data or b"")[:4]
+                raise NotImplementedError(
+                    f"real decode supports PNG only in this environment; "
+                    f"payload {i} starts with {head!r} (JPEG/WebP/AV "
+                    f"need external codecs)"
+                )
+            out[i] = to_gray_block(decode_png(data), self.side)
+        return out.reshape(-1)
 
 
 class ExtractImageFeatures:

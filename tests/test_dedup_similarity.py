@@ -590,6 +590,67 @@ def test_incremental_dedup_drops_cross_snapshot_dups(ray_session, tmp_path):
     d = incremental_dedup_docs(sf, n_old=4, index_dir=idx_dir).to_pandas()
     pd.testing.assert_frame_equal(d, want)
     assert sorted(g.glob(f"{idx_dir}/snapshot=*/*.parquet")) == files_before
+    # a call with DIFFERENT n_old must NOT reuse the stale index (the
+    # manifest pins build params): old = {A B}, so C becomes a new unique
+    e = incremental_dedup_docs(sf, n_old=2, index_dir=idx_dir).to_pandas()
+    pd.testing.assert_frame_equal(
+        e, pd.DataFrame({"doc_id": [2, 5, 9], "n_copies": [1, 3, 1]}))
+    import json
+    with open(f"{idx_dir}/snapshot=s0/_MANIFEST.json") as f:
+        assert json.load(f)["n_old"] == 2
+
+
+def test_doc_classes_memoized_per_corpus(ray_session, tmp_path):
+    """_doc_classes_for caches the exact-duplicate collapse per corpus
+    fingerprint (path, mtime, size): same corpus -> the same cached frame;
+    a rewritten corpus invalidates and recomputes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sketch_ray.pipelines.dedup import _doc_classes_for
+
+    sf = str(tmp_path)
+    path = f"{sf}/documents.parquet"
+
+    def write(texts):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }), path)
+
+    write(["a", "b", "a", "c"])
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    first = _doc_classes_for(sf, ds)
+    assert sorted(zip(first["doc_id"], first["rep"])) == [(0, 0), (2, 0)]
+    again = _doc_classes_for(sf, rd.read_parquet(path, columns=["doc_id", "text"]))
+    assert again is first  # cache hit: no recompute
+    import os
+    import time
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    write(["a", "b", "b", "b"])
+    fresh = _doc_classes_for(sf, rd.read_parquet(path, columns=["doc_id", "text"]))
+    assert fresh is not first
+    assert sorted(zip(fresh["doc_id"], fresh["rep"])) == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_round6_half_away_and_n_reducers(ray_session):
+    """round6 breaks exact .5 ties at 6dp AWAY from zero (DuckDB ROUND),
+    where np.round goes to even; n_reducers floors at 32 on small clusters
+    and scales with cluster CPUs."""
+    import numpy as np
+
+    from sketch_ray.pipelines._util import n_reducers, round6
+
+    x = np.array([105 / 128, -105 / 128, 0.1234564999, 0.25])
+    got = round6(x)
+    assert got[0] == 0.820313 and got[1] == -0.820313  # ties away from zero
+    assert np.round(x[0], 6) == 0.820312  # the trap this replaces
+    assert got[2] == 0.123456 and got[3] == 0.25  # non-ties match np.round
+    # the 4-CPU test session sits below the floor; a 256-node cluster
+    # (the rule: max(32, cluster CPUs)) would scale linearly
+    assert n_reducers() == 32
+    assert n_reducers(floor=2) >= 2
 
 
 def test_label_centroids_match_numpy(ray_session):
