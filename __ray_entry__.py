@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_vote": lambda sf: similarity.knn_label_vote(sf, k=5, n_queries=8),
         "lsh_ann_topk": lambda sf: similarity.lsh_ann_topk(sf, k=5, n_queries=64),
         "ivf_ann_topk": lambda sf: similarity.ivf_ann_topk(sf, k=5, n_queries=64),
+        # --- join-size estimation (r4): exact inner product + CM estimate ---
+        "join_size_exact": relational.join_size_exact,
+        "cm_join_size": sketch_queries.cm_join_size,
     }
 
 
@@ -1328,5 +1331,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
             HAVING count(*) >= greatest(2, (SELECT ceil(0.002 * n) FROM total))
             ORDER BY user_id
+        """,
+        "join_size_exact": """
+            SELECT count(*) AS n_pairs
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
         """,
     }

@@ -3,10 +3,17 @@ and compare against oracle_sql() via DuckDB (row count + schema + value
 equality, column-name-sorted, order-insensitive).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py --sample N --seed R [sf_dir]
+
+``--sample N --seed R`` verifies a seeded random N-query slice — parity
+with a rotating driver-gate sample, so successive rounds' artifacts can
+show DIFFERENT verified slices while the full run stays the CI default.
 """
 
 from __future__ import annotations
 
+import argparse
+import random
 import sys
 import time
 
@@ -33,8 +40,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*", default=[])
+    ap.add_argument("--sample", type=int, default=0,
+                    help="verify a seeded random N-query slice instead of all")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    only = set(args.queries)
 
     import ray
 
@@ -49,6 +63,10 @@ def main() -> int:
     import __ray_entry__ as entrymod
 
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    if args.sample and not only:
+        names = sorted(qs)
+        only = set(random.Random(args.seed).sample(names, min(args.sample, len(names))))
+        print(f"sampled {len(only)} / {len(names)} queries (seed={args.seed})")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

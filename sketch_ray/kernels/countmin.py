@@ -127,6 +127,25 @@ class CountMin(_CMBase):
             np.add.at(self.table[j], idx[j], counts)
         self.n_updates += int(counts.sum())
 
+    def inner_product(self, other: "CountMin") -> int:
+        """Inner-product / equi-join-size estimate (Cormode & Muthukrishnan
+        2005 §4.2): ``est = min_j <row_j_A, row_j_B>``. Never undercounts
+        the true Σ_k a(k)·b(k) — each row's dot is the true inner product
+        plus nonnegative collision cross-terms — and overcounts by
+        ≤ ε·N_A·N_B (ε = e/width) with probability ≥ 1 − e^−depth.
+        Requires identical (depth, width, seed) so both sketches share the
+        hash family.
+
+        Lives on vanilla CM only: CM rows are exact per-cell key-sums,
+        which the bound's proof needs; conservative-update cells may hold
+        LESS than their cell's key-sum, breaking the no-undercount side."""
+        if self.config() != other.config():
+            raise ValueError("inner_product needs identical sketch configs")
+        # int64 dot: safe while per-cell counts stay < ~2^31 (row sums of
+        # squares then fit int64 at any realistic width)
+        dots = (self.table * other.table).sum(axis=1)
+        return int(dots.min())
+
 
 @register
 class CountMinCU(_CMBase):

@@ -1421,3 +1421,56 @@ def daily_type_deltas(sf_dir: str) -> pa.Table:
     })
     out = out.sort_values(["day", "event_type"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def join_size_exact(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Exact equi-join cardinality |events ⋈ orders on user_id=o_custkey| —
+    the ground truth for the CM inner-product estimator
+    (sketch_queries.cm_join_size; Cormode & Muthukrishnan 2005 §4.2).
+
+    Join size = Σ_k cE(k)·cO(k), computed WITHOUT materializing a single
+    join row: per-batch ``value_counts`` shrink each side to
+    (key, partial-count) rows bounded by distinct keys × batches, then
+
+    - driver fold (default below ``_SMALL_ROWS`` combined input rows,
+      ``force="driver"``): two group-bounded pandas sums + one merge + dot;
+    - distributed (``force="shuffle"``): tagged-union groupby(key) with
+      per-side Sum aggregates, then a streaming partial-product pass —
+      every row that moves is 24 bytes, never a join row.
+
+    Returns a single row (n_pairs). Both plans pinned equal by pytest."""
+    def side_partials(table: str, col: str, out_col: str):
+        def partials(batch: pa.Table) -> pa.Table:
+            vc = batch[col].combine_chunks().value_counts()
+            keys = vc.field("values").cast(pa.int64())
+            cnts = vc.field("counts").cast(pa.int64())
+            other = "b" if out_col == "a" else "a"
+            z = pa.array(np.zeros(len(keys), np.int64))
+            return pa.table({"key": keys, out_col: cnts, other: z})
+
+        return _read(sf_dir, table, [col]).map_batches(
+            partials, batch_format="pyarrow", batch_size=16384)
+
+    n_in = _read(sf_dir, "events", ["user_id"]).count() \
+        + _read(sf_dir, "orders", ["o_custkey"]).count()
+    ev = side_partials("events", "user_id", "a")
+    od = side_partials("orders", "o_custkey", "b")
+    small = (n_in < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        df = ensure_columns(ev.union(od).to_pandas(),
+                            {"key": "int64", "a": "int64", "b": "int64"})
+        g = df.groupby("key", as_index=False)[["a", "b"]].sum()
+        n_pairs = int((g["a"].to_numpy(np.int64) * g["b"].to_numpy(np.int64)).sum())
+    else:
+        agg = (ev.union(od).repartition(n_reducers())
+               .groupby("key")
+               .aggregate(Sum("a", alias_name="ca"), Sum("b", alias_name="cb")))
+
+        def prod(batch: pa.Table) -> pa.Table:
+            p = (batch["ca"].to_numpy(zero_copy_only=False)
+                 * batch["cb"].to_numpy(zero_copy_only=False))
+            return pa.table({"p": pa.array([int(p.sum())], pa.int64())})
+
+        n_pairs = int(agg.map_batches(prod, batch_format="pyarrow",
+                                      batch_size=65536).sum("p") or 0)
+    return pa.table({"n_pairs": pa.array([n_pairs], pa.int64())})

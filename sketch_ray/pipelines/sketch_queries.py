@@ -168,6 +168,33 @@ def value_quantiles(sf_dir: str) -> pa.Table:
     )
 
 
+def cm_join_size(sf_dir: str, widths: tuple[int, ...] = (1 << 12, 1 << 16)) -> pa.Table:
+    """Equi-join-size estimation from two CM sketches that never see each
+    other's table (Cormode & Muthukrishnan 2005 §4.2): est |events ⋈ orders
+    on user_id = o_custkey| = min_j <row_j(CM_events), row_j(CM_orders)>.
+
+    The sketch-native answer to "how big is this join?" at 10^12-doc scale:
+    each side is ONE streaming pass into a width×depth array (the same
+    shuffle-free partial fold as every sketch), the estimate is a dot
+    product of two tiny tables — no shuffle, no join, no key exchange.
+    Never undercounts; over by ≤ (e/width)·N_A·N_B w.p. ≥ 1 − e^−depth
+    (pinned in pytest vs the exact join_size_exact oracle query).
+    Returns (width, est_pairs) per width — wider sketch, tighter estimate."""
+    out_w, out_est = [], []
+    for w in widths:
+        params = {"width": int(w), "depth": 4, "seed": 42}
+        a = build_sketches(_read(sf_dir, "events", ["user_id"]),
+                           [SketchSpec("a", "cm", "user_id", mode="column", params=params)],
+                           batch_size=16384)["a"]
+        b = build_sketches(_read(sf_dir, "orders", ["o_custkey"]),
+                           [SketchSpec("b", "cm", "o_custkey", mode="column", params=params)],
+                           batch_size=16384)["b"]
+        out_w.append(int(w))
+        out_est.append(a.inner_product(b))
+    return pa.table({"width": pa.array(out_w, pa.int64()),
+                     "est_pairs": pa.array(out_est, pa.int64())})
+
+
 def bloom_membership(sf_dir: str) -> pa.Table:
     """Bloom filter over document texts' tokens; probe a mix of present and
     absent keys. Zero false negatives guaranteed; false positives bounded."""

@@ -449,3 +449,76 @@ def test_dynamic_quantiles_pipeline_tracks_survivors(ray_session):
     for q, est in zip(out["q"], out["value"]):
         true_rank = np.searchsorted(live, est, side="right")
         assert abs(true_rank - q * len(live)) <= max(0.05 * n_ins, 2.0), (q, est)
+
+
+def test_cm_inner_product_bound():
+    """CM inner-product (join-size) estimator: never undercounts the true
+    Σ a(k)·b(k); over by <= (e/width)·N_A·N_B across seeds; merged partials
+    give the identical estimate (sum-merge exactness); config mismatch and
+    CU misuse are rejected."""
+    import math
+
+    from sketch_ray.kernels import CountMin
+
+    rng = np.random.default_rng(0)
+    # Zipf-ish keys: overlapping hot sets on both sides
+    ka = rng.zipf(1.3, size=20000) % 500
+    kb = rng.zipf(1.3, size=30000) % 700
+    ca = np.bincount(ka, minlength=700).astype(np.int64)
+    cb = np.bincount(kb, minlength=700).astype(np.int64)
+    true = int((ca * cb).sum())
+    na, nb = int(ca.sum()), int(cb.sum())
+    keys_a = ka.astype(np.uint64)
+    keys_b = kb.astype(np.uint64)
+    for seed in (1, 7, 42):
+        for width in (1 << 10, 1 << 14):
+            a = CountMin(depth=4, width=width, seed=seed)
+            b = CountMin(depth=4, width=width, seed=seed)
+            a.update(keys_a)
+            b.update(keys_b)
+            est = a.inner_product(b)
+            assert est >= true
+            assert est <= true + math.e / width * na * nb
+            # merged halves == whole (associative sum-merge)
+            a1 = CountMin(depth=4, width=width, seed=seed)
+            a2 = CountMin(depth=4, width=width, seed=seed)
+            a1.update(keys_a[:10000]); a2.update(keys_a[10000:])
+            assert a1.merge(a2).inner_product(b) == est
+
+    with pytest.raises(ValueError):
+        CountMin(depth=4, width=1024, seed=1).inner_product(
+            CountMin(depth=4, width=2048, seed=1))
+
+
+def test_join_size_exact_and_cm_estimate(ray_session):
+    """Pipeline level: both join_size_exact plans agree with DuckDB's
+    COUNT(*) join, and the sketch estimate brackets it per the published
+    bound (never under; over <= (e/w)·N_A·N_B)."""
+    import math
+
+    import duckdb
+
+    from sketch_ray.pipelines.relational import join_size_exact
+    from sketch_ray.pipelines.sketch_queries import cm_join_size
+
+    sf = "/root/testdata/sf0.001"
+    want = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{sf}/events.parquet') e
+            JOIN read_parquet('{sf}/orders.parquet') o
+            ON e.user_id = o.o_custkey"""
+    ).fetchone()[0]
+    a = join_size_exact(sf, force="driver").column("n_pairs")[0].as_py()
+    b = join_size_exact(sf, force="shuffle").column("n_pairs")[0].as_py()
+    assert a == b == want
+
+    import pyarrow.parquet as pq
+    na = pq.ParquetFile(f"{sf}/events.parquet").metadata.num_rows
+    nb = pq.ParquetFile(f"{sf}/orders.parquet").metadata.num_rows
+    est = cm_join_size(sf).to_pandas()
+    assert list(est.columns) == ["width", "est_pairs"]
+    for _, r in est.iterrows():
+        assert r["est_pairs"] >= want
+        assert r["est_pairs"] <= want + math.e / r["width"] * na * nb
+    # wider sketch is at least as tight
+    assert est.sort_values("width")["est_pairs"].is_monotonic_decreasing or \
+        est["est_pairs"].nunique() == 1
