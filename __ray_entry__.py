@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- join-size estimation (r4): exact inner product + CM estimate ---
         "join_size_exact": relational.join_size_exact,
         "cm_join_size": sketch_queries.cm_join_size,
+        # Bloom-prefiltered decontamination (same answer, fixed-size
+        # broadcast scale path; oracle shared with decontaminate_corpus)
+        "decontaminate_corpus_bloom": lambda sf: dedup.decontaminate_corpus_bloom(
+            sf, n_bench=20, k=3),
     }
 
 
@@ -655,7 +659,7 @@ def oracle_sql() -> dict[str, str]:
     """
     cos = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
     stop_list = ", ".join(f"'{w}'" for w in ("the", "a", "and", "of", "to", "in", "is", "it"))
-    return {
+    out = {
         "revenue_per_nation": """
             SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
                    count(*) AS n_orders
@@ -1337,3 +1341,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
         """,
     }
+    # the Bloom prefilter is an invisible physical optimization: identical
+    # answer, identical oracle
+    out["decontaminate_corpus_bloom"] = out["decontaminate_corpus"]
+    return out

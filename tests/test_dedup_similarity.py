@@ -762,3 +762,22 @@ def test_weighted_sample_n_bias_and_determinism(ray_session, tmp_path):
         for s in range(60))
     # Binomial(60, 0.9): 5 sigma ~ 12
     assert abs(wins - 54) <= 12, wins
+
+
+def test_decontaminate_bloom_matches_exact(ray_session):
+    """Bloom-prefiltered decontamination is an invisible physical
+    optimization: identical output to the broadcast-exact-set plan, even
+    with a deliberately tiny (false-positive-heavy) filter — verification
+    kills every fp, and Bloom's zero-false-negative guarantee means no
+    contaminated doc can be missed."""
+    from sketch_ray.pipelines.dedup import (decontaminate_corpus,
+                                            decontaminate_corpus_bloom)
+
+    sf = "/root/testdata/sf0.001"
+    a = decontaminate_corpus(sf, n_bench=20, k=3).to_pandas()
+    b = decontaminate_corpus_bloom(sf, n_bench=20, k=3).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    tiny = decontaminate_corpus_bloom(sf, n_bench=20, k=3,
+                                      n_bits=1 << 9, n_hashes=2).to_pandas()
+    pd.testing.assert_frame_equal(a, tiny)
+    assert a["contaminated"].sum() > 0  # the fixture actually exercises hits
