@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast scale path; oracle shared with decontaminate_corpus)
         "decontaminate_corpus_bloom": lambda sf: dedup.decontaminate_corpus_bloom(
             sf, n_bench=20, k=3),
+        # --- AMS moments (r4): exact F2 + CountSketch estimate ---
+        "f2_self_join_exact": relational.f2_self_join_exact,
+        "cs_moments": sketch_queries.cs_moments,
     }
 
 
@@ -1339,6 +1342,10 @@ def oracle_sql() -> dict[str, str]:
         "join_size_exact": """
             SELECT count(*) AS n_pairs
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        """,
+        "f2_self_join_exact": """
+            SELECT sum(c * c)::BIGINT AS f2
+            FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
         """,
     }
     # the Bloom prefilter is an invisible physical optimization: identical

@@ -3,14 +3,15 @@
 The reference implements one kernel — Count-Min with conservative update
 (reference src/sketch.cpp:144-158) — in seven physical variants. Here the
 kernel layer is a registry of mergeable sketches sharing one protocol
-(SURVEY.md §2.8): CountMin, CountMinCU, HLL, BloomFilter, KLL, TDigest,
-MisraGries (top-k), BottomK (KMV distinct sample).
+(SURVEY.md §2.8): CountMin, CountMinCU, CountSketch (AMS), HLL, BloomFilter,
+KLL, KLL± (turnstile), TDigest, MisraGries (top-k), BottomK (KMV sample).
 """
 
 from .base import MergeableSketch, SketchBase, make_sketch, registry, sketch_from_bytes
 from .bloom import BloomFilter
 from .bottomk import BottomK
 from .countmin import CountMin, CountMinCU
+from .countsketch import CountSketch
 from .hashing import hash_arrow_strings, hash_ints, hash_strings, row_hashes, splitmix64
 from .hll import HLL
 from .kll import KLL
@@ -20,6 +21,6 @@ from .tdigest import TDigest
 
 __all__ = [
     "MergeableSketch", "SketchBase", "make_sketch", "registry", "sketch_from_bytes",
-    "CountMin", "CountMinCU", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
+    "CountMin", "CountMinCU", "CountSketch", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
     "hash_strings", "hash_arrow_strings", "hash_ints", "row_hashes", "splitmix64",
 ]

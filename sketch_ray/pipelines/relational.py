@@ -1474,3 +1474,35 @@ def join_size_exact(sf_dir: str, force: str | None = None) -> pa.Table:
         n_pairs = int(agg.map_batches(prod, batch_format="pyarrow",
                                       batch_size=65536).sum("p") or 0)
     return pa.table({"n_pairs": pa.array([n_pairs], pa.int64())})
+
+
+def f2_self_join_exact(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Exact second frequency moment F2 = Σ_k f(k)² of events.user_id —
+    the SELF-join size (how many pairs collide on one user), the AMS
+    statistic the CountSketch estimator approximates
+    (sketch_queries.cs_moments). Same physical shape as join_size_exact:
+    per-batch value_counts partials, adaptive driver fold / tagged
+    groupby(key) Sum, square-and-sum streamed. Returns a single row (f2)."""
+    def partials(batch: pa.Table) -> pa.Table:
+        vc = batch["user_id"].combine_chunks().value_counts()
+        return pa.table({"key": vc.field("values").cast(pa.int64()),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=16384)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        df = ensure_columns(parts.to_pandas(), {"key": "int64", "c": "int64"})
+        g = df.groupby("key")["c"].sum().to_numpy(np.int64)
+        f2 = int((g * g).sum())
+    else:
+        agg = (parts.repartition(n_reducers()).groupby("key")
+               .aggregate(Sum("c", alias_name="cnt")))
+
+        def sq(batch: pa.Table) -> pa.Table:
+            c = batch["cnt"].to_numpy(zero_copy_only=False)
+            return pa.table({"s": pa.array([int((c * c).sum())], pa.int64())})
+
+        f2 = int(agg.map_batches(sq, batch_format="pyarrow",
+                                 batch_size=65536).sum("s") or 0)
+    return pa.table({"f2": pa.array([f2], pa.int64())})

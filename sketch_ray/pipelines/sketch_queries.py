@@ -209,3 +209,23 @@ def bloom_membership(sf_dir: str) -> pa.Table:
     return pa.table(
         {"key": pa.array(probes, pa.string()), "maybe_present": pa.array(hits.tolist(), pa.bool_())}
     )
+
+
+def cs_moments(sf_dir: str, widths: tuple[int, ...] = (1 << 12, 1 << 14)) -> pa.Table:
+    """CountSketch (AMS) moments of events.user_id in one streaming pass per
+    width: F2 / self-join-size estimate (median of per-row sums of squared
+    SIGNED counters — collisions cancel in expectation, two-sided error
+    ≈ sqrt(8/width)·F2) — the turnstile-capable complement to the CM
+    family's one-sided estimates. Rows-only gated; the exact ground truth
+    is the oracle-gated f2_self_join_exact, and the bound is pinned in
+    pytest. Returns (width, f2_est)."""
+    out_w, out_est = [], []
+    for w in widths:
+        spec = SketchSpec("cs", "countsketch", "user_id", mode="column",
+                          params={"width": int(w), "depth": 5, "seed": 42})
+        sk = build_sketches(_read(sf_dir, "events", ["user_id"]),
+                            [spec], batch_size=16384)["cs"]
+        out_w.append(int(w))
+        out_est.append(sk.f2())
+    return pa.table({"width": pa.array(out_w, pa.int64()),
+                     "f2_est": pa.array(out_est, pa.int64())})

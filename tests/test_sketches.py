@@ -522,3 +522,90 @@ def test_join_size_exact_and_cm_estimate(ray_session):
     # wider sketch is at least as tight
     assert est.sort_values("width")["est_pairs"].is_monotonic_decreasing or \
         est["est_pairs"].nunique() == 1
+
+
+def test_countsketch_point_f2_and_merge():
+    """CountSketch: exact-ish point estimates on hot keys (unbiased,
+    Var <= F2/width), F2 within the AMS bound across seeds, byte-identical
+    sum-merge under any order, turnstile deletes retract cleanly."""
+    from sketch_ray.kernels import CountSketch
+
+    rng = np.random.default_rng(3)
+    keys = (rng.zipf(1.3, 60000) % 3000).astype(np.uint64)
+    freq = np.bincount(keys.astype(np.int64), minlength=3000)
+    true_f2 = int((freq.astype(np.int64) ** 2).sum())
+    for seed in (1, 7, 42, 99):
+        cs = CountSketch(depth=5, width=1 << 12, seed=seed)
+        cs.update(keys)
+        # F2 within eps = sqrt(8/width) of truth (AMS median-of-rows)
+        eps = (8 / (1 << 12)) ** 0.5
+        assert abs(cs.f2() - true_f2) <= eps * true_f2
+        # hot-key point estimates within 3*sqrt(F2/width)
+        hot = np.argsort(freq)[-5:].astype(np.uint64)
+        est = cs.query(hot)
+        tol = 3 * (true_f2 / (1 << 12)) ** 0.5
+        assert (np.abs(est - freq[hot.astype(np.int64)]) <= tol).all()
+
+    # merge: any split/order gives byte-identical state
+    a = CountSketch(depth=5, width=1 << 10, seed=5)
+    b = CountSketch(depth=5, width=1 << 10, seed=5)
+    c = CountSketch(depth=5, width=1 << 10, seed=5)
+    whole = CountSketch(depth=5, width=1 << 10, seed=5)
+    a.update(keys[:20000]); b.update(keys[20000:40000]); c.update(keys[40000:])
+    whole.update(keys)
+    merged = b.merge(c).merge(a)
+    assert merged.to_bytes() == whole.to_bytes()
+
+    # turnstile: inserting then deleting a key's weight cancels exactly
+    t = CountSketch(depth=5, width=1 << 10, seed=5)
+    t.update(np.array([11, 22], np.uint64), np.array([100, 40], np.int64))
+    t.update(np.array([11], np.uint64), np.array([-100], np.int64))
+    assert abs(int(t.query(np.array([11], np.uint64))[0])) <= 1
+    assert int(t.query(np.array([22], np.uint64))[0]) == 40
+
+
+def test_countsketch_inner_product_two_sided():
+    """CS inner product is unbiased (two-sided, unlike CM's one-sided):
+    close to truth across seeds at modest width."""
+    from sketch_ray.kernels import CountSketch
+
+    rng = np.random.default_rng(4)
+    ka = (rng.zipf(1.3, 30000) % 800).astype(np.uint64)
+    kb = (rng.zipf(1.3, 20000) % 800).astype(np.uint64)
+    ca = np.bincount(ka.astype(np.int64), minlength=800)
+    cb = np.bincount(kb.astype(np.int64), minlength=800)
+    true = int((ca * cb).sum())
+    errs = []
+    for seed in (1, 7, 42):
+        a = CountSketch(depth=5, width=1 << 12, seed=seed)
+        b = CountSketch(depth=5, width=1 << 12, seed=seed)
+        a.update(ka); b.update(kb)
+        errs.append(a.inner_product(b) - true)
+    # each within the AMS-style deviation; not systematically one-sided
+    bound = 4 * (float(ca @ ca) * float(cb @ cb) / (1 << 12)) ** 0.5
+    assert all(abs(e) <= bound for e in errs)
+
+    with pytest.raises(ValueError):
+        CountSketch(width=1 << 10).inner_product(CountSketch(width=1 << 11))
+
+
+def test_f2_pipeline_exact_and_cs_estimate(ray_session):
+    """f2_self_join_exact plans agree with DuckDB; the distributed
+    CountSketch estimate lands within the AMS bound of it."""
+    import duckdb
+
+    from sketch_ray.pipelines.relational import f2_self_join_exact
+    from sketch_ray.pipelines.sketch_queries import cs_moments
+
+    sf = "/root/testdata/sf0.001"
+    want = duckdb.sql(
+        f"""SELECT sum(c*c)::BIGINT FROM (SELECT count(*) AS c
+            FROM read_parquet('{sf}/events.parquet') GROUP BY user_id)"""
+    ).fetchone()[0]
+    a = f2_self_join_exact(sf, force="driver").column("f2")[0].as_py()
+    b = f2_self_join_exact(sf, force="shuffle").column("f2")[0].as_py()
+    assert a == b == want
+    est = cs_moments(sf).to_pandas()
+    for _, r in est.iterrows():
+        eps = (8 / r["width"]) ** 0.5
+        assert abs(r["f2_est"] - want) <= max(eps * want, 0.02 * want)
