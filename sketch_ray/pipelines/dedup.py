@@ -1095,7 +1095,9 @@ def write_clean_corpus(sf_dir: str, out_dir: str, k: int = 3, tau: float = 0.5,
     return {"n_docs": n_docs, "n_kept": n_docs - int(len(drop)), "out_dir": out_dir}
 
 
-def decontaminate_corpus(sf_dir: str, n_bench: int = 20, k: int = 3) -> pa.Table:
+def decontaminate_corpus(sf_dir: str, n_bench: int = 20, k: int = 3,
+                         out_dir: str | None = None,
+                         rows_per_file: int = 100_000) -> pa.Table:
     """Benchmark DECONTAMINATION: flag training documents sharing any
     k-token shingle with the benchmark set (here doc_id < n_bench) — the
     test-set-leakage scrub every LLM training pipeline runs before training.
@@ -1145,6 +1147,12 @@ def decontaminate_corpus(sf_dir: str, n_bench: int = 20, k: int = 3) -> pa.Table
 
     out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         overlap, batch_format="pyarrow", batch_size=4096)
+    if out_dir is not None:
+        # scale escape: per-doc labels stream straight to bounded parquet —
+        # the driver pull below exists only for the gate, which hashes rows
+        out = out.materialize()
+        out.write_parquet(out_dir, min_rows_per_file=rows_per_file,
+                          max_rows_per_file=rows_per_file)
     df = ensure_columns(out.to_pandas(),
                         {"doc_id": "int64", "n_overlap": "int64", "contaminated": "int64"})
     df = df.sort_values("doc_id").reset_index(drop=True)

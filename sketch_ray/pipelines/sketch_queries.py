@@ -179,20 +179,22 @@ def cm_join_size(sf_dir: str, widths: tuple[int, ...] = (1 << 12, 1 << 16)) -> p
     product of two tiny tables — no shuffle, no join, no key exchange.
     Never undercounts; over by ≤ (e/width)·N_A·N_B w.p. ≥ 1 − e^−depth
     (pinned in pytest vs the exact join_size_exact oracle query).
-    Returns (width, est_pairs) per width — wider sketch, tighter estimate."""
-    out_w, out_est = [], []
-    for w in widths:
-        params = {"width": int(w), "depth": 4, "seed": 42}
-        a = build_sketches(_read(sf_dir, "events", ["user_id"]),
-                           [SketchSpec("a", "cm", "user_id", mode="column", params=params)],
-                           batch_size=16384)["a"]
-        b = build_sketches(_read(sf_dir, "orders", ["o_custkey"]),
-                           [SketchSpec("b", "cm", "o_custkey", mode="column", params=params)],
-                           batch_size=16384)["b"]
-        out_w.append(int(w))
-        out_est.append(a.inner_product(b))
-    return pa.table({"width": pa.array(out_w, pa.int64()),
-                     "est_pairs": pa.array(out_est, pa.int64())})
+    Returns (width, est_pairs) per width — wider sketch, tighter estimate.
+    All widths build in ONE streaming pass per side (multi-spec build)."""
+    def specs(prefix: str, column: str) -> list[SketchSpec]:
+        return [SketchSpec(f"{prefix}{w}", "cm", column, mode="column",
+                           params={"width": int(w), "depth": 4, "seed": 42})
+                for w in widths]
+
+    a = build_sketches(_read(sf_dir, "events", ["user_id"]),
+                       specs("a", "user_id"), batch_size=16384)
+    b = build_sketches(_read(sf_dir, "orders", ["o_custkey"]),
+                       specs("b", "o_custkey"), batch_size=16384)
+    return pa.table({
+        "width": pa.array([int(w) for w in widths], pa.int64()),
+        "est_pairs": pa.array(
+            [a[f"a{w}"].inner_product(b[f"b{w}"]) for w in widths], pa.int64()),
+    })
 
 
 def bloom_membership(sf_dir: str) -> pa.Table:

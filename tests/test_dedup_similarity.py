@@ -781,3 +781,20 @@ def test_decontaminate_bloom_matches_exact(ray_session):
                                       n_bits=1 << 9, n_hashes=2).to_pandas()
     pd.testing.assert_frame_equal(a, tiny)
     assert a["contaminated"].sum() > 0  # the fixture actually exercises hits
+
+
+def test_decontaminate_out_dir_roundtrip(ray_session, tmp_path):
+    """out_dir= streams the per-doc labels to bounded parquet; the files
+    reproduce the gate table exactly."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.dedup import decontaminate_corpus
+
+    out = str(tmp_path / "decon")
+    a = decontaminate_corpus(SF, n_bench=20, k=3, out_dir=out,
+                             rows_per_file=100).to_pandas()
+    back = pq.read_table(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, back.astype(a.dtypes.to_dict()))
+    import glob
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 2  # rows_per_file=100 over 480 docs -> bounded files
