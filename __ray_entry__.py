@@ -24,8 +24,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sketch_ray.pipelines import (bpe, dedup, exact, relational, sharding,
-                                      similarity, sketch_queries, text_analysis)
+    from sketch_ray.pipelines import (bpe, dedup, exact, heavy_hitters,
+                                      relational, sharding, similarity,
+                                      sketch_queries, text_analysis)
     from sketch_ray.stages import multimodal
 
     # Key ORDER is part of the contract: the driver's correctness gate
@@ -159,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- AMS moments (r4): exact F2 + CountSketch estimate ---
         "f2_self_join_exact": relational.f2_self_join_exact,
         "cs_moments": sketch_queries.cs_moments,
+        # per-group heavy hitters (grouped-sketch prefilter, exact verify)
+        "grouped_heavy_hitters": lambda sf: heavy_hitters.grouped_heavy_hitter_tokens(
+            sf, rel_threshold=0.02),
     }
 
 
@@ -1346,6 +1350,20 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "grouped_heavy_hitters": """
+            WITH tok AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), totals AS (
+                SELECT lang, count(*) AS n FROM tok GROUP BY lang
+            ), counts AS (
+                SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token
+            )
+            SELECT c.lang, c.token, c.cnt
+            FROM counts c JOIN totals t USING (lang)
+            WHERE c.cnt >= greatest(1, ceil(0.02 * t.n))
+            ORDER BY c.lang, c.token
         """,
     }
     # the Bloom prefilter is an invisible physical optimization: identical

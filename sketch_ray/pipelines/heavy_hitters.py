@@ -215,3 +215,87 @@ def emerging_heavy_hitters(
     keep = (merged["test_cnt"] // growth - merged["control_cnt"]) > 0
     out = merged[keep].reset_index(drop=True)
     return out[["token", "test_cnt", "control_cnt"]]
+
+
+def grouped_heavy_hitter_tokens(sf_dir: str, rel_threshold: float = 0.05,
+                                by: str = "lang") -> "pa.Table":
+    """Per-GROUP heavy hitters: tokens with count >= ceil(rel_threshold ×
+    the group's total token count) within each ``by`` group — the
+    reference's threshold operator (M8, src/sketch.cpp:160-162) composed
+    with grouping, via per-group sketches riding Ray's native aggregate:
+
+    pass 1: ONE ``groupby(by).aggregate(SketchAgg(cmcu), Sum(n_tok))`` —
+        per-group CM-CU sketch + exact group token totals (group-bounded
+        rows; the sketches ARE the aggregate state, merged by Ray);
+    pass 2: per-batch (group, token, partial) pre-aggregation probes the
+        broadcast {group: (sketch, threshold)} map; CM-CU never
+        undercounts, so dropping rows whose estimate is below the group
+        threshold cannot lose a true heavy hitter; the candidate-bounded
+        survivors fold to exact counts and the exact threshold applies.
+
+    Returns (lang, token, cnt) sorted — exact, oracle-gated."""
+    import pandas as pd
+
+    from ..stages.agg import SketchAgg
+    from ..stages.broadcast import cached
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[by, "text"])
+
+    def with_ntok(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        n = pc.list_value_length(toks).cast(pa.int64())
+        return batch.append_column("n_tok", n)
+
+    spec = SketchSpec("g", "cmcu", "text", mode="tokens",
+                      params={"width": 1 << 14, "seed": 42})
+    agg = (
+        ds.map_batches(with_ntok, batch_format="pyarrow", batch_size=8192)
+        .groupby(by)
+        .aggregate(SketchAgg(spec, alias_name="sk", finalize="bytes"),
+                   Sum("n_tok", alias_name="total"))
+    )
+    gdf = agg.to_pandas()  # group-bounded: one row per group
+    table = {}
+    for _, r in gdf.iterrows():
+        thr = max(1, int(np.ceil(rel_threshold * int(r["total"]))))
+        table[r[by]] = (sketch_from_bytes(r["sk"]), thr)
+    ref = ray.put(table)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        tbl = cached(ref)
+        g = batch[by].combine_chunks()
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        g_rep = g.take(pa.array(np.repeat(np.arange(len(g)), ntok)))
+        t = pa.table({by: g_rep, "token": flat})
+        pre = t.group_by([by, "token"]).aggregate([([], "count_all")]) \
+            .rename_columns([by, "token", "partial"])
+        keep = np.zeros(pre.num_rows, dtype=bool)
+        gv = pre[by].to_numpy(zero_copy_only=False)
+        tok_col = pre["token"]
+        for grp in pd.unique(gv):
+            if grp not in tbl:
+                continue
+            sk, thr = tbl[grp]
+            rows = np.flatnonzero(gv == grp)
+            est = sk.query(tok_col.take(pa.array(rows)))
+            keep[rows] = est >= thr
+        return pre.filter(pa.array(keep))
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow", batch_size=8192)
+    df = cand.to_pandas()  # candidate-bounded (threshold-selected × batches)
+    if not len(df):
+        return pa.table({by: pa.array([], pa.string()),
+                         "token": pa.array([], pa.large_string()),
+                         "cnt": pa.array([], pa.int64())})
+    exact = df.groupby([by, "token"], as_index=False)["partial"].sum() \
+        .rename(columns={"partial": "cnt"})
+    thr_of = exact[by].map(lambda g: table[g][1])
+    out = exact[exact["cnt"] >= thr_of].sort_values([by, "token"]) \
+        .reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

