@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group heavy hitters (grouped-sketch prefilter, exact verify)
         "grouped_heavy_hitters": lambda sf: heavy_hitters.grouped_heavy_hitter_tokens(
             sf, rel_threshold=0.02),
+        # --- distinct-set algebra (r4): exact membership + theta estimate ---
+        "set_op_cardinalities": relational.set_op_cardinalities,
+        "kmv_set_ops": sketch_queries.kmv_set_ops,
     }
 
 
@@ -1350,6 +1353,21 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "set_op_cardinalities": """
+            WITH a AS (SELECT DISTINCT user_id AS k FROM events),
+                 b AS (SELECT DISTINCT o_custkey AS k FROM orders),
+                 s AS (SELECT (SELECT count(*) FROM a) AS n_a,
+                              (SELECT count(*) FROM b) AS n_b,
+                              (SELECT count(*) FROM a JOIN b USING (k)) AS n_intersect)
+            SELECT n_a, n_b,
+                   n_a + n_b - n_intersect AS n_union,
+                   n_intersect,
+                   n_a - n_intersect AS n_only_a,
+                   n_b - n_intersect AS n_only_b,
+                   round(n_intersect / CAST(n_a + n_b - n_intersect AS DOUBLE), 6)
+                       AS jaccard
+            FROM s
         """,
         "grouped_heavy_hitters": """
             WITH tok AS (

@@ -77,3 +77,60 @@ class BottomK(SketchBase):
             return float(len(self.hashes))
         hk = float(self.hashes[-1]) / float(1 << 64)
         return (self.k - 1) / hk
+
+
+def _theta_retained(sk: BottomK) -> tuple[int, np.ndarray]:
+    """(integer threshold T, retained hashes strictly below T).
+
+    Theta-sketch convention (matches ``estimate``): a saturated sketch's
+    threshold is its k-th minimum hash, and only the k−1 entries BELOW it
+    are a uniform sample of the key space; an unsaturated sketch holds
+    every distinct key (T = 2^64, i.e. theta = 1). The threshold stays a
+    python int — float64 cannot represent 64-bit hashes exactly, and a
+    rounded cut would include/exclude boundary entries inconsistently
+    between the two sketches."""
+    if len(sk.hashes) < sk.k:
+        return 1 << 64, sk.hashes
+    return int(sk.hashes[-1]), sk.hashes[:-1]
+
+
+def theta_set_ops(a: BottomK, b: BottomK) -> dict[str, float]:
+    """Theta-sketch set-operation estimates from two bottom-k sketches
+    built independently over two key streams (Dasgupta et al., "Theta
+    sketch framework", 2016): cut both retained sets at the SMALLER
+    threshold theta = min(theta_a, theta_b); below theta each side is a
+    uniform hash-sample of its distinct keys, so |S| / theta estimates any
+    set expression evaluated on the samples. Exact whenever both sketches
+    are unsaturated (theta = 1).
+
+    Requires identical seeds (the hash samples must be coordinated —
+    that coordination is the whole trick: the two sketches never exchange
+    keys, only their KB-sized states meet).
+
+    Returns est_a / est_b (restricted to theta), est_union, est_intersect,
+    est_only_a, est_only_b, jaccard, and theta itself.
+    """
+    if a.seed != b.seed:
+        raise ValueError("theta set ops need coordinated sketches (same seed)")
+    ta, ha = _theta_retained(a)
+    tb, hb = _theta_retained(b)
+    t_int = min(ta, tb)
+    theta = t_int / float(1 << 64)
+    if t_int < (1 << 64):
+        cut = np.uint64(t_int)
+        sa = ha[ha < cut]
+        sb = hb[hb < cut]
+    else:
+        sa, sb = ha, hb
+    inter = np.intersect1d(sa, sb, assume_unique=True)
+    n_union = len(sa) + len(sb) - len(inter)
+    return {
+        "theta": theta,
+        "est_a": len(sa) / theta,
+        "est_b": len(sb) / theta,
+        "est_union": n_union / theta,
+        "est_intersect": len(inter) / theta,
+        "est_only_a": (len(sa) - len(inter)) / theta,
+        "est_only_b": (len(sb) - len(inter)) / theta,
+        "jaccard": (len(inter) / n_union) if n_union else 0.0,
+    }

@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..stages.broadcast import cached
 from ._util import ensure_columns, n_reducers, round6
@@ -1506,3 +1506,75 @@ def f2_self_join_exact(sf_dir: str, force: str | None = None) -> pa.Table:
         f2 = int(agg.map_batches(sq, batch_format="pyarrow",
                                  batch_size=65536).sum("s") or 0)
     return pa.table({"f2": pa.array([f2], pa.int64())})
+
+
+def set_op_cardinalities(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Exact distinct-set algebra between two key streams that never join:
+    A = distinct events.user_id, B = distinct orders.o_custkey. Returns one
+    row (n_a, n_b, n_union, n_intersect, n_only_a, n_only_b, jaccard) —
+    the ground truth for the theta-sketch estimator (sketch_queries
+    .kmv_set_ops; Dasgupta et al. 2016), same exact-vs-sketch pairing as
+    join_size_exact / cm_join_size.
+
+    Physical shape: per-batch ``np.unique`` shrinks each side to distinct
+    keys per batch (a key seen 10^9 times ships once per batch), then
+
+    - driver fold (default below ``_SMALL_ROWS`` combined input rows,
+      ``force="driver"``): np.unique + sorted intersect over key-bounded
+      arrays;
+    - distributed (``force="shuffle"``): tagged-union groupby(key) with
+      per-side Max membership flags, then a streaming combo-count pass —
+      every row that moves is 24 bytes.
+
+    Both plans pinned equal by pytest (forced-branch invariant)."""
+    def side_partials(table: str, col: str, out_col: str):
+        def partials(batch: pa.Table) -> pa.Table:
+            u = np.unique(batch[col].to_numpy(zero_copy_only=False))
+            flags = {c: np.full(len(u), int(c == out_col), np.int64)
+                     for c in ("in_a", "in_b")}  # fixed order: union-safe schema
+            return pa.table({"key": pa.array(u, pa.int64()),
+                             "in_a": pa.array(flags["in_a"]),
+                             "in_b": pa.array(flags["in_b"])})
+
+        return _read(sf_dir, table, [col]).map_batches(
+            partials, batch_format="pyarrow", batch_size=16384)
+
+    n_in = _read(sf_dir, "events", ["user_id"]).count() \
+        + _read(sf_dir, "orders", ["o_custkey"]).count()
+    ev = side_partials("events", "user_id", "in_a")
+    od = side_partials("orders", "o_custkey", "in_b")
+    small = (n_in < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        df = ensure_columns(ev.union(od).to_pandas(),
+                            {"key": "int64", "in_a": "int64", "in_b": "int64"})
+        a = np.unique(df.loc[df["in_a"] == 1, "key"].to_numpy(np.int64))
+        b = np.unique(df.loc[df["in_b"] == 1, "key"].to_numpy(np.int64))
+        n_a, n_b = len(a), len(b)
+        n_inter = len(np.intersect1d(a, b, assume_unique=True))
+    else:
+        agg = (ev.union(od).repartition(n_reducers())
+               .groupby("key")
+               .aggregate(Max("in_a", alias_name="a"), Max("in_b", alias_name="b")))
+
+        def combos(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            return pa.table({"n_a": pa.array([int(a.sum())], pa.int64()),
+                             "n_b": pa.array([int(b.sum())], pa.int64()),
+                             "n_inter": pa.array([int((a & b).sum())], pa.int64())})
+
+        t = (agg.map_batches(combos, batch_format="pyarrow", batch_size=65536)
+             .to_pandas())
+        t = ensure_columns(t, {"n_a": "int64", "n_b": "int64", "n_inter": "int64"})
+        n_a, n_b, n_inter = int(t["n_a"].sum()), int(t["n_b"].sum()), int(t["n_inter"].sum())
+    n_union = n_a + n_b - n_inter
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "n_union": pa.array([n_union], pa.int64()),
+        "n_intersect": pa.array([n_inter], pa.int64()),
+        "n_only_a": pa.array([n_a - n_inter], pa.int64()),
+        "n_only_b": pa.array([n_b - n_inter], pa.int64()),
+        "jaccard": pa.array([float(round6(n_inter / n_union)) if n_union else 0.0],
+                            pa.float64()),
+    })

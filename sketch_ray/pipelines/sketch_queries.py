@@ -231,3 +231,31 @@ def cs_moments(sf_dir: str, widths: tuple[int, ...] = (1 << 12, 1 << 14)) -> pa.
         out_est.append(sk.f2())
     return pa.table({"width": pa.array(out_w, pa.int64()),
                      "f2_est": pa.array(out_est, pa.int64())})
+
+
+def kmv_set_ops(sf_dir: str, k: int = 2048) -> pa.Table:
+    """Theta-sketch set algebra over two key streams that never meet:
+    distinct events.user_id vs distinct orders.o_custkey. Each side is ONE
+    streaming pass into a coordinated bottom-k sketch (same seed — the
+    hash samples must agree); the union/intersection/difference/Jaccard
+    estimates come from cutting both retained sets at the smaller theta
+    (kernels/bottomk.theta_set_ops; Dasgupta et al. 2016). At 10^12-key
+    scale nothing but two KB-sized sketch states crosses the wire — the
+    distinct-set analogue of cm_join_size. Rows-only gated; the exact
+    ground truth is the oracle-gated relational.set_op_cardinalities and
+    the ~1/sqrt(k) error is pinned in pytest. Exact whenever both sides
+    have fewer than k distinct keys (theta = 1)."""
+    from ..kernels.bottomk import theta_set_ops
+
+    a = build_sketches(_read(sf_dir, "events", ["user_id"]),
+                       [SketchSpec("a", "bottomk", "user_id", mode="column",
+                                   params={"k": int(k), "seed": 42})],
+                       batch_size=16384)["a"]
+    b = build_sketches(_read(sf_dir, "orders", ["o_custkey"]),
+                       [SketchSpec("b", "bottomk", "o_custkey", mode="column",
+                                   params={"k": int(k), "seed": 42})],
+                       batch_size=16384)["b"]
+    r = theta_set_ops(a, b)
+    cols = ["est_a", "est_b", "est_union", "est_intersect",
+            "est_only_a", "est_only_b", "jaccard", "theta"]
+    return pa.table({c: pa.array([round(float(r[c]), 6)], pa.float64()) for c in cols})

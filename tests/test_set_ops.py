@@ -1,0 +1,99 @@
+"""Theta-sketch set algebra: kernel exactness/error bounds, the exact
+membership pipeline's plan invariance vs DuckDB, and the sketch-vs-exact
+pairing (SURVEY.md §5 strategy: estimates validated against exact scans)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from sketch_ray.kernels.bottomk import BottomK, theta_set_ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_theta_set_ops_exact_when_unsaturated():
+    a, b = BottomK(k=4096, seed=9), BottomK(k=4096, seed=9)
+    a.update([f"k{i}" for i in range(300)])
+    b.update([f"k{i}" for i in range(200, 500)])
+    r = theta_set_ops(a, b)
+    assert r["theta"] == 1.0
+    assert r["est_a"] == 300 and r["est_b"] == 300
+    assert r["est_union"] == 500 and r["est_intersect"] == 100
+    assert r["est_only_a"] == 200 and r["est_only_b"] == 200
+    assert r["jaccard"] == pytest.approx(0.2)
+
+    with pytest.raises(ValueError):
+        theta_set_ops(a, BottomK(k=4096, seed=10))
+
+
+def test_theta_set_ops_saturated_error_and_merge_invariance():
+    """Saturated case: ~1/sqrt(k) error on every set estimate; and the
+    result is identical whether each side was built in one pass or merged
+    from shuffled partials (the distributed-build contract)."""
+    keys_a = [f"x{i}" for i in range(40000)]          # |A|=40k
+    keys_b = [f"x{i}" for i in range(30000, 60000)]   # |B|=30k, overlap 10k
+    a, b = BottomK(k=2048, seed=7), BottomK(k=2048, seed=7)
+    a.update(keys_a)
+    b.update(keys_b)
+    r = theta_set_ops(a, b)
+    assert 0 < r["theta"] < 1
+    for key, truth in [("est_a", 40000), ("est_b", 30000),
+                       ("est_union", 60000), ("est_intersect", 10000),
+                       ("est_only_a", 30000), ("est_only_b", 20000)]:
+        assert abs(r[key] - truth) / truth < 0.10, (key, r[key])
+    assert abs(r["jaccard"] - 10000 / 60000) < 0.03
+
+    # partition-order invariance: merge of arbitrary chunked partials
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(keys_a))
+    a2 = BottomK(k=2048, seed=7)
+    for lo in range(0, len(order), 7000):
+        part = BottomK(k=2048, seed=7)
+        part.update([keys_a[i] for i in order[lo:lo + 7000]])
+        a2.merge(part)
+    assert theta_set_ops(a2, b) == r
+
+
+def test_set_op_cardinalities_plans_and_oracle(ray_session):
+    """Both adaptive plans (driver fold / tagged shuffle) produce the same
+    row, and that row matches DuckDB's exact distinct-set algebra."""
+    from sketch_ray.pipelines.relational import set_op_cardinalities
+
+    want = duckdb.sql(
+        f"""WITH a AS (SELECT DISTINCT user_id AS k
+                       FROM read_parquet('{SF}/events.parquet')),
+                 b AS (SELECT DISTINCT o_custkey AS k
+                       FROM read_parquet('{SF}/orders.parquet'))
+            SELECT (SELECT count(*) FROM a),
+                   (SELECT count(*) FROM b),
+                   (SELECT count(*) FROM a JOIN b USING (k))"""
+    ).fetchone()
+    n_a, n_b, n_inter = want
+
+    drv = set_op_cardinalities(SF, force="driver").to_pydict()
+    shf = set_op_cardinalities(SF, force="shuffle").to_pydict()
+    assert drv == shf
+    assert drv["n_a"] == [n_a] and drv["n_b"] == [n_b]
+    assert drv["n_intersect"] == [n_inter]
+    assert drv["n_union"] == [n_a + n_b - n_inter]
+    assert drv["n_only_a"] == [n_a - n_inter]
+    assert drv["n_only_b"] == [n_b - n_inter]
+
+
+def test_kmv_set_ops_pipeline_exact_at_small_scale(ray_session):
+    """At sf0.001 both sides have < k distinct keys, so theta = 1 and the
+    sketch answers are EXACT — equality, not a tolerance, against the
+    exact pipeline."""
+    from sketch_ray.pipelines.relational import set_op_cardinalities
+    from sketch_ray.pipelines.sketch_queries import kmv_set_ops
+
+    exact = set_op_cardinalities(SF).to_pydict()
+    est = kmv_set_ops(SF).to_pydict()
+    assert est["theta"] == [1.0]
+    assert est["est_a"] == [float(exact["n_a"][0])]
+    assert est["est_b"] == [float(exact["n_b"][0])]
+    assert est["est_union"] == [float(exact["n_union"][0])]
+    assert est["est_intersect"] == [float(exact["n_intersect"][0])]
+    assert est["est_only_a"] == [float(exact["n_only_a"][0])]
+    assert est["est_only_b"] == [float(exact["n_only_b"][0])]
+    assert est["jaccard"][0] == pytest.approx(exact["jaccard"][0], abs=1e-6)
