@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- distinct-set algebra (r4): exact membership + theta estimate ---
         "set_op_cardinalities": relational.set_op_cardinalities,
         "kmv_set_ops": sketch_queries.kmv_set_ops,
+        # per-language signal-redundancy fit (corr + least squares)
+        "per_lang_correlations": text_analysis.per_lang_correlations,
     }
 
 
@@ -1353,6 +1355,18 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "per_lang_correlations": """
+            WITH d AS (SELECT lang, len(string_split(text, ' ')) AS x,
+                              n_chars AS y
+                       FROM documents)
+            SELECT lang, count(*) AS n,
+                   round(corr(y, x), 6) AS corr_tok_chars,
+                   round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept
+            FROM d GROUP BY lang
+            HAVING count(*) >= 2 AND var_pop(x) > 0 AND var_pop(y) > 0
+            ORDER BY lang
         """,
         "set_op_cardinalities": """
             WITH a AS (SELECT DISTINCT user_id AS k FROM events),

@@ -1361,3 +1361,80 @@ def char_class_profile(sf_dir: str) -> pa.Table:
          "digit_frac": "float64", "space_frac": "float64", "other_frac": "float64"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def per_lang_correlations(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Per-language correlation + least-squares fit between document token
+    count (x) and character count (y) — the redundancy check a pipeline
+    runs before treating two quality signals as independent filters.
+
+    One streaming pass produces per-batch per-lang INTEGER moment partials
+    (n, Σx, Σy, Σx², Σy², Σxy) — both inputs are integers, so the partials
+    are exact and the fold has no float accumulation order to mirror
+    against the oracle (the quality_zscores precedent). Partials fold
+    adaptively (driver below _SMALL_DOCS, else distributed groupby
+    Sum); the final corr / regr_slope / regr_intercept arithmetic runs in
+    arbitrary-precision Python ints, converting to float only at the last
+    division. Degenerate groups (n < 2 or zero variance on either axis)
+    are excluded on both sides. int64 partial sums bound the per-group
+    input at ~2^63/max(y²) rows; past that the partials would need a
+    two-level (per-shard, then big-int driver) fold.
+
+    Returns (lang, n, corr_tok_chars, slope, intercept) sorted by lang,
+    floats rounded 6dp half-away (round6, the house rule)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def moment_partials(batch: pa.Table) -> pa.Table:
+        x = pc.list_value_length(pc.split_pattern(
+            batch["text"].combine_chunks(), " ")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        y = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "lang": batch["lang"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "syy": pa.array(y * y),
+            "sxy": pa.array(x * y),
+        })
+        g = t.group_by("lang").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["lang", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    partials = ds.map_batches(moment_partials, batch_format="pyarrow",
+                              batch_size=8192)
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    small = (ds.count() < _SMALL_DOCS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(partials.to_pandas(),
+                             {"lang": "object", **{c: "int64" for c in cols}})
+        mom = pdf.groupby("lang", as_index=False)[cols].sum()
+    else:
+        mom = (partials.repartition(n_reducers()).groupby("lang")
+               .aggregate(*[Sum(c, alias_name=c) for c in cols])).to_pandas()
+        mom = ensure_columns(mom, {"lang": "object", **{c: "int64" for c in cols}})
+
+    rows = []
+    for _, r in mom.sort_values("lang").iterrows():
+        n, sx, sy, sxx, syy, sxy = (int(r[c]) for c in cols)
+        dx = n * sxx - sx * sx      # n²·var_pop(x): exact ints
+        dy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        if n < 2 or dx <= 0 or dy <= 0:
+            continue
+        corr = float(cov) / math.sqrt(float(dx) * float(dy))
+        slope = float(cov) / float(dx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        rows.append((str(r["lang"]), n, float(round6(corr)),
+                     float(round6(slope)), float(round6(intercept))))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "corr_tok_chars": pa.array([r[2] for r in rows], pa.float64()),
+        "slope": pa.array([r[3] for r in rows], pa.float64()),
+        "intercept": pa.array([r[4] for r in rows], pa.float64()),
+    })

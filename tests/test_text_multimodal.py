@@ -601,3 +601,50 @@ def test_char_class_profile_hand_case(ray_session, tmp_path):
     assert out.iloc[1]["letter_frac"] == 0.820313  # half-away, not banker's
     r2 = out.iloc[2]
     assert r2["n_chars"] == 0 and r2["letter_frac"] == 0.0
+
+
+def test_per_lang_correlations_hand_case_and_branches(ray_session, tmp_path):
+    """Correlation/fit by hand: en has y = 3x exactly (corr 1, slope 3,
+    intercept 0); de is anti-perfect (corr -1); a single-doc lang and a
+    zero-x-variance lang are excluded; adaptive branches agree and match
+    DuckDB's corr/regr_slope/regr_intercept at sf0.001."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import per_lang_correlations
+
+    texts = ["a", "a b", "a b c",      # en: x=1,2,3
+             "a", "a b",               # de: x=1,2
+             "solo",                   # fr: n=1 -> excluded
+             "p q", "p q"]             # it: zero x-variance -> excluded
+    ys = [3, 6, 9,                     # en: y=3x
+          10, 5,                       # de: y=-5x+15
+          7, 4, 4]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "en", "en", "de", "de", "fr", "it", "it"]),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array(ys, pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = per_lang_correlations(str(tmp_path)).to_pandas()
+    assert out["lang"].tolist() == ["de", "en"]
+    assert out["corr_tok_chars"].tolist() == [-1.0, 1.0]
+    assert out["slope"].tolist() == [-5.0, 3.0]
+    assert out["intercept"].tolist() == [15.0, 0.0]
+
+    a = per_lang_correlations(SF, force="driver").to_pandas()
+    b = per_lang_correlations(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        WITH d AS (SELECT lang, len(string_split(text, ' ')) AS x,
+                          n_chars AS y
+                   FROM read_parquet('{SF}/documents.parquet'))
+        SELECT lang, count(*) AS n,
+               round(corr(y, x), 6) AS corr_tok_chars,
+               round(regr_slope(y, x), 6) AS slope,
+               round(regr_intercept(y, x), 6) AS intercept
+        FROM d GROUP BY lang
+        HAVING count(*) >= 2 AND var_pop(x) > 0 AND var_pop(y) > 0
+        ORDER BY lang""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
