@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_set_ops": sketch_queries.kmv_set_ops,
         # per-language signal-redundancy fit (corr + least squares)
         "per_lang_correlations": text_analysis.per_lang_correlations,
+        # Heaps-law n-gram vocabulary-growth curve
+        "gram_novelty_curve": lambda sf: exact.gram_novelty_curve(sf, n=3),
     }
 
 
@@ -1355,6 +1357,30 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "gram_novelty_curve": """
+            WITH tok AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos,
+                       unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ), g AS (
+                SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS gram
+                FROM tok a
+                JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            ), firsts AS (
+                SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+            ), mx AS (
+                SELECT max(doc_id) + 1 AS m FROM documents
+            ), bucketed AS (
+                SELECT (first_doc * 10) // m AS bucket, count(*) AS new_grams
+                FROM firsts, mx GROUP BY 1
+            )
+            SELECT bucket, new_grams,
+                   CAST(sum(new_grams) OVER (ORDER BY bucket) AS BIGINT)
+                       AS cum_vocab
+            FROM bucketed ORDER BY bucket
         """,
         "per_lang_correlations": """
             WITH d AS (SELECT lang, len(string_split(text, ' ')) AS x,

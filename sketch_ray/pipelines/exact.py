@@ -872,3 +872,83 @@ def skipgram_counts(sf_dir: str, window: int = 3, min_cnt: int = 60) -> pa.Table
     df = ensure_columns(agg.to_pandas(), {"pair": "object", "cnt": "int64"})
     df = df[df["cnt"] >= min_cnt].sort_values("pair").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def gram_novelty_curve(sf_dir: str, n: int = 3, n_buckets: int = 10,
+                       force: str | None = None) -> pa.Table:
+    """Vocabulary-growth (Heaps-law) curve over word ``n``-grams: split the
+    corpus into ``n_buckets`` equal doc_id ranges and count, per bucket,
+    the grams whose FIRST occurrence (minimum doc_id) falls there — the
+    measurement behind "is more data still buying new patterns?" (unigram
+    vocabularies saturate almost immediately; higher-order grams keep
+    growing, which is exactly what the curve shows).
+
+    One streaming pass emits per-batch (gram, min doc_id) partials —
+    gram-vocab-bounded per batch regardless of frequency — folded
+    adaptively: driver min-fold below _SMALL_ROWS docs, else a distributed
+    groupby(gram).Min (per-batch pre-aggregation leaves ≤ one row per gram
+    per batch, and a Min has no hot-key pile-up to salt). Windows never
+    cross document boundaries (same mask as stages/tokenize.ngrams;
+    reference src/sketch.cpp:103-171 sliding window). Buckets come from
+    the closed formula (first_doc · n_buckets) // (max_doc + 1) — no
+    density assumption on doc_id. Returns (bucket, new_grams, cum_vocab)
+    sorted by bucket; empty buckets emit no row (matching SQL GROUP BY)."""
+    from ray.data.aggregate import Min
+
+    from ..stages.tokenize import flat_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    max_doc = ds.max("doc_id")
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch["text"].combine_chunks())
+        row = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        if n <= 1:
+            grams, grow = flat, row
+        else:
+            m = len(flat) - n + 1
+            if m <= 0:
+                return pa.table({"gram": pa.array([], pa.large_string()),
+                                 "first_doc": pa.array([], pa.int64())})
+            valid = row[:m] == row[n - 1:]
+            shifted = [flat.slice(j, m) for j in range(n)]
+            sep = pa.scalar(" ", type=flat.type)
+            grams = pc.binary_join_element_wise(*shifted, sep).filter(pa.array(valid))
+            grow = row[:m][valid]
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[grow]
+        t = pa.table({"gram": grams.cast(pa.large_string()),
+                      "first_doc": pa.array(doc, pa.int64())})
+        g = t.group_by("gram").aggregate([("first_doc", "min")])
+        return g.rename_columns(["gram", "first_doc"])
+
+    partials = ds.map_batches(firsts, batch_format="pyarrow", batch_size=4096)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(partials.to_pandas(),
+                             {"gram": "object", "first_doc": "int64"})
+        fd = pdf.groupby("gram")["first_doc"].min().to_numpy(np.int64)
+    else:
+        agg = (partials.repartition(n_reducers()).groupby("gram")
+               .aggregate(Min("first_doc", alias_name="first_doc")))
+
+        def bucket_partials(batch: pa.Table) -> pa.Table:
+            f = batch["first_doc"].to_numpy(zero_copy_only=False)
+            b = (f * n_buckets) // (max_doc + 1)
+            ub, cnt = np.unique(b, return_counts=True)
+            return pa.table({"bucket": pa.array(ub, pa.int64()),
+                             "partial": pa.array(cnt, pa.int64())})
+
+        t = ensure_columns(
+            agg.map_batches(bucket_partials, batch_format="pyarrow",
+                            batch_size=65536).to_pandas(),
+            {"bucket": "int64", "partial": "int64"})
+        g = t.groupby("bucket")["partial"].sum().sort_index()
+        new = g.to_numpy(np.int64)
+        return pa.table({"bucket": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                         "new_grams": pa.array(new, pa.int64()),
+                         "cum_vocab": pa.array(np.cumsum(new), pa.int64())})
+    b = (fd * n_buckets) // (max_doc + 1)
+    ub, cnt = np.unique(b, return_counts=True)
+    return pa.table({"bucket": pa.array(ub, pa.int64()),
+                     "new_grams": pa.array(cnt, pa.int64()),
+                     "cum_vocab": pa.array(np.cumsum(cnt), pa.int64())})

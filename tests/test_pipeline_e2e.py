@@ -264,3 +264,38 @@ def test_csv_source_roundtrip(ray_session, tmp_path):
     assert got["text"].tolist() == want["text"].tolist()
     assert [bytes(x) for x in got["html"]] == [bytes(x) for x in want["html"]]
     assert got["warc_ts"].tolist() == want["warc_ts"].tolist()
+
+
+def test_gram_novelty_curve_hand_case_and_branches(ray_session, tmp_path):
+    """Trigram novelty by hand on a 4-doc corpus with a known first-seen
+    bucket per gram; doc-boundary windows excluded; adaptive branches
+    agree at sf0.001; cum_vocab is the running total."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.exact import gram_novelty_curve
+
+    # doc 0: grams "a b c","b c d"; doc 1: repeats "a b c" (not new);
+    # doc 2: too short for a trigram; doc 3: gram "x y z"
+    texts = ["a b c d", "a b c", "a b", "x y z"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = gram_novelty_curve(str(tmp_path), n=3, n_buckets=4).to_pandas()
+    # buckets: doc_id d -> (d*4)//4 = d; new grams: doc0 -> 2, doc3 -> 1
+    assert out["bucket"].tolist() == [0, 3]
+    assert out["new_grams"].tolist() == [2, 1]
+    assert out["cum_vocab"].tolist() == [2, 3]
+
+    sf = "/root/testdata/sf0.001"
+    a = gram_novelty_curve(sf, n=3).to_pandas()
+    b = gram_novelty_curve(sf, n=3, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (np.diff(a["cum_vocab"].to_numpy()) ==
+            a["new_grams"].to_numpy()[1:]).all()
