@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_lang_correlations": text_analysis.per_lang_correlations,
         # Heaps-law n-gram vocabulary-growth curve
         "gram_novelty_curve": lambda sf: exact.gram_novelty_curve(sf, n=3),
+        # z-score volume anomalies over the daily windowed aggregate
+        "event_anomaly_days": relational.event_anomaly_days,
     }
 
 
@@ -1357,6 +1359,25 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "event_anomaly_days": """
+            WITH daily AS (
+                SELECT date_trunc('day', ts) AS day, event_type,
+                       count(*) AS n_events
+                FROM events GROUP BY day, event_type
+            ), stats AS (
+                SELECT day, event_type, n_events,
+                       avg(n_events) OVER (PARTITION BY event_type) AS mu,
+                       stddev_samp(n_events) OVER (PARTITION BY event_type) AS sd,
+                       count(*) OVER (PARTITION BY event_type) AS nd
+                FROM daily
+            )
+            SELECT day, event_type, n_events,
+                   round((n_events - mu) / sd, 6) AS z
+            FROM stats
+            WHERE nd >= 2 AND sd > 0
+              AND abs(round((n_events - mu) / sd, 6)) >= 2
+            ORDER BY day, event_type
         """,
         "gram_novelty_curve": """
             WITH tok AS (

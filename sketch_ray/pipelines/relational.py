@@ -1578,3 +1578,46 @@ def set_op_cardinalities(sf_dir: str, force: str | None = None) -> pa.Table:
         "jaccard": pa.array([float(round6(n_inter / n_union)) if n_union else 0.0],
                             pa.float64()),
     })
+
+
+def event_anomaly_days(sf_dir: str, z_threshold: float = 2.0) -> pa.Table:
+    """Volume-anomaly detection over the event stream: days whose per-type
+    event count sits ≥ ``z_threshold`` sample standard deviations from
+    that type's cross-day mean — the trend/alerting statistic layered on
+    the tumbling-window aggregate (same composition discipline as
+    daily_type_deltas: derived driver-side from the group-bounded
+    (day, type) table events_daily_windows already produces, no extra
+    corpus pass).
+
+    z is computed from exact integer moments (n, Σx, Σx²) in the oracle's
+    float order — z = (x − s/n) / sqrt((ss − s·(s/n)) / (n−1)) — and the
+    threshold test runs on the 6dp-ROUNDED z on both sides, so the filter
+    boundary cannot disagree with the SQL (quality_zscores precedent).
+    Types with < 2 days or zero variance are excluded. Returns
+    (day, event_type, n_events, z) sorted by (day, event_type)."""
+    base = events_daily_windows(sf_dir).to_pandas()
+    out_rows = []
+    for etype, g in base.groupby("event_type"):
+        x = g["n_events"].to_numpy(np.int64)
+        nd = len(x)
+        if nd < 2:
+            continue
+        s, ss = int(x.sum()), int((x * x).sum())
+        mean = s / nd
+        var = (ss - s * mean) / (nd - 1)
+        if var <= 0:
+            continue
+        sd = float(np.sqrt(var))
+        z = round6((x - mean) / sd)
+        keep = np.abs(z) >= z_threshold
+        for day, n_ev, zz in zip(g["day"].to_numpy()[keep],
+                                 x[keep], np.asarray(z)[keep]):
+            out_rows.append((day, etype, int(n_ev), float(zz)))
+    out = pd.DataFrame(out_rows, columns=["day", "event_type", "n_events", "z"])
+    if not len(out):
+        out = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                            "event_type": pd.Series([], dtype="object"),
+                            "n_events": pd.Series([], dtype="int64"),
+                            "z": pd.Series([], dtype="float64")})
+    out = out.sort_values(["day", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -480,3 +480,59 @@ def test_daily_type_deltas_hand_case(ray_session, tmp_path):
     assert out["n_events"].tolist() == [2, 3]
     assert out["prev_events"].tolist() == [0, 2]
     assert out["delta"].tolist() == [2, 1]
+
+
+def test_event_anomaly_days_hand_case(ray_session, tmp_path):
+    """One engineered spike: type 'a' has ten 1-event days and one 20-event
+    day (z ≈ +3.01 — the only |z| ≥ 2 row); a single-day type and a
+    zero-variance type are excluded; result matches DuckDB's windowed
+    z-score on the same parquet."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import event_anomaly_days
+
+    rows = []
+    day0 = np.datetime64("2024-01-01T00:00:00", "us")
+    for d in range(11):                       # type a: 1/day, day 10 has 20
+        n = 20 if d == 10 else 1
+        for i in range(n):
+            rows.append((day0 + np.timedelta64(d, "D") + np.timedelta64(i, "m"),
+                         "a"))
+    rows.append((day0, "single_day"))         # nd=1 -> excluded
+    for d in range(3):                        # constant type: sd=0 -> excluded
+        rows.append((day0 + np.timedelta64(d, "D"), "flat"))
+    ts = pa.array([r[0] for r in rows], pa.timestamp("us"))
+    et = pa.array([r[1] for r in rows], pa.string())
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()), "ts": ts,
+        "user_id": pa.array([1] * n, pa.int64()), "event_type": et,
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), f"{tmp_path}/events.parquet")
+
+    out = event_anomaly_days(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "event_type"] == "a"
+    assert out.loc[0, "n_events"] == 20
+    assert out.loc[0, "z"] > 3
+
+    ref = duckdb.sql(f"""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   count(*) AS n_events
+            FROM read_parquet('{tmp_path}/events.parquet')
+            GROUP BY day, event_type
+        ), stats AS (
+            SELECT day, event_type, n_events,
+                   avg(n_events) OVER (PARTITION BY event_type) AS mu,
+                   stddev_samp(n_events) OVER (PARTITION BY event_type) AS sd,
+                   count(*) OVER (PARTITION BY event_type) AS nd
+            FROM daily)
+        SELECT day, event_type, n_events, round((n_events - mu) / sd, 6) AS z
+        FROM stats
+        WHERE nd >= 2 AND sd > 0 AND abs(round((n_events - mu) / sd, 6)) >= 2
+        ORDER BY day, event_type""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
