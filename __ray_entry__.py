@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty_curve": lambda sf: exact.gram_novelty_curve(sf, n=3),
         # z-score volume anomalies over the daily windowed aggregate
         "event_anomaly_days": relational.event_anomaly_days,
+        # lang-vs-source mutual information / entropies (mixing diversity)
+        "lang_source_mi": text_analysis.lang_source_mi,
     }
 
 
@@ -1359,6 +1361,28 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "lang_source_mi": """
+            WITH c AS (SELECT lang, source, count(*) AS n_ls
+                       FROM documents GROUP BY lang, source),
+                 l AS (SELECT lang, sum(n_ls) AS n_l FROM c GROUP BY lang),
+                 s AS (SELECT source, sum(n_ls) AS n_s FROM c GROUP BY source),
+                 t AS (SELECT sum(n_ls) AS n FROM c)
+            SELECT CAST((SELECT n FROM t) AS BIGINT) AS n_docs,
+                   round((SELECT sum((n_ls / CAST(n AS DOUBLE))
+                              * ln((n_ls * CAST(n AS DOUBLE))
+                                   / (CAST(n_l AS DOUBLE) * n_s)))
+                          FROM c JOIN l USING (lang) JOIN s USING (source)
+                          CROSS JOIN t), 6) AS mi_nats,
+                   round((SELECT -sum((n_l / CAST(n AS DOUBLE))
+                              * ln(n_l / CAST(n AS DOUBLE)))
+                          FROM l CROSS JOIN t), 6) AS h_lang,
+                   round((SELECT -sum((n_s / CAST(n AS DOUBLE))
+                              * ln(n_s / CAST(n AS DOUBLE)))
+                          FROM s CROSS JOIN t), 6) AS h_source,
+                   round((SELECT -sum((n_ls / CAST(n AS DOUBLE))
+                              * ln(n_ls / CAST(n AS DOUBLE)))
+                          FROM c CROSS JOIN t), 6) AS h_joint
         """,
         "event_anomaly_days": """
             WITH daily AS (

@@ -1438,3 +1438,58 @@ def per_lang_correlations(sf_dir: str, force: str | None = None) -> pa.Table:
         "slope": pa.array([r[3] for r in rows], pa.float64()),
         "intercept": pa.array([r[4] for r in rows], pa.float64()),
     })
+
+
+def lang_source_mi(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Mutual information (and the entropies behind it) between the lang
+    and source columns — "does source determine language?", the
+    redundancy/diversity statistic a mixing plan consults before
+    stratifying on both axes.
+
+    One streaming pass emits per-batch (lang, source, n) contingency
+    partials — bounded by |langs|·|sources| per batch regardless of rows —
+    folded adaptively (driver below _SMALL_DOCS, else distributed
+    groupby). Driver-side math on the contingency table (it IS the
+    sufficient statistic): MI = Σ (n_ls/N)·ln(n_ls·N / (n_l·n_s)),
+    H(·) = −Σ p·ln p, all in nats; the float term-sum is safe at 6dp
+    (terms O(1e-2), error O(1e-14) — the bigram_lm_scores ln precedent).
+    Returns one row (n_docs, mi_nats, h_lang, h_source, h_joint) with
+    MI = H(L) + H(S) − H(L,S) holding exactly up to rounding."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=16384)
+    small = (ds.count() < _SMALL_DOCS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"lang": "object", "source": "object", "n": "int64"})
+        c = pdf.groupby(["lang", "source"], as_index=False)["n"].sum()
+    else:
+        c = (parts.repartition(n_reducers()).groupby(["lang", "source"])
+             .aggregate(Sum("n", alias_name="n"))).to_pandas()
+        c = ensure_columns(c, {"lang": "object", "source": "object", "n": "int64"})
+    n_ls = c["n"].to_numpy(np.int64).astype(np.float64)
+    n_tot = float(n_ls.sum())
+    if n_tot == 0:
+        return pa.table({k: pa.array([v]) for k, v in
+                         [("n_docs", 0), ("mi_nats", 0.0), ("h_lang", 0.0),
+                          ("h_source", 0.0), ("h_joint", 0.0)]})
+    n_l = c.groupby("lang")["n"].transform("sum").to_numpy(np.int64).astype(np.float64)
+    n_s = c.groupby("source")["n"].transform("sum").to_numpy(np.int64).astype(np.float64)
+    p = n_ls / n_tot
+    mi = float((p * np.log((n_ls * n_tot) / (n_l * n_s))).sum())
+    lam = c.groupby("lang")["n"].sum().to_numpy(np.int64).astype(np.float64)
+    src = c.groupby("source")["n"].sum().to_numpy(np.int64).astype(np.float64)
+    h = lambda v: float(-((v / n_tot) * np.log(v / n_tot)).sum())
+    return pa.table({
+        "n_docs": pa.array([int(n_tot)], pa.int64()),
+        "mi_nats": pa.array([float(round6(mi))], pa.float64()),
+        "h_lang": pa.array([float(round6(h(lam)))], pa.float64()),
+        "h_source": pa.array([float(round6(h(src)))], pa.float64()),
+        "h_joint": pa.array([float(round6(h(n_ls)))], pa.float64()),
+    })

@@ -648,3 +648,46 @@ def test_per_lang_correlations_hand_case_and_branches(ray_session, tmp_path):
         HAVING count(*) >= 2 AND var_pop(x) > 0 AND var_pop(y) > 0
         ORDER BY lang""").df()
     pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+
+
+def test_lang_source_mi_hand_cases(ray_session, tmp_path):
+    """MI by hand on engineered corpora: source determines lang exactly
+    -> MI = H(lang) and H(joint) = H(source); independent axes -> MI = 0.
+    Adaptive branches agree at sf0.001; identity MI = H_l + H_s - H_joint
+    holds to rounding."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import lang_source_mi
+
+    def write(langs, sources, path):
+        n = len(langs)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["w"] * n),
+            "lang": pa.array(langs), "source": pa.array(sources),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }), f"{path}/documents.parquet")
+
+    # deterministic: each source maps to one lang; 2 langs 50/50
+    d1 = tmp_path / "det"; d1.mkdir()
+    write(["en", "en", "de", "de"], ["s1", "s2", "s3", "s4"], d1)
+    out = lang_source_mi(str(d1)).to_pandas()
+    assert out.loc[0, "mi_nats"] == round(math.log(2), 6)      # = H(lang)
+    assert out.loc[0, "h_lang"] == round(math.log(2), 6)
+    assert out.loc[0, "h_source"] == round(math.log(4), 6)
+    assert out.loc[0, "h_joint"] == out.loc[0, "h_source"]     # source refines lang
+
+    # independent: every (lang, source) combo equally likely
+    d2 = tmp_path / "ind"; d2.mkdir()
+    write(["en", "en", "de", "de"], ["s1", "s2", "s1", "s2"], d2)
+    out = lang_source_mi(str(d2)).to_pandas()
+    assert out.loc[0, "mi_nats"] == 0.0
+
+    a = lang_source_mi(SF).to_pandas()
+    b = lang_source_mi(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert abs(a.loc[0, "mi_nats"]
+               - (a.loc[0, "h_lang"] + a.loc[0, "h_source"]
+                  - a.loc[0, "h_joint"])) < 3e-6
