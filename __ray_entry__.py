@@ -174,6 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_anomaly_days": relational.event_anomaly_days,
         # lang-vs-source mutual information / entropies (mixing diversity)
         "lang_source_mi": text_analysis.lang_source_mi,
+        # per-doc lexical diversity (distinct/total tokens)
+        "type_token_ratio": text_analysis.type_token_ratio,
+        # audience-growth curve (first-seen day per user + running total)
+        "user_first_seen_curve": relational.user_first_seen_curve,
     }
 
 
@@ -1361,6 +1365,22 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "type_token_ratio": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                         FROM documents)
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT t) AS n_types,
+                   round(count(DISTINCT t) / CAST(count(*) AS DOUBLE), 6) AS ttr
+            FROM tok GROUP BY doc_id ORDER BY doc_id
+        """,
+        "user_first_seen_curve": """
+            WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS first_day
+                       FROM events GROUP BY user_id)
+            SELECT first_day AS day, count(*) AS new_users,
+                   CAST(sum(count(*)) OVER (ORDER BY first_day) AS BIGINT)
+                       AS cum_users
+            FROM f GROUP BY first_day ORDER BY first_day
         """,
         "lang_source_mi": """
             WITH c AS (SELECT lang, source, count(*) AS n_ls

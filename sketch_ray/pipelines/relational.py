@@ -1621,3 +1621,53 @@ def event_anomaly_days(sf_dir: str, z_threshold: float = 2.0) -> pa.Table:
                             "z": pd.Series([], dtype="float64")})
     out = out.sort_values(["day", "event_type"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def user_first_seen_curve(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Cumulative-unique-users growth curve: per day, how many users made
+    their FIRST-ever event that day, plus the running total — audience
+    growth from an append-only event stream without re-counting distinct
+    users per prefix (which would be quadratic).
+
+    Same physical shape as the vocabulary-novelty fold: per-batch
+    (user_id, min day) partials — user-bounded per batch — folded
+    adaptively (driver min-fold below _SMALL_ROWS, else distributed
+    groupby(user).Min; a Min has no hot-key pile-up to salt), then a tiny
+    per-day count + cumsum. Returns (day, new_users, cum_users) sorted by
+    day; days where no user is new emit no row (matching SQL GROUP BY)."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        t = pa.table({"user_id": batch["user_id"], "first_day": day})
+        g = t.group_by("user_id").aggregate([("first_day", "min")])
+        return g.rename_columns(["user_id", "first_day"])
+
+    parts = ds.map_batches(firsts, batch_format="pyarrow", batch_size=32768)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"user_id": "int64", "first_day": "datetime64[us]"})
+        fd = pdf.groupby("user_id")["first_day"].min()
+        per_day = fd.value_counts().sort_index()
+    else:
+        agg = (parts.repartition(n_reducers()).groupby("user_id")
+               .aggregate(Min("first_day", alias_name="first_day")))
+
+        def day_partials(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("first_day").aggregate([([], "count_all")])
+            return g.rename_columns(["first_day", "partial"])
+
+        t = ensure_columns(
+            agg.map_batches(day_partials, batch_format="pyarrow",
+                            batch_size=65536).to_pandas(),
+            {"first_day": "datetime64[us]", "partial": "int64"})
+        per_day = t.groupby("first_day")["partial"].sum().sort_index()
+    new = per_day.to_numpy(np.int64)
+    return pa.table({
+        "day": pa.array(per_day.index.to_numpy(), pa.timestamp("us")),
+        "new_users": pa.array(new, pa.int64()),
+        "cum_users": pa.array(np.cumsum(new), pa.int64()),
+    })

@@ -1493,3 +1493,38 @@ def lang_source_mi(sf_dir: str, force: str | None = None) -> pa.Table:
         "h_source": pa.array([float(round6(h(src)))], pa.float64()),
         "h_joint": pa.array([float(round6(h(n_ls)))], pa.float64()),
     })
+
+
+def type_token_ratio(sf_dir: str) -> pa.Table:
+    """Per-document type/token ratio — the lexical-diversity signal used
+    alongside length/stopword filters (templated or boilerplate text has
+    low TTR). Pure map_batches, no shuffle: each document's distinct-token
+    count comes from an EXACT per-batch Arrow group_by over (row, token)
+    pairs (string-keyed, no hashing shortcut), so the pipeline streams at
+    any corpus size and the gate compares per-doc rows. Returns
+    (doc_id, n_tokens, n_types, ttr) sorted by doc_id, ttr rounded 6dp
+    half-away."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch["text"].combine_chunks())
+        n_tok = np.diff(offsets)
+        row = np.repeat(np.arange(len(n_tok)), n_tok)
+        pairs = pa.table({"row": pa.array(row, pa.int64()),
+                          "t": flat})
+        g = pairs.group_by(["row", "t"]).aggregate([([], "count_all")])
+        types = np.zeros(len(n_tok), np.int64)
+        np.add.at(types, g["row"].to_numpy(), 1)
+        ttr = round6(types / np.maximum(n_tok, 1))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_types": pa.array(types, pa.int64()),
+            "ttr": pa.array(ttr, pa.float64()),
+        })
+
+    df = ensure_columns(
+        ds.map_batches(per_doc, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_tokens": "int64", "n_types": "int64", "ttr": "float64"})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

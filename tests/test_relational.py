@@ -536,3 +536,20 @@ def test_event_anomaly_days_hand_case(ray_session, tmp_path):
         WHERE nd >= 2 AND sd > 0 AND abs(round((n_events - mu) / sd, 6)) >= 2
         ORDER BY day, event_type""").df()
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_user_first_seen_curve_branches_and_identity(ray_session):
+    """Adaptive branches agree; cum_users is the running sum of new_users
+    and ends at the exact distinct-user count."""
+    import numpy as np
+
+    from sketch_ray.pipelines.relational import user_first_seen_curve
+
+    a = user_first_seen_curve(SF).to_pandas()
+    b = user_first_seen_curve(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["cum_users"].to_numpy() == np.cumsum(a["new_users"].to_numpy())).all()
+    want = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert a["cum_users"].iloc[-1] == want

@@ -691,3 +691,24 @@ def test_lang_source_mi_hand_cases(ray_session, tmp_path):
     assert abs(a.loc[0, "mi_nats"]
                - (a.loc[0, "h_lang"] + a.loc[0, "h_source"]
                   - a.loc[0, "h_joint"])) < 3e-6
+
+
+def test_type_token_ratio_hand_case(ray_session, tmp_path):
+    """TTR by hand: all-distinct doc -> 1.0; fully repeated doc -> 1/4;
+    the 6dp rounding is half-away (1/3 -> 0.333333)."""
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.text_analysis import type_token_ratio
+
+    texts = ["a b c", "x x x x", "a a b"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = type_token_ratio(str(tmp_path)).to_pandas()
+    assert out["n_tokens"].tolist() == [3, 4, 3]
+    assert out["n_types"].tolist() == [3, 1, 2]
+    assert out["ttr"].tolist() == [1.0, 0.25, 0.666667]
