@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": text_analysis.type_token_ratio,
         # audience-growth curve (first-seen day per user + running total)
         "user_first_seen_curve": relational.user_first_seen_curve,
+        # RANK / PERCENT_RANK window shape (per-priority price ranking)
+        "order_rank_in_priority": relational.order_rank_in_priority,
+        # inclusion-exclusion HLL set estimates (vs theta kmv_set_ops)
+        "hll_set_ops": sketch_queries.hll_set_ops,
     }
 
 
@@ -1365,6 +1369,16 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "order_rank_in_priority": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rnk,
+                   round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                              ORDER BY o_totalprice), 6)
+                       AS pct_rank
+            FROM orders
+            ORDER BY o_orderpriority, rnk, o_orderkey
         """,
         "type_token_ratio": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

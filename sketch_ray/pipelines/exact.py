@@ -883,50 +883,68 @@ def gram_novelty_curve(sf_dir: str, n: int = 3, n_buckets: int = 10,
     vocabularies saturate almost immediately; higher-order grams keep
     growing, which is exactly what the curve shows).
 
-    One streaming pass emits per-batch (gram, min doc_id) partials —
+    One streaming pass emits per-batch (gram-hash, min doc_id) partials —
     gram-vocab-bounded per batch regardless of frequency — folded
     adaptively: driver min-fold below _SMALL_ROWS docs, else a distributed
-    groupby(gram).Min (per-batch pre-aggregation leaves ≤ one row per gram
-    per batch, and a Min has no hot-key pile-up to salt). Windows never
-    cross document boundaries (same mask as stages/tokenize.ngrams;
-    reference src/sketch.cpp:103-171 sliding window). Buckets come from
-    the closed formula (first_doc · n_buckets) // (max_doc + 1) — no
-    density assumption on doc_id. Returns (bucket, new_grams, cum_vocab)
-    sorted by bucket; empty buckets emit no row (matching SQL GROUP BY)."""
+    groupby(hash).Min (per-batch pre-aggregation leaves ≤ one row per gram
+    per batch, and a Min has no hot-key pile-up to salt). The gram key is
+    a 64-bit polynomial combine of the per-token hashes (the curve needs
+    only COUNTS per bucket, never the gram text — the same hash-keyed-fold
+    exactness contract as the dup-span/jaccard folds: exact absent a
+    64-bit collision). Gram strings are never materialized, which is what
+    makes this a one-narrow-pass operator at 100 TB. Windows never cross
+    document boundaries (same mask as stages/tokenize.ngrams; reference
+    src/sketch.cpp:103-171 sliding window). Buckets come from the closed
+    formula (first_doc · n_buckets) // (max_doc + 1) — no density
+    assumption on doc_id. Returns (bucket, new_grams, cum_vocab) sorted
+    by bucket; empty buckets emit no row (matching SQL GROUP BY)."""
     from ray.data.aggregate import Min
 
+    from ..kernels.hashing import hash_arrow_strings
     from ..stages.tokenize import flat_tokens
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     max_doc = ds.max("doc_id")
+    B = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
 
     def firsts(batch: pa.Table) -> pa.Table:
         flat, offsets = flat_tokens(batch["text"].combine_chunks())
         row = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        th = hash_arrow_strings(flat, seed=42)
         if n <= 1:
-            grams, grow = flat, row
+            gh, grow = th, row
         else:
-            m = len(flat) - n + 1
+            m = len(th) - n + 1
             if m <= 0:
-                return pa.table({"gram": pa.array([], pa.large_string()),
+                return pa.table({"gram": pa.array([], pa.uint64()),
                                  "first_doc": pa.array([], pa.int64())})
             valid = row[:m] == row[n - 1:]
-            shifted = [flat.slice(j, m) for j in range(n)]
-            sep = pa.scalar(" ", type=flat.type)
-            grams = pc.binary_join_element_wise(*shifted, sep).filter(pa.array(valid))
-            grow = row[:m][valid]
+            gh = th[:m].copy()
+            for j in range(1, n):  # Horner: h = h*B + th_j (mod 2^64)
+                gh = gh * B + th[j:j + m]
+            gh, grow = gh[valid], row[:m][valid]
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)[grow]
-        t = pa.table({"gram": grams.cast(pa.large_string()),
-                      "first_doc": pa.array(doc, pa.int64())})
-        g = t.group_by("gram").aggregate([("first_doc", "min")])
-        return g.rename_columns(["gram", "first_doc"])
+        # per-batch min-fold in numpy: sort by (hash, doc), keep first per run
+        order = np.lexsort((doc, gh))
+        gs, ds_ = gh[order], doc[order]
+        head = np.ones(len(gs), bool)
+        head[1:] = gs[1:] != gs[:-1]
+        return pa.table({"gram": pa.array(gs[head], pa.uint64()),
+                         "first_doc": pa.array(ds_[head], pa.int64())})
 
     partials = ds.map_batches(firsts, batch_format="pyarrow", batch_size=4096)
     small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
     if small:
-        pdf = ensure_columns(partials.to_pandas(),
-                             {"gram": "object", "first_doc": "int64"})
-        fd = pdf.groupby("gram")["first_doc"].min().to_numpy(np.int64)
+        gh = np.empty(0, np.uint64)
+        fdoc = np.empty(0, np.int64)
+        for b in partials.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+            gh = np.concatenate([gh, b["gram"].to_numpy(zero_copy_only=False)])
+            fdoc = np.concatenate([fdoc, b["first_doc"].to_numpy(zero_copy_only=False)])
+        order = np.lexsort((fdoc, gh))
+        gs, ds_ = gh[order], fdoc[order]
+        head = np.ones(len(gs), bool)
+        head[1:] = gs[1:] != gs[:-1]
+        fd = ds_[head]
     else:
         agg = (partials.repartition(n_reducers()).groupby("gram")
                .aggregate(Min("first_doc", alias_name="first_doc")))

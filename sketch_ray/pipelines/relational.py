@@ -1671,3 +1671,53 @@ def user_first_seen_curve(sf_dir: str, force: str | None = None) -> pa.Table:
         "new_users": pa.array(new, pa.int64()),
         "cum_users": pa.array(np.cumsum(new), pa.int64()),
     })
+
+
+def order_rank_in_priority(sf_dir: str, force: str | None = None) -> pa.Table:
+    """RANK / PERCENT_RANK of every order's total price within its
+    priority class — the ranking window shape (ties share a rank; percent
+    rank = (rank − 1)/(n − 1)) that complements the LAG/LEAD and quantile
+    windows already covered.
+
+    Plan: priority classes are few and bounded, so the shuffle is ONE
+    groupby(priority) over (orderkey, totalprice) pairs; ranks inside a
+    group come from a vectorized double-searchsorted on the sorted price
+    array (no per-row loop). Adaptive: below _SMALL_ROWS the pairs fold
+    driver-side with the same numpy kernel (forced-branch pytest pins
+    equality). Returns (o_orderkey, o_orderpriority, o_totalprice, rnk,
+    pct_rank) sorted by (o_orderpriority, rnk, o_orderkey); pct_rank
+    rounded 6dp half-away."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def ranked(df: pd.DataFrame) -> pd.DataFrame:
+        price = df["o_totalprice"].to_numpy(np.float64)
+        order = np.lexsort((df["o_orderkey"].to_numpy(np.int64), price))
+        sp = price[order]
+        # RANK(): 1 + number of rows strictly cheaper (ties share)
+        rnk = np.searchsorted(sp, sp, side="left") + 1
+        nn = len(sp)
+        pct = round6((rnk - 1) / (nn - 1)) if nn > 1 else np.zeros(nn)
+        out = df.iloc[order].reset_index(drop=True)
+        out["rnk"] = rnk.astype(np.int64)
+        out["pct_rank"] = np.asarray(pct, np.float64)
+        return out
+
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(ds.to_pandas(),
+                             {"o_orderkey": "int64", "o_orderpriority": "object",
+                              "o_totalprice": "float64"})
+        parts = [ranked(g) for _, g in pdf.groupby("o_orderpriority", sort=True)]
+        df = pd.concat(parts, ignore_index=True) if parts else pdf.assign(
+            rnk=pd.Series([], dtype="int64"), pct_rank=pd.Series([], dtype="float64"))
+    else:
+        out = (ds.repartition(n_reducers())
+               .groupby("o_orderpriority")
+               .map_groups(ranked, batch_format="pandas"))
+        df = ensure_columns(out.to_pandas(),
+                            {"o_orderkey": "int64", "o_orderpriority": "object",
+                             "o_totalprice": "float64", "rnk": "int64",
+                             "pct_rank": "float64"})
+    df = df.sort_values(["o_orderpriority", "rnk", "o_orderkey"]).reset_index(drop=True)
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice", "rnk", "pct_rank"]
+    return pa.Table.from_pandas(df[cols], preserve_index=False)

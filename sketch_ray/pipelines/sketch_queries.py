@@ -259,3 +259,35 @@ def kmv_set_ops(sf_dir: str, k: int = 2048) -> pa.Table:
     cols = ["est_a", "est_b", "est_union", "est_intersect",
             "est_only_a", "est_only_b", "jaccard", "theta"]
     return pa.table({c: pa.array([round(float(r[c]), 6)], pa.float64()) for c in cols})
+
+
+def hll_set_ops(sf_dir: str, p: int = 14) -> pa.Table:
+    """Inclusion–exclusion set estimates from two independently-built HLLs
+    over events.user_id and orders.o_custkey (same seed — register streams
+    must be coordinated): |A∪B| comes from the register-wise max merge
+    (HLL's native union), |A∩B| = |A| + |B| − |A∪B|, differences follow.
+    The classic cheap alternative to the theta sketch (kmv_set_ops): union
+    error keeps HLL's ~1.04/sqrt(2^p) bound, but the subtraction means the
+    INTERSECTION error scales with |A∪B|, not |A∩B| — tiny overlaps drown
+    in union noise, which is precisely why the theta path exists. Both are
+    pinned against the oracle-gated set_op_cardinalities in pytest.
+    Rows-only gated; one KB-sized state per side crosses the wire."""
+    a = build_sketches(_read(sf_dir, "events", ["user_id"]),
+                       [SketchSpec("a", "hll", "user_id", mode="column",
+                                   params={"p": int(p), "seed": 42})],
+                       batch_size=16384)["a"]
+    b = build_sketches(_read(sf_dir, "orders", ["o_custkey"]),
+                       [SketchSpec("b", "hll", "o_custkey", mode="column",
+                                   params={"p": int(p), "seed": 42})],
+                       batch_size=16384)["b"]
+    est_a, est_b = a.estimate(), b.estimate()
+    est_union = a.merge(b).estimate()   # register-wise max; a is consumed
+    est_inter = max(0.0, est_a + est_b - est_union)
+    return pa.table({
+        "est_a": pa.array([round(est_a, 6)], pa.float64()),
+        "est_b": pa.array([round(est_b, 6)], pa.float64()),
+        "est_union": pa.array([round(est_union, 6)], pa.float64()),
+        "est_intersect": pa.array([round(est_inter, 6)], pa.float64()),
+        "est_only_a": pa.array([round(max(0.0, est_a - est_inter), 6)], pa.float64()),
+        "est_only_b": pa.array([round(max(0.0, est_b - est_inter), 6)], pa.float64()),
+    })

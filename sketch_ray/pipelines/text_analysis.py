@@ -1509,12 +1509,17 @@ def type_token_ratio(sf_dir: str) -> pa.Table:
     def per_doc(batch: pa.Table) -> pa.Table:
         flat, offsets = flat_tokens(batch["text"].combine_chunks())
         n_tok = np.diff(offsets)
-        row = np.repeat(np.arange(len(n_tok)), n_tok)
-        pairs = pa.table({"row": pa.array(row, pa.int64()),
-                          "t": flat})
-        g = pairs.group_by(["row", "t"]).aggregate([([], "count_all")])
-        types = np.zeros(len(n_tok), np.int64)
-        np.add.at(types, g["row"].to_numpy(), 1)
+        row = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        # EXACT distinct count per doc without a string group_by:
+        # dictionary-encode the flat tokens (exact string equality, C++
+        # hash table), then count unique (row, code) int pairs
+        codes = pc.dictionary_encode(flat if isinstance(flat, pa.Array)
+                                     else flat.combine_chunks())
+        code = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(codes.dictionary)
+        key = np.unique(row * max(n_dict, 1) + code)
+        types = np.bincount(key // max(n_dict, 1),
+                            minlength=len(n_tok)).astype(np.int64)
         ttr = round6(types / np.maximum(n_tok, 1))
         return pa.table({
             "doc_id": batch["doc_id"],
@@ -1524,7 +1529,7 @@ def type_token_ratio(sf_dir: str) -> pa.Table:
         })
 
     df = ensure_columns(
-        ds.map_batches(per_doc, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        ds.map_batches(per_doc, batch_format="pyarrow", batch_size=2048).to_pandas(),
         {"doc_id": "int64", "n_tokens": "int64", "n_types": "int64", "ttr": "float64"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)

@@ -553,3 +553,43 @@ def test_user_first_seen_curve_branches_and_identity(ray_session):
         f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
     ).fetchone()[0]
     assert a["cum_users"].iloc[-1] == want
+
+
+def test_order_rank_in_priority_hand_case_and_branches(ray_session, tmp_path):
+    """RANK semantics by hand: tied prices share a rank and the next rank
+    skips; percent_rank = (rank-1)/(n-1); single-row group gets 0.
+    Adaptive plans agree and match DuckDB at sf0.001."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import order_rank_in_priority
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_custkey": pa.array([1] * 5, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5),
+        "o_totalprice": pa.array([10.0, 10.0, 20.0, 5.0, 7.0], pa.float64()),
+        "o_orderdate": pa.array(["1996-01-01"] * 5),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4 + ["2-HIGH"]),
+    }), f"{tmp_path}/orders.parquet")
+    out = order_rank_in_priority(str(tmp_path)).to_pandas()
+    urgent = out[out["o_orderpriority"] == "1-URGENT"]
+    assert urgent["o_orderkey"].tolist() == [4, 1, 2, 3]
+    assert urgent["rnk"].tolist() == [1, 2, 2, 4]          # tie at rank 2, skip 3
+    assert urgent["pct_rank"].tolist() == [0.0, round(1/3, 6), round(1/3, 6), 1.0]
+    single = out[out["o_orderpriority"] == "2-HIGH"]
+    assert single["rnk"].tolist() == [1] and single["pct_rank"].tolist() == [0.0]
+
+    a = order_rank_in_priority(SF, force="driver").to_pandas()
+    b = order_rank_in_priority(SF, force="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rnk,
+               round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice), 6) AS pct_rank
+        FROM read_parquet('{SF}/orders.parquet')
+        ORDER BY o_orderpriority, rnk, o_orderkey""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)

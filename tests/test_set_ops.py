@@ -97,3 +97,22 @@ def test_kmv_set_ops_pipeline_exact_at_small_scale(ray_session):
     assert est["est_only_a"] == [float(exact["n_only_a"][0])]
     assert est["est_only_b"] == [float(exact["n_only_b"][0])]
     assert est["jaccard"][0] == pytest.approx(exact["jaccard"][0], abs=1e-6)
+
+
+def test_hll_set_ops_tracks_exact(ray_session):
+    """Inclusion-exclusion HLL set estimates stay within the published
+    ~1.04/sqrt(2^p) union error of the exact distinct-set algebra (the
+    intersection inherits union-scaled error — documented limitation)."""
+    from sketch_ray.pipelines.relational import set_op_cardinalities
+    from sketch_ray.pipelines.sketch_queries import hll_set_ops
+
+    exact = set_op_cardinalities(SF).to_pydict()
+    est = hll_set_ops(SF).to_pydict()
+    tol = 5 * 1.04 / (2 ** 14) ** 0.5  # 5 sigma at p=14
+    for k_est, k_ex in [("est_a", "n_a"), ("est_b", "n_b"),
+                        ("est_union", "n_union")]:
+        truth = exact[k_ex][0]
+        assert abs(est[k_est][0] - truth) <= max(2.0, tol * truth), (k_est, est[k_est], truth)
+    # intersection error is union-scaled
+    assert abs(est["est_intersect"][0] - exact["n_intersect"][0]) \
+        <= max(4.0, 2 * tol * exact["n_union"][0])
