@@ -874,6 +874,26 @@ def skipgram_counts(sf_dir: str, window: int = 3, min_cnt: int = 60) -> pa.Table
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _parquet_column_max(path: str, col: str) -> int:
+    """Column max from parquet row-group STATISTICS — no scan, no Ray
+    aggregate. ``Dataset.max`` is an AllToAll Aggregate, and on a handful
+    of large blocks it pays the measured few-block sort-shuffle pathology
+    (seconds for a metadata-answerable question). Falls back to a DuckDB
+    scan only when a writer skipped statistics."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    maxes = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            import duckdb
+            return int(duckdb.sql(
+                f"SELECT max({col}) FROM read_parquet('{path}')").fetchone()[0])
+        maxes.append(st.max)
+    return int(max(maxes))
+
 def gram_novelty_curve(sf_dir: str, n: int = 3, n_buckets: int = 10,
                        force: str | None = None) -> pa.Table:
     """Vocabulary-growth (Heaps-law) curve over word ``n``-grams: split the
@@ -904,7 +924,7 @@ def gram_novelty_curve(sf_dir: str, n: int = 3, n_buckets: int = 10,
     from ..stages.tokenize import flat_tokens
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    max_doc = ds.max("doc_id")
+    max_doc = _parquet_column_max(f"{sf_dir}/documents.parquet", "doc_id")
     B = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
 
     def firsts(batch: pa.Table) -> pa.Table:
