@@ -182,6 +182,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_in_priority": relational.order_rank_in_priority,
         # inclusion-exclusion HLL set estimates (vs theta kmv_set_ops)
         "hll_set_ops": sketch_queries.hll_set_ops,
+        # weighted threshold predicate (M8 over money, integer cents)
+        "heavy_revenue_customers": relational.heavy_revenue_customers,
+        # TPC-H Q6 predicate-pushdown aggregate
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        # (day-of-week, hour) seasonality profile
+        "dow_hour_profile": relational.dow_hour_profile,
     }
 
 
@@ -1369,6 +1375,34 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "heavy_revenue_customers": """
+            WITH r AS (SELECT o_custkey,
+                              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                  AS cents
+                       FROM orders GROUP BY o_custkey),
+                 t AS (SELECT sum(cents) AS total FROM r)
+            SELECT o_custkey, round(cents / 100.0, 2) AS revenue
+            FROM r, t
+            WHERE cents >= ceil(1.5 * total / (SELECT count(*) FROM r))
+            ORDER BY o_custkey
+        """,
+        "q6_forecast_revenue": """
+            SELECT COALESCE(round(sum(l_extendedprice * l_discount), 2), 0.0)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.05
+              AND l_quantity < 24
+        """,
+        "dow_hour_profile": """
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS value_sum
+            FROM events GROUP BY 1, 2 ORDER BY dow, hour
         """,
         "order_rank_in_priority": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,

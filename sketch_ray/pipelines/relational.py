@@ -1721,3 +1721,140 @@ def order_rank_in_priority(sf_dir: str, force: str | None = None) -> pa.Table:
     df = df.sort_values(["o_orderpriority", "rnk", "o_orderkey"]).reset_index(drop=True)
     cols = ["o_orderkey", "o_orderpriority", "o_totalprice", "rnk", "pct_rank"]
     return pa.Table.from_pandas(df[cols], preserve_index=False)
+
+
+def heavy_revenue_customers(sf_dir: str, mult: float = 1.5,
+                            force: str | None = None) -> pa.Table:
+    """WEIGHTED heavy hitters: customers whose summed order value reaches
+    ``mult`` × the MEAN customer revenue — the reference's threshold
+    predicate (M8, src/sketch.cpp:222-245) generalized from counts to a
+    weighted stream (CM-CU weighted updates support the sketch analogue;
+    this is the exact side). The threshold is mean-relative rather than
+    total-relative: with K customers a total-share cut goes vacuous as K
+    grows (every share ~1/K), while mult·mean keeps a stable admitted
+    fraction at every scale.
+
+    Money is folded in integer CENTS (round(price·100)) — float sums near
+    the threshold boundary would make membership depend on accumulation
+    order; integer partials make the comparison exact and mirror the
+    oracle's CAST(round(x*100) AS BIGINT). Per-batch (custkey, cents)
+    partials fold adaptively (driver below _SMALL_ROWS / distributed
+    groupby-Sum). Threshold = ceil(rel · total_cents) — scale-invariant.
+    Returns (o_custkey, revenue) with revenue = cents/100, sorted by
+    o_custkey."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        t = pa.table({"o_custkey": batch["o_custkey"],
+                      "cents": pa.array(cents)})
+        g = t.group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"o_custkey": "int64", "cents": "int64"})
+        g = pdf.groupby("o_custkey", as_index=False)["cents"].sum()
+    else:
+        g = (parts.repartition(n_reducers()).groupby("o_custkey")
+             .aggregate(Sum("cents", alias_name="cents"))).to_pandas()
+        g = ensure_columns(g, {"o_custkey": "int64", "cents": "int64"})
+    total = int(g["cents"].sum())
+    thr = int(np.ceil(mult * total / max(len(g), 1)))
+    g = g[g["cents"] >= thr].sort_values("o_custkey").reset_index(drop=True)
+    return pa.table({
+        "o_custkey": pa.array(g["o_custkey"].to_numpy(np.int64), pa.int64()),
+        "revenue": pa.array(np.round(g["cents"].to_numpy(np.int64) / 100.0, 2),
+                            pa.float64()),
+    })
+
+
+def q6_forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape — the canonical predicate-pushdown aggregate: revenue
+    delta from lineitems in one shipdate year with discount in a band and
+    quantity under a cap. The date/discount/quantity filters are pushed
+    into the PARQUET READ (row-group pruning + late materialization), so
+    only admitting row groups leave storage — the "prune at the read"
+    pattern stated as a scale rule in SURVEY §4. One streaming
+    sum-of-products per batch; revenue rounded 2dp (the
+    revenue_per_priority precedent). Returns one row (revenue, n_items)."""
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    flt = (
+        (pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi)
+        & (pads.field("l_discount") >= 0.03)
+        & (pads.field("l_discount") <= 0.05)
+        & (pads.field("l_quantity") < 24)
+    )
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_discount"],
+                         filter=flt)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"rev": pa.array([float((p * d).sum())], pa.float64()),
+                         "n": pa.array([len(p)], pa.int64())})
+
+    t = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+          .to_pandas(),
+        {"rev": "float64", "n": "int64"})
+    return pa.table({
+        "revenue": pa.array([float(np.round(t["rev"].sum(), 2))], pa.float64()),
+        "n_items": pa.array([int(t["n"].sum())], pa.int64()),
+    })
+
+
+def dow_hour_profile(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Seasonality profile of the event stream: count + value sum per
+    (day-of-week, hour-of-day) cell — the temporal-feature extraction a
+    traffic model starts from. Cell count is fixed (≤ 168), so the fold is
+    group-bounded: per-batch (dow, hour) partials, adaptive driver /
+    distributed Sum fold. Day-of-week follows DuckDB's dayofweek
+    (0 = Sunday; Arrow counts from Monday, so the partial shifts by +1
+    mod 7 to match the oracle). value_sum rounded 4dp (daily-windows
+    precedent). Returns (dow, hour, n_events, value_sum) sorted."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks()
+        dow_mon0 = pc.day_of_week(ts).to_numpy(zero_copy_only=False)
+        dow = (dow_mon0 + 1) % 7  # Monday=0 -> Sunday=0 convention
+        hour = pc.hour(ts).to_numpy(zero_copy_only=False)
+        t = pa.table({"dow": pa.array(dow.astype(np.int64)),
+                      "hour": pa.array(hour.astype(np.int64)),
+                      "value": batch["value"],
+                      "one": pa.array(np.ones(len(dow), np.int64))})
+        g = t.group_by(["dow", "hour"]).aggregate([("one", "sum"), ("value", "sum")])
+        return g.rename_columns(["dow", "hour", "cnt_p", "val_p"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"dow": "int64", "hour": "int64",
+                              "cnt_p": "int64", "val_p": "float64"})
+        g = pdf.groupby(["dow", "hour"], as_index=False)[["cnt_p", "val_p"]].sum()
+    else:
+        g = (parts.repartition(n_reducers()).groupby(["dow", "hour"])
+             .aggregate(Sum("cnt_p", alias_name="cnt_p"),
+                        Sum("val_p", alias_name="val_p"))).to_pandas()
+        g = ensure_columns(g, {"dow": "int64", "hour": "int64",
+                               "cnt_p": "int64", "val_p": "float64"})
+    g = g.sort_values(["dow", "hour"]).reset_index(drop=True)
+    return pa.table({
+        "dow": pa.array(g["dow"].to_numpy(np.int64), pa.int64()),
+        "hour": pa.array(g["hour"].to_numpy(np.int64), pa.int64()),
+        "n_events": pa.array(g["cnt_p"].to_numpy(np.int64), pa.int64()),
+        "value_sum": pa.array(np.round(g["val_p"].to_numpy(np.float64), 4),
+                              pa.float64()),
+    })

@@ -593,3 +593,60 @@ def test_order_rank_in_priority_hand_case_and_branches(ray_session, tmp_path):
         FROM read_parquet('{SF}/orders.parquet')
         ORDER BY o_orderpriority, rnk, o_orderkey""").df()
     pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+
+
+def test_heavy_revenue_customers_threshold_and_branches(ray_session, tmp_path):
+    """Weighted threshold by hand in integer cents: total = 100.00 over 4
+    customers (mean 25.00); at mult=1.0 only customers with >= 25.00
+    qualify — including one at EXACTLY the threshold (the integer-cents
+    comparison makes the boundary exact; 24.99 is excluded). Branches
+    agree at sf0.001 and the result there is non-empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.relational import heavy_revenue_customers
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(5), pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5),
+        "o_totalprice": pa.array([20.0, 20.0, 25.0, 24.99, 10.01], pa.float64()),
+        "o_orderdate": pa.array(["1996-01-01"] * 5),
+        "o_orderpriority": pa.array(["1-URGENT"] * 5),
+    }), f"{tmp_path}/orders.parquet")
+    out = heavy_revenue_customers(str(tmp_path), mult=1.0).to_pandas()
+    assert out["o_custkey"].tolist() == [1, 2]      # 40.00, 25.00 (exact edge)
+    assert out["revenue"].tolist() == [40.0, 25.0]
+
+    a = heavy_revenue_customers(SF, force="driver").to_pandas()
+    b = heavy_revenue_customers(SF, force="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_q6_and_dow_hour_profile_vs_duckdb(ray_session):
+    """Q6 predicate-pushdown aggregate and the (dow, hour) seasonality
+    profile both match DuckDB at sf0.001; dow follows DuckDB's Sunday=0."""
+    from sketch_ray.pipelines.relational import dow_hour_profile, q6_forecast_revenue
+
+    q6 = q6_forecast_revenue(SF).to_pandas()
+    ref = duckdb.sql(f"""
+        SELECT COALESCE(round(sum(l_extendedprice * l_discount), 2), 0.0) AS revenue,
+               count(*) AS n_items
+        FROM read_parquet('{SF}/lineitem.parquet')
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""").df()
+    pd.testing.assert_frame_equal(q6, ref, check_dtype=False)
+    assert q6.loc[0, "n_items"] > 0   # the predicate actually admits rows
+
+    a = dow_hour_profile(SF).to_pandas()
+    b = dow_hour_profile(SF, force="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    refp = duckdb.sql(f"""
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               count(*) AS n_events, round(sum(value), 4) AS value_sum
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1, 2 ORDER BY dow, hour""").df()
+    pd.testing.assert_frame_equal(a, refp, check_dtype=False)
