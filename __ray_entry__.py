@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         # (day-of-week, hour) seasonality profile
         "dow_hour_profile": relational.dow_hour_profile,
+        # deterministic hash train/val/test assignment, per-lang accounting
+        "train_val_test_split": sharding.train_val_test_split,
     }
 
 
@@ -208,6 +210,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM {strat_f}
         WHERE h < CASE lang {strat_case} ELSE 0 END
         ORDER BY doc_id
+    """
+    # train_val_test_split: h = splitmix64(doc_id ^ mix(23)); the val cut
+    # renders rate_threshold(0.8 + 0.1) — the SAME float the pipeline adds,
+    # so both sides compare against bit-identical uint64 thresholds
+    tvt_ctes, tvt_f = splitmix64_ctes(
+        "tvt", f"(SELECT doc_id, lang, xor(CAST(doc_id AS UBIGINT), {mix_constant(23)}) AS k"
+               " FROM documents)", "k", "h", ["doc_id", "lang"])
+    tvt = f"""
+        WITH {tvt_ctes}
+        SELECT lang,
+               CASE WHEN h < {rate_threshold(0.8)} THEN 'train'
+                    WHEN h < {rate_threshold(0.8 + 0.1)} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM {tvt_f} GROUP BY 1, 2 ORDER BY lang, split
     """
     # upsample_mix: n_copies = floor(rate) + (splitmix64(doc_id ^ mix(43)) <
     # frac(rate)*2^64); both sides share the float→integer rounding through
@@ -1100,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_near_dups": jaccard.format(tau=0.8),
         "stratified_sample": stratified,
+        "train_val_test_split": tvt,
         "upsample_mix": upsample,
         "uniform_sample_n": uniform_n,
         "weighted_sample_n": weighted_n,

@@ -361,3 +361,58 @@ def write_upsampled_shards(sf_dir: str, out_dir: str,
                                  rows_per_file=rows_per_file, **kw)
     manifest["sample_seed"] = sample_seed
     return manifest
+
+
+def train_val_test_split(sf_dir: str, seed: int = 23,
+                         rates: tuple[float, float] = (0.8, 0.1),
+                         force: str | None = None) -> pa.Table:
+    """Deterministic hash-based train/val/test assignment with per-language
+    accounting — the split step every training-corpus build ends with. A
+    doc's split is a PURE function of (doc_id, seed): h = splitmix64(
+    doc_id ^ mix(seed)); h < rates[0]·2^64 → train, < (rates[0]+rates[1])
+    ·2^64 → val, else test — so reruns, resumes, and any parallelism
+    assign identically, and a doc can never migrate between splits when
+    the corpus grows (the property rate-sampling by row position lacks).
+    Thresholds use the exact uint64 scale-and-clamp the samplers share
+    (_sqlgen.rate_threshold bit-for-bit, so the oracle renders the same
+    integers).
+
+    One streaming pass emits per-batch (lang, split, n) partials — ≤
+    3·|langs| rows per batch — folded adaptively (driver below
+    _SMALL_ROWS / distributed groupby Sum). Returns (lang, split, n_docs)
+    sorted by (lang, split)."""
+    from ray.data.aggregate import Sum
+
+    from ._sqlgen import rate_threshold
+    from ._util import ensure_columns, n_reducers
+
+    mix = splitmix64(np.array([seed], np.uint64))[0]
+    t1 = np.uint64(rate_threshold(rates[0]))
+    t2 = np.uint64(rate_threshold(rates[0] + rates[1]))
+    labels = np.array(["train", "val", "test"], dtype=object)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64) ^ mix)
+        code = np.where(h < t1, 0, np.where(h < t2, 1, 2))
+        t = pa.table({"lang": batch["lang"],
+                      "split": pa.array(labels[code], pa.string()),
+                      "one": pa.array(np.ones(len(ids), np.int64))})
+        g = t.group_by(["lang", "split"]).aggregate([("one", "sum")])
+        return g.rename_columns(["lang", "split", "n"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"lang": "object", "split": "object", "n": "int64"})
+        g = pdf.groupby(["lang", "split"], as_index=False)["n"].sum()
+    else:
+        g = (parts.repartition(n_reducers()).groupby(["lang", "split"])
+             .aggregate(Sum("n", alias_name="n"))).to_pandas()
+        g = ensure_columns(g, {"lang": "object", "split": "object", "n": "int64"})
+    g = g.sort_values(["lang", "split"]).reset_index(drop=True)
+    return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                     "split": pa.array(g["split"], pa.string()),
+                     "n_docs": pa.array(g["n"].to_numpy(np.int64), pa.int64())})

@@ -219,3 +219,28 @@ def test_upsampled_shards_roundtrip(ray_session, tmp_path):
            [os.path.relpath(f, out2) for f in f2]
     for a, b in zip(f1, f2):
         assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_train_val_test_split_determinism_and_branches(ray_session):
+    """Split assignment is a pure function of (doc_id, seed): reruns and
+    both adaptive plans agree; totals reconcile with the doc count; the
+    admitted fractions approximate the requested 80/10/10 mix."""
+    import duckdb
+    import pandas as pd
+
+    from sketch_ray.pipelines.sharding import train_val_test_split
+
+    sf = "/root/testdata/sf0.001"
+    a = train_val_test_split(sf).to_pandas()
+    b = train_val_test_split(sf).to_pandas()
+    c = train_val_test_split(sf, force="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet')").fetchone()[0]
+    assert a["n_docs"].sum() == n
+    frac_train = a.loc[a["split"] == "train", "n_docs"].sum() / n
+    assert 0.7 < frac_train < 0.9
+    # different seed -> different assignment (with overwhelming probability)
+    d = train_val_test_split(sf, seed=99).to_pandas()
+    assert not a.equals(d)
