@@ -190,6 +190,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_hour_profile": relational.dow_hour_profile,
         # deterministic hash train/val/test assignment, per-lang accounting
         "train_val_test_split": sharding.train_val_test_split,
+        # TPC-H Q14 promo revenue share (fact x part-dimension broadcast)
+        "promo_revenue_share": relational.promo_revenue_share,
+        # region->nation->supplier snowflake rollup (integer-cents money)
+        "supplier_region_balance": relational.supplier_region_balance,
     }
 
 
@@ -1393,6 +1397,34 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "promo_revenue_share": """
+            WITH x AS (
+                SELECT l.l_extendedprice * (1 - l.l_discount) AS rev,
+                       (p.p_type = 'PROMO') AS is_promo
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1996-02-01'
+            )
+            SELECT round(COALESCE(sum(rev) FILTER (is_promo), 0), 2)
+                       AS promo_revenue,
+                   round(COALESCE(sum(rev), 0), 2) AS total_revenue,
+                   round(100.0 * COALESCE(sum(rev) FILTER (is_promo), 0)
+                         / sum(rev), 6) AS promo_pct
+            FROM x
+        """,
+        "supplier_region_balance": """
+            WITH s AS (
+                SELECT r.r_name,
+                       CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+                FROM supplier
+                JOIN nation n ON s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+            )
+            SELECT r_name, count(*) AS n_suppliers,
+                   round(sum(cents) / 100.0, 2) AS total_bal,
+                   round(sum(cents) / 100.0 / count(*), 2) AS avg_bal
+            FROM s GROUP BY r_name ORDER BY r_name
         """,
         "heavy_revenue_customers": """
             WITH r AS (SELECT o_custkey,

@@ -16,6 +16,16 @@ def round6(x: "np.ndarray | float") -> "np.ndarray | float":
     return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
 
+def round_half_away(x: "np.ndarray | float", dp: int) -> "np.ndarray | float":
+    """DuckDB ROUND semantics at any precision — same tie rule as round6.
+    Needed whenever an integer-cents quotient lands on an exact .5 at the
+    target precision (e.g. cents/100/n at 2dp: supplier_region_balance's
+    ASIA average was 4553.205 exactly — numpy's banker's rounding gave
+    .20, DuckDB .21)."""
+    s = 10.0 ** dp
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def n_reducers(floor: int = 32) -> int:
     """Reducer-partition count for sort-shuffle groupbys, sized from the
     cluster: ``max(floor, total cluster CPUs)`` — one reducer partition per

@@ -19,7 +19,7 @@ import ray
 from ray.data.aggregate import Count, Max, Sum
 
 from ..stages.broadcast import cached
-from ._util import ensure_columns, n_reducers, round6
+from ._util import ensure_columns, n_reducers, round6, round_half_away
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -1857,4 +1857,122 @@ def dow_hour_profile(sf_dir: str, force: str | None = None) -> pa.Table:
         "n_events": pa.array(g["cnt_p"].to_numpy(np.int64), pa.int64()),
         "value_sum": pa.array(np.round(g["val_p"].to_numpy(np.float64), 4),
                               pa.float64()),
+    })
+
+
+def promo_revenue_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q14 shape — promotion revenue share: of one shipdate month's
+    lineitem revenue, what fraction comes from parts whose p_type is
+    PROMO? The canonical fact⋈dimension broadcast: the part side reads
+    ONLY (p_partkey, p_type == 'PROMO') with predicate pushdown, ships
+    once as a sorted partkey array (`ray.put` + per-worker fetch-once),
+    and the lineitem scan probes it per batch with a vectorized is_in —
+    no shuffle, no join rows (the users_without_orders discipline; for a
+    dimension too big to broadcast the engine's partitioned join is the
+    revenue_per_priority 256 MB-gated path). Returns one row
+    (promo_revenue, total_revenue, promo_pct): revenues 2dp, pct =
+    100·promo/total rounded 6dp half-away."""
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    from ..stages.broadcast import cached
+
+    promo = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey"],
+        filter=pads.field("p_type") == "PROMO")
+    keys = pa.array(np.unique(promo["p_partkey"].to_numpy()), pa.int64())
+    ref = ray.put(keys)
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-02-01", "us"), pa.timestamp("us"))
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys_w = cached(ref)
+        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        is_promo = pc.is_in(batch["l_partkey"], value_set=keys_w) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo": pa.array([float(rev[is_promo].sum())], pa.float64()),
+            "total": pa.array([float(rev.sum())], pa.float64()),
+        })
+
+    t = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+          .to_pandas(), {"promo": "float64", "total": "float64"})
+    promo_rev, total_rev = float(t["promo"].sum()), float(t["total"].sum())
+    pct = 100.0 * promo_rev / total_rev if total_rev else 0.0
+    return pa.table({
+        "promo_revenue": pa.array([float(np.round(promo_rev, 2))], pa.float64()),
+        "total_revenue": pa.array([float(np.round(total_rev, 2))], pa.float64()),
+        "promo_pct": pa.array([float(round6(pct))], pa.float64()),
+    })
+
+
+def supplier_region_balance(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Per-region supplier account rollup through the region→nation
+    dimension chain — the snowflake-lookup shape. Both dimensions are
+    driver-read (region and nation are constant-size), composed into ONE
+    nationkey→region-name broadcast map; the supplier scan folds
+    (region, n, balance-CENTS) partials per batch (integer cents — the
+    heavy_revenue_customers precedent: float partial sums would make 2dp
+    rounding order-dependent) and the ≤|regions| rows fold adaptively.
+    Returns (r_name, n_suppliers, total_bal, avg_bal) sorted by r_name,
+    money 2dp."""
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.broadcast import cached
+
+    nation = pq_mod.read_table(f"{sf_dir}/nation.parquet",
+                               columns=["n_nationkey", "n_regionkey"])
+    region = pq_mod.read_table(f"{sf_dir}/region.parquet",
+                               columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nk = nation["n_nationkey"].to_numpy()
+    nmap = np.empty(int(nk.max()) + 1, dtype=object)
+    for k, rk in zip(nk, nation["n_regionkey"].to_numpy()):
+        nmap[k] = rmap[int(rk)]
+    ref = ray.put(nmap)
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        names = cached(ref)
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(batch["s_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        t = pa.table({"r_name": pa.array(names[nk], pa.string()),
+                      "one": pa.array(np.ones(len(nk), np.int64)),
+                      "cents": pa.array(cents)})
+        g = t.group_by("r_name").aggregate([("one", "sum"), ("cents", "sum")])
+        return g.rename_columns(["r_name", "n", "cents"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"r_name": "object", "n": "int64", "cents": "int64"})
+        g = pdf.groupby("r_name", as_index=False)[["n", "cents"]].sum()
+    else:
+        g = (parts.repartition(n_reducers()).groupby("r_name")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("cents", alias_name="cents"))).to_pandas()
+        g = ensure_columns(g, {"r_name": "object", "n": "int64", "cents": "int64"})
+    g = g.sort_values("r_name").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    cents = g["cents"].to_numpy(np.int64)
+    return pa.table({
+        "r_name": pa.array(g["r_name"], pa.string()),
+        "n_suppliers": pa.array(n, pa.int64()),
+        "total_bal": pa.array(np.round(cents / 100.0, 2), pa.float64()),
+        "avg_bal": pa.array(
+            np.asarray(round_half_away(cents / 100.0 / np.maximum(n, 1), 2),
+                       np.float64), pa.float64()),
     })

@@ -650,3 +650,43 @@ def test_q6_and_dow_hour_profile_vs_duckdb(ray_session):
         FROM read_parquet('{SF}/events.parquet')
         GROUP BY 1, 2 ORDER BY dow, hour""").df()
     pd.testing.assert_frame_equal(a, refp, check_dtype=False)
+
+
+def test_promo_share_and_supplier_region_vs_duckdb(ray_session):
+    """Q14 promo share (part-dimension broadcast) and the snowflake
+    supplier rollup both match DuckDB at sf0.001; the rollup's averages
+    use half-away 2dp rounding (integer-cents quotients DO land on exact
+    .5 ties)."""
+    from sketch_ray.pipelines.relational import (promo_revenue_share,
+                                                 supplier_region_balance)
+
+    q14 = promo_revenue_share(SF).to_pandas()
+    ref = duckdb.sql(f"""
+        WITH x AS (
+            SELECT l.l_extendedprice * (1 - l.l_discount) AS rev,
+                   (p.p_type = 'PROMO') AS is_promo
+            FROM read_parquet('{SF}/lineitem.parquet') l
+            JOIN read_parquet('{SF}/part.parquet') p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1996-02-01')
+        SELECT round(COALESCE(sum(rev) FILTER (is_promo), 0), 2) AS promo_revenue,
+               round(COALESCE(sum(rev), 0), 2) AS total_revenue,
+               round(100.0 * COALESCE(sum(rev) FILTER (is_promo), 0) / sum(rev), 6)
+                   AS promo_pct
+        FROM x""").df()
+    pd.testing.assert_frame_equal(q14, ref, check_dtype=False)
+    assert 0 < q14.loc[0, "promo_pct"] < 100
+
+    a = supplier_region_balance(SF).to_pandas()
+    b = supplier_region_balance(SF, force="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    refs = duckdb.sql(f"""
+        WITH s AS (SELECT r.r_name, CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+                   FROM read_parquet('{SF}/supplier.parquet')
+                   JOIN read_parquet('{SF}/nation.parquet') n ON s_nationkey = n.n_nationkey
+                   JOIN read_parquet('{SF}/region.parquet') r ON n.n_regionkey = r.r_regionkey)
+        SELECT r_name, count(*) AS n_suppliers,
+               round(sum(cents) / 100.0, 2) AS total_bal,
+               round(sum(cents) / 100.0 / count(*), 2) AS avg_bal
+        FROM s GROUP BY r_name ORDER BY r_name""").df()
+    pd.testing.assert_frame_equal(a, refs, check_dtype=False)
