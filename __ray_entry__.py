@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": relational.promo_revenue_share,
         # region->nation->supplier snowflake rollup (integer-cents money)
         "supplier_region_balance": relational.supplier_region_balance,
+        # continuous equi-width histogram (IEEE-identical float binning)
+        "events_value_histogram": relational.events_value_histogram,
     }
 
 
@@ -1397,6 +1399,13 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "events_value_histogram": """
+            WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+            SELECT CAST(least(floor((value - mn) * 20 / (mx - mn)), 19)
+                        AS BIGINT) AS bin,
+                   count(*) AS n_events
+            FROM events, mm GROUP BY 1 ORDER BY bin
         """,
         "promo_revenue_share": """
             WITH x AS (

@@ -1976,3 +1976,59 @@ def supplier_region_balance(sf_dir: str, force: str | None = None) -> pa.Table:
             np.asarray(round_half_away(cents / 100.0 / np.maximum(n, 1), 2),
                        np.float64), pa.float64()),
     })
+
+
+def _parquet_minmax(path: str, col: str) -> tuple[float, float]:
+    """Column (min, max) from parquet row-group statistics — free bounds
+    for equi-width binning (same rationale as exact._parquet_column_max:
+    a Dataset aggregate would pay a full sort-shuffle for a metadata
+    question). DuckDB fallback when a writer skipped statistics."""
+    import pyarrow.parquet as pq_mod
+
+    md = pq_mod.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            import duckdb
+            lo, hi = duckdb.sql(
+                f"SELECT min({col}), max({col}) FROM read_parquet('{path}')").fetchone()
+            return float(lo), float(hi)
+        mins.append(st.min)
+        maxs.append(st.max)
+    return float(min(mins)), float(max(maxs))
+
+
+def events_value_histogram(sf_dir: str, n_bins: int = 20) -> pa.Table:
+    """Equi-width histogram of the continuous events.value column — the
+    float counterpart of the integer len_histogram. Bounds come free from
+    parquet statistics; bin assignment is
+    min(floor((v − mn) · nb / (mx − mn)), nb − 1) evaluated in float64
+    with the SAME operation order as the oracle (the min/max render into
+    the SQL as shortest-round-trip literals, which DuckDB parses back to
+    the bit-identical double, so both sides floor the same IEEE value —
+    the only way a float bin boundary can be oracle-exact). Per-batch
+    bincount partials (≤ nb rows each) fold driver-side; nothing about
+    the fold grows with the corpus. Returns (bin, n_events) sorted;
+    empty bins emit no row (matching SQL GROUP BY)."""
+    mn, mx = _parquet_minmax(f"{sf_dir}/events.parquet", "value")
+    nb = int(n_bins)
+    width_inv_num = float(nb)
+    span = mx - mn
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor((v - mn) * width_inv_num / span), nb - 1) \
+            .astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["value"])
+    t = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+          .to_pandas(), {"bin": "int64", "n": "int64"})
+    g = t.groupby("bin")["n"].sum().sort_index()
+    return pa.table({"bin": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                     "n_events": pa.array(g.to_numpy(np.int64), pa.int64())})

@@ -690,3 +690,24 @@ def test_promo_share_and_supplier_region_vs_duckdb(ray_session):
                round(sum(cents) / 100.0 / count(*), 2) AS avg_bal
         FROM s GROUP BY r_name ORDER BY r_name""").df()
     pd.testing.assert_frame_equal(a, refs, check_dtype=False)
+
+
+def test_events_value_histogram_identity_and_oracle(ray_session):
+    """Float equi-width binning matches DuckDB bit-for-bit (same IEEE
+    expression order on both sides) and total counts reconcile."""
+    from sketch_ray.pipelines.relational import events_value_histogram
+
+    a = events_value_histogram(SF).to_pandas()
+    ref = duckdb.sql(f"""
+        WITH mm AS (SELECT min(value) AS mn, max(value) AS mx
+                    FROM read_parquet('{SF}/events.parquet'))
+        SELECT CAST(least(floor((value - mn) * 20 / (mx - mn)), 19) AS BIGINT)
+                   AS bin,
+               count(*) AS n_events
+        FROM read_parquet('{SF}/events.parquet'), mm
+        GROUP BY 1 ORDER BY bin""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')").fetchone()[0]
+    assert a["n_events"].sum() == n
+    assert a["bin"].between(0, 19).all()
