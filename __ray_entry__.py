@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_balance": relational.supplier_region_balance,
         # continuous equi-width histogram (IEEE-identical float binning)
         "events_value_histogram": relational.events_value_histogram,
+        # order-to-ship latency histogram (adaptive broadcast/shuffle join)
+        "ship_lag_days": relational.ship_lag_days,
     }
 
 
@@ -1399,6 +1401,13 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "ship_lag_days": """
+            SELECT datediff('day', date_trunc('day', o.o_orderdate),
+                            date_trunc('day', l.l_shipdate)) AS lag_days,
+                   count(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY lag_days
         """,
         "events_value_histogram": """
             WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events)

@@ -2032,3 +2032,101 @@ def events_value_histogram(sf_dir: str, n_bins: int = 20) -> pa.Table:
     g = t.groupby("bin")["n"].sum().sort_index()
     return pa.table({"bin": pa.array(g.index.to_numpy(np.int64), pa.int64()),
                      "n_events": pa.array(g.to_numpy(np.int64), pa.int64())})
+
+
+def ship_lag_days(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Order-to-ship latency distribution: for every lineitem, the whole
+    days between its order's o_orderdate and its l_shipdate, counted per
+    lag — the fulfillment-SLA histogram. Lag values are bounded (the
+    business rule caps them), so the output is group-bounded regardless
+    of corpus size.
+
+    Both sides reduce to UTC day numbers (epoch-us // 86 400e6, equal to
+    date_trunc('day') for post-1970 data) so the lag is integer
+    arithmetic — no timestamp float anywhere. Adaptive join (the
+    revenue_per_priority gate): orders < _BCAST_JOIN_BYTES broadcasts a
+    sorted (orderkey → orderday) array probed per lineitem batch
+    (searchsorted, one streaming pass, no shuffle); above it, lineitem
+    pre-aggregates (orderkey, shipday, n) partials and Ray's hash-shuffle
+    Dataset.join carries one row per (orderkey, shipday, batch).
+    Returns (lag_days, n_items) sorted by lag_days."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    _DAY_US = 86_400_000_000
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        ot = pq_mod.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_orderdate"])
+        okeys = ot["o_orderkey"].to_numpy()
+        odays = (ot["o_orderdate"].cast(pa.int64()).to_numpy() // _DAY_US)
+        order = np.argsort(okeys, kind="stable")
+        ref = ray.put((okeys[order], odays[order].astype(np.int64)))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            okeys_s, odays_s = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            sday = (batch["l_shipdate"].combine_chunks().cast(pa.int64())
+                    .to_numpy(zero_copy_only=False) // _DAY_US)
+            pos = np.clip(np.searchsorted(okeys_s, lk), 0, len(okeys_s) - 1)
+            hit = okeys_s[pos] == lk  # inner-join semantics
+            lag = sday[hit] - odays_s[pos[hit]]
+            ul, cnt = np.unique(lag, return_counts=True)
+            return pa.table({"lag_days": pa.array(ul, pa.int64()),
+                             "n": pa.array(cnt, pa.int64())})
+
+        t = ensure_columns(
+            li.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+              .to_pandas(), {"lag_days": "int64", "n": "int64"})
+        g = t.groupby("lag_days")["n"].sum().sort_index()
+    else:
+        def li_partials(batch: pa.Table) -> pa.Table:
+            sday = (batch["l_shipdate"].combine_chunks().cast(pa.int64())
+                    .to_numpy(zero_copy_only=False) // _DAY_US)
+            t = pa.table({"l_orderkey": batch["l_orderkey"],
+                          "shipday": pa.array(sday, pa.int64()),
+                          "one": pa.array(np.ones(len(sday), np.int64))})
+            g = t.group_by(["l_orderkey", "shipday"]).aggregate([("one", "sum")])
+            return g.rename_columns(["l_orderkey", "shipday", "n"])
+
+        li_agg = li.map_batches(li_partials, batch_format="pyarrow",
+                                batch_size=65536)
+
+        def ord_proj(batch: pa.Table) -> pa.Table:
+            oday = (batch["o_orderdate"].combine_chunks().cast(pa.int64())
+                    .to_numpy(zero_copy_only=False) // _DAY_US)
+            return pa.table({"o_orderkey": batch["o_orderkey"],
+                             "orderday": pa.array(oday, pa.int64())})
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+            .map_batches(ord_proj, batch_format="pyarrow", batch_size=65536)
+        joined = li_agg.join(
+            orders, join_type="inner",
+            num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
+            on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def lag_partials(batch: pa.Table) -> pa.Table:
+            lag = (batch["shipday"].to_numpy(zero_copy_only=False)
+                   - batch["orderday"].to_numpy(zero_copy_only=False))
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            t = pa.table({"lag_days": pa.array(lag, pa.int64()),
+                          "n": pa.array(n, pa.int64())})
+            g = t.group_by("lag_days").aggregate([("n", "sum")])
+            return g.rename_columns(["lag_days", "n"])
+
+        t = ensure_columns(
+            joined.map_batches(lag_partials, batch_format="pyarrow",
+                               batch_size=65536).to_pandas(),
+            {"lag_days": "int64", "n": "int64"})
+        g = t.groupby("lag_days")["n"].sum().sort_index()
+    return pa.table({"lag_days": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                     "n_items": pa.array(g.to_numpy(np.int64), pa.int64())})

