@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": relational.events_value_histogram,
         # order-to-ship latency histogram (adaptive broadcast/shuffle join)
         "ship_lag_days": relational.ship_lag_days,
+        # Frequent Directions matrix sketch vs exact Gram spectrum
+        "embedding_spectrum": lambda sf: similarity.embedding_spectrum(
+            sf, ell=128, k=8),
     }
 
 

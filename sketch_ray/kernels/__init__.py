@@ -12,6 +12,7 @@ from .bloom import BloomFilter
 from .bottomk import BottomK
 from .countmin import CountMin, CountMinCU
 from .countsketch import CountSketch
+from .freqdirs import FrequentDirections
 from .hashing import hash_arrow_strings, hash_ints, hash_strings, row_hashes, splitmix64
 from .hll import HLL
 from .kll import KLL
@@ -21,6 +22,6 @@ from .tdigest import TDigest
 
 __all__ = [
     "MergeableSketch", "SketchBase", "make_sketch", "registry", "sketch_from_bytes",
-    "CountMin", "CountMinCU", "CountSketch", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
+    "CountMin", "CountMinCU", "CountSketch", "FrequentDirections", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
     "hash_strings", "hash_arrow_strings", "hash_ints", "row_hashes", "splitmix64",
 ]

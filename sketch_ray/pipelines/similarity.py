@@ -692,3 +692,63 @@ def knn_label_vote(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
         "pred_label": pa.array(out["pred_label"].to_numpy(np.int64), pa.int64()),
         "n_votes": pa.array(out["n_votes"].to_numpy(np.int64), pa.int64()),
     })
+
+
+def embedding_spectrum(sf_dir: str, ell: int = 128, k: int = 8) -> pa.Table:
+    """Top-k spectrum of the embedding matrix two ways in ONE streaming
+    pass each — the sketch-vs-exact pairing applied to a MATRIX statistic:
+
+    - Frequent Directions (kernels/freqdirs.py, Liberty 2013): ℓ×d state,
+      the only thing that ever leaves a worker; at 10^12 rows this is THE
+      way to ask "how many effective dimensions do my embeddings have"
+      without shuffling a single vector.
+    - exact Gram fold: per-batch d×d partial Σvvᵀ rows (d² floats, fixed
+      size) summed on the driver — exact because matrix addition is
+      associative; feasible only because d is small, which is precisely
+      the regime where it VALIDATES the sketch (SURVEY §5 discipline).
+
+    Returns (rank, sv_exact, sv_est, rel_err) for the top-k singular
+    values, 6dp; rows-only gated (eigenvalues are not SQL-expressible),
+    the FD guarantee ‖AᵀA−BᵀB‖₂ ≤ ‖A‖F²/(ℓ−k) is pinned in pytest."""
+    import pyarrow.parquet as pq_mod
+
+    from ..stages.sketch_build import SketchSpec, build_sketches
+    from ._util import round6
+
+    head = pq_mod.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
+        0, columns=["embedding"])
+    d = len(head["embedding"][0])
+
+    spec = SketchSpec("fd", "freqdirs", "embedding", mode="vectors",
+                      params={"d": d, "ell": int(ell), "seed": 42})
+    sk = build_sketches(_read(sf_dir, "embeddings", ["embedding"]),
+                        [spec], batch_size=4096)["fd"]
+
+    import pyarrow.compute as pc
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(batch["embedding"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        v = flat.astype(np.float64).reshape(-1, d)
+        g = v.T @ v
+        return pa.table({"gram": pa.array([g.tobytes()], pa.large_binary())})
+
+    gram = np.zeros((d, d))
+    parts = _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+        gram_partial, batch_format="pyarrow", batch_size=4096)
+    for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for raw in b["gram"].to_pylist():
+            gram += np.frombuffer(raw, np.float64).reshape(d, d)
+
+    eig = np.linalg.eigvalsh(gram)[::-1]
+    sv_exact = np.sqrt(np.maximum(eig[:k], 0.0))
+    sv_est = np.asarray(sk.singular_values(k), np.float64)
+    if len(sv_est) < k:
+        sv_est = np.concatenate([sv_est, np.zeros(k - len(sv_est))])
+    rel = np.abs(sv_est - sv_exact) / np.maximum(sv_exact, 1e-12)
+    return pa.table({
+        "rank": pa.array(np.arange(1, k + 1), pa.int64()),
+        "sv_exact": pa.array(np.asarray(round6(sv_exact)), pa.float64()),
+        "sv_est": pa.array(np.asarray(round6(sv_est)), pa.float64()),
+        "rel_err": pa.array(np.asarray(round6(rel)), pa.float64()),
+    })

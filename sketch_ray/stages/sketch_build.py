@@ -50,6 +50,9 @@ class SketchSpec:
       - "ngrams":  word n-grams of ``lengths`` (pre-aggregated)
       - "column":  raw column values as keys (for HLL/Bloom/CM over e.g. url)
       - "numeric": numeric column values (for KLL/t-digest)
+      - "vectors": list<float> embedding column → (n, d) float rows
+                   (for the Frequent Directions matrix sketch; d from
+                   ``params["d"]``)
     """
 
     name: str
@@ -93,6 +96,9 @@ class SketchSpec:
             return vals, None
         if self.mode == "column":
             return col, None
+        if self.mode == "vectors":
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64).reshape(-1, int(self.params["d"])), None
         raise ValueError(f"unknown mode {self.mode}")
 
     def update_from_batch(self, sk: SketchBase, batch: pa.Table) -> None:

@@ -609,3 +609,63 @@ def test_f2_pipeline_exact_and_cs_estimate(ray_session):
     for _, r in est.iterrows():
         eps = (8 / r["width"]) ** 0.5
         assert abs(r["f2_est"] - want) <= max(eps * want, 0.02 * want)
+
+
+def test_frequent_directions_bounds_and_merge():
+    """FD guarantee on a low-rank+noise matrix: BᵀB never overshoots
+    (AᵀA − BᵀB ⪰ 0) and the spectral error is within ‖A‖F²/(ℓ−k) — for
+    the one-pass build AND for any partition/merge order. Serialization
+    roundtrips; config mismatch rejected."""
+    import numpy as np
+    import pytest
+
+    from sketch_ray.kernels import sketch_from_bytes
+    from sketch_ray.kernels.freqdirs import FrequentDirections
+
+    rng = np.random.default_rng(0)
+    d, n, ell, k = 64, 5000, 64, 8
+    a = rng.normal(size=(n, k)) @ rng.normal(size=(k, d)) \
+        + 0.1 * rng.normal(size=(n, d))
+    ata = a.T @ a
+
+    fd = FrequentDirections(d=d, ell=ell)
+    fd.update(a)
+    err = np.linalg.norm(ata - fd.cov_estimate(), 2)
+    assert err <= fd.spectral_error_bound(k)
+    assert np.linalg.eigvalsh(ata - fd.cov_estimate()).min() >= -1e-6
+
+    # low-rank data: top singular values nearly exact
+    sv_true = np.linalg.svd(a, compute_uv=False)[:k]
+    sv_est = fd.singular_values(k)
+    assert np.all(np.abs(sv_est - sv_true) / sv_true < 0.01)
+
+    # merge of arbitrary chunking obeys the same bound
+    m = FrequentDirections(d=d, ell=ell)
+    for chunk in np.array_split(a[rng.permutation(n)], 7):
+        p = FrequentDirections(d=d, ell=ell)
+        p.update(chunk)
+        m.merge(sketch_from_bytes(p.to_bytes()))
+    assert np.linalg.norm(ata - m.cov_estimate(), 2) <= m.spectral_error_bound(k)
+    assert m.sq_frob == pytest.approx(fd.sq_frob)
+
+    with pytest.raises(AssertionError):
+        FrequentDirections(d=d, ell=32).merge(FrequentDirections(d=d, ell=64))
+    with pytest.raises(ValueError):
+        fd.spectral_error_bound(k=ell)
+
+
+def test_embedding_spectrum_pipeline(ray_session):
+    """Pipeline level: the distributed FD build tracks the exact
+    distributed Gram fold on the real embeddings table — top singular
+    values within 5% and within the a-priori FD bound."""
+    import numpy as np
+
+    from sketch_ray.pipelines.similarity import embedding_spectrum
+
+    out = embedding_spectrum("/root/testdata/sf0.001", ell=128, k=8).to_pandas()
+    assert out["rank"].tolist() == list(range(1, 9))
+    assert (out["sv_exact"] > 0).all()
+    assert (out["rel_err"] < 0.05).all()
+    # spectrum is sorted descending on both sides
+    assert (np.diff(out["sv_exact"].to_numpy()) <= 1e-9).all()
+    assert (np.diff(out["sv_est"].to_numpy()) <= 1e-9).all()
