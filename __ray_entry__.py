@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Frequent Directions matrix sketch vs exact Gram spectrum
         "embedding_spectrum": lambda sf: similarity.embedding_spectrum(
             sf, ell=128, k=8),
+        # robust per-lang location estimate (quantile-banded mean)
+        "trimmed_mean_lengths": exact.trimmed_mean_lengths,
     }
 
 
@@ -1404,6 +1406,16 @@ def oracle_sql() -> dict[str, str]:
         "f2_self_join_exact": """
             SELECT sum(c * c)::BIGINT AS f2
             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "trimmed_mean_lengths": """
+            WITH b AS (SELECT lang, quantile_disc(n_chars, 0.1) AS lo,
+                              quantile_disc(n_chars, 0.9) AS hi
+                       FROM documents GROUP BY lang)
+            SELECT d.lang, count(*) AS n_kept,
+                   round(avg(d.n_chars), 6) AS trimmed_mean
+            FROM documents d JOIN b USING (lang)
+            WHERE d.n_chars BETWEEN b.lo AND b.hi
+            GROUP BY d.lang ORDER BY lang
         """,
         "ship_lag_days": """
             SELECT datediff('day', date_trunc('day', o.o_orderdate),

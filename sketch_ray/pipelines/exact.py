@@ -990,3 +990,57 @@ def gram_novelty_curve(sf_dir: str, n: int = 3, n_buckets: int = 10,
     return pa.table({"bucket": pa.array(ub, pa.int64()),
                      "new_grams": pa.array(cnt, pa.int64()),
                      "cum_vocab": pa.array(np.cumsum(cnt), pa.int64())})
+
+
+def trimmed_mean_lengths(sf_dir: str, lo_q: float = 0.1, hi_q: float = 0.9,
+                         force: str | None = None) -> pa.Table:
+    """Per-language TRIMMED mean of n_chars — the robust location estimate
+    a quality threshold actually wants (the plain mean is dragged by the
+    boilerplate tail the filters exist to remove). Keep values between the
+    lo_q and hi_q discrete quantiles (inclusive; quantile_disc ceil-rule
+    cut points, the grouped_quantiles_exact precedent) and average them.
+
+    Same scale shape as grouped_quantiles_exact: ONE adaptive
+    (lang, n_chars) histogram fold — group-bounded, corpus-size
+    independent — then a vectorized driver pass computes cut points AND
+    the trimmed mean from the same histogram (Σ v·c / Σ c over the kept
+    band, integer-exact). Returns (lang, n_kept, trimmed_mean) sorted by
+    lang, mean rounded 6dp half-away."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    n = ds.count()
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "partial"])
+
+    parts = ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+    small = (n < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"lang": "object", "n_chars": "int64",
+                              "partial": "int64"})
+        hist = pdf.groupby(["lang", "n_chars"], as_index=False) \
+            .agg(cnt=("partial", "sum"))
+    else:
+        hist = ensure_columns(
+            parts.repartition(n_reducers()).groupby(["lang", "n_chars"])
+            .aggregate(Sum("partial", alias_name="cnt")).to_pandas(),
+            {"lang": "object", "n_chars": "int64", "cnt": "int64"})
+    hist = hist.sort_values(["lang", "n_chars"]).reset_index(drop=True)
+    rows = []
+    for lang, sub in hist.groupby("lang", sort=True):
+        values = sub["n_chars"].to_numpy(np.int64)
+        cnt = sub["cnt"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        ntot = int(cum[-1])
+        def cut(q):
+            target = max(int(np.ceil(q * ntot)), 1)
+            return values[min(int(np.searchsorted(cum, target)), len(values) - 1)]
+        lo, hi = cut(lo_q), cut(hi_q)
+        keep = (values >= lo) & (values <= hi)
+        n_kept = int(cnt[keep].sum())
+        mean = float((values[keep] * cnt[keep]).sum()) / n_kept if n_kept else 0.0
+        rows.append((lang, n_kept, float(round6(mean))))
+    out = pd.DataFrame(rows, columns=["lang", "n_kept", "trimmed_mean"]).astype(
+        {"lang": "object", "n_kept": "int64", "trimmed_mean": "float64"})
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -299,3 +299,41 @@ def test_gram_novelty_curve_hand_case_and_branches(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b)
     assert (np.diff(a["cum_vocab"].to_numpy()) ==
             a["new_grams"].to_numpy()[1:]).all()
+
+
+def test_trimmed_mean_lengths_hand_case_and_branches(ray_session, tmp_path):
+    """Trimmed mean by hand: 10 docs of lengths 1..10 at 10/90 trim keep
+    1..9 (ceil-rule cuts: lo=ceil(0.1*10)=1st value=1, hi=ceil(0.9*10)=9th
+    value=9) -> mean 5; adaptive branches agree at sf0.001 and match the
+    DuckDB quantile_disc band."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.exact import trimmed_mean_lengths
+
+    n = 10
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["w"] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(list(range(1, n + 1)), pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    out = trimmed_mean_lengths(str(tmp_path)).to_pandas()
+    assert out["n_kept"].tolist() == [9]
+    assert out["trimmed_mean"].tolist() == [5.0]
+
+    sf = "/root/testdata/sf0.001"
+    a = trimmed_mean_lengths(sf).to_pandas()
+    b = trimmed_mean_lengths(sf, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        WITH b AS (SELECT lang, quantile_disc(n_chars, 0.1) AS lo,
+                          quantile_disc(n_chars, 0.9) AS hi
+                   FROM read_parquet('{sf}/documents.parquet') GROUP BY lang)
+        SELECT d.lang, count(*) AS n_kept, round(avg(d.n_chars), 6) AS trimmed_mean
+        FROM read_parquet('{sf}/documents.parquet') d JOIN b USING (lang)
+        WHERE d.n_chars BETWEEN b.lo AND b.hi
+        GROUP BY d.lang ORDER BY lang""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
