@@ -1433,17 +1433,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "promo_revenue_share": """
             WITH x AS (
-                SELECT l.l_extendedprice * (1 - l.l_discount) AS rev,
+                SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev4,
                        (p.p_type = 'PROMO') AS is_promo
                 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
                 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
                   AND l.l_shipdate < TIMESTAMP '1996-02-01'
             )
-            SELECT round(COALESCE(sum(rev) FILTER (is_promo), 0), 2)
-                       AS promo_revenue,
-                   round(COALESCE(sum(rev), 0), 2) AS total_revenue,
-                   round(100.0 * COALESCE(sum(rev) FILTER (is_promo), 0)
-                         / sum(rev), 6) AS promo_pct
+            SELECT round(COALESCE(sum(rev4) FILTER (is_promo), 0)
+                         / 10000.0, 2) AS promo_revenue,
+                   round(COALESCE(sum(rev4), 0) / 10000.0, 2)
+                       AS total_revenue,
+                   COALESCE(round(100.0 * sum(rev4) FILTER (is_promo)
+                                  / sum(rev4), 6), 0.0) AS promo_pct
             FROM x
         """,
         "supplier_region_balance": """

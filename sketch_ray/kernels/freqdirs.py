@@ -91,7 +91,7 @@ class FrequentDirections(SketchBase):
     def singular_values(self, k: int | None = None) -> np.ndarray:
         """Estimated top singular values of A (descending)."""
         s = np.linalg.svd(self.rows, compute_uv=False)
-        return s[:k] if k else s
+        return s if k is None else s[:k]
 
     def spectral_error_bound(self, k: int = 0) -> float:
         """‖AᵀA − BᵀB‖₂ ≤ ‖A‖F² / (ℓ − k) — the a-priori guarantee

@@ -13,7 +13,7 @@ def round6(x: "np.ndarray | float") -> "np.ndarray | float":
     105/128 = 0.8203125), and every 6dp-gated ratio query must tie-break
     the same way its SQL oracle does (char_class_profile precedent,
     CLAUDE.md house rule)."""
-    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    return round_half_away(x, 6)
 
 
 def round_half_away(x: "np.ndarray | float", dp: int) -> "np.ndarray | float":
@@ -42,6 +42,33 @@ def n_reducers(floor: int = 32) -> int:
     except Exception:
         cpus = 0
     return max(floor, cpus)
+
+
+def parquet_minmax(path: str, col: str):
+    """Column (min, max) from parquet row-group STATISTICS — no scan, no
+    Ray aggregate. ``Dataset.max`` is an AllToAll Aggregate, and on a
+    handful of large blocks it pays the measured few-block sort-shuffle
+    pathology (seconds for a metadata-answerable question). Falls back to
+    a DuckDB scan only when a writer skipped statistics. Returns raw
+    statistics values (int for int columns, float for double) — callers
+    cast. Shared by exact._parquet_column_max and the relational
+    histogram binning (one copy of the stats walk to keep in sync)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            import duckdb
+
+            return duckdb.sql(
+                f"SELECT min({col}), max({col}) "
+                f"FROM read_parquet('{path}')").fetchone()
+        mins.append(st.min)
+        maxs.append(st.max)
+    return min(mins), max(maxs)
 
 
 def ensure_columns(df: pd.DataFrame, schema: dict[str, str]) -> pd.DataFrame:

@@ -875,24 +875,11 @@ def skipgram_counts(sf_dir: str, window: int = 3, min_cnt: int = 60) -> pa.Table
 
 
 def _parquet_column_max(path: str, col: str) -> int:
-    """Column max from parquet row-group STATISTICS — no scan, no Ray
-    aggregate. ``Dataset.max`` is an AllToAll Aggregate, and on a handful
-    of large blocks it pays the measured few-block sort-shuffle pathology
-    (seconds for a metadata-answerable question). Falls back to a DuckDB
-    scan only when a writer skipped statistics."""
-    import pyarrow.parquet as pq
+    """Column max from parquet row-group statistics (shared walk in
+    ``_util.parquet_minmax`` — see its docstring for the rationale)."""
+    from ._util import parquet_minmax
 
-    md = pq.ParquetFile(path).metadata
-    idx = md.schema.to_arrow_schema().get_field_index(col)
-    maxes = []
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            import duckdb
-            return int(duckdb.sql(
-                f"SELECT max({col}) FROM read_parquet('{path}')").fetchone()[0])
-        maxes.append(st.max)
-    return int(max(maxes))
+    return int(parquet_minmax(path, col)[1])
 
 def gram_novelty_curve(sf_dir: str, n: int = 3, n_buckets: int = 10,
                        force: str | None = None) -> pa.Table:

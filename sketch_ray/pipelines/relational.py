@@ -1869,14 +1869,17 @@ def promo_revenue_share(sf_dir: str) -> pa.Table:
     and the lineitem scan probes it per batch with a vectorized is_in —
     no shuffle, no join rows (the users_without_orders discipline; for a
     dimension too big to broadcast the engine's partitioned join is the
-    revenue_per_priority 256 MB-gated path). Returns one row
-    (promo_revenue, total_revenue, promo_pct): revenues 2dp, pct =
-    100·promo/total rounded 6dp half-away."""
+    revenue_per_priority 256 MB-gated path). Revenue folds in integer
+    1e-4-currency units (price and discount are both 2dp decimals, so
+    cents·(100−discount_pct) is exact — float partial sums would make
+    the 2dp/6dp roundings order-dependent; heavy_revenue_customers
+    precedent) and the oracle SQL does the identical integer math.
+    Returns one row (promo_revenue, total_revenue, promo_pct): revenues
+    2dp, pct = 100·promo/total rounded 6dp half-away, 0.0 on an empty
+    month (oracle COALESCEd to agree)."""
     import pyarrow.dataset as pads
 
     import ray.data as rd
-
-    from ..stages.broadcast import cached
 
     promo = pads.dataset(f"{sf_dir}/part.parquet").to_table(
         columns=["p_partkey"],
@@ -1893,23 +1896,27 @@ def promo_revenue_share(sf_dir: str) -> pa.Table:
 
     def partials(batch: pa.Table) -> pa.Table:
         keys_w = cached(ref)
-        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        rev4 = (np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+                * (100 - np.round(batch["l_discount"].to_numpy(zero_copy_only=False)
+                                  * 100.0).astype(np.int64)))
         is_promo = pc.is_in(batch["l_partkey"], value_set=keys_w) \
             .to_numpy(zero_copy_only=False)
         return pa.table({
-            "promo": pa.array([float(rev[is_promo].sum())], pa.float64()),
-            "total": pa.array([float(rev.sum())], pa.float64()),
+            "promo4": pa.array([int(rev4[is_promo].sum())], pa.int64()),
+            "total4": pa.array([int(rev4.sum())], pa.int64()),
         })
 
     t = ensure_columns(
         ds.map_batches(partials, batch_format="pyarrow", batch_size=65536)
-          .to_pandas(), {"promo": "float64", "total": "float64"})
-    promo_rev, total_rev = float(t["promo"].sum()), float(t["total"].sum())
-    pct = 100.0 * promo_rev / total_rev if total_rev else 0.0
+          .to_pandas(), {"promo4": "int64", "total4": "int64"})
+    promo4, total4 = int(t["promo4"].sum()), int(t["total4"].sum())
+    pct = 100.0 * promo4 / total4 if total4 else 0.0
     return pa.table({
-        "promo_revenue": pa.array([float(np.round(promo_rev, 2))], pa.float64()),
-        "total_revenue": pa.array([float(np.round(total_rev, 2))], pa.float64()),
+        "promo_revenue": pa.array(
+            [float(round_half_away(promo4 / 10000.0, 2))], pa.float64()),
+        "total_revenue": pa.array(
+            [float(round_half_away(total4 / 10000.0, 2))], pa.float64()),
         "promo_pct": pa.array([float(round6(pct))], pa.float64()),
     })
 
@@ -1925,10 +1932,6 @@ def supplier_region_balance(sf_dir: str, force: str | None = None) -> pa.Table:
     Returns (r_name, n_suppliers, total_bal, avg_bal) sorted by r_name,
     money 2dp."""
     import pyarrow.parquet as pq_mod
-
-    from ray.data.aggregate import Sum
-
-    from ..stages.broadcast import cached
 
     nation = pq_mod.read_table(f"{sf_dir}/nation.parquet",
                                columns=["n_nationkey", "n_regionkey"])
@@ -1979,25 +1982,12 @@ def supplier_region_balance(sf_dir: str, force: str | None = None) -> pa.Table:
 
 
 def _parquet_minmax(path: str, col: str) -> tuple[float, float]:
-    """Column (min, max) from parquet row-group statistics — free bounds
-    for equi-width binning (same rationale as exact._parquet_column_max:
-    a Dataset aggregate would pay a full sort-shuffle for a metadata
-    question). DuckDB fallback when a writer skipped statistics."""
-    import pyarrow.parquet as pq_mod
+    """Column (min, max) for equi-width binning — shared statistics walk
+    in ``_util.parquet_minmax`` (one copy to keep in sync)."""
+    from ._util import parquet_minmax
 
-    md = pq_mod.ParquetFile(path).metadata
-    idx = md.schema.to_arrow_schema().get_field_index(col)
-    mins, maxs = [], []
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            import duckdb
-            lo, hi = duckdb.sql(
-                f"SELECT min({col}), max({col}) FROM read_parquet('{path}')").fetchone()
-            return float(lo), float(hi)
-        mins.append(st.min)
-        maxs.append(st.max)
-    return float(min(mins)), float(max(maxs))
+    lo, hi = parquet_minmax(path, col)
+    return float(lo), float(hi)
 
 
 def events_value_histogram(sf_dir: str, n_bins: int = 20) -> pa.Table:
@@ -2005,10 +1995,14 @@ def events_value_histogram(sf_dir: str, n_bins: int = 20) -> pa.Table:
     float counterpart of the integer len_histogram. Bounds come free from
     parquet statistics; bin assignment is
     min(floor((v − mn) · nb / (mx − mn)), nb − 1) evaluated in float64
-    with the SAME operation order as the oracle (the min/max render into
-    the SQL as shortest-round-trip literals, which DuckDB parses back to
-    the bit-identical double, so both sides floor the same IEEE value —
-    the only way a float bin boundary can be oracle-exact). Per-batch
+    with the SAME operation order as the oracle. Oracle exactness rests
+    on the invariant that parquet row-group double statistics are the
+    UNTRUNCATED column min/max, i.e. bit-identical to the oracle's own
+    ``SELECT min(value), max(value)`` subquery (true for pyarrow-written
+    double stats; the DuckDB fallback preserves it by construction) —
+    both sides then floor the same IEEE value at every boundary. Don't
+    swap in approximate bounds here without also changing the oracle.
+    Per-batch
     bincount partials (≤ nb rows each) fold driver-side; nothing about
     the fold grows with the corpus. Returns (bin, n_events) sorted;
     empty bins emit no row (matching SQL GROUP BY)."""
