@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ell=128, k=8),
         # robust per-lang location estimate (quantile-banded mean)
         "trimmed_mean_lengths": exact.trimmed_mean_lengths,
+        # dyadic-CM ad-hoc range counts + quantile (exact counts in-row)
+        "cm_range_counts": sketch_queries.cm_range_counts,
     }
 
 

@@ -12,6 +12,7 @@ from .bloom import BloomFilter
 from .bottomk import BottomK
 from .countmin import CountMin, CountMinCU
 from .countsketch import CountSketch
+from .dyadic import DyadicCM
 from .freqdirs import FrequentDirections
 from .hashing import hash_arrow_strings, hash_ints, hash_strings, row_hashes, splitmix64
 from .hll import HLL

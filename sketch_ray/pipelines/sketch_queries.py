@@ -291,3 +291,46 @@ def hll_set_ops(sf_dir: str, p: int = 14) -> pa.Table:
         "est_only_a": pa.array([round(max(0.0, est_a - est_inter), 6)], pa.float64()),
         "est_only_b": pa.array([round(max(0.0, est_b - est_inter), 6)], pa.float64()),
     })
+
+
+def cm_range_counts(sf_dir: str, bits: int = 16,
+                    width: int = 2048) -> pa.Table:
+    """Range counts + quantiles from ONE dyadic Count-Min build (Cormode &
+    Muthukrishnan 2005 §4.2): how many documents have n_chars in [lo, hi),
+    answered from ``bits`` stacked CM levels — at 10^12-doc scale the
+    sketch answers ANY ad-hoc range afterwards without rescanning, where
+    the exact len_histogram pins one fixed binning at build time.
+
+    One streaming pass builds the sketch (same shuffle-free partial fold
+    as every kernel); each probed range decomposes into ≤ 2·bits dyadic
+    nodes. Estimates NEVER undercount and overcount ≤ 2·bits·(e/width)·N
+    w.h.p.; the in-row ``exact_n_docs`` (one pyarrow pass, the
+    embedding_spectrum discipline) plus est_q50's true-rank pytest pin
+    the bound. Rows-only gated — estimates are not SQL-expressible.
+    Returns (lo, hi, est_n_docs, exact_n_docs) plus a quantile row."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    spec = SketchSpec("dy", "dyadiccm", "n_chars", mode="numeric",
+                      params={"bits": int(bits), "width": int(width),
+                              "depth": 4, "seed": 42})
+    sk = build_sketches(ds, [spec], batch_size=16384)["dy"]
+
+    ranges = [(0, 100), (100, 200), (200, 400), (400, 1 << bits)]
+
+    def exact_partials(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({"cnt": pa.array(
+            [int(((v >= lo) & (v < hi)).sum()) for lo, hi in ranges],
+            pa.int64())})
+
+    ex = ds.map_batches(exact_partials, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+    exact = (ex["cnt"].to_numpy(np.int64).reshape(-1, len(ranges)).sum(axis=0)
+             if len(ex) else np.zeros(len(ranges), np.int64))
+    return pa.table({
+        "lo": pa.array([r[0] for r in ranges], pa.int64()),
+        "hi": pa.array([r[1] for r in ranges], pa.int64()),
+        "est_n_docs": pa.array(
+            [sk.range_count(lo, hi) for lo, hi in ranges], pa.int64()),
+        "exact_n_docs": pa.array(exact, pa.int64()),
+        "est_q50": pa.array([sk.quantile(0.5)] * len(ranges), pa.int64()),
+    })

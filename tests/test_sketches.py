@@ -669,3 +669,76 @@ def test_embedding_spectrum_pipeline(ray_session):
     # spectrum is sorted descending on both sides
     assert (np.diff(out["sv_exact"].to_numpy()) <= 1e-9).all()
     assert (np.diff(out["sv_est"].to_numpy()) <= 1e-9).all()
+
+
+def test_dyadic_cm_range_counts_and_merge():
+    """Dyadic CM (C&M 2005 §4.2): range estimates never undercount, stay
+    within the 2·bits·ε·N bound, merge is byte-identical and order-free,
+    CU never exceeds vanilla, quantiles have bounded rank error."""
+    from sketch_ray.kernels.base import sketch_from_bytes
+    from sketch_ray.kernels.dyadic import DyadicCM
+
+    rng = np.random.default_rng(7)
+    vals = rng.zipf(1.3, size=20_000)
+    vals = vals[vals < (1 << 16)].astype(np.int64)
+    n = len(vals)
+    for seed in (1, 42, 99):
+        sk = DyadicCM(bits=16, depth=4, width=2048, seed=seed)
+        sk.update(vals)
+        assert sk.n_updates == n
+        bound = sk.range_error_bound()
+        for lo, hi in [(0, 10), (5, 77), (100, 5000), (0, 1 << 16), (3, 4)]:
+            true = int(((vals >= lo) & (vals < hi)).sum())
+            est = sk.range_count(lo, hi)
+            assert est >= true, (lo, hi, est, true)
+            assert est - true <= bound, (lo, hi, est - true, bound)
+        # quantile: a heavy atom makes rank an interval — the returned x
+        # must satisfy count(<x) <= q·n + err and count(<=x) >= q·n − err
+        srt = np.sort(vals)
+        err = 2 * sk.bits * (np.e / sk.width) * n + 1
+        for q in (0.1, 0.5, 0.9):
+            x = sk.quantile(q)
+            assert np.searchsorted(srt, x, side="left") <= q * n + err
+            assert np.searchsorted(srt, x, side="right") >= q * n - err
+
+    # merge: tree vs sequential vs one-shot, byte-identical
+    sk_all = DyadicCM(bits=16, seed=42)
+    sk_all.update(vals)
+    parts = []
+    for i in range(4):
+        p = DyadicCM(bits=16, seed=42)
+        p.update(vals[i::4])
+        parts.append(p)
+    m1 = parts[0].copy().merge(parts[1]).merge(parts[2]).merge(parts[3])
+    m2 = parts[3].copy().merge(parts[2]).merge(parts[1]).merge(parts[0])
+    assert m1.to_bytes() == m2.to_bytes() == sk_all.to_bytes()
+    rt = sketch_from_bytes(m1.to_bytes())
+    assert rt.range_count(5, 77) == m1.range_count(5, 77)
+
+    # CU tightness on one instance; weighted update == repeated update
+    cu = DyadicCM(bits=16, seed=42, cu=True)
+    cu.update(vals)
+    for lo, hi in [(0, 10), (5, 77), (100, 5000)]:
+        true = int(((vals >= lo) & (vals < hi)).sum())
+        assert true <= cu.range_count(lo, hi) <= sk_all.range_count(lo, hi)
+    w = DyadicCM(bits=16, seed=42)
+    uv, uc = np.unique(vals, return_counts=True)
+    w.update(uv, uc)
+    assert w.to_bytes() == sk_all.to_bytes()
+
+    # domain guard
+    with np.testing.assert_raises(ValueError):
+        DyadicCM(bits=8).update(np.array([256]))
+
+
+def test_cm_range_counts_pipeline(ray_session):
+    from sketch_ray.pipelines.sketch_queries import cm_range_counts
+
+    t = cm_range_counts("/root/testdata/sf0.001").to_pandas()
+    assert len(t) == 4
+    assert (t["est_n_docs"] >= t["exact_n_docs"]).all()
+    n = int(t["exact_n_docs"].sum())
+    # full-domain row is exact-total; estimates within the a-priori bound
+    assert int(t["exact_n_docs"].iloc[-1] + t["exact_n_docs"].iloc[:-1].sum()) == n
+    slack = 2 * 16 * (np.e / 2048) * n + 1
+    assert ((t["est_n_docs"] - t["exact_n_docs"]) <= slack).all()
