@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_lengths": exact.trimmed_mean_lengths,
         # dyadic-CM ad-hoc range counts + quantile (exact counts in-row)
         "cm_range_counts": sketch_queries.cm_range_counts,
+        # TPC-H Q5: 6-table join with non-key c_nat=s_nat cross-condition
+        "local_supplier_revenue": relational.local_supplier_revenue,
     }
 
 
@@ -1450,6 +1452,28 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(round(100.0 * sum(rev4) FILTER (is_promo)
                                   / sum(rev4), 6), 0.0) AS promo_pct
             FROM x
+        """,
+        "local_supplier_revenue": """
+            WITH x AS (
+                SELECT n.n_name,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev4
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE s.s_nationkey = c.c_nationkey
+                  AND r.r_name = 'ASIA'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            )
+            SELECT n_name, count(*) AS n_items,
+                   round(sum(rev4) / 10000.0, 2) AS revenue
+            FROM x GROUP BY n_name
+            ORDER BY sum(rev4) DESC, n_name
         """,
         "supplier_region_balance": """
             WITH s AS (

@@ -2124,3 +2124,206 @@ def ship_lag_days(sf_dir: str, force: str | None = None) -> pa.Table:
         g = t.groupby("lag_days")["n"].sum().sort_index()
     return pa.table({"lag_days": pa.array(g.index.to_numpy(np.int64), pa.int64()),
                      "n_items": pa.array(g.to_numpy(np.int64), pa.int64())})
+
+
+def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
+                           year: int = 1996,
+                           force: str | None = None) -> pa.Table:
+    """TPC-H Q5 shape — local supplier volume: revenue per nation from
+    lineitems where the CUSTOMER's nation equals the SUPPLIER's nation,
+    the nation sits in ``region``, and the order falls in ``year``. The
+    6-table join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    region) with a non-key cross-condition (c_nationkey = s_nationkey),
+    resolved in ONE streaming pass over the fact:
+
+    - customer / supplier / nation / region are true dimensions —
+      composed driver-side into dense custkey→nationkey and
+      suppkey→nationkey arrays plus the region's nation mask, broadcast
+      once (`ray.put` + per-worker fetch-once; revenue_per_nation
+      discipline).
+    - orders is a FACT: the year slice is pushdown-read, and the
+      orderkey hop is adaptive (ship_lag_days gate): small slice →
+      broadcast sorted (orderkey → custnat) probed per lineitem batch
+      via searchsorted; large → lineitem pre-aggregates
+      (orderkey, suppnat, rev4) partials and Ray's hash-shuffle
+      ``Dataset.join`` carries pre-filtered ASIA orders only.
+
+    Revenue folds in integer 1e-4-currency units (promo_revenue_share
+    precedent, order-independent); the oracle does identical integer
+    math. Returns (n_name, n_items, revenue) ordered by the INTEGER
+    revenue desc then n_name (deterministic under 2dp ties)."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    nat = pq_mod.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq_mod.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {k: v for k, v in zip(reg["r_name"].to_pylist(),
+                                  reg["r_regionkey"].to_pylist())}
+    want_rk = rkeys[region]
+    nk = nat["n_nationkey"].to_numpy()
+    size_n = int(nk.max()) + 1
+    in_region = np.zeros(size_n, bool)
+    in_region[nk] = nat["n_regionkey"].to_numpy() == want_rk
+    names = np.empty(size_n, dtype=object)
+    names[nk] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+
+    def _dense(path: str, key: str, val: str) -> np.ndarray:
+        t = pq_mod.read_table(path, columns=[key, val])
+        k = t[key].to_numpy()
+        arr = np.full(int(k.max()) + 1 if len(k) else 1, -1, np.int32)
+        arr[k] = t[val].to_numpy().astype(np.int32)
+        return arr
+
+    cnat = _dense(f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+    snat = _dense(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+
+    lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"), pa.timestamp("us"))
+    date_filter = ((pads.field("o_orderdate") >= lo)
+                   & (pads.field("o_orderdate") < hi))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def _rev4(batch: pa.Table) -> np.ndarray:
+        return (np.round(batch["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False) * 100.0)
+                .astype(np.int64)
+                * (100 - np.round(batch["l_discount"]
+                                  .to_numpy(zero_copy_only=False) * 100.0)
+                   .astype(np.int64)))
+
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        ot = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+            columns=["o_orderkey", "o_custkey"], filter=date_filter)
+        okeys = ot["o_orderkey"].to_numpy()
+        ocust = ot["o_custkey"].to_numpy()
+        onat = np.where((ocust >= 0) & (ocust < len(cnat)),
+                        cnat[np.minimum(ocust, len(cnat) - 1)], -1)
+        keep_o = (onat >= 0) & in_region[np.maximum(onat, 0)]
+        okeys, onat = okeys[keep_o], onat[keep_o]
+        order = np.argsort(okeys, kind="stable")
+        ref = ray.put((okeys[order], onat[order].astype(np.int32),
+                       snat, size_n))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            okeys_s, onat_s, snat_w, size_n_w = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            rev4 = _rev4(batch)
+            pos = np.clip(np.searchsorted(okeys_s, lk), 0,
+                          max(len(okeys_s) - 1, 0))
+            hit = (okeys_s[pos] == lk) if len(okeys_s) else \
+                np.zeros(len(lk), bool)
+            s_ok = (sk >= 0) & (sk < len(snat_w))
+            s_n = np.where(s_ok, snat_w[np.minimum(sk, len(snat_w) - 1)], -1)
+            keep = hit & (s_n >= 0) & (onat_s[pos] == s_n) if len(okeys_s) \
+                else np.zeros(len(lk), bool)
+            natk = s_n[keep]
+            sums = np.zeros(size_n_w, np.int64)
+            cnts = np.zeros(size_n_w, np.int64)
+            np.add.at(sums, natk, rev4[keep])
+            np.add.at(cnts, natk, 1)
+            nz = np.flatnonzero(cnts)
+            return pa.table({"natkey": pa.array(nz, pa.int64()),
+                             "rev4": pa.array(sums[nz], pa.int64()),
+                             "n": pa.array(cnts[nz], pa.int64())})
+
+        t = ensure_columns(
+            li.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+              .to_pandas(),
+            {"natkey": "int64", "rev4": "int64", "n": "int64"})
+    else:
+        snat_ref = ray.put(snat)
+
+        def li_partials(batch: pa.Table) -> pa.Table:
+            snat_w = cached(snat_ref)
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            rev4 = _rev4(batch)
+            s_ok = (sk >= 0) & (sk < len(snat_w))
+            s_n = np.where(s_ok, snat_w[np.minimum(sk, len(snat_w) - 1)], -1)
+            keep = s_n >= 0
+            t = pa.table({"l_orderkey": pc.array_filter(
+                              batch["l_orderkey"].combine_chunks(),
+                              pa.array(keep)),
+                          "suppnat": pa.array(s_n[keep].astype(np.int64)),
+                          "rev4": pa.array(rev4[keep]),
+                          "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+            g = t.group_by(["l_orderkey", "suppnat"]).aggregate(
+                [("rev4", "sum"), ("one", "sum")])
+            return g.rename_columns(["l_orderkey", "suppnat", "rev4", "n"])
+
+        li_agg = li.map_batches(li_partials, batch_format="pyarrow",
+                                batch_size=65536)
+        cnat_ref = ray.put((cnat, in_region))
+
+        def ord_proj(batch: pa.Table) -> pa.Table:
+            cnat_w, in_region_w = cached(cnat_ref)
+            oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            c_ok = (oc >= 0) & (oc < len(cnat_w))
+            c_n = np.where(c_ok, cnat_w[np.minimum(oc, len(cnat_w) - 1)], -1)
+            keep = (c_n >= 0) & in_region_w[np.maximum(c_n, 0)]
+            return pa.table({"o_orderkey": pc.array_filter(
+                                 batch["o_orderkey"].combine_chunks(),
+                                 pa.array(keep)),
+                             "custnat": pa.array(c_n[keep].astype(np.int64))})
+
+        import ray.data as rd
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"],
+                                 filter=date_filter) \
+            .map_batches(ord_proj, batch_format="pyarrow", batch_size=65536) \
+            .materialize()  # feeds BOTH count() and join (CLAUDE.md rule)
+        n_right = orders.count()
+        if n_right == 0:
+            t = pd.DataFrame({"natkey": pd.Series([], dtype="int64"),
+                              "rev4": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+        else:
+            n_parts = max(1, min(
+                _join_partitions(sf_dir, "lineitem", "orders"),
+                n_right // 64 + 1))
+            joined = li_agg.join(orders, join_type="inner",
+                                 num_partitions=n_parts,
+                                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+            def nat_partials(batch: pa.Table) -> pa.Table:
+                keep = (batch["suppnat"].to_numpy(zero_copy_only=False)
+                        == batch["custnat"].to_numpy(zero_copy_only=False))
+                t = pa.table({
+                    "natkey": pc.array_filter(
+                        batch["suppnat"].combine_chunks(), pa.array(keep)),
+                    "rev4": pc.array_filter(
+                        batch["rev4"].combine_chunks(), pa.array(keep)),
+                    "n": pc.array_filter(
+                        batch["n"].combine_chunks(), pa.array(keep))})
+                g = t.group_by("natkey").aggregate(
+                    [("rev4", "sum"), ("n", "sum")])
+                return g.rename_columns(["natkey", "rev4", "n"])
+
+            t = ensure_columns(
+                joined.map_batches(nat_partials, batch_format="pyarrow",
+                                   batch_size=65536).to_pandas(),
+                {"natkey": "int64", "rev4": "int64", "n": "int64"})
+
+    g = t.groupby("natkey", as_index=False)[["rev4", "n"]].sum()
+    g["n_name"] = names[g["natkey"].to_numpy(np.int64)]
+    g = g.sort_values(["rev4", "n_name"],
+                      ascending=[False, True]).reset_index(drop=True)
+    rev4 = g["rev4"].to_numpy(np.int64)
+    return pa.table({
+        "n_name": pa.array(g["n_name"], pa.string()),
+        "n_items": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        "revenue": pa.array(
+            np.asarray(round_half_away(rev4 / 10000.0, 2), np.float64),
+            pa.float64()),
+    })

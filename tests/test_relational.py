@@ -735,3 +735,33 @@ def test_ship_lag_days_plans_and_oracle(ray_session):
     n = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet')").fetchone()[0]
     assert a["n_items"].sum() == n
+
+
+def test_local_supplier_revenue_vs_duckdb(ray_session):
+    """TPC-H Q5 (6-table join, non-key c_nat=s_nat cross-condition):
+    broadcast and native-join plans agree with each other and with
+    DuckDB, integer 1e-4-unit revenue math on both sides."""
+    from sketch_ray.pipelines.relational import local_supplier_revenue
+
+    a = local_supplier_revenue(SF, force="driver").to_pandas()
+    b = local_supplier_revenue(SF, force="native").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        WITH x AS (
+            SELECT n.n_name,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev4
+            FROM read_parquet('{SF}/lineitem.parquet') l
+            JOIN read_parquet('{SF}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+            JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{SF}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey
+            JOIN read_parquet('{SF}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+            JOIN read_parquet('{SF}/region.parquet') r ON n.n_regionkey = r.r_regionkey
+            WHERE s.s_nationkey = c.c_nationkey AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT n_name, count(*) AS n_items,
+               round(sum(rev4) / 10000.0, 2) AS revenue
+        FROM x GROUP BY n_name ORDER BY sum(rev4) DESC, n_name""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+    assert len(a) > 0 and (a["n_items"] > 0).all()
