@@ -207,6 +207,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_range_counts": sketch_queries.cm_range_counts,
         # TPC-H Q5: 6-table join with non-key c_nat=s_nat cross-condition
         "local_supplier_revenue": relational.local_supplier_revenue,
+        # TPC-H Q17: correlated per-group-aggregate filter, no self-join
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        # sliding-window exact distinct (trailing 7-day DAU)
+        "rolling_distinct_users": relational.rolling_distinct_users,
+        # per-day HLL states; any window = register-max union (exact in-row)
+        "windowed_hll_users": sketch_queries.windowed_hll_users,
     }
 
 
@@ -1474,6 +1480,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(rev4) / 10000.0, 2) AS revenue
             FROM x GROUP BY n_name
             ORDER BY sum(rev4) DESC, n_name
+        """,
+        "rolling_distinct_users": """
+            WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day,
+                                        user_id
+                        FROM events),
+                 days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day AS day, count(DISTINCT u.user_id) AS n_users
+            FROM days d JOIN du u
+              ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+            GROUP BY 1 ORDER BY day
+        """,
+        "q17_small_quantity_revenue": """
+            WITH a AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+                       count(*) AS c
+                FROM lineitem GROUP BY 1
+            )
+            SELECT count(*) AS n_items,
+                   round(COALESCE(sum(CAST(round(l.l_extendedprice * 100)
+                                           AS BIGINT)), 0) / 700.0, 2)
+                       AS avg_yearly
+            FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+            WHERE CAST(round(l.l_quantity) AS BIGINT) * 5 * a.c < a.sq
         """,
         "supplier_region_balance": """
             WITH s AS (

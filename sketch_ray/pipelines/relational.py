@@ -2327,3 +2327,179 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
             np.asarray(round_half_away(rev4 / 10000.0, 2), np.float64),
             pa.float64()),
     })
+
+
+def q17_small_quantity_revenue(sf_dir: str,
+                               force: str | None = None) -> pa.Table:
+    """TPC-H Q17 shape — correlated per-group-aggregate filter: total
+    revenue (averaged per year, /7) of lineitems whose quantity is below
+    20% of their PART's average quantity. The "aggregate a fact, then
+    filter the same fact against its own group's aggregate" pattern —
+    two streaming passes, no self-join rows ever materialize:
+
+    1. per-partkey (Σqty, n) partials fold adaptively (partkey
+       cardinality is bounded by the part dimension, so the fold is
+       group-bounded regardless of corpus size);
+    2. the (partkey → threshold) table broadcasts as sorted arrays
+       (dimension-sized; at a scale where parts outgrow broadcast the
+       pre-aggregated hash-shuffle join is the ship_lag_days path) and
+       the second lineitem scan keeps rows with
+       ``qty·5·n < Σqty``  —  exact INTEGER arithmetic equivalent to
+       ``qty < 0.2·avg`` (quantities are integral; both sides rendered
+       identically in the oracle), summing integer cents.
+
+    Returns one row (n_items, avg_yearly), money 2dp half-away."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    n_rows = li.count()
+
+    def qty_partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "pk": batch["l_partkey"],
+            "q": pa.array(np.round(batch["l_quantity"]
+                                   .to_numpy(zero_copy_only=False))
+                          .astype(np.int64)),
+            "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("pk").aggregate([("q", "sum"), ("one", "sum")])
+        return g.rename_columns(["pk", "sq", "c"])
+
+    parts = li.map_batches(qty_partials, batch_format="pyarrow",
+                           batch_size=65536)
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"pk": "int64", "sq": "int64", "c": "int64"})
+        agg = pdf.groupby("pk", as_index=False)[["sq", "c"]].sum()
+    else:
+        agg = ensure_columns(
+            parts.repartition(n_reducers()).groupby("pk")
+                 .aggregate(Sum("sq", alias_name="sq"),
+                            Sum("c", alias_name="c")).to_pandas(),
+            {"pk": "int64", "sq": "int64", "c": "int64"})
+    pk = agg["pk"].to_numpy(np.int64)
+    order = np.argsort(pk, kind="stable")
+    ref = ray.put((pk[order], agg["sq"].to_numpy(np.int64)[order],
+                   agg["c"].to_numpy(np.int64)[order]))
+
+    li2 = _read(sf_dir, "lineitem",
+                ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def rev_partials(batch: pa.Table) -> pa.Table:
+        pk_s, sq_s, c_s = cached(ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        q = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        pos = np.clip(np.searchsorted(pk_s, lp), 0, max(len(pk_s) - 1, 0))
+        hit = (pk_s[pos] == lp) if len(pk_s) else np.zeros(len(lp), bool)
+        keep = hit & (q * 5 * c_s[pos] < sq_s[pos]) if len(pk_s) \
+            else np.zeros(len(lp), bool)
+        cents = np.round(batch["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False)[keep] * 100.0) \
+            .astype(np.int64)
+        return pa.table({"cents": pa.array([int(cents.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    t = ensure_columns(
+        li2.map_batches(rev_partials, batch_format="pyarrow",
+                        batch_size=65536).to_pandas(),
+        {"cents": "int64", "n": "int64"})
+    cents, n = int(t["cents"].sum()), int(t["n"].sum())
+    return pa.table({
+        "n_items": pa.array([n], pa.int64()),
+        "avg_yearly": pa.array(
+            [float(round_half_away(cents / 700.0, 2))], pa.float64()),
+    })
+
+
+def rolling_distinct_users(sf_dir: str, window: int = 7,
+                           force: str | None = None) -> pa.Table:
+    """Sliding-window EXACT distinct: for every day present in events, the
+    count of distinct users active over the trailing ``window`` days
+    [d−(window−1), d]. Completes the windowed-distinct family —
+    daily_active_users is the tumbling case; overlap means a user active
+    on several window days must still count ONCE per window, so no sum
+    over daily results can answer it.
+
+    Per-batch (day, user) pre-aggregation first (events collapse to
+    day×user pairs before anything widens). Adaptive: below _SMALL_ROWS
+    one driver pass — pairs sorted by day, each window a searchsorted
+    slice + np.unique (day-bounded loop, vectorized inner). Above, the
+    hopping-window expansion (events_hopping_windows discipline ×
+    ``window``): each deduped pair emits (target_day, user) for the
+    ≤window present days it serves, a distributed (target_day, user)
+    groupby dedups globally, and a per-day Count folds day-sized rows.
+    ``force``="driver"/"distributed" pins the branch. Returns
+    (day, n_users) sorted by day."""
+    from ray.data.aggregate import Count
+
+    _DAY_US = np.int64(86_400_000_000)
+    W = int(window)
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        t = pa.table({"day": day, "user_id": batch["user_id"]})
+        g = t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "user_id", "n_p"]).drop_columns(["n_p"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"day": "datetime64[us]", "user_id": "int64"})
+        pdf = pdf.drop_duplicates(["day", "user_id"])
+        days_us = pdf["day"].to_numpy("datetime64[us]").astype(np.int64)
+        users = pdf["user_id"].to_numpy(np.int64)
+        order = np.argsort(days_us, kind="stable")
+        days_us, users = days_us[order], users[order]
+        uniq_days = np.unique(days_us)
+        counts = np.empty(len(uniq_days), np.int64)
+        for i, d in enumerate(uniq_days):  # day-bounded loop, not per-row
+            lo = np.searchsorted(days_us, d - (W - 1) * _DAY_US)
+            hi = np.searchsorted(days_us, d, side="right")
+            counts[i] = len(np.unique(users[lo:hi]))
+        out = pd.DataFrame({"day": uniq_days.astype("datetime64[us]"),
+                            "n_users": counts})
+    else:
+        pairs = parts.repartition(n_reducers()).groupby(["day", "user_id"]) \
+            .aggregate(Count(alias_name="n_p")) \
+            .materialize()  # feeds BOTH the day list and expand (house rule)
+        # present-day list: day-bounded, safe to pull and broadcast
+        day_rows = pairs.groupby("day").aggregate(Count(alias_name="n")) \
+            .to_pandas()
+        present = np.sort(day_rows["day"].to_numpy("datetime64[us]")
+                          .astype(np.int64))
+        pref = ray.put(present)
+
+        def expand(batch: pa.Table) -> pa.Table:
+            present_w = cached(pref)
+            d = batch["day"].combine_chunks().to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64)
+            u = batch["user_id"].to_numpy(zero_copy_only=False)
+            tgt = (d[:, None] + np.arange(W, dtype=np.int64) * _DAY_US).ravel()
+            uu = np.repeat(u, W)
+            pos = np.clip(np.searchsorted(present_w, tgt), 0,
+                          max(len(present_w) - 1, 0))
+            keep = (present_w[pos] == tgt) if len(present_w) else \
+                np.zeros(len(tgt), bool)
+            t = pa.table({
+                "tday": pa.array(tgt[keep].astype("datetime64[us]"),
+                                 pa.timestamp("us")),
+                "user_id": pa.array(uu[keep], pa.int64())})
+            return t.group_by(["tday", "user_id"]).aggregate([([], "count_all")]) \
+                .rename_columns(["tday", "user_id", "n_p"]) \
+                .drop_columns(["n_p"])
+
+        tagged = pairs.map_batches(expand, batch_format="pyarrow",
+                                   batch_size=32768)
+        dedup = tagged.repartition(n_reducers()) \
+            .groupby(["tday", "user_id"]).aggregate(Count(alias_name="n"))
+        per_day = dedup.groupby("tday").aggregate(Count(alias_name="n_users"))
+        out = ensure_columns(per_day.to_pandas(),
+                             {"tday": "datetime64[us]", "n_users": "int64"}) \
+            .rename(columns={"tday": "day"})
+    out = out.sort_values("day").reset_index(drop=True)
+    return pa.table({
+        "day": pa.array(out["day"].to_numpy("datetime64[us]"),
+                        pa.timestamp("us")),
+        "n_users": pa.array(out["n_users"].to_numpy(np.int64), pa.int64()),
+    })

@@ -9,6 +9,7 @@ while the *exact* counterparts in pipelines/exact.py carry DuckDB oracles.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -333,4 +334,62 @@ def cm_range_counts(sf_dir: str, bits: int = 16,
             [sk.range_count(lo, hi) for lo, hi in ranges], pa.int64()),
         "exact_n_docs": pa.array(exact, pa.int64()),
         "est_q50": pa.array([sk.quantile(0.5)] * len(ranges), pa.int64()),
+    })
+
+
+def windowed_hll_users(sf_dir: str, window: int = 7, p: int = 12) -> pa.Table:
+    """Sliding-window distinct-user estimates from PER-DAY HLL states —
+    the mergeable-UDAF answer to rolling windows: ONE
+    ``groupby(day).aggregate(SketchAgg(hll))`` pass builds a KB-sized
+    state per day, then EVERY trailing-``window`` estimate is a
+    register-max union of ≤window states on the driver. At 10^12-event
+    scale the exact recount (rolling_distinct_users) re-shuffles the
+    window's pairs per day; this path re-reads nothing — day states are
+    built once and any window (trailing 7, trailing 30, ad-hoc spans)
+    is answered from them. Exact counts ride in-row (the
+    embedding_spectrum discipline); the ±1.04/sqrt(2^p) accuracy is
+    pinned in pytest. Returns (day, est_users, exact_users)."""
+    import pyarrow.compute as _pc
+
+    from ..kernels.base import sketch_from_bytes
+    from ..pipelines.relational import rolling_distinct_users
+    from ..stages.agg import SketchAgg
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": _pc.floor_temporal(batch["ts"].combine_chunks(),
+                                      unit="day"),
+            "user_id": batch["user_id"]})
+
+    spec = SketchSpec("u", "hll", "user_id", mode="column",
+                      params={"p": int(p), "seed": 42})
+    rows = (ds.map_batches(day_col, batch_format="pyarrow", batch_size=32768)
+            .groupby("day")
+            .aggregate(SketchAgg(spec, alias_name="state", finalize="bytes"))
+            ).to_pandas()
+    rows = rows.sort_values("day").reset_index(drop=True)
+    days = rows["day"].to_numpy("datetime64[us]")
+    sketches = [sketch_from_bytes(b) for b in rows["state"]]
+
+    W = int(window)
+    day_i = days.astype(np.int64)
+    _DAY_US = np.int64(86_400_000_000)
+    ests = np.empty(len(days), np.int64)
+    for i in range(len(days)):  # day-bounded loop
+        lo = int(np.searchsorted(day_i, day_i[i] - (W - 1) * _DAY_US))
+        u = sketches[lo].copy()
+        for j in range(lo + 1, i + 1):
+            u.merge(sketches[j])
+        ests[i] = int(round(u.estimate()))
+
+    exact = rolling_distinct_users(sf_dir, window=W).to_pandas()
+    out = pd.DataFrame({"day": days, "est_users": ests}).merge(
+        exact, on="day", how="inner")
+    return pa.table({
+        "day": pa.array(out["day"].to_numpy("datetime64[us]"),
+                        pa.timestamp("us")),
+        "est_users": pa.array(out["est_users"].to_numpy(np.int64), pa.int64()),
+        "exact_users": pa.array(out["n_users"].to_numpy(np.int64), pa.int64()),
     })

@@ -765,3 +765,51 @@ def test_local_supplier_revenue_vs_duckdb(ray_session):
         FROM x GROUP BY n_name ORDER BY sum(rev4) DESC, n_name""").df()
     pd.testing.assert_frame_equal(a, ref, check_dtype=False)
     assert len(a) > 0 and (a["n_items"] > 0).all()
+
+
+def test_q17_small_quantity_revenue_vs_duckdb(ray_session):
+    """Q17 correlated-aggregate filter: adaptive fold branches agree and
+    match DuckDB with exact integer qty*5*n < sum(qty) arithmetic."""
+    from sketch_ray.pipelines.relational import q17_small_quantity_revenue
+
+    a = q17_small_quantity_revenue(SF, force="driver").to_pandas()
+    b = q17_small_quantity_revenue(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        WITH a AS (SELECT l_partkey,
+                          sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+                          count(*) AS c
+                   FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1)
+        SELECT count(*) AS n_items,
+               round(COALESCE(sum(CAST(round(l.l_extendedprice * 100)
+                                       AS BIGINT)), 0) / 700.0, 2) AS avg_yearly
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN a ON l.l_partkey = a.l_partkey
+        WHERE CAST(round(l.l_quantity) AS BIGINT) * 5 * a.c < a.sq""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+    assert int(a.loc[0, "n_items"]) > 0
+
+
+def test_rolling_distinct_users_vs_duckdb(ray_session):
+    """Sliding-window exact distinct: driver and hopping-expansion plans
+    agree and match DuckDB's windowed count(DISTINCT)."""
+    from sketch_ray.pipelines.relational import rolling_distinct_users
+
+    a = rolling_distinct_users(SF, force="driver").to_pandas()
+    b = rolling_distinct_users(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                    FROM read_parquet('{SF}/events.parquet')),
+             days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day AS day, count(DISTINCT u.user_id) AS n_users
+        FROM days d JOIN du u
+          ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+        GROUP BY 1 ORDER BY day""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+    # windows only widen coverage: every rolling count >= that day's DAU
+    dau = duckdb.sql(f"""
+        SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS n
+        FROM read_parquet('{SF}/events.parquet') GROUP BY 1 ORDER BY 1""").df()
+    m = a.merge(dau, on="day")
+    assert (m["n_users"] >= m["n"]).all()

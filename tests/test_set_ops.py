@@ -116,3 +116,17 @@ def test_hll_set_ops_tracks_exact(ray_session):
     # intersection error is union-scaled
     assert abs(est["est_intersect"][0] - exact["n_intersect"][0]) \
         <= max(4.0, 2 * tol * exact["n_union"][0])
+
+
+def test_windowed_hll_users_accuracy(ray_session):
+    """Per-day HLL states unioned per trailing window track the exact
+    rolling distinct within 5 sigma of the published 1.04/sqrt(2^p)."""
+    import numpy as np
+
+    from sketch_ray.pipelines.sketch_queries import windowed_hll_users
+
+    t = windowed_hll_users("/root/testdata/sf0.001", p=12).to_pandas()
+    assert len(t) > 0
+    rel = (np.abs(t["est_users"] - t["exact_users"])
+           / np.maximum(t["exact_users"], 1))
+    assert (rel <= 5 * 1.04 / np.sqrt(2 ** 12)).all()
