@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct_users": relational.rolling_distinct_users,
         # per-day HLL states; any window = register-max union (exact in-row)
         "windowed_hll_users": sketch_queries.windowed_hll_users,
+        # distributed spherical k-means (full-corpus Lloyd refinement)
+        "embedding_kmeans": similarity.embedding_kmeans,
     }
 
 

@@ -752,3 +752,85 @@ def embedding_spectrum(sf_dir: str, ell: int = 128, k: int = 8) -> pa.Table:
         "sv_est": pa.array(np.asarray(round6(sv_est)), pa.float64()),
         "rel_err": pa.array(np.asarray(round6(rel)), pa.float64()),
     })
+
+
+def embedding_kmeans(sf_dir: str, n_clusters: int = 8, iters: int = 5,
+                     seed: int = 42) -> pa.Table:
+    """Distributed spherical k-means over the FULL embedding corpus — the
+    domain-clustering step a mixture-curation pipeline runs before
+    choosing sampling weights. ``_kmeans_centroids`` trains a coarse
+    quantizer on a distributed SAMPLE (the IVF path); this refines it
+    with ``iters`` full-corpus Lloyd passes, each ONE streaming
+    map_batches: broadcast centroids, per-batch argmax assignment (one
+    block matmul), and (k×d vector-sum, k counts, k dot-sums) partials —
+    k·d floats per batch cross the wire, never a vector row. New
+    centroids are the normalized cluster means (spherical update);
+    empty clusters keep their previous centroid (deterministic).
+
+    Driver holds k·d floats; corpus never leaves the tasks. Rows-only
+    gated (iterative — not SQL); Lloyd-identity vs a one-machine numpy
+    reference, objective monotonicity and determinism are pinned in
+    pytest. Returns (cluster, n_vecs, mean_cos) sorted by cluster,
+    mean_cos rounded 6dp."""
+    from ._util import ensure_columns, round6
+
+    k = int(n_clusters)
+    train = _sample_matrix(sf_dir, k * 64, seed)
+    centroids = _kmeans_centroids(train, min(k, len(train)), seed)
+    k = len(centroids)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    counts = sims = None
+    for _ in range(int(iters)):
+        ref = ray.put(centroids)
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            from ..stages.broadcast import cached
+
+            C = cached(_ref)
+            _, X = _batch_matrix(batch)
+            if len(X) == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            dots = X @ C.T
+            assign = np.argmax(dots, axis=1)
+            best = dots[np.arange(len(X)), assign]
+            nz = np.unique(assign)
+            n_c = np.bincount(assign, minlength=k)[nz]
+            sim_c = np.bincount(assign, weights=best, minlength=k)[nz]
+            vs = np.zeros((k, X.shape[1]), np.float64)
+            np.add.at(vs, assign, X)
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int64)),
+                "n": pa.array(n_c.astype(np.int64)),
+                "sim": pa.array(sim_c, pa.float64()),
+                "vsum": pa.array(list(vs[nz]), pa.list_(pa.float64()))})
+
+        pdf = ensure_columns(
+            ds.map_batches(partials, batch_format="pyarrow", batch_size=4096)
+              .to_pandas(),
+            {"cluster": "int64", "n": "int64", "sim": "float64",
+             "vsum": "object"})
+        counts = np.zeros(k, np.int64)
+        sims = np.zeros(k, np.float64)
+        vsums = np.zeros((k, centroids.shape[1]), np.float64)
+        for c, n, s, v in zip(pdf["cluster"], pdf["n"], pdf["sim"],
+                              pdf["vsum"]):  # k×batches-bounded fold
+            counts[c] += n
+            sims[c] += s
+            vsums[c] += np.asarray(v, np.float64)
+        nonempty = counts > 0
+        norms = np.linalg.norm(vsums, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new_c = vsums / norms
+        centroids = np.where(nonempty[:, None], new_c, centroids)
+
+    return pa.table({
+        "cluster": pa.array(np.arange(k, dtype=np.int64)),
+        "n_vecs": pa.array(counts, pa.int64()),
+        "mean_cos": pa.array(
+            np.asarray(round6(np.where(counts > 0, sims / np.maximum(counts, 1),
+                                       0.0)), np.float64), pa.float64()),
+    })

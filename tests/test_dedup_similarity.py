@@ -798,3 +798,46 @@ def test_decontaminate_out_dir_roundtrip(ray_session, tmp_path):
     import glob
     files = glob.glob(f"{out}/*.parquet")
     assert len(files) >= 2  # rows_per_file=100 over 480 docs -> bounded files
+
+
+def test_embedding_kmeans_lloyd_identity(ray_session):
+    """Distributed spherical k-means equals a one-machine numpy Lloyd run
+    from the same init; objective is monotone; counts cover the corpus;
+    reruns are deterministic."""
+    import numpy as np
+
+    from sketch_ray.pipelines.similarity import (_full_matrix,
+                                                 _kmeans_centroids,
+                                                 _sample_matrix,
+                                                 embedding_kmeans)
+
+    sf = "/root/testdata/sf0.001"
+    k, iters, seed = 4, 3, 42
+    t = embedding_kmeans(sf, n_clusters=k, iters=iters, seed=seed).to_pandas()
+    t2 = embedding_kmeans(sf, n_clusters=k, iters=iters, seed=seed).to_pandas()
+    assert t.equals(t2)
+
+    ids, X = _full_matrix(sf)
+    assert int(t["n_vecs"].sum()) == len(ids)
+
+    C = _kmeans_centroids(_sample_matrix(sf, k * 64, seed), k, seed)
+    prev_obj = -np.inf
+    for _ in range(iters):
+        dots = X @ C.T
+        assign = np.argmax(dots, axis=1)
+        obj = dots[np.arange(len(X)), assign].sum()
+        assert obj >= prev_obj - 1e-9
+        prev_obj = obj
+        counts = np.bincount(assign, minlength=k)
+        sims = np.bincount(assign, weights=dots[np.arange(len(X)), assign],
+                           minlength=k)
+        vs = np.zeros((k, X.shape[1]))
+        np.add.at(vs, assign, X)
+        norms = np.linalg.norm(vs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C = np.where((counts > 0)[:, None], vs / norms, C)
+    ref_counts = counts.astype(np.int64)
+    ref_mean = np.where(counts > 0, sims / np.maximum(counts, 1), 0.0)
+    assert (t["n_vecs"].to_numpy() == ref_counts).all()
+    assert np.allclose(t["mean_cos"].to_numpy(), np.round(ref_mean, 6),
+                       atol=1e-6)
