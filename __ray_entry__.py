@@ -215,6 +215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_hll_users": sketch_queries.windowed_hll_users,
         # distributed spherical k-means (full-corpus Lloyd refinement)
         "embedding_kmeans": similarity.embedding_kmeans,
+        # order-invariant integrity checksum (reshard/rewrite verification)
+        "corpus_checksum": exact.corpus_checksum,
+        # PIVOT: long->wide reshape of the daily windowed aggregate
+        "events_pivot_daily": relational.events_pivot_daily,
     }
 
 
@@ -688,6 +692,25 @@ def oracle_sql() -> dict[str, str]:
     fp_sm, fp_smf = splitmix64_ctes("fs", "fx", "k", "h", ["doc_id"])
     ch_ctes, ch_f = string_hash_ctes(
         "ch", "(SELECT doc_id, text AS s FROM documents)", "s", "h", ["doc_id"], seed=1)
+    # corpus_checksum: mod-2^64 sum of content-hash XOR id-hash, rendered
+    # with the same FNV-Horner + splitmix64 CTEs (order-invariant on both
+    # sides by commutativity)
+    ck_id_ctes, ck_id_f = splitmix64_ctes(
+        "ck", f"(SELECT doc_id, xor(CAST(doc_id AS UBIGINT), "
+              f"{mix_constant(42)}) AS k FROM documents)",
+        "k", "idh", ["doc_id"])
+    ck_ch_ctes, ck_ch_f = string_hash_ctes(
+        "cc", "(SELECT doc_id, text AS s FROM documents)", "s", "h",
+        ["doc_id"], seed=1)
+    checksum_sql = f"""
+        WITH {ck_ch_ctes},
+        {ck_id_ctes}
+        SELECT count(*) AS n_docs,
+               {to_bigint_sql(
+                   "CAST(COALESCE(sum(CAST(xor(c.h, i.idh) AS HUGEINT)), 0)"
+                   " % 18446744073709551616 AS UBIGINT)")} AS checksum
+        FROM {ck_ch_f} c JOIN {ck_id_f} i USING (doc_id)
+    """
     fingerprint_sql = f"""
         WITH wins AS (
             SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS g
@@ -1171,6 +1194,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,
+        "corpus_checksum": checksum_sql,
+        "events_pivot_daily": """
+            SELECT date_trunc('day', ts) AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY 1 ORDER BY day
+        """,
         # connected components over the jaccard>=tau relation: recursive-CTE
         # transitive closure, rep = min reachable doc_id
         "dedup_clusters": """

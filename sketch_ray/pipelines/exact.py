@@ -1031,3 +1031,48 @@ def trimmed_mean_lengths(sf_dir: str, lo_q: float = 0.1, hi_q: float = 0.9,
     out = pd.DataFrame(rows, columns=["lang", "n_kept", "trimmed_mean"]).astype(
         {"lang": "object", "n_kept": "int64", "trimmed_mean": "float64"})
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def corpus_checksum(sf_dir: str, seed: int = 42) -> pa.Table:
+    """Order-invariant corpus checksum — the integrity primitive a
+    resumable 100-TB pipeline runs after every reshard / rewrite /
+    restore: mod-2^64 SUM over documents of
+    ``string_hash(text, 1) XOR splitmix64(doc_id ^ mix(seed))``.
+    Binding the content hash to the doc_id detects row swaps and
+    duplications, not just content edits; the commutative sum makes the
+    checksum independent of partitioning, block order and parallelism —
+    two shardings of the same corpus agree byte-for-byte, any single
+    changed/missing/duplicated row changes the value.
+
+    One streaming pass, one uint64 per batch crossing the wire (numpy
+    uint64 addition wraps mod 2^64 natively). The oracle renders the
+    SAME seeded FNV-Horner + splitmix64 arithmetic in SQL
+    (`_sqlgen.string_hash_ctes` — the kmv/doc_fingerprints machinery).
+    Returns one row (n_docs, checksum), checksum as two's-complement
+    BIGINT."""
+    from ..kernels.hashing import hash_arrow_strings, splitmix64
+    from ._sqlgen import mix_constant
+
+    mix = np.uint64(mix_constant(seed))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        h = hash_arrow_strings(text, seed=1)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = h ^ splitmix64(ids ^ mix)
+        s = x.sum(dtype=np.uint64)  # wraps mod 2^64 by construction
+        return pa.table({
+            "chk": pa.array(np.array([s], np.uint64).view(np.int64),
+                            pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64())})
+
+    t = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+          .to_pandas(), {"chk": "int64", "n": "int64"})
+    total = t["chk"].to_numpy(np.int64).view(np.uint64).sum(dtype=np.uint64)
+    return pa.table({
+        "n_docs": pa.array([int(t["n"].sum())], pa.int64()),
+        "checksum": pa.array(np.array([total], np.uint64).view(np.int64),
+                             pa.int64()),
+    })

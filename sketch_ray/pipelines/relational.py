@@ -2503,3 +2503,31 @@ def rolling_distinct_users(sf_dir: str, window: int = 7,
                         pa.timestamp("us")),
         "n_users": pa.array(out["n_users"].to_numpy(np.int64), pa.int64()),
     })
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_daily(sf_dir: str) -> pa.Table:
+    """PIVOT — long→wide reshape: per day, one COLUMN of event counts per
+    event type (the BI-table shape SQL's PIVOT / conditional aggregation
+    produces). Derived driver-side from the group-bounded (day, type)
+    windowed aggregate — the reshape itself costs nothing beyond the one
+    partial-fold pass events_daily_windows already does; no second scan,
+    no wide shuffle (a Ray-native pivot would need a row-to-column
+    exchange for NO benefit when the long table is already
+    day×type-bounded). Absent (day, type) cells are 0 (matching the SQL
+    FILTER semantics). Returns (day, n_click, n_error, n_purchase,
+    n_signup, n_view) sorted by day."""
+    long = events_daily_windows(sf_dir).to_pandas()
+    wide = long.pivot_table(index="day", columns="event_type",
+                            values="n_events", aggfunc="sum",
+                            fill_value=0)
+    days = np.sort(long["day"].unique())
+    out = {"day": pa.array(pd.Series(days).to_numpy("datetime64[us]"),
+                           pa.timestamp("us"))}
+    for t in _PIVOT_TYPES:
+        col = (wide[t].reindex(days).fillna(0).to_numpy(np.int64)
+               if t in wide.columns else np.zeros(len(days), np.int64))
+        out[f"n_{t}"] = pa.array(col, pa.int64())
+    return pa.table(out)

@@ -337,3 +337,48 @@ def test_trimmed_mean_lengths_hand_case_and_branches(ray_session, tmp_path):
         WHERE d.n_chars BETWEEN b.lo AND b.hi
         GROUP BY d.lang ORDER BY lang""").df()
     pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+
+
+def test_corpus_checksum_invariance(ray_session, tmp_path):
+    """Order-invariant integrity checksum: equals the numpy reference,
+    survives row permutation, changes on any edit or duplication."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sketch_ray.kernels.hashing import hash_arrow_strings, splitmix64
+    from sketch_ray.pipelines._sqlgen import mix_constant
+    from sketch_ray.pipelines.exact import corpus_checksum
+
+    sf = "/root/testdata/sf0.001"
+    base = corpus_checksum(sf).to_pandas()
+
+    t = pq.read_table(f"{sf}/documents.parquet")
+    mix = np.uint64(mix_constant(42))
+    h = hash_arrow_strings(t["text"].combine_chunks(), seed=1)
+    idh = splitmix64(t["doc_id"].to_numpy().astype(np.uint64) ^ mix)
+    ref = (h ^ idh).sum(dtype=np.uint64)
+    assert int(base.loc[0, "checksum"]) == int(
+        np.array([ref], np.uint64).view(np.int64)[0])
+    assert int(base.loc[0, "n_docs"]) == t.num_rows
+
+    def write_variant(tbl, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        return str(d)
+
+    rng = np.random.default_rng(3)
+    perm = t.take(rng.permutation(t.num_rows))
+    assert corpus_checksum(write_variant(perm, "perm")).to_pandas() \
+        .loc[0, "checksum"] == base.loc[0, "checksum"]
+
+    texts = t["text"].to_pylist()
+    texts[7] = texts[7] + "x"
+    edited = t.set_column(t.schema.get_field_index("text"), "text",
+                          pa.array(texts, t["text"].type))
+    assert corpus_checksum(write_variant(edited, "edit")).to_pandas() \
+        .loc[0, "checksum"] != base.loc[0, "checksum"]
+
+    dup = pa.concat_tables([t, t.slice(0, 1)])
+    assert corpus_checksum(write_variant(dup, "dup")).to_pandas() \
+        .loc[0, "checksum"] != base.loc[0, "checksum"]

@@ -813,3 +813,25 @@ def test_rolling_distinct_users_vs_duckdb(ray_session):
         FROM read_parquet('{SF}/events.parquet') GROUP BY 1 ORDER BY 1""").df()
     m = a.merge(dau, on="day")
     assert (m["n_users"] >= m["n"]).all()
+
+
+def test_events_pivot_daily_vs_duckdb(ray_session):
+    """Long->wide pivot matches conditional aggregation and reconciles
+    with the long-form windowed aggregate."""
+    from sketch_ray.pipelines.relational import (events_daily_windows,
+                                                 events_pivot_daily)
+
+    w = events_pivot_daily(SF).to_pandas()
+    ref = duckdb.sql(f"""
+        SELECT date_trunc('day', ts) AS day,
+               count(*) FILTER (event_type = 'click') AS n_click,
+               count(*) FILTER (event_type = 'error') AS n_error,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup') AS n_signup,
+               count(*) FILTER (event_type = 'view') AS n_view
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1 ORDER BY day""").df()
+    pd.testing.assert_frame_equal(w, ref, check_dtype=False)
+    long = events_daily_windows(SF).to_pandas()
+    assert w[[c for c in w.columns if c != "day"]].to_numpy().sum() \
+        == long["n_events"].sum()
