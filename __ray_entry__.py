@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_checksum": exact.corpus_checksum,
         # PIVOT: long->wide reshape of the daily windowed aggregate
         "events_pivot_daily": relational.events_pivot_daily,
+        # sliding-window heavy hitters: per-day CM states + pigeonhole
+        "windowed_heavy_users": heavy_hitters.windowed_heavy_users,
     }
 
 
@@ -1515,6 +1517,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(rev4) / 10000.0, 2) AS revenue
             FROM x GROUP BY n_name
             ORDER BY sum(rev4) DESC, n_name
+        """,
+        "windowed_heavy_users": """
+            WITH du AS (SELECT date_trunc('day', ts) AS day, user_id,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+                 days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day AS day, u.user_id, sum(u.n) AS n_events
+            FROM days d JOIN du u
+              ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+            GROUP BY 1, 2
+            HAVING sum(u.n) >= 24
+            ORDER BY day, user_id
         """,
         "rolling_distinct_users": """
             WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day,

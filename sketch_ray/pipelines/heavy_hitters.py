@@ -299,3 +299,157 @@ def grouped_heavy_hitter_tokens(sf_dir: str, rel_threshold: float = 0.05,
         .reset_index(drop=True)
     out["cnt"] = out["cnt"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def windowed_heavy_users(sf_dir: str, window: int = 7, threshold: int = 24,
+                         force: str | None = None) -> pa.Table:
+    """Sliding-window heavy hitters — (user, window-end day) pairs whose
+    trailing-``window``-day event count reaches ``threshold``. The
+    streaming composition the per-corpus heavy_hitters pipeline doesn't
+    cover: per-DAY mergeable state + pigeonhole candidate generation +
+    exact verification, so EVERY window is answered without rescanning:
+
+    1. one pass folds (day, user, n) partials (adaptive driver /
+       distributed groupby — daily_active_users discipline);
+    2. per-day CM-CU states build in the SAME pass structure
+       (groupby(day) SketchAgg); a window's sketch is the sum-merge of
+       ≤window day states — at 10^12-event scale the candidate probe
+       runs against these KB states, and merged-CM-estimate ≥ exact is
+       pinned in pytest;
+    3. pigeonhole: a user reaching ``threshold`` over ``window`` days
+       has ≥ ceil(threshold/window) events on SOME day inside it — the
+       per-day heavy pairs (exact, from the fold) generate candidate
+       (user, window-end) pairs with NO false dismissal;
+    4. exact verification: per-user day-sorted cumulative sums answer
+       each candidate window in one searchsorted — candidate-bounded,
+       never corpus-bounded.
+
+    Returns (day, user_id, n_events) sorted by (day, user_id) — exact,
+    oracle-gated. ``force``="driver"/"distributed" pins the fold
+    branch."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..pipelines._util import ensure_columns, n_reducers
+    from ..pipelines.relational import _SMALL_ROWS, _read
+    from ..stages.agg import SketchAgg
+
+    _DAY_US = np.int64(86_400_000_000)
+    W, T = int(window), int(threshold)
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        t = pa.table({"day": day, "user_id": batch["user_id"]})
+        g = t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "user_id", "n_p"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"day": "datetime64[us]", "user_id": "int64",
+                              "n_p": "int64"})
+        pairs = pdf.groupby(["day", "user_id"], as_index=False)["n_p"].sum() \
+            .rename(columns={"n_p": "n"})
+    else:
+        pairs = ensure_columns(
+            parts.repartition(n_reducers()).groupby(["day", "user_id"])
+                 .aggregate(Sum("n_p", alias_name="n")).to_pandas(),
+            {"day": "datetime64[us]", "user_id": "int64", "n": "int64"})
+
+    # per-day CM-CU states: the window probe. A window's sketch is the
+    # sum-merge of its day states; CM-CU never undercounts, so rejecting
+    # candidates with est < threshold is SAFE (no false dismissal) and
+    # bounds the exact-verification set — the sketch is load-bearing, not
+    # decorative. est >= exact is additionally pinned in pytest.
+    states = per_day_user_cm_states(sf_dir)
+
+    days = np.sort(pairs["day"].unique()).astype("datetime64[us]")
+    day_i = days.astype(np.int64)
+    pday = pairs["day"].to_numpy("datetime64[us]").astype(np.int64)
+    puser = pairs["user_id"].to_numpy(np.int64)
+    pn = pairs["n"].to_numpy(np.int64)
+
+    # pigeonhole candidates: heavy days -> (user, end-day) pairs
+    per_day_min = -(-T // W)  # ceil(T/W)
+    heavy = pn >= per_day_min
+    cand: set[tuple[int, int]] = set()
+    for d_us, u in zip(pday[heavy], puser[heavy]):  # heavy-pair-bounded loop
+        lo = int(np.searchsorted(day_i, d_us))
+        hi = int(np.searchsorted(day_i, d_us + (W - 1) * _DAY_US,
+                                 side="right"))
+        for di in range(lo, hi):
+            cand.add((int(day_i[di]), int(u)))
+
+    # merged window sketch per candidate end-day (each built once)
+    merged: dict[int, object] = {}
+    for d_us in {d for d, _ in cand}:
+        lo = int(np.searchsorted(day_i, d_us - (W - 1) * _DAY_US))
+        hi = int(np.searchsorted(day_i, d_us, side="right"))
+        sk = sketch_from_bytes(states[int(day_i[lo])]).copy()
+        for di in range(lo + 1, hi):
+            sk.merge(sketch_from_bytes(states[int(day_i[di])]))
+        merged[d_us] = sk
+
+    # exact verification via per-user day-sorted cumsums, CM-prefiltered
+    order = np.lexsort((pday, puser))
+    su, sd, sn = puser[order], pday[order], pn[order]
+    csum = np.concatenate([[0], np.cumsum(sn)])
+    out_rows = []
+    for d_us, u in sorted(cand):  # candidate-bounded loop
+        # probe with the SAME key representation the update path hashed
+        # (mode="column" int arrays hash via their string cast)
+        if int(merged[d_us].query(pa.array([u], pa.int64()))[0]) < T:
+            continue  # upper bound below threshold -> exact must be too
+        ulo = int(np.searchsorted(su, u))
+        uhi = int(np.searchsorted(su, u, side="right"))
+        lo = ulo + int(np.searchsorted(sd[ulo:uhi], d_us - (W - 1) * _DAY_US))
+        hi = ulo + int(np.searchsorted(sd[ulo:uhi], d_us, side="right"))
+        exact = int(csum[hi] - csum[lo])
+        if exact >= T:
+            out_rows.append((d_us, u, exact))
+
+    if out_rows:
+        arr = np.array(out_rows, np.int64)
+        out = pd.DataFrame({"day": arr[:, 0].astype("datetime64[us]"),
+                            "user_id": arr[:, 1], "n_events": arr[:, 2]})
+    else:
+        out = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                            "user_id": pd.Series([], dtype="int64"),
+                            "n_events": pd.Series([], dtype="int64")})
+    out = out.sort_values(["day", "user_id"]).reset_index(drop=True)
+    return pa.table({
+        "day": pa.array(out["day"].to_numpy("datetime64[us]"),
+                        pa.timestamp("us")),
+        "user_id": pa.array(out["user_id"].to_numpy(np.int64), pa.int64()),
+        "n_events": pa.array(out["n_events"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def per_day_user_cm_states(sf_dir: str, width: int = 1 << 12,
+                           depth: int = 4, seed: int = 42) -> dict[int, bytes]:
+    """{day (epoch µs) -> serialized CM-CU over that day's user_id
+    stream}: ONE groupby(day).aggregate(SketchAgg) pass. Shared by
+    windowed_heavy_users (window probe) and its pytest (est >= exact
+    bound)."""
+    from ..pipelines.relational import _read
+    from ..stages.agg import SketchAgg
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    day_states = (
+        ds.map_batches(lambda b: pa.table(
+            {"day": pc.floor_temporal(b["ts"].combine_chunks(), unit="day"),
+             "user_id": b["user_id"]}),
+            batch_format="pyarrow", batch_size=32768)
+        .groupby("day")
+        .aggregate(SketchAgg(
+            SketchSpec("u", "cmcu", "user_id", mode="column",
+                       params={"width": int(width), "depth": int(depth),
+                               "seed": int(seed)}),
+            alias_name="state", finalize="bytes"))
+    ).to_pandas()
+    return {int(d.astype("datetime64[us]").astype(np.int64)): s
+            for d, s in zip(day_states["day"].to_numpy("datetime64[us]"),
+                            day_states["state"])}

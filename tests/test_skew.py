@@ -345,3 +345,57 @@ def test_grouped_heavy_hitters_planted_skew(ray_session, tmp_path):
     # each group has 1000 tokens; hot appears 200x (20%), fillers once each
     assert list(got.itertuples(index=False, name=None)) == [
         ("de", "hotzwei", 200), ("en", "hotone", 200)]
+
+
+def test_windowed_heavy_users_vs_duckdb(ray_session):
+    """Sliding-window heavy hitters: pigeonhole candidates + merged-CM
+    prefilter + exact verify equals DuckDB's windowed HAVING; the merged
+    window sketch never undercounts any (user, window)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from sketch_ray.kernels import sketch_from_bytes
+    from sketch_ray.pipelines.heavy_hitters import (per_day_user_cm_states,
+                                                    windowed_heavy_users)
+
+    sf = "/root/testdata/sf0.001"
+    a = windowed_heavy_users(sf, force="driver").to_pandas()
+    b = windowed_heavy_users(sf, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        WITH du AS (SELECT date_trunc('day', ts) AS day, user_id,
+                           count(*) AS n
+                    FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2),
+             days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day AS day, u.user_id, sum(u.n) AS n_events
+        FROM days d JOIN du u
+          ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+        GROUP BY 1, 2 HAVING sum(u.n) >= 24
+        ORDER BY day, user_id""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+    assert len(a) > 0
+
+    # no-undercount of the merged window sketch on EVERY (user, window)
+    exact = duckdb.sql(f"""
+        WITH du AS (SELECT date_trunc('day', ts) AS day, user_id,
+                           count(*) AS n
+                    FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2),
+             days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day AS day, u.user_id, sum(u.n) AS n
+        FROM days d JOIN du u
+          ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+        GROUP BY 1, 2""").df()
+    states = per_day_user_cm_states(sf)
+    day_i = np.sort(np.array(list(states), np.int64))
+    W_US = np.int64(6 * 86_400_000_000)
+    for d, grp in exact.groupby("day"):
+        d_us = np.int64(pd.Timestamp(d).value // 1000)
+        lo = int(np.searchsorted(day_i, d_us - W_US))
+        hi = int(np.searchsorted(day_i, d_us, side="right"))
+        sk = sketch_from_bytes(states[int(day_i[lo])]).copy()
+        for di in range(lo + 1, hi):
+            sk.merge(sketch_from_bytes(states[int(day_i[di])]))
+        est = sk.query(pa.array(grp["user_id"].to_numpy(), pa.int64()))
+        assert (est >= grp["n"].to_numpy()).all()
