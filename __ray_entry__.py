@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_daily": relational.events_pivot_daily,
         # sliding-window heavy hitters: per-day CM states + pigeonhole
         "windowed_heavy_users": heavy_hitters.windowed_heavy_users,
+        # token-weighted length quantiles (exact integer cut rule)
+        "token_weighted_quantiles": exact.token_weighted_quantiles,
+        # two-sample KS drift distance, exact integer maximization
+        "length_ks_distance": exact.length_ks_distance,
     }
 
 
@@ -1517,6 +1521,37 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(rev4) / 10000.0, 2) AS revenue
             FROM x GROUP BY n_name
             ORDER BY sum(rev4) DESC, n_name
+        """,
+        "token_weighted_quantiles": """
+            WITH w AS (SELECT n_chars AS v,
+                              sum(len(string_split(text, ' '))) AS wt
+                       FROM documents GROUP BY 1),
+                 c AS (SELECT v, sum(wt) OVER (ORDER BY v) AS cumw,
+                              (SELECT sum(wt) FROM w) AS tot FROM w)
+            SELECT q, min(v) AS value
+            FROM c, (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.9, 9, 10))
+                     AS qs(q, num, den)
+            WHERE cumw * den >= num * tot
+            GROUP BY q ORDER BY q
+        """,
+        "length_ks_distance": """
+            WITH a AS (SELECT n_chars AS v, count(*) AS c FROM documents
+                       WHERE lang = 'en' GROUP BY 1),
+                 b AS (SELECT n_chars AS v, count(*) AS c FROM documents
+                       WHERE lang <> 'en' GROUP BY 1),
+                 u AS (SELECT v FROM a UNION SELECT v FROM b),
+                 m AS (SELECT u.v, coalesce(a.c, 0) AS ca,
+                              coalesce(b.c, 0) AS cb
+                       FROM u LEFT JOIN a USING (v) LEFT JOIN b USING (v)),
+                 s AS (SELECT sum(ca) OVER (ORDER BY v) AS cca,
+                              sum(cb) OVER (ORDER BY v) AS ccb FROM m)
+            SELECT round(max(abs(cca * (SELECT sum(c) FROM b)
+                               - ccb * (SELECT sum(c) FROM a)))
+                         / ((SELECT sum(c) FROM a)
+                            * (SELECT sum(c) FROM b)), 6) AS ks,
+                   (SELECT sum(c) FROM a) AS n_a,
+                   (SELECT sum(c) FROM b) AS n_b
+            FROM s
         """,
         "windowed_heavy_users": """
             WITH du AS (SELECT date_trunc('day', ts) AS day, user_id,

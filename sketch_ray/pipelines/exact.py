@@ -1076,3 +1076,103 @@ def corpus_checksum(sf_dir: str, seed: int = 42) -> pa.Table:
         "checksum": pa.array(np.array([total], np.uint64).view(np.int64),
                              pa.int64()),
     })
+
+
+def token_weighted_quantiles(sf_dir: str,
+                             force: str | None = None) -> pa.Table:
+    """WEIGHTED quantiles — n_chars quantiles where each document counts
+    its TOKEN count, not 1 (the compute-cost view of the length
+    distribution: "the median token lives in a doc of length X", which a
+    plain doc-count quantile understates whenever long docs carry most
+    tokens). quantiles_exact / grouped_quantiles_exact are the
+    unweighted family; this completes it.
+
+    Cut rule in EXACT integer arithmetic: value = min v with
+    cumweight(v)·den ≥ num·total for q = num/den — no float q·W
+    anywhere, so the oracle (same inequality in SQL) cannot disagree at
+    a boundary. One adaptive (n_chars, Σtokens) histogram fold
+    (value-bounded, corpus-size independent), cumsum + searchsorted on
+    the driver. Returns (q, value) for q ∈ {1/4, 1/2, 9/10}."""
+    _QS = ((0.25, 1, 4), (0.5, 1, 2), (0.9, 9, 10))
+    ds = _read(sf_dir, "documents", ["n_chars", "text"])
+    n = ds.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        wt = pc.list_value_length(
+            pc.split_pattern(batch["text"].combine_chunks(), " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"v": batch["n_chars"], "wt": pa.array(wt)})
+        g = t.group_by("v").aggregate([("wt", "sum")])
+        return g.rename_columns(["v", "wt"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+    small = (n < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(), {"v": "int64", "wt": "int64"})
+        hist = pdf.groupby("v", as_index=False)["wt"].sum()
+    else:
+        hist = ensure_columns(
+            parts.repartition(n_reducers()).groupby("v")
+                 .aggregate(Sum("wt", alias_name="wt")).to_pandas(),
+            {"v": "int64", "wt": "int64"})
+    hist = hist.sort_values("v").reset_index(drop=True)
+    v = hist["v"].to_numpy(np.int64)
+    cum = hist["wt"].to_numpy(np.int64).cumsum()
+    tot = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    if tot > 0:  # empty corpus -> zero rows (matching SQL GROUP BY)
+        for q, num, den in _QS:
+            idx = int(np.searchsorted(cum * den, num * tot))
+            out_q.append(q)
+            out_v.append(int(v[min(idx, len(v) - 1)]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})
+
+
+def length_ks_distance(sf_dir: str, lang: str = "en",
+                       force: str | None = None) -> pa.Table:
+    """Two-sample Kolmogorov–Smirnov distance between ``lang``'s n_chars
+    distribution and the REST of the corpus — the drift/shift test a
+    data pipeline runs to compare a new snapshot's length profile
+    against production before mixing. D = max_v |F_a(v) − F_b(v)|,
+    maximized in EXACT integer arithmetic (|cumA·n_b − cumB·n_a| over
+    the merged value grid; ONE float division at the end, mirrored in
+    the oracle) from the same one-pass (lang==?, n_chars) histogram
+    fold. Returns one row (ks, n_a, n_b), ks rounded 6dp."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    n = ds.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        is_a = pc.equal(batch["lang"].combine_chunks(), lang) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"v": batch["n_chars"],
+                      "a": pa.array(is_a.astype(np.int64)),
+                      "b": pa.array((~is_a).astype(np.int64))})
+        g = t.group_by("v").aggregate([("a", "sum"), ("b", "sum")])
+        return g.rename_columns(["v", "ca", "cb"])
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+    small = (n < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"v": "int64", "ca": "int64", "cb": "int64"})
+        hist = pdf.groupby("v", as_index=False)[["ca", "cb"]].sum()
+    else:
+        hist = ensure_columns(
+            parts.repartition(n_reducers()).groupby("v")
+                 .aggregate(Sum("ca", alias_name="ca"),
+                            Sum("cb", alias_name="cb")).to_pandas(),
+            {"v": "int64", "ca": "int64", "cb": "int64"})
+    hist = hist.sort_values("v").reset_index(drop=True)
+    ca = hist["ca"].to_numpy(np.int64).cumsum()
+    cb = hist["cb"].to_numpy(np.int64).cumsum()
+    n_a = int(ca[-1]) if len(ca) else 0
+    n_b = int(cb[-1]) if len(cb) else 0
+    if n_a == 0 or n_b == 0:
+        ks = 0.0
+    else:
+        num = np.abs(ca * n_b - cb * n_a).max()
+        ks = float(round6(float(num) / (n_a * n_b)))
+    return pa.table({"ks": pa.array([ks], pa.float64()),
+                     "n_a": pa.array([n_a], pa.int64()),
+                     "n_b": pa.array([n_b], pa.int64())})

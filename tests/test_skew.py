@@ -399,3 +399,55 @@ def test_windowed_heavy_users_vs_duckdb(ray_session):
             sk.merge(sketch_from_bytes(states[int(day_i[di])]))
         est = sk.query(pa.array(grp["user_id"].to_numpy(), pa.int64()))
         assert (est >= grp["n"].to_numpy()).all()
+
+
+def test_token_weighted_quantiles_and_ks(ray_session):
+    """Weighted quantiles (integer cut rule) and the two-sample KS drift
+    distance: branches agree, match DuckDB, and satisfy basic laws
+    (weighted median >= unweighted when long docs carry more tokens is
+    data-dependent, so laws here are bounds + identity cases)."""
+    import duckdb
+    import pandas as pd
+
+    from sketch_ray.pipelines.exact import (length_ks_distance,
+                                            token_weighted_quantiles)
+
+    sf = "/root/testdata/sf0.001"
+    a = token_weighted_quantiles(sf, force="driver").to_pandas()
+    b = token_weighted_quantiles(sf, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        WITH w AS (SELECT n_chars AS v, sum(len(string_split(text, ' '))) AS wt
+                   FROM read_parquet('{sf}/documents.parquet') GROUP BY 1),
+             c AS (SELECT v, sum(wt) OVER (ORDER BY v) AS cumw,
+                          (SELECT sum(wt) FROM w) AS tot FROM w)
+        SELECT q, min(v) AS value
+        FROM c, (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.9, 9, 10)) AS qs(q, num, den)
+        WHERE cumw * den >= num * tot GROUP BY q ORDER BY q""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+    assert (a["value"].to_numpy()[1:] >= a["value"].to_numpy()[:-1]).all()
+
+    k1 = length_ks_distance(sf, force="driver").to_pandas()
+    k2 = length_ks_distance(sf, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(k1, k2)
+    ks = float(k1.loc[0, "ks"])
+    assert 0.0 <= ks <= 1.0
+    refk = duckdb.sql(f"""
+        WITH a AS (SELECT n_chars AS v, count(*) AS c
+                   FROM read_parquet('{sf}/documents.parquet')
+                   WHERE lang = 'en' GROUP BY 1),
+             b AS (SELECT n_chars AS v, count(*) AS c
+                   FROM read_parquet('{sf}/documents.parquet')
+                   WHERE lang <> 'en' GROUP BY 1),
+             u AS (SELECT v FROM a UNION SELECT v FROM b),
+             m AS (SELECT u.v, coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+                   FROM u LEFT JOIN a USING (v) LEFT JOIN b USING (v)),
+             s AS (SELECT sum(ca) OVER (ORDER BY v) AS cca,
+                          sum(cb) OVER (ORDER BY v) AS ccb FROM m)
+        SELECT round(max(abs(cca * (SELECT sum(c) FROM b)
+                           - ccb * (SELECT sum(c) FROM a)))
+                     / ((SELECT sum(c) FROM a) * (SELECT sum(c) FROM b)), 6)
+                   AS ks,
+               (SELECT sum(c) FROM a) AS n_a, (SELECT sum(c) FROM b) AS n_b
+        FROM s""").df()
+    pd.testing.assert_frame_equal(k1, refk, check_dtype=False)
