@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_weighted_quantiles": exact.token_weighted_quantiles,
         # two-sample KS drift distance, exact integer maximization
         "length_ks_distance": exact.length_ks_distance,
+        # token dispersion: per-doc->per-token nested aggregation (VMR)
+        "token_burstiness": exact.token_burstiness,
     }
 
 
@@ -1521,6 +1523,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(rev4) / 10000.0, 2) AS revenue
             FROM x GROUP BY n_name
             ORDER BY sum(rev4) DESC, n_name
+        """,
+        "token_burstiness": """
+            WITH dt AS (SELECT doc_id, unnest(string_split(text, ' '))
+                            AS token FROM documents),
+                 c AS (SELECT doc_id, token, count(*) AS n
+                       FROM dt GROUP BY 1, 2),
+                 m AS (SELECT token, count(*) AS df, sum(n) AS tf,
+                              sum(n * n) AS s2 FROM c GROUP BY 1),
+                 t AS (SELECT sum(tf) AS total FROM m)
+            SELECT token, df, tf,
+                   round((s2 * df - tf * tf) / (df * tf), 6) AS vmr
+            FROM m, t
+            WHERE tf >= ceil(0.005 * total)
+            ORDER BY token
         """,
         "token_weighted_quantiles": """
             WITH w AS (SELECT n_chars AS v,

@@ -1176,3 +1176,88 @@ def length_ks_distance(sf_dir: str, lang: str = "en",
     return pa.table({"ks": pa.array([ks], pa.float64()),
                      "n_a": pa.array([n_a], pa.int64()),
                      "n_b": pa.array([n_b], pa.int64())})
+
+
+def token_burstiness(sf_dir: str, rel_threshold: float = 0.005,
+                     force: str | None = None) -> pa.Table:
+    """Token dispersion / burstiness — for every frequent token, how
+    unevenly its occurrences clump into documents: df (docs containing),
+    tf (total count), and the variance-to-mean ratio of its per-doc
+    counts over the docs that contain it (VMR 1 ≈ Poisson spread, ≫1 =
+    bursty topical token, the content/function-word separator stopword
+    lists approximate). The nested per-doc→per-token aggregation shape:
+    a (doc, token) group FIRST, then token-level moments of those group
+    sizes.
+
+    Per batch: (doc, token) counts via one value_counts over
+    doc-index-tagged tokens, reduced immediately to per-token moment
+    partials (df, Σn, Σn²) — the shuffle carries vocab-bounded moment
+    rows, never (doc, token) pairs. Adaptive fold; threshold
+    tf ≥ ceil(rel·total) scale-invariant; VMR = (Σn²·df − tf²)/(df·tf)
+    in exact integers with ONE mirrored float division, 6dp half-away.
+    Returns (token, df, tf, vmr) sorted by token."""
+    ds = _read(sf_dir, "documents", ["text"])
+    n_rows = ds.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.large_string()),
+                             "df": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64()),
+                             "s2": pa.array([], pa.int64())})
+        doc_idx = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                            np.diff(offsets))
+        # (doc, token) counts: dictionary-encode tokens, count int pairs
+        # (the type_token_ratio discipline — no string pair group_by)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tok_codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = enc.dictionary
+        pair = doc_idx * (len(vocab) + 1) + tok_codes
+        up, cnt = np.unique(pair, return_counts=True)
+        tok_of_pair = (up % (len(vocab) + 1)).astype(np.int64)
+        # per-token moments of the per-doc counts
+        order = np.argsort(tok_of_pair, kind="stable")
+        t_sorted, c_sorted = tok_of_pair[order], cnt[order]
+        uniq_t, first = np.unique(t_sorted, return_index=True)
+        df_p = np.diff(np.concatenate([first, [len(t_sorted)]]))
+        tf_p = np.add.reduceat(c_sorted, first)
+        s2_p = np.add.reduceat(c_sorted * c_sorted, first)
+        return pa.table({
+            "token": vocab.take(pa.array(uniq_t)).cast(pa.large_string()),
+            "df": pa.array(df_p.astype(np.int64)),
+            "tf": pa.array(tf_p.astype(np.int64)),
+            "s2": pa.array(s2_p.astype(np.int64))})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"token": "object", "df": "int64",
+                              "tf": "int64", "s2": "int64"})
+        agg = pdf.groupby("token", as_index=False)[["df", "tf", "s2"]].sum()
+    else:
+        agg = ensure_columns(
+            parts.repartition(n_reducers()).groupby("token")
+                 .aggregate(Sum("df", alias_name="df"),
+                            Sum("tf", alias_name="tf"),
+                            Sum("s2", alias_name="s2")).to_pandas(),
+            {"token": "object", "df": "int64", "tf": "int64", "s2": "int64"})
+    total = int(agg["tf"].sum())
+    thr = int(np.ceil(rel_threshold * total))
+    agg = agg[agg["tf"] >= thr].sort_values("token").reset_index(drop=True)
+    df_a = agg["df"].to_numpy(np.int64)
+    tf_a = agg["tf"].to_numpy(np.int64)
+    s2_a = agg["s2"].to_numpy(np.int64)
+    num = s2_a * df_a - tf_a * tf_a
+    den = df_a * tf_a
+    vmr = round6(num.astype(np.float64) / np.maximum(den, 1))
+    return pa.table({
+        "token": pa.array(agg["token"], pa.string()),
+        "df": pa.array(df_a, pa.int64()),
+        "tf": pa.array(tf_a, pa.int64()),
+        "vmr": pa.array(np.asarray(vmr, np.float64), pa.float64()),
+    })

