@@ -227,6 +227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ks_distance": exact.length_ks_distance,
         # token dispersion: per-doc->per-token nested aggregation (VMR)
         "token_burstiness": exact.token_burstiness,
+        # ANALYZE-style column profile (rows/nulls/exact distinct)
+        "table_profile": exact.table_profile,
+        # referential-integrity audit across the snowflake FKs
+        "fk_orphan_counts": relational.fk_orphan_counts,
     }
 
 
@@ -1523,6 +1527,49 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(rev4) / 10000.0, 2) AS revenue
             FROM x GROUP BY n_name
             ORDER BY sum(rev4) DESC, n_name
+        """,
+        "table_profile": """
+            SELECT * FROM (
+              SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                     count(*) - count(doc_id) AS n_nulls,
+                     count(DISTINCT doc_id) AS n_distinct FROM documents
+              UNION ALL
+              SELECT 'text', count(*), count(*) - count(text),
+                     count(DISTINCT text) FROM documents
+              UNION ALL
+              SELECT 'lang', count(*), count(*) - count(lang),
+                     count(DISTINCT lang) FROM documents
+              UNION ALL
+              SELECT 'source', count(*), count(*) - count(source),
+                     count(DISTINCT source) FROM documents
+              UNION ALL
+              SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                     count(DISTINCT n_chars) FROM documents)
+            ORDER BY "column"
+        """,
+        "fk_orphan_counts": """
+            SELECT * FROM (
+              SELECT 'events.user_id->customer' AS relation,
+                     count(*) AS n_rows,
+                     count(*) FILTER (c.c_custkey IS NULL) AS n_orphans
+              FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+              UNION ALL
+              SELECT 'lineitem.l_orderkey->orders', count(*),
+                     count(*) FILTER (o.o_orderkey IS NULL)
+              FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+              UNION ALL
+              SELECT 'lineitem.l_partkey->part', count(*),
+                     count(*) FILTER (p.p_partkey IS NULL)
+              FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+              UNION ALL
+              SELECT 'lineitem.l_suppkey->supplier', count(*),
+                     count(*) FILTER (s.s_suppkey IS NULL)
+              FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              UNION ALL
+              SELECT 'orders.o_custkey->customer', count(*),
+                     count(*) FILTER (c.c_custkey IS NULL)
+              FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+            ORDER BY relation
         """,
         "token_burstiness": """
             WITH dt AS (SELECT doc_id, unnest(string_split(text, ' '))

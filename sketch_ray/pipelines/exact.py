@@ -1261,3 +1261,93 @@ def token_burstiness(sf_dir: str, rel_threshold: float = 0.005,
         "tf": pa.array(tf_a, pa.int64()),
         "vmr": pa.array(np.asarray(vmr, np.float64), pa.float64()),
     })
+
+
+def table_profile(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Column profiling — the ANALYZE shape a pipeline runs on every new
+    snapshot: per documents column, row/null/exact-distinct counts. ONE
+    streaming pass for ALL columns: each batch emits tagged partial rows
+    (per-column unique value HASHES for the distinct count, one meta row
+    per column for row/null counts); distinct folds adaptively on the
+    64-bit hashes (the exact_dedup_docs discipline — hash equality IS
+    the engine's identity; at 10^12 rows the distributed branch replaces
+    the driver set with a per-column groupby, and the HLL column profile
+    in grouped_sketch_stats is the constant-memory alternative).
+    Returns (column, n_rows, n_nulls, n_distinct) in schema order."""
+    from ray.data.aggregate import Count
+
+    from ..kernels.hashing import hash_arrow_strings, hash_ints
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _read(sf_dir, "documents", cols)
+    n_rows_total = ds.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ci_l, h_l, n_l, nu_l = [], [], [], []
+        for ci, c in enumerate(cols):
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            nulls = int(pc.sum(pc.is_null(col)).as_py() or 0)
+            valid = col.drop_null()
+            if pa.types.is_integer(valid.type):
+                h = hash_ints(valid.to_numpy(zero_copy_only=False)
+                              .astype(np.int64), seed=ci)
+            else:
+                h = hash_arrow_strings(valid.cast(pa.string()), seed=ci)
+            uh = np.unique(h).view(np.int64)
+            # hash rows (n = -1) then ONE meta row (n, nulls) per column
+            ci_l.append(np.full(len(uh) + 1, ci, np.int64))
+            h_l.append(np.concatenate([uh, [0]]))
+            n_l.append(np.concatenate(
+                [np.full(len(uh), -1, np.int64), [batch.num_rows]]))
+            nu_l.append(np.concatenate(
+                [np.zeros(len(uh), np.int64), [nulls]]))
+        return pa.table({
+            "ci": pa.array(np.concatenate(ci_l)),
+            "h": pa.array(np.concatenate(h_l)),
+            "n": pa.array(np.concatenate(n_l)),
+            "nulls": pa.array(np.concatenate(nu_l))})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+    small = (n_rows_total < _SMALL_ROWS) if force is None \
+        else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"ci": "int64", "h": "int64", "n": "int64",
+                              "nulls": "int64"})
+        meta = pdf[pdf["n"] >= 0].groupby("ci")[["n", "nulls"]].sum()
+        nd = pdf[pdf["n"] < 0].groupby("ci")["h"].nunique()
+    else:
+        parts = parts.materialize()  # two consumers (house rule)
+
+        def _take(ge: bool):
+            def f(b: pa.Table) -> pa.Table:
+                m = pc.greater_equal(b["n"], 0) if ge \
+                    else pc.less(b["n"], 0)
+                return b.filter(m)
+            return f
+
+        meta = ensure_columns(
+            parts.map_batches(_take(True), batch_format="pyarrow")
+                 .groupby("ci").aggregate(
+                     Sum("n", alias_name="n"),
+                     Sum("nulls", alias_name="nulls")).to_pandas(),
+            {"ci": "int64", "n": "int64", "nulls": "int64"}).set_index("ci")
+        uniq = parts.map_batches(_take(False), batch_format="pyarrow") \
+            .repartition(n_reducers()).groupby(["ci", "h"]) \
+            .aggregate(Count(alias_name="c"))
+        nd = ensure_columns(
+            uniq.groupby("ci").aggregate(Count(alias_name="nd")).to_pandas(),
+            {"ci": "int64", "nd": "int64"}).set_index("ci")["nd"]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])  # name order,
+    # matching the oracle's ORDER BY column
+    return pa.table({
+        "column": pa.array([cols[i] for i in order], pa.string()),
+        "n_rows": pa.array([int(meta["n"].get(i, 0)) for i in order],
+                           pa.int64()),
+        "n_nulls": pa.array([int(meta["nulls"].get(i, 0)) for i in order],
+                            pa.int64()),
+        "n_distinct": pa.array([int(nd.get(i, 0)) for i in order],
+                               pa.int64()),
+    })

@@ -2531,3 +2531,65 @@ def events_pivot_daily(sf_dir: str) -> pa.Table:
                if t in wide.columns else np.zeros(len(days), np.int64))
         out[f"n_{t}"] = pa.array(col, pa.int64())
     return pa.table(out)
+
+
+def fk_orphan_counts(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit — per foreign-key relation, how many
+    child rows point at a missing parent (the data-quality check a
+    multi-table snapshot runs before joins are trusted; a nonzero
+    orphan count explains inner-join row loss). Each parent's key set
+    broadcasts ONCE as a sorted array and every child table is ONE
+    streaming pass with a vectorized searchsorted membership probe —
+    the users_without_orders anti-join discipline per relation. Parents
+    here are dimension- or orders-scale; for a parent too big to
+    broadcast the engine's tagged-union shuffle anti-join
+    (incremental_dedup_docs) is the documented path. Returns
+    (relation, n_rows, n_orphans) sorted by relation."""
+    import pyarrow.parquet as pq_mod
+
+    rels = [
+        ("events.user_id->customer", "events", "user_id",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+    ]
+    parent_keys: dict[str, "ray.ObjectRef"] = {}
+    for _, _, _, ptab, pcol in rels:
+        if ptab not in parent_keys:
+            k = pq_mod.read_table(f"{sf_dir}/{ptab}.parquet",
+                                  columns=[pcol])[pcol].to_numpy()
+            parent_keys[ptab] = ray.put(np.unique(k))
+
+    names, n_rows_l, orph_l = [], [], []
+    for name, ctab, ccol, ptab, _ in rels:
+        ref = parent_keys[ptab]
+
+        def probe(batch: pa.Table, _ref=ref, _c=ccol) -> pa.Table:
+            keys = cached(_ref)
+            v = batch[_c].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys, v), 0,
+                          max(len(keys) - 1, 0))
+            hit = (keys[pos] == v) if len(keys) else np.zeros(len(v), bool)
+            return pa.table({
+                "n": pa.array([len(v)], pa.int64()),
+                "orph": pa.array([int((~hit).sum())], pa.int64())})
+
+        t = ensure_columns(
+            _read(sf_dir, ctab, [ccol])
+            .map_batches(probe, batch_format="pyarrow", batch_size=65536)
+            .to_pandas(), {"n": "int64", "orph": "int64"})
+        names.append(name)
+        n_rows_l.append(int(t["n"].sum()))
+        orph_l.append(int(t["orph"].sum()))
+    order = np.argsort(np.asarray(names, dtype=object), kind="stable")
+    return pa.table({
+        "relation": pa.array([names[i] for i in order], pa.string()),
+        "n_rows": pa.array([n_rows_l[i] for i in order], pa.int64()),
+        "n_orphans": pa.array([orph_l[i] for i in order], pa.int64()),
+    })

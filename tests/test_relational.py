@@ -835,3 +835,54 @@ def test_events_pivot_daily_vs_duckdb(ray_session):
     long = events_daily_windows(SF).to_pandas()
     assert w[[c for c in w.columns if c != "day"]].to_numpy().sum() \
         == long["n_events"].sum()
+
+
+def test_table_profile_and_fk_orphans(ray_session, tmp_path):
+    """ANALYZE profile matches DuckDB per column (both branches); the FK
+    audit matches DuckDB and detects a planted orphan."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    from sketch_ray.pipelines.exact import table_profile
+    from sketch_ray.pipelines.relational import fk_orphan_counts
+
+    a = table_profile(SF, force="driver").to_pandas()
+    b = table_profile(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(f"""
+        SELECT * FROM (
+          SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                 count(*) - count(doc_id) AS n_nulls,
+                 count(DISTINCT doc_id) AS n_distinct
+          FROM read_parquet('{SF}/documents.parquet')
+          UNION ALL SELECT 'text', count(*), count(*) - count(text),
+                 count(DISTINCT text) FROM read_parquet('{SF}/documents.parquet')
+          UNION ALL SELECT 'lang', count(*), count(*) - count(lang),
+                 count(DISTINCT lang) FROM read_parquet('{SF}/documents.parquet')
+          UNION ALL SELECT 'source', count(*), count(*) - count(source),
+                 count(DISTINCT source) FROM read_parquet('{SF}/documents.parquet')
+          UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                 count(DISTINCT n_chars) FROM read_parquet('{SF}/documents.parquet'))
+        ORDER BY "column" """).df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+
+    base = fk_orphan_counts(SF).to_pandas()
+    assert (base["n_orphans"] == 0).all() and (base["n_rows"] > 0).all()
+
+    # plant one orphan event (user_id not in customer) in a variant dir
+    d = tmp_path / "sf_orphan"
+    d.mkdir()
+    for t in ["documents", "events", "customer", "lineitem", "orders",
+              "part", "supplier", "nation", "region", "embeddings"]:
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    ev = pq.read_table(f"{SF}/events.parquet")
+    bad = ev.slice(0, 1).set_column(
+        ev.schema.get_field_index("user_id"), "user_id",
+        pa.array([10**9], pa.int64()))
+    pq.write_table(pa.concat_tables([ev, bad]), str(d / "events.parquet"))
+    planted = fk_orphan_counts(str(d)).to_pandas()
+    row = planted[planted["relation"] == "events.user_id->customer"]
+    assert int(row["n_orphans"].iloc[0]) == 1
+    assert int(row["n_rows"].iloc[0]) == ev.num_rows + 1
