@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": exact.table_profile,
         # referential-integrity audit across the snowflake FKs
         "fk_orphan_counts": relational.fk_orphan_counts,
+        # near-dup pairs decorated with exact character edit distance
+        "near_dup_edit_distances": lambda sf: dedup.near_dup_edit_distances(
+            sf, k=3, tau=0.5),
     }
 
 
@@ -1155,6 +1158,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n.text ORDER BY doc_id
         """,
         "jaccard_near_dups": jaccard.format(tau=0.5),
+        "near_dup_edit_distances": """
+            WITH sh AS (
+                SELECT doc_id, unnest(range(len(string_split(text, ' ')) - 2)) AS i,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ), shing AS (
+                SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS s
+                FROM sh
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY da, db
+            )
+            SELECT da AS doc_a, db AS doc_b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard,
+                   levenshtein(ta.text, tb.text) AS edit_dist
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            JOIN documents ta ON ta.doc_id = da
+            JOIN documents tb ON tb.doc_id = db
+            WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
         "decontaminate_corpus": """
             WITH sh AS (
                 SELECT doc_id, unnest(range(len(string_split(text, ' ')) - 2)) AS i,

@@ -841,3 +841,46 @@ def test_embedding_kmeans_lloyd_identity(ray_session):
     assert (t["n_vecs"].to_numpy() == ref_counts).all()
     assert np.allclose(t["mean_cos"].to_numpy(), np.round(ref_mean, 6),
                        atol=1e-6)
+
+
+def test_near_dup_edit_distances(ray_session):
+    """Levenshtein DP matches DuckDB's levenshtein on every near-dup
+    pair; kernel hand cases pin the prefix-min deletion transform."""
+    import duckdb
+    import pandas as pd
+
+    from sketch_ray.pipelines.dedup import (_levenshtein,
+                                            near_dup_edit_distances)
+
+    for a, b, want in [(b"kitten", b"sitting", 3), (b"abc", b"", 3),
+                       (b"", b"", 0), (b"flaw", b"lawn", 2),
+                       (b"intention", b"execution", 5),
+                       (b"aaaa", b"a", 3), (b"a", b"aaaa", 3)]:
+        assert _levenshtein(a, b) == want
+
+    sf = "/root/testdata/sf0.001"
+    t = near_dup_edit_distances(sf, k=3, tau=0.5).to_pandas()
+    ref = duckdb.sql(f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(range(len(string_split(text, ' ')) - 2)) AS i,
+                   string_split(text, ' ') AS toks
+            FROM read_parquet('{sf}/documents.parquet')
+        ), shing AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS s
+            FROM sh
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                  FROM shing a JOIN shing b
+                    ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db)
+        SELECT da AS doc_a, db AS doc_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard,
+               levenshtein(ta.text, tb.text) AS edit_dist
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        JOIN read_parquet('{sf}/documents.parquet') ta ON ta.doc_id = da
+        JOIN read_parquet('{sf}/documents.parquet') tb ON tb.doc_id = db
+        WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+        ORDER BY doc_a, doc_b""").df()
+    pd.testing.assert_frame_equal(t, ref, check_dtype=False)
+    assert len(t) > 0 and (t["edit_dist"] >= 0).all()
