@@ -78,7 +78,11 @@ class DyadicCM(SketchBase):
     def update(self, values, counts=None) -> None:
         v = np.asarray(values)
         if v.dtype.kind == "f":
-            v = v.astype(np.int64)
+            # floats FLOOR-bin (histogram semantics) — floor, not the
+            # toward-zero astype truncation, so negative fractions land
+            # below 0 and are caught by the domain guard instead of
+            # silently counting in bucket 0
+            v = np.floor(v).astype(np.int64)
         v = v.astype(np.int64, copy=False)
         if len(v) == 0:
             return

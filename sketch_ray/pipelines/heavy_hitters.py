@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from ..kernels import sketch_from_bytes
+from ..kernels import make_sketch, sketch_from_bytes
 from ..stages.sketch_build import SketchSpec, build_sketches
 from ..stages.tokenize import ngram_counts, token_counts
 
@@ -339,13 +339,10 @@ def windowed_heavy_users(sf_dir: str, window: int = 7, threshold: int = 24,
     W, T = int(window), int(threshold)
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
-    def partials(batch: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
-        t = pa.table({"day": day, "user_id": batch["user_id"]})
-        g = t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
-        return g.rename_columns(["day", "user_id", "n_p"])
+    from ..pipelines.relational import _day_user_counts
 
-    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+    parts = ds.map_batches(_day_user_counts, batch_format="pyarrow",
+                           batch_size=32768)
     small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
     if small:
         pdf = ensure_columns(parts.to_pandas(),
@@ -362,9 +359,18 @@ def windowed_heavy_users(sf_dir: str, window: int = 7, threshold: int = 24,
     # per-day CM-CU states: the window probe. A window's sketch is the
     # sum-merge of its day states; CM-CU never undercounts, so rejecting
     # candidates with est < threshold is SAFE (no false dismissal) and
-    # bounds the exact-verification set — the sketch is load-bearing, not
-    # decorative. est >= exact is additionally pinned in pytest.
-    states = per_day_user_cm_states(sf_dir)
+    # bounds the exact-verification set. Built HERE from the already-
+    # resident (day, user, n) pairs via weighted CU updates (equivalent
+    # to per-event updates — the weighted-CU contract, countmin.py) so
+    # the query costs NO second events scan; at a scale where the pairs
+    # are not driver-resident, per_day_user_cm_states is the distributed
+    # one-pass build of the same states (pinned >= exact in pytest).
+    states: dict[int, bytes] = {}
+    for d, grp in pairs.groupby("day"):
+        sk = make_sketch("cmcu", width=1 << 12, depth=4, seed=42)
+        sk.update(pa.array(grp["user_id"].to_numpy(np.int64), pa.int64()),
+                  grp["n"].to_numpy(np.int64))
+        states[int(pd.Timestamp(d).value // 1000)] = sk.to_bytes()
 
     days = np.sort(pairs["day"].unique()).astype("datetime64[us]")
     day_i = days.astype(np.int64)

@@ -28,6 +28,32 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _rev4(batch: pa.Table) -> np.ndarray:
+    """Lineitem revenue in integer 1e-4-currency units:
+    cents(price) · (100 − discount_pct). Price and discount are both 2dp
+    decimals, so this is EXACT — float partial sums would make the
+    2dp/6dp-gated roundings order-dependent (heavy_revenue_customers
+    precedent). The oracle SQL of every caller renders the identical
+    integer expression; keep them in lockstep."""
+    return (np.round(batch["l_extendedprice"]
+                     .to_numpy(zero_copy_only=False) * 100.0)
+            .astype(np.int64)
+            * (100 - np.round(batch["l_discount"]
+                              .to_numpy(zero_copy_only=False) * 100.0)
+               .astype(np.int64)))
+
+
+def _day_user_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch (day, user_id, n_p) pre-aggregation — the ONE day-floor
+    definition shared by every windowed-user pipeline (DAU, rolling
+    distinct, windowed heavy hitters, per-day sketch states); a bucketing
+    change here moves all of them together."""
+    day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+    t = pa.table({"day": day, "user_id": batch["user_id"]})
+    g = t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+    return g.rename_columns(["day", "user_id", "n_p"])
+
+
 _SMALL_ROWS = 2_000_000  # below this the final Ray groupby is pure overhead
 
 
@@ -323,13 +349,8 @@ def daily_active_users(sf_dir: str, force: str | None = None) -> pa.Table:
 
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
-    def partials(batch: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
-        t = pa.table({"day": day, "user_id": batch["user_id"]})
-        g = t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
-        return g.rename_columns(["day", "user_id", "n_p"])
-
-    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+    parts = ds.map_batches(_day_user_counts, batch_format="pyarrow",
+                           batch_size=32768)
     small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
     if small:
         pdf = ensure_columns(parts.to_pandas(),
@@ -1896,10 +1917,7 @@ def promo_revenue_share(sf_dir: str) -> pa.Table:
 
     def partials(batch: pa.Table) -> pa.Table:
         keys_w = cached(ref)
-        rev4 = (np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-                         * 100.0).astype(np.int64)
-                * (100 - np.round(batch["l_discount"].to_numpy(zero_copy_only=False)
-                                  * 100.0).astype(np.int64)))
+        rev4 = _rev4(batch)
         is_promo = pc.is_in(batch["l_partkey"], value_set=keys_w) \
             .to_numpy(zero_copy_only=False)
         return pa.table({
@@ -2186,14 +2204,6 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    def _rev4(batch: pa.Table) -> np.ndarray:
-        return (np.round(batch["l_extendedprice"]
-                         .to_numpy(zero_copy_only=False) * 100.0)
-                .astype(np.int64)
-                * (100 - np.round(batch["l_discount"]
-                                  .to_numpy(zero_copy_only=False) * 100.0)
-                   .astype(np.int64)))
-
     try:
         orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
     except OSError:
@@ -2435,13 +2445,9 @@ def rolling_distinct_users(sf_dir: str, window: int = 7,
     W = int(window)
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
-    def partials(batch: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
-        t = pa.table({"day": day, "user_id": batch["user_id"]})
-        g = t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
-        return g.rename_columns(["day", "user_id", "n_p"]).drop_columns(["n_p"])
-
-    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=32768)
+    parts = ds.map_batches(
+        lambda b: _day_user_counts(b).drop_columns(["n_p"]),
+        batch_format="pyarrow", batch_size=32768)
     small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
     if small:
         pdf = ensure_columns(parts.to_pandas(),

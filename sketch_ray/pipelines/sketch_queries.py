@@ -294,7 +294,7 @@ def hll_set_ops(sf_dir: str, p: int = 14) -> pa.Table:
     })
 
 
-def cm_range_counts(sf_dir: str, bits: int = 16,
+def cm_range_counts(sf_dir: str, bits: int | None = None,
                     width: int = 2048) -> pa.Table:
     """Range counts + quantiles from ONE dyadic Count-Min build (Cormode &
     Muthukrishnan 2005 §4.2): how many documents have n_chars in [lo, hi),
@@ -309,6 +309,14 @@ def cm_range_counts(sf_dir: str, bits: int = 16,
     embedding_spectrum discipline) plus est_q50's true-rank pytest pin
     the bound. Rows-only gated — estimates are not SQL-expressible.
     Returns (lo, hi, est_n_docs, exact_n_docs) plus a quantile row."""
+    if bits is None:
+        # size the domain from parquet statistics (free) with one bit of
+        # headroom — a corpus with longer docs must widen the tree, not
+        # crash the domain guard
+        from ._util import parquet_minmax
+
+        mx = int(parquet_minmax(f"{sf_dir}/documents.parquet", "n_chars")[1])
+        bits = max(8, mx.bit_length() + 1)
     ds = _read(sf_dir, "documents", ["n_chars"])
     spec = SketchSpec("dy", "dyadiccm", "n_chars", mode="numeric",
                       params={"bits": int(bits), "width": int(width),

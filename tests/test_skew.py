@@ -444,11 +444,12 @@ def test_token_weighted_quantiles_and_ks(ray_session):
                    FROM u LEFT JOIN a USING (v) LEFT JOIN b USING (v)),
              s AS (SELECT sum(ca) OVER (ORDER BY v) AS cca,
                           sum(cb) OVER (ORDER BY v) AS ccb FROM m)
-        SELECT round(max(abs(cca * (SELECT sum(c) FROM b)
+        SELECT COALESCE(round(max(abs(cca * (SELECT sum(c) FROM b)
                            - ccb * (SELECT sum(c) FROM a)))
-                     / ((SELECT sum(c) FROM a) * (SELECT sum(c) FROM b)), 6)
-                   AS ks,
-               (SELECT sum(c) FROM a) AS n_a, (SELECT sum(c) FROM b) AS n_b
+                     / ((SELECT sum(c) FROM a) * (SELECT sum(c) FROM b)), 6),
+                        0.0) AS ks,
+               COALESCE((SELECT sum(c) FROM a), 0) AS n_a,
+               COALESCE((SELECT sum(c) FROM b), 0) AS n_b
         FROM s""").df()
     pd.testing.assert_frame_equal(k1, refk, check_dtype=False)
 
