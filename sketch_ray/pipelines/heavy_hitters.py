@@ -378,60 +378,72 @@ def windowed_heavy_users(sf_dir: str, window: int = 7, threshold: int = 24,
     puser = pairs["user_id"].to_numpy(np.int64)
     pn = pairs["n"].to_numpy(np.int64)
 
-    # pigeonhole candidates: heavy days -> (user, end-day) pairs
+    # pigeonhole candidates, fully vectorized: each heavy (user, day)
+    # pair serves the <=W present end-days in [day, day+W-1] — expand via
+    # repeat + range offsets, dedup on a composite (user, day-rank) key
     per_day_min = -(-T // W)  # ceil(T/W)
     heavy = pn >= per_day_min
-    cand: set[tuple[int, int]] = set()
-    for d_us, u in zip(pday[heavy], puser[heavy]):  # heavy-pair-bounded loop
-        lo = int(np.searchsorted(day_i, d_us))
-        hi = int(np.searchsorted(day_i, d_us + (W - 1) * _DAY_US,
-                                 side="right"))
-        for di in range(lo, hi):
-            cand.add((int(day_i[di]), int(u)))
+    hd, hu = pday[heavy], puser[heavy]
+    D = np.int64(len(day_i))
+    lo_i = np.searchsorted(day_i, hd)
+    hi_i = np.searchsorted(day_i, hd + (W - 1) * _DAY_US, side="right")
+    reps = hi_i - lo_i
+    seq = np.arange(int(reps.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(reps) - reps, reps)
+    end_rank = np.repeat(lo_i, reps) + seq
+    cand_u = np.repeat(hu, reps)
+    comp = np.unique(cand_u * (D + 1) + end_rank)
+    cand_u = comp // (D + 1)
+    cand_rank = (comp % (D + 1)).astype(np.int64)
+    cand_d = day_i[cand_rank] if len(day_i) else cand_rank
 
-    # merged window sketch per candidate end-day (each built once)
-    merged: dict[int, object] = {}
-    for d_us in {d for d, _ in cand}:
-        lo = int(np.searchsorted(day_i, d_us - (W - 1) * _DAY_US))
-        hi = int(np.searchsorted(day_i, d_us, side="right"))
-        sk = sketch_from_bytes(states[int(day_i[lo])]).copy()
-        for di in range(lo + 1, hi):
-            sk.merge(sketch_from_bytes(states[int(day_i[di])]))
-        merged[d_us] = sk
-
-    # exact verification via per-user day-sorted cumsums, CM-prefiltered
+    # per-user day-sorted cumsums for exact window sums (composite-rank
+    # searchsorted — the _asof_match discipline, no per-candidate loop)
     order = np.lexsort((pday, puser))
     su, sd, sn = puser[order], pday[order], pn[order]
+    pair_comp = su * (D + 1) + np.searchsorted(day_i, sd)
     csum = np.concatenate([[0], np.cumsum(sn)])
-    out_rows = []
-    for d_us, u in sorted(cand):  # candidate-bounded loop
-        # probe with the SAME key representation the update path hashed
-        # (mode="column" int arrays hash via their string cast)
-        if int(merged[d_us].query(pa.array([u], pa.int64()))[0]) < T:
-            continue  # upper bound below threshold -> exact must be too
-        ulo = int(np.searchsorted(su, u))
-        uhi = int(np.searchsorted(su, u, side="right"))
-        lo = ulo + int(np.searchsorted(sd[ulo:uhi], d_us - (W - 1) * _DAY_US))
-        hi = ulo + int(np.searchsorted(sd[ulo:uhi], d_us, side="right"))
-        exact = int(csum[hi] - csum[lo])
-        if exact >= T:
-            out_rows.append((d_us, u, exact))
 
-    if out_rows:
-        arr = np.array(out_rows, np.int64)
-        out = pd.DataFrame({"day": arr[:, 0].astype("datetime64[us]"),
-                            "user_id": arr[:, 1], "n_events": arr[:, 2]})
+    out_d, out_u, out_n = [], [], []
+    for rank in np.unique(cand_rank):  # day-bounded loop
+        d_us = int(day_i[rank])
+        lo = int(np.searchsorted(day_i, d_us - (W - 1) * _DAY_US))
+        sk = sketch_from_bytes(states[int(day_i[lo])]).copy()
+        for di in range(lo + 1, int(rank) + 1):
+            sk.merge(sketch_from_bytes(states[int(day_i[di])]))
+        users = cand_u[cand_rank == rank]
+        # ONE vectorized probe per end-day; the key representation must
+        # match the update path (mode="column" ints hash via string cast)
+        est = sk.query(pa.array(users, pa.int64()))
+        users = users[est >= T]  # no undercount -> safe rejection
+        if len(users) == 0:
+            continue
+        p_lo = np.searchsorted(pair_comp, users * (D + 1) + lo)
+        p_hi = np.searchsorted(pair_comp, users * (D + 1) + rank + 1)
+        exact = csum[p_hi] - csum[p_lo]
+        keep = exact >= T
+        out_d.append(np.full(int(keep.sum()), d_us, np.int64))
+        out_u.append(users[keep])
+        out_n.append(exact[keep])
+
+    if out_d and sum(len(x) for x in out_d):
+        arr_d = np.concatenate(out_d)
+        arr_u = np.concatenate(out_u)
+        arr_n = np.concatenate(out_n)
+        o = np.lexsort((arr_u, arr_d))
+        out = pd.DataFrame({"day": arr_d[o].astype("datetime64[us]"),
+                            "user_id": arr_u[o], "n_events": arr_n[o]})
     else:
         out = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
                             "user_id": pd.Series([], dtype="int64"),
                             "n_events": pd.Series([], dtype="int64")})
-    out = out.sort_values(["day", "user_id"]).reset_index(drop=True)
     return pa.table({
         "day": pa.array(out["day"].to_numpy("datetime64[us]"),
                         pa.timestamp("us")),
         "user_id": pa.array(out["user_id"].to_numpy(np.int64), pa.int64()),
         "n_events": pa.array(out["n_events"].to_numpy(np.int64), pa.int64()),
     })
+
 
 
 def per_day_user_cm_states(sf_dir: str, width: int = 1 << 12,
