@@ -2544,11 +2544,12 @@ def fk_orphan_counts(sf_dir: str) -> pa.Table:
     child rows point at a missing parent (the data-quality check a
     multi-table snapshot runs before joins are trusted; a nonzero
     orphan count explains inner-join row loss). Each parent's key set
-    broadcasts ONCE as a sorted array and every child table is ONE
-    streaming pass with a vectorized searchsorted membership probe —
-    the users_without_orders anti-join discipline per relation. Parents
-    here are dimension- or orders-scale; for a parent too big to
-    broadcast the engine's tagged-union shuffle anti-join
+    broadcasts ONCE as a sorted array; each CHILD table is scanned
+    exactly once, probing ALL of its relations' parents per batch with
+    vectorized searchsorted membership (lineitem's three FKs share one
+    scan — the users_without_orders anti-join discipline, fused).
+    Parents here are dimension- or orders-scale; for a parent too big
+    to broadcast the engine's tagged-union shuffle anti-join
     (incremental_dedup_docs) is the documented path. Returns
     (relation, n_rows, n_orphans) sorted by relation."""
     import pyarrow.parquet as pq_mod
@@ -2565,37 +2566,51 @@ def fk_orphan_counts(sf_dir: str) -> pa.Table:
         ("orders.o_custkey->customer", "orders", "o_custkey",
          "customer", "c_custkey"),
     ]
-    parent_keys: dict[str, "ray.ObjectRef"] = {}
+    parent_keys: dict[str, np.ndarray] = {}
     for _, _, _, ptab, pcol in rels:
         if ptab not in parent_keys:
             k = pq_mod.read_table(f"{sf_dir}/{ptab}.parquet",
                                   columns=[pcol])[pcol].to_numpy()
-            parent_keys[ptab] = ray.put(np.unique(k))
+            parent_keys[ptab] = np.unique(k)
 
-    names, n_rows_l, orph_l = [], [], []
+    by_child: dict[str, list[tuple[str, str, str]]] = {}
     for name, ctab, ccol, ptab, _ in rels:
-        ref = parent_keys[ptab]
+        by_child.setdefault(ctab, []).append((name, ccol, ptab))
 
-        def probe(batch: pa.Table, _ref=ref, _c=ccol) -> pa.Table:
-            keys = cached(_ref)
-            v = batch[_c].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(keys, v), 0,
-                          max(len(keys) - 1, 0))
-            hit = (keys[pos] == v) if len(keys) else np.zeros(len(v), bool)
+    results: dict[str, tuple[int, int]] = {}
+    for ctab, probes in by_child.items():
+        cols = sorted({c for _, c, _ in probes})
+        ref = ray.put({p: parent_keys[p] for _, _, p in probes})
+
+        def probe(batch: pa.Table, _ref=ref, _probes=tuple(probes)) -> pa.Table:
+            keysets = cached(_ref)
+            ns, orphs = [], []
+            for _, ccol, ptab in _probes:
+                keys = keysets[ptab]
+                v = batch[ccol].to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(keys, v), 0,
+                              max(len(keys) - 1, 0))
+                hit = (keys[pos] == v) if len(keys) else \
+                    np.zeros(len(v), bool)
+                ns.append(len(v))
+                orphs.append(int((~hit).sum()))
             return pa.table({
-                "n": pa.array([len(v)], pa.int64()),
-                "orph": pa.array([int((~hit).sum())], pa.int64())})
+                "ri": pa.array(np.arange(len(_probes)), pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "orph": pa.array(orphs, pa.int64())})
 
         t = ensure_columns(
-            _read(sf_dir, ctab, [ccol])
+            _read(sf_dir, ctab, cols)
             .map_batches(probe, batch_format="pyarrow", batch_size=65536)
-            .to_pandas(), {"n": "int64", "orph": "int64"})
-        names.append(name)
-        n_rows_l.append(int(t["n"].sum()))
-        orph_l.append(int(t["orph"].sum()))
-    order = np.argsort(np.asarray(names, dtype=object), kind="stable")
+            .to_pandas(), {"ri": "int64", "n": "int64", "orph": "int64"})
+        g = t.groupby("ri")[["n", "orph"]].sum()
+        for ri, (name, _, _) in enumerate(probes):
+            results[name] = (int(g["n"].get(ri, 0)),
+                             int(g["orph"].get(ri, 0)))
+
+    names = sorted(results)
     return pa.table({
-        "relation": pa.array([names[i] for i in order], pa.string()),
-        "n_rows": pa.array([n_rows_l[i] for i in order], pa.int64()),
-        "n_orphans": pa.array([orph_l[i] for i in order], pa.int64()),
+        "relation": pa.array(names, pa.string()),
+        "n_rows": pa.array([results[n][0] for n in names], pa.int64()),
+        "n_orphans": pa.array([results[n][1] for n in names], pa.int64()),
     })
