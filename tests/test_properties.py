@@ -276,3 +276,34 @@ def test_weighted_sample_key_sql_matches_numpy(hs, ws):
         " / greatest(CAST(w AS DOUBLE), 1.0), 6) AS k FROM t ORDER BY i"
     ).df()["k"].to_numpy()
     assert np.array_equal(got, want), (got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=1023), min_size=0,
+                max_size=300),
+       st.integers(min_value=0, max_value=1024),
+       st.integers(min_value=0, max_value=1024),
+       SPLITS, SEED)
+def test_dyadic_range_contract(vals, a, b, n_parts, seed):
+    """For ARBITRARY streams, ranges and partitionings: dyadic range
+    estimates never undercount, stay within the a-priori bound, and the
+    sum-merged state is byte-identical to the one-shot build."""
+    from sketch_ray.kernels import DyadicCM
+
+    lo, hi = min(a, b), max(a, b)
+    arr = np.asarray(vals, np.int64)
+    one = DyadicCM(bits=10, depth=4, width=256, seed=seed % 97)
+    one.update(arr)
+    true = int(((arr >= lo) & (arr < hi)).sum())
+    est = one.range_count(lo, hi)
+    assert est >= true
+    assert est - true <= one.range_error_bound()
+
+    parts = [DyadicCM(bits=10, depth=4, width=256, seed=seed % 97)
+             for _ in range(n_parts)]
+    for i, p in enumerate(parts):
+        p.update(arr[i::n_parts])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.to_bytes() == one.to_bytes()
