@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup pairs decorated with exact character edit distance
         "near_dup_edit_distances": lambda sf: dedup.near_dup_edit_distances(
             sf, k=3, tau=0.5),
+        # trailing-window quantiles from per-day t-digest states
+        "windowed_value_quantiles": sketch_queries.windowed_value_quantiles,
     }
 
 

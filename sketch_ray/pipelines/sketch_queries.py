@@ -401,3 +401,59 @@ def windowed_hll_users(sf_dir: str, window: int = 7, p: int = 12) -> pa.Table:
         "est_users": pa.array(out["est_users"].to_numpy(np.int64), pa.int64()),
         "exact_users": pa.array(out["n_users"].to_numpy(np.int64), pa.int64()),
     })
+
+
+def windowed_value_quantiles(sf_dir: str, window: int = 7,
+                             delta: int = 200) -> pa.Table:
+    """Trailing-window VALUE QUANTILES from per-day t-digest states — the
+    third windowed-sketch composition (windowed_heavy_users = counts,
+    windowed_hll_users = distinct, this = quantiles): ONE
+    ``groupby(day).aggregate(SketchAgg(tdigest))`` pass builds a KB
+    centroid state per day, then every trailing-``window`` p50/p95/p99
+    is a centroid-merge of ≤window states driver-side — ad-hoc window
+    spans never rescan events. Rows-only gated (digest estimates are
+    not SQL); rank-error vs the exact windowed quantile is pinned in
+    pytest. Returns (day, q, est_value) sorted, est 6dp."""
+    import pyarrow.compute as _pc
+
+    from ..kernels.base import sketch_from_bytes
+    from ..stages.agg import SketchAgg
+    from ._util import round6
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": _pc.floor_temporal(batch["ts"].combine_chunks(),
+                                      unit="day"),
+            "value": batch["value"]})
+
+    spec = SketchSpec("v", "tdigest", "value", mode="numeric",
+                      params={"delta": int(delta), "seed": 42})
+    rows = (ds.map_batches(day_col, batch_format="pyarrow", batch_size=32768)
+            .groupby("day")
+            .aggregate(SketchAgg(spec, alias_name="state", finalize="bytes"))
+            ).to_pandas().sort_values("day").reset_index(drop=True)
+    days = rows["day"].to_numpy("datetime64[us]")
+    day_i = days.astype(np.int64)
+    sketches = [sketch_from_bytes(b) for b in rows["state"]]
+    _DAY_US = np.int64(86_400_000_000)
+    W = int(window)
+    qs = np.array([0.5, 0.95, 0.99])
+
+    out_d, out_q, out_v = [], [], []
+    for i in range(len(days)):  # day-bounded loop
+        lo = int(np.searchsorted(day_i, day_i[i] - (W - 1) * _DAY_US))
+        u = sketches[lo].copy()
+        for j in range(lo + 1, i + 1):
+            u.merge(sketches[j])
+        vals = np.asarray(u.quantile(qs), np.float64)
+        out_d.extend([day_i[i]] * len(qs))
+        out_q.extend(qs.tolist())
+        out_v.extend(np.asarray(round6(vals), np.float64).tolist())
+    return pa.table({
+        "day": pa.array(np.array(out_d, np.int64).astype("datetime64[us]"),
+                        pa.timestamp("us")),
+        "q": pa.array(out_q, pa.float64()),
+        "est_value": pa.array(out_v, pa.float64()),
+    })

@@ -130,3 +130,35 @@ def test_windowed_hll_users_accuracy(ray_session):
     rel = (np.abs(t["est_users"] - t["exact_users"])
            / np.maximum(t["exact_users"], 1))
     assert (rel <= 5 * 1.04 / np.sqrt(2 ** 12)).all()
+
+
+def test_windowed_value_quantiles_accuracy(ray_session):
+    """Per-day t-digest states merged per trailing window: each estimate's
+    true rank in the exact window multiset is within a generous digest
+    rank tolerance, and the windowed p50 <= p95 <= p99 monotonically."""
+    import duckdb
+    import numpy as np
+
+    from sketch_ray.pipelines.sketch_queries import windowed_value_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    t = windowed_value_quantiles(sf).to_pandas()
+    assert len(t) > 0
+    piv = t.pivot_table(index="day", columns="q", values="est_value")
+    assert (piv[0.5] <= piv[0.95]).all() and (piv[0.95] <= piv[0.99]).all()
+
+    ex = duckdb.sql(f"""
+        WITH dv AS (SELECT date_trunc('day', ts) AS day, value
+                    FROM read_parquet('{sf}/events.parquet')),
+             days AS (SELECT DISTINCT day FROM dv)
+        SELECT d.day AS day, v.value
+        FROM days d JOIN dv v
+          ON v.day <= d.day AND v.day >= d.day - INTERVAL 6 DAY""").df()
+    for day, grp in ex.groupby("day"):
+        vals = np.sort(grp["value"].to_numpy())
+        n = len(vals)
+        sub = t[t["day"] == day]
+        for _, row in sub.iterrows():
+            r = np.searchsorted(vals, row["est_value"], side="right")
+            assert abs(r - row["q"] * n) <= max(0.12 * n, 3), \
+                (day, row["q"], r, n)
