@@ -40,7 +40,7 @@ def _token_partials(batch: pa.Table) -> pa.Table:
     )
 
 
-def token_counts_ds(sf_dir: str, n_salt: int = 16):
+def token_counts_ds(sf_dir: str, n_salt: int | None = None):
     """Distributed exact token counts with SALTED two-level aggregation
     (SURVEY.md §7.3 skew handling):
 
@@ -50,7 +50,14 @@ def token_counts_ds(sf_dir: str, n_salt: int = 16):
        — a hot token's partial rows spread over ≤ n_salt reducers instead
        of landing on one (at 10^12 docs a single hot key would otherwise
        send every batch's row to the same reducer);
-    3. groupby(token) over the ≤ n_salt subtotal rows per token."""
+    3. groupby(token) over the ≤ n_salt subtotal rows per token.
+
+    ``n_salt`` defaults to max(16, cluster CPUs // 2): on this 32-CPU box
+    that is the measured-right 16, and on a 256-node cluster a hot key
+    spreads over hundreds of reducers instead of a constant 16 (the
+    n_reducers() sizing rule applied to salting)."""
+    if n_salt is None:
+        n_salt = max(16, n_reducers() // 2)
     ds = _read(sf_dir, "documents", ["text"])
 
     from ..kernels.hashing import splitmix64
