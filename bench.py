@@ -400,7 +400,34 @@ def run_error_sweep(sf_dir: str) -> dict:
             "cm_max_err": int(err_cm.max()),
             "frac_within_bound_cu": round(float((err_cu <= bound).mean()), 6),
         })
-    return {"n_updates": n, "n_keys": len(exact), "sweep": out}
+    # dyadic-range CM: observed range-count error vs the 2·bits·eps·N
+    # a-priori bound (Cormode & Muthukrishnan 2005 §4.2), over the
+    # document length distribution
+    from sketch_ray.kernels import DyadicCM
+
+    lens = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars"]).column("n_chars").to_numpy()
+    bits = max(8, int(lens.max()).bit_length() + 1)
+    ranges = [(0, 128), (100, 300), (250, 400), (0, 1 << bits)]
+    dy_out = []
+    for log_w in (9, 11, 13):
+        w = 1 << log_w
+        dy = DyadicCM(bits=bits, depth=4, width=w, seed=42)
+        dy.update(lens)
+        errs = []
+        for lo, hi in ranges:
+            true = int(((lens >= lo) & (lens < hi)).sum())
+            est = dy.range_count(lo, hi)
+            assert est >= true  # no undercount
+            errs.append(est - true)
+        dy_out.append({
+            "width": w, "bits": bits,
+            "bound_2bitsEpsN": round(dy.range_error_bound(), 1),
+            "max_range_err": int(max(errs)),
+            "mean_range_err": round(sum(errs) / len(errs), 2),
+        })
+    return {"n_updates": n, "n_keys": len(exact), "sweep": out,
+            "dyadic_range_sweep": dy_out}
 
 
 def _emit(summary: dict, queries: dict[str, float]) -> None:
