@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, k=3, tau=0.5),
         # trailing-window quantiles from per-day t-digest states
         "windowed_value_quantiles": sketch_queries.windowed_value_quantiles,
+        # per-token JS divergence contributions (corpus-mixing diagnostic)
+        "lang_token_divergence": exact.lang_token_divergence,
     }
 
 
@@ -1556,6 +1558,34 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(rev4) / 10000.0, 2) AS revenue
             FROM x GROUP BY n_name
             ORDER BY sum(rev4) DESC, n_name
+        """,
+        "lang_token_divergence": """
+            WITH ta_ AS (SELECT unnest(string_split(text, ' ')) AS token
+                         FROM documents WHERE lang = 'en'),
+                 tb_ AS (SELECT unnest(string_split(text, ' ')) AS token
+                         FROM documents WHERE lang <> 'en'),
+                 ca_ AS (SELECT token, count(*) AS ca FROM ta_ GROUP BY 1),
+                 cb_ AS (SELECT token, count(*) AS cb FROM tb_ GROUP BY 1),
+                 n_ AS (SELECT (SELECT count(*) FROM ta_) AS na,
+                               (SELECT count(*) FROM tb_) AS nb),
+                 j AS (SELECT coalesce(ca_.token, cb_.token) AS token,
+                              coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                       FROM ca_ FULL JOIN cb_ ON ca_.token = cb_.token),
+                 p AS (SELECT token, ca, cb,
+                              ca / greatest(na, 1) AS pa,
+                              cb / greatest(nb, 1) AS pb
+                       FROM j, n_),
+                 t AS (SELECT token, ca, cb,
+                              round(CASE WHEN pa > 0 THEN
+                                      0.5 * (pa * ln(pa / ((pa + pb) / 2)))
+                                    ELSE 0 END
+                                  + CASE WHEN pb > 0 THEN
+                                      0.5 * (pb * ln(pb / ((pa + pb) / 2)))
+                                    ELSE 0 END, 6) AS js
+                       FROM p WHERE ca + cb >= 50)
+            SELECT row_number() OVER (ORDER BY js DESC, token) AS rank,
+                   token, ca AS cnt_a, cb AS cnt_b, js
+            FROM t ORDER BY js DESC, token LIMIT 20
         """,
         "table_profile": """
             SELECT * FROM (

@@ -1358,3 +1358,76 @@ def table_profile(sf_dir: str, force: str | None = None) -> pa.Table:
         "n_distinct": pa.array([int(nd.get(i, 0)) for i in order],
                                pa.int64()),
     })
+
+
+def lang_token_divergence(sf_dir: str, lang: str = "en", k: int = 20,
+                          min_cnt: int = 50) -> pa.Table:
+    """Which tokens DISTINGUISH one language slice from the rest — the
+    per-token Jensen–Shannon divergence contribution between the two
+    token distributions (the corpus-mixing diagnostic: JS = Σ of these
+    terms; reporting per-token contributions keeps every float rounded
+    PER ROW, the pmi_collocations ln discipline, instead of an
+    order-dependent global float sum).
+
+    js(t) = ½·p_a·ln(p_a/m) + ½·p_b·ln(p_b/m), m = (p_a+p_b)/2, with
+    0·ln0 = 0. ONE salted distributed count pass carrying BOTH sides'
+    counts per token (token_counts_ds shape, two sum columns); the
+    driver sees vocab-sized rows, computes the ln terms in exactly the
+    oracle's operation order, rounds 6dp, and ranks (js desc, token
+    asc). Tokens with ca+cb < min_cnt are dropped (noise floor).
+    Returns (rank, token, cnt_a, cnt_b, js)."""
+    from ..kernels.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    n_salt = max(16, n_reducers() // 2)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        is_a = pc.equal(batch["lang"].combine_chunks(), lang)
+        rows = []
+        for side, mask in (("a", is_a), ("b", pc.invert(is_a))):
+            texts = batch.filter(mask)["text"]
+            keys, counts = token_counts(texts)
+            z = np.zeros(len(counts), np.int64)
+            rows.append(pa.table({
+                "token": keys.cast(pa.large_string()),
+                "ca": pa.array(counts if side == "a" else z, pa.int64()),
+                "cb": pa.array(z if side == "a" else counts, pa.int64())}))
+        t = pa.concat_tables(rows)
+        total = int(pc.sum(t["ca"]).as_py() or 0) \
+            + int(pc.sum(t["cb"]).as_py() or 0)
+        salt = int(splitmix64(np.array([total * 1315423911 + t.num_rows],
+                                       np.uint64))[0] % n_salt)
+        return t.append_column(
+            "salt", pa.array(np.full(t.num_rows, salt), pa.int64()))
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+    sub = parts.groupby(["token", "salt"]).aggregate(
+        Sum("ca", alias_name="ca"), Sum("cb", alias_name="cb"))
+    agg = ensure_columns(
+        sub.groupby("token").aggregate(
+            Sum("ca", alias_name="ca"), Sum("cb", alias_name="cb"))
+        .to_pandas(), {"token": "object", "ca": "int64", "cb": "int64"})
+    na = float(agg["ca"].sum())
+    nb = float(agg["cb"].sum())
+    agg = agg[(agg["ca"] + agg["cb"]) >= min_cnt].reset_index(drop=True)
+    ca = agg["ca"].to_numpy(np.float64)
+    cb = agg["cb"].to_numpy(np.float64)
+    pa_ = ca / max(na, 1.0)
+    pb = cb / max(nb, 1.0)
+    m = (pa_ + pb) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ta = np.where(pa_ > 0, 0.5 * (pa_ * np.log(
+            np.where(pa_ > 0, pa_, 1.0) / np.where(m > 0, m, 1.0))), 0.0)
+        tb = np.where(pb > 0, 0.5 * (pb * np.log(
+            np.where(pb > 0, pb, 1.0) / np.where(m > 0, m, 1.0))), 0.0)
+    agg["js"] = np.round(ta + tb, 6)
+    agg = agg.sort_values(["js", "token"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    return pa.table({
+        "rank": pa.array(agg["rank"].to_numpy(np.int64), pa.int64()),
+        "token": pa.array(agg["token"], pa.string()),
+        "cnt_a": pa.array(agg["ca"].to_numpy(np.int64), pa.int64()),
+        "cnt_b": pa.array(agg["cb"].to_numpy(np.int64), pa.int64()),
+        "js": pa.array(agg["js"].to_numpy(np.float64), pa.float64()),
+    })

@@ -481,3 +481,45 @@ def test_token_burstiness_vs_duckdb(ray_session):
     # (df*df - df^2)/(df*df) with n=1 per doc -> s2=df, tf=df -> 0
     ones = a[a["tf"] == a["df"]]
     assert (ones["vmr"] == 0.0).all()
+
+
+def test_lang_token_divergence_vs_duckdb(ray_session):
+    """Per-token JS contributions match DuckDB (per-row ln rounding, no
+    global float sum); JS terms are nonnegative and a token used at the
+    same rate in both slices contributes ~0."""
+    import duckdb
+    import pandas as pd
+
+    from sketch_ray.pipelines.exact import lang_token_divergence
+
+    sf = "/root/testdata/sf0.001"
+    a = lang_token_divergence(sf, k=20, min_cnt=20).to_pandas()
+    ref = duckdb.sql(f"""
+        WITH ta_ AS (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM read_parquet('{sf}/documents.parquet')
+                     WHERE lang = 'en'),
+             tb_ AS (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM read_parquet('{sf}/documents.parquet')
+                     WHERE lang <> 'en'),
+             ca_ AS (SELECT token, count(*) AS ca FROM ta_ GROUP BY 1),
+             cb_ AS (SELECT token, count(*) AS cb FROM tb_ GROUP BY 1),
+             n_ AS (SELECT (SELECT count(*) FROM ta_) AS na,
+                           (SELECT count(*) FROM tb_) AS nb),
+             j AS (SELECT coalesce(ca_.token, cb_.token) AS token,
+                          coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                   FROM ca_ FULL JOIN cb_ ON ca_.token = cb_.token),
+             p AS (SELECT token, ca, cb, ca / greatest(na, 1) AS pa,
+                          cb / greatest(nb, 1) AS pb FROM j, n_),
+             t AS (SELECT token, ca, cb,
+                          round(CASE WHEN pa > 0 THEN
+                                  0.5 * (pa * ln(pa / ((pa + pb) / 2)))
+                                ELSE 0 END
+                              + CASE WHEN pb > 0 THEN
+                                  0.5 * (pb * ln(pb / ((pa + pb) / 2)))
+                                ELSE 0 END, 6) AS js
+                   FROM p WHERE ca + cb >= 20)
+        SELECT row_number() OVER (ORDER BY js DESC, token) AS rank,
+               token, ca AS cnt_a, cb AS cnt_b, js
+        FROM t ORDER BY js DESC, token LIMIT 20""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+    assert (a["js"] >= 0).all()
