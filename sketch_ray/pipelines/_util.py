@@ -44,6 +44,26 @@ def n_reducers(floor: int = 32) -> int:
     return max(floor, cpus)
 
 
+def default_n_salt() -> int:
+    """Salt-bucket count for two-level salted token aggregation:
+    max(16, cluster CPUs // 2) — 16 is the measured-right value on this
+    32-CPU box; on a big cluster a hot key spreads over ~CPUs/2 reducers
+    instead of a constant (the n_reducers sizing rule applied to salting).
+    ONE definition shared by every salted count pipeline."""
+    return max(16, n_reducers() // 2)
+
+
+def batch_salt(total: int, num_rows: int, n_salt: int) -> int:
+    """Deterministic per-batch salt from batch content (total count varies
+    per batch), spreading a hot key's partial rows across reducers. The
+    single source of truth for the salt derivation — token_counts_ds and
+    lang_token_divergence must agree on it."""
+    from ..kernels.hashing import splitmix64
+
+    return int(splitmix64(np.array([total * 1315423911 + num_rows],
+                                   np.uint64))[0] % n_salt)
+
+
 def parquet_minmax(path: str, col: str):
     """Column (min, max) from parquet row-group STATISTICS — no scan, no
     Ray aggregate. ``Dataset.max`` is an AllToAll Aggregate, and on a

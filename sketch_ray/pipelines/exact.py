@@ -52,22 +52,20 @@ def token_counts_ds(sf_dir: str, n_salt: int | None = None):
        send every batch's row to the same reducer);
     3. groupby(token) over the ≤ n_salt subtotal rows per token.
 
-    ``n_salt`` defaults to max(16, cluster CPUs // 2): on this 32-CPU box
-    that is the measured-right 16, and on a 256-node cluster a hot key
-    spreads over hundreds of reducers instead of a constant 16 (the
-    n_reducers() sizing rule applied to salting)."""
-    if n_salt is None:
-        n_salt = max(16, n_reducers() // 2)
-    ds = _read(sf_dir, "documents", ["text"])
+    ``n_salt`` defaults to ``_util.default_n_salt()`` (the cluster-sized
+    rule); the per-batch salt derivation is the shared
+    ``_util.batch_salt`` (one source of truth with every other salted
+    count pipeline)."""
+    from ._util import batch_salt, default_n_salt
 
-    from ..kernels.hashing import splitmix64
+    if n_salt is None:
+        n_salt = default_n_salt()
+    ds = _read(sf_dir, "documents", ["text"])
 
     def partials_salted(batch: pa.Table) -> pa.Table:
         t = _token_partials(batch)
-        # deterministic per-batch salt from batch content (total token count
-        # varies per batch), spreading a hot token's rows across reducers
         total = int(pc.sum(t["partial"]).as_py() or 0)
-        salt = int(splitmix64(np.array([total * 1315423911 + t.num_rows], np.uint64))[0] % n_salt)
+        salt = batch_salt(total, t.num_rows, n_salt)
         return t.append_column("salt", pa.array(np.full(t.num_rows, salt), pa.int64()))
 
     partials = ds.map_batches(partials_salted, batch_format="pyarrow", batch_size=8192)
@@ -1376,10 +1374,10 @@ def lang_token_divergence(sf_dir: str, lang: str = "en", k: int = 20,
     oracle's operation order, rounds 6dp, and ranks (js desc, token
     asc). Tokens with ca+cb < min_cnt are dropped (noise floor).
     Returns (rank, token, cnt_a, cnt_b, js)."""
-    from ..kernels.hashing import splitmix64
+    from ._util import batch_salt, default_n_salt
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
-    n_salt = max(16, n_reducers() // 2)
+    n_salt = default_n_salt()
 
     def partials(batch: pa.Table) -> pa.Table:
         is_a = pc.equal(batch["lang"].combine_chunks(), lang)
@@ -1395,8 +1393,7 @@ def lang_token_divergence(sf_dir: str, lang: str = "en", k: int = 20,
         t = pa.concat_tables(rows)
         total = int(pc.sum(t["ca"]).as_py() or 0) \
             + int(pc.sum(t["cb"]).as_py() or 0)
-        salt = int(splitmix64(np.array([total * 1315423911 + t.num_rows],
-                                       np.uint64))[0] % n_salt)
+        salt = batch_salt(total, t.num_rows, n_salt)
         return t.append_column(
             "salt", pa.array(np.full(t.num_rows, salt), pa.int64()))
 

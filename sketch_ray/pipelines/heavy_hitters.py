@@ -380,10 +380,14 @@ def windowed_heavy_users(sf_dir: str, window: int = 7, threshold: int = 24,
 
     # pigeonhole candidates, fully vectorized: each heavy (user, day)
     # pair serves the <=W present end-days in [day, day+W-1] — expand via
-    # repeat + range offsets, dedup on a composite (user, day-rank) key
+    # repeat + range offsets, dedup on a composite (user-RANK, day-rank)
+    # key. Users are dense-ranked first so the composite can never
+    # overflow int64 no matter how large (e.g. hashed 64-bit) the raw
+    # user ids are — ranks are bounded by the distinct-user count.
+    uu = np.unique(puser)
     per_day_min = -(-T // W)  # ceil(T/W)
     heavy = pn >= per_day_min
-    hd, hu = pday[heavy], puser[heavy]
+    hd, hu = pday[heavy], np.searchsorted(uu, puser[heavy])
     D = np.int64(len(day_i))
     lo_i = np.searchsorted(day_i, hd)
     hi_i = np.searchsorted(day_i, hd + (W - 1) * _DAY_US, side="right")
@@ -391,17 +395,16 @@ def windowed_heavy_users(sf_dir: str, window: int = 7, threshold: int = 24,
     seq = np.arange(int(reps.sum()), dtype=np.int64) \
         - np.repeat(np.cumsum(reps) - reps, reps)
     end_rank = np.repeat(lo_i, reps) + seq
-    cand_u = np.repeat(hu, reps)
-    comp = np.unique(cand_u * (D + 1) + end_rank)
-    cand_u = comp // (D + 1)
+    comp = np.unique(np.repeat(hu, reps) * (D + 1) + end_rank)
+    cand_u = uu[comp // (D + 1)]  # back to raw ids
     cand_rank = (comp % (D + 1)).astype(np.int64)
-    cand_d = day_i[cand_rank] if len(day_i) else cand_rank
 
     # per-user day-sorted cumsums for exact window sums (composite-rank
     # searchsorted — the _asof_match discipline, no per-candidate loop)
     order = np.lexsort((pday, puser))
     su, sd, sn = puser[order], pday[order], pn[order]
-    pair_comp = su * (D + 1) + np.searchsorted(day_i, sd)
+    pair_comp = np.searchsorted(uu, su) * (D + 1) \
+        + np.searchsorted(day_i, sd)
     csum = np.concatenate([[0], np.cumsum(sn)])
 
     out_d, out_u, out_n = [], [], []
@@ -418,8 +421,9 @@ def windowed_heavy_users(sf_dir: str, window: int = 7, threshold: int = 24,
         users = users[est >= T]  # no undercount -> safe rejection
         if len(users) == 0:
             continue
-        p_lo = np.searchsorted(pair_comp, users * (D + 1) + lo)
-        p_hi = np.searchsorted(pair_comp, users * (D + 1) + rank + 1)
+        ur = np.searchsorted(uu, users)  # rank space, matching pair_comp
+        p_lo = np.searchsorted(pair_comp, ur * (D + 1) + lo)
+        p_hi = np.searchsorted(pair_comp, ur * (D + 1) + rank + 1)
         exact = csum[p_hi] - csum[p_lo]
         keep = exact >= T
         out_d.append(np.full(int(keep.sum()), d_us, np.int64))

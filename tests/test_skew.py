@@ -523,3 +523,42 @@ def test_lang_token_divergence_vs_duckdb(ray_session):
         FROM t ORDER BY js DESC, token LIMIT 20""").df()
     pd.testing.assert_frame_equal(a, ref, check_dtype=False)
     assert (a["js"] >= 0).all()
+
+
+def test_windowed_heavy_users_huge_ids(ray_session, tmp_path):
+    """Hashed 64-bit-scale user ids: the dense-rank composite cannot
+    overflow — results equal the same data with small remapped ids."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.heavy_hitters import windowed_heavy_users
+
+    src = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{src}/events.parquet")
+    uid = ev["user_id"].to_numpy()
+    # remap each user to a huge sparse id near the int64 ceiling
+    uniq = np.unique(uid)
+    huge = (np.int64(2**62) + np.arange(len(uniq), dtype=np.int64)
+            * np.int64(3_037_000_499))
+    mapped = huge[np.searchsorted(uniq, uid)]
+    big = ev.set_column(ev.schema.get_field_index("user_id"), "user_id",
+                        pa.array(mapped, pa.int64()))
+    d = tmp_path / "huge"
+    d.mkdir()
+    pq.write_table(big, str(d / "events.parquet"))
+
+    a = windowed_heavy_users(str(d), force="driver").to_pandas()
+    ref = duckdb.sql(f"""
+        WITH du AS (SELECT date_trunc('day', ts) AS day, user_id,
+                           count(*) AS n
+                    FROM read_parquet('{d}/events.parquet') GROUP BY 1, 2),
+             days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day AS day, u.user_id, sum(u.n) AS n_events
+        FROM days d JOIN du u
+          ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+        GROUP BY 1, 2 HAVING sum(u.n) >= 24
+        ORDER BY day, user_id""").df()
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
