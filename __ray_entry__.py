@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # samples the FIRST 50 keys, so the reference-core §2 operators
     # (heavy-hitter / emerging / sketch-estimate queries — the reference's
     # defining surface, src/sketch.cpp:103-245) and the sketch suite come
-    # first; newer / derivative pipelines follow. The full 97-query surface
+    # first; newer / derivative pipelines follow. The full 140-query surface
     # is still verified end-to-end by scripts/check_oracle.py and pytest.
     return {
         # --- §2-core exact, oracle-gated (M1/M3/M8, A1-A6, T1-T2, J1/J2) ---
