@@ -1238,6 +1238,8 @@ def _levenshtein(a: bytes, b: bytes) -> int:
     min_k<=j (cand[k] + (j - k)) = minimum.accumulate(cand - j) + j, so
     each of the len(a) steps is fully vectorized over len(b). Callers
     loop only over τ-selected near-dup pairs, never the corpus."""
+    if a == b:  # exact-dup pairs dominate dup-heavy corpora: O(n) not O(nm)
+        return 0
     if not a:
         return len(b)
     if not b:
@@ -1254,18 +1256,28 @@ def _levenshtein(a: bytes, b: bytes) -> int:
     return int(prev[-1])
 
 
-def near_dup_edit_distances(sf_dir: str, k: int = 3,
-                            tau: float = 0.5) -> pa.Table:
+def near_dup_edit_distances(sf_dir: str, k: int = 3, tau: float = 0.5,
+                            force: str | None = None) -> pa.Table:
     """Near-dup pairs decorated with their EXACT character edit distance
     — the string-metric verification step a dedup audit wants after the
     set-similarity pass (two docs can share every shingle yet differ in
     order; Levenshtein catches what Jaccard can't). Pair generation is
     the existing jaccard_near_dups (shared memoized collapse scan,
-    df-capped candidate expansion); the edit-distance DP runs only on
-    the τ-selected PAIRS with texts fetched by a predicate-pushdown
-    read — pair-bounded work, never corpus × corpus. Returns
+    df-capped candidate expansion); texts for involved docs come from a
+    predicate-pushdown read. The DP is PAIR-bounded, never corpus²:
+    below _EDIT_DRIVER_PAIRS pairs it runs as a driver loop; above (a
+    dup-heavy corpus can emit hundreds of thousands of pairs — the 10×
+    soak does) the pairs ship as a Dataset and each map_batches task
+    runs the DP for its slice against the broadcast text dict (bounded
+    by pair-involved docs, not the corpus). ``force``="driver"/
+    "distributed" pins the branch (pytest-pinned equal). Returns
     (doc_a, doc_b, jaccard, edit_dist) sorted by (doc_a, doc_b)."""
     import pyarrow.dataset as pads
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.broadcast import cached
 
     pairs = jaccard_near_dups(sf_dir, k=k, tau=tau).to_pandas()
     if len(pairs) == 0:
@@ -1280,9 +1292,33 @@ def near_dup_edit_distances(sf_dir: str, k: int = 3,
         filter=pads.field("doc_id").isin(pa.array(ids)))
     texts = dict(zip(t["doc_id"].to_pylist(),
                      (s.encode() for s in t["text"].to_pylist())))
-    dist = [
-        _levenshtein(texts[int(a)], texts[int(b)])
-        for a, b in zip(pairs["doc_a"], pairs["doc_b"])  # pair-bounded
-    ]
-    out = pairs.assign(edit_dist=np.asarray(dist, np.int64))         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    small = (len(pairs) <= _EDIT_DRIVER_PAIRS) if force is None \
+        else (force == "driver")
+    if small:
+        dist = [
+            _levenshtein(texts[int(a)], texts[int(b)])
+            for a, b in zip(pairs["doc_a"], pairs["doc_b"])  # pair-bounded
+        ]
+        out = pairs.assign(edit_dist=np.asarray(dist, np.int64))
+    else:
+        ref = ray.put(texts)
+
+        def dp(batch: pa.Table) -> pa.Table:
+            tx = cached(ref)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            d = np.fromiter(
+                (_levenshtein(tx[int(x)], tx[int(y)])
+                 for x, y in zip(a, b)), np.int64, count=len(a))
+            return batch.append_column("edit_dist", pa.array(d, pa.int64()))
+
+        pt = pa.Table.from_pandas(pairs, preserve_index=False)
+        out = (rd.from_arrow(pt)
+               .map_batches(dp, batch_format="pyarrow", batch_size=512)
+               ).to_pandas()
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_EDIT_DRIVER_PAIRS = 2_000  # above this the DP fans out over Ray tasks
