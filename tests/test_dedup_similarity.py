@@ -860,6 +860,9 @@ def test_near_dup_edit_distances(ray_session):
 
     sf = "/root/testdata/sf0.001"
     t = near_dup_edit_distances(sf, k=3, tau=0.5).to_pandas()
+    t2 = near_dup_edit_distances(sf, k=3, tau=0.5,
+                                 force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(t, t2)  # adaptive branches agree
     ref = duckdb.sql(f"""
         WITH sh AS (
             SELECT doc_id, unnest(range(len(string_split(text, ' ')) - 2)) AS i,
