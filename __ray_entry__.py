@@ -238,6 +238,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_value_quantiles": sketch_queries.windowed_value_quantiles,
         # per-token JS divergence contributions (corpus-mixing diagnostic)
         "lang_token_divergence": exact.lang_token_divergence,
+        # TPC-H-shape batch (r4-s4): Q3/Q4/Q15/Q18/Q19/Q22 adapted to the
+        # available columns — see each docstring for the join/fold plan
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q4_late_orders": relational.q4_late_orders,
+        "q15_top_suppliers": relational.q15_top_suppliers,
+        "q18_large_volume_orders": relational.q18_large_volume_orders,
+        "q19_bracket_revenue": relational.q19_bracket_revenue,
+        "q22_idle_rich_customers": relational.q22_idle_rich_customers,
     }
 
 
@@ -1883,6 +1891,119 @@ def oracle_sql() -> dict[str, str]:
             FROM counts c JOIN totals t USING (lang)
             WHERE c.cnt >= greatest(1, ceil(0.02 * t.n))
             ORDER BY c.lang, c.token
+        """,
+        "q3_shipping_priority": """
+            WITH r AS (
+                SELECT l.l_orderkey,
+                       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100)
+                                         AS BIGINT))) AS rev4
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+                  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+                GROUP BY l.l_orderkey
+            )
+            SELECT r.l_orderkey AS o_orderkey,
+                   round(r.rev4 / 10000.0, 2) AS revenue,
+                   o.o_orderdate, o.o_orderpriority
+            FROM r JOIN orders o ON r.l_orderkey = o.o_orderkey
+            ORDER BY r.rev4 DESC, r.l_orderkey LIMIT 10
+        """,
+        "q4_late_orders": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+                                       + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q15_top_suppliers": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS rev4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   round(r.rev4 / 10000.0, 2) AS total_revenue
+            FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.rev4 = (SELECT max(rev4) FROM r)
+            ORDER BY s.s_suppkey
+        """,
+        "q18_large_volume_orders": """
+            WITH q AS (
+                -- outer CAST: DuckDB sums BIGINT into HUGEINT, which
+                -- lands as float64 in pandas and breaks the int compare
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 200
+            )
+            SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_orderdate,
+                   o.o_totalprice, q.sum_qty
+            FROM q
+            JOIN orders o ON q.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY q.sum_qty DESC, o.o_orderkey LIMIT 100
+        """,
+        "q19_bracket_revenue": """
+            WITH hit AS (
+                SELECT CASE
+                         WHEN p.p_brand = 'Brand#11'
+                              AND p.p_size BETWEEN 1 AND 15
+                              AND l.l_quantity BETWEEN 1 AND 20
+                           THEN 'Brand#11'
+                         WHEN p.p_brand = 'Brand#16'
+                              AND p.p_size BETWEEN 20 AND 50
+                              AND l.l_quantity BETWEEN 15 AND 45
+                           THEN 'Brand#16'
+                         WHEN p.p_brand = 'Brand#22'
+                              AND p.p_size BETWEEN 10 AND 30
+                              AND l.l_quantity BETWEEN 5 AND 30
+                           THEN 'Brand#22'
+                       END AS bracket,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev4
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ), b AS (SELECT unnest(['Brand#11', 'Brand#16', 'Brand#22'])
+                         AS bracket)
+            SELECT b.bracket,
+                   count(hit.bracket) AS n_items,
+                   round(coalesce(sum(hit.rev4), 0) / 10000.0, 2)
+                       AS revenue
+            FROM b LEFT JOIN hit ON b.bracket = hit.bracket
+            GROUP BY b.bracket ORDER BY b.bracket
+        """,
+        "q22_idle_rich_customers": """
+            WITH pos AS (
+                SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c.c_nationkey, count(*) AS n_custs,
+                   round(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                         / 100.0, 2) AS total_acctbal
+            FROM customer c
+            WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+                  * (SELECT count(*) FROM pos)
+                  > (SELECT SUM(cents) FROM pos)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c.c_nationkey ORDER BY c.c_nationkey
         """,
     }
     # the Bloom prefilter is an invisible physical optimization: identical

@@ -2614,3 +2614,698 @@ def fk_orphan_counts(sf_dir: str) -> pa.Table:
         "n_rows": pa.array([results[n][0] for n in names], pa.int64()),
         "n_orphans": pa.array([results[n][1] for n in names], pa.int64()),
     })
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cut: str = "1998-06-01", k: int = 10,
+                         force: str | None = None) -> pa.Table:
+    """TPC-H Q3 shape — shipping priority: the ``k`` highest-revenue
+    orders from one market segment that were placed before ``cut`` but
+    still have lineitems shipping after it. customer ⋈ orders ⋈ lineitem
+    with date filters pushed into both fact reads.
+
+    Plan: the segment membership is a dense bool mask by custkey
+    (dimension-table broadcast, local_supplier_revenue discipline). The
+    orderkey hop is adaptive on orders' compressed size: small → the
+    date+segment-filtered orders pull to the driver, their sorted okeys
+    broadcast, and lineitem folds rev4 per HIT orderkey (partials bounded
+    by qualifying orders); large → lineitem pre-aggregates (orderkey,
+    rev4) through a distributed groupby, hash-joins the filtered orders
+    projection, and each post-join batch emits only its LOCAL top-k under
+    the total order (-rev4, okey) — valid because the left side is one
+    row per orderkey after the fold, so global top-k ⊆ union of per-batch
+    top-k. Revenue folds in integer 1e-4 units (_rev4); ORDER BY uses the
+    INTEGER sum so 2dp ties cannot disagree with the oracle."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    import ray.data as rd
+
+    cust = pq_mod.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+    ck = cust["c_custkey"].to_numpy()
+    in_seg = np.zeros(int(ck.max()) + 1 if len(ck) else 1, bool)
+    in_seg[ck] = np.asarray(cust["c_mktsegment"].to_pylist()) == segment
+
+    cut_ts = pa.scalar(np.datetime64(cut, "us"), pa.timestamp("us"))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"],
+                         filter=pads.field("l_shipdate") > cut_ts)
+    o_filter = pads.field("o_orderdate") < cut_ts
+    o_cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        ot = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+            columns=o_cols, filter=o_filter)
+        oc = ot["o_custkey"].to_numpy()
+        keep = (oc >= 0) & (oc < len(in_seg)) \
+            & in_seg[np.minimum(oc, len(in_seg) - 1)]
+        ot = ot.filter(pa.array(keep))
+        okeys = ot["o_orderkey"].to_numpy()
+        order = np.argsort(okeys, kind="stable")
+        okeys_s = okeys[order]
+        ref = ray.put(okeys_s)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            keys_w = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            rev4 = _rev4(batch)
+            pos = np.clip(np.searchsorted(keys_w, lk), 0,
+                          max(len(keys_w) - 1, 0))
+            hit = (keys_w[pos] == lk) if len(keys_w) else \
+                np.zeros(len(lk), bool)
+            t = pa.table({"l_orderkey": pa.array(lk[hit]),
+                          "rev4": pa.array(rev4[hit])})
+            g = t.group_by("l_orderkey").aggregate([("rev4", "sum")])
+            return g.rename_columns(["l_orderkey", "rev4"])
+
+        df = ensure_columns(
+            li.map_batches(partials, batch_format="pyarrow",
+                           batch_size=65536).to_pandas(),
+            {"l_orderkey": "int64", "rev4": "int64"})
+        g = df.groupby("l_orderkey", as_index=False)["rev4"].sum()
+        odf = ot.select(o_cols).to_pandas()
+        g = g.merge(odf, left_on="l_orderkey", right_on="o_orderkey",
+                    how="inner")
+    else:
+        seg_ref = ray.put(in_seg)
+
+        def li_partials(batch: pa.Table) -> pa.Table:
+            t = pa.table({"l_orderkey": batch["l_orderkey"],
+                          "rev4": pa.array(_rev4(batch))})
+            g = t.group_by("l_orderkey").aggregate([("rev4", "sum")])
+            return g.rename_columns(["l_orderkey", "rev4"])
+
+        li_agg = (li.map_batches(li_partials, batch_format="pyarrow",
+                                 batch_size=65536)
+                  .repartition(n_reducers())
+                  .groupby("l_orderkey")
+                  .aggregate(Sum("rev4", alias_name="rev4")))
+
+        def ord_proj(batch: pa.Table) -> pa.Table:
+            seg_w = cached(seg_ref)
+            oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            keep = (oc >= 0) & (oc < len(seg_w)) \
+                & seg_w[np.minimum(oc, len(seg_w) - 1)]
+            return batch.filter(pa.array(keep)).select(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=o_cols, filter=o_filter) \
+            .map_batches(ord_proj, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+        if orders.count() == 0:
+            g = pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                              "rev4": pd.Series([], dtype="int64"),
+                              "o_orderdate":
+                                  pd.Series([], dtype="datetime64[us]"),
+                              "o_orderpriority":
+                                  pd.Series([], dtype="object")})
+        else:
+            joined = li_agg.join(
+                orders, join_type="inner",
+                num_partitions=_join_partitions(sf_dir, "lineitem",
+                                                "orders"),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+            def topk_part(batch: pa.Table) -> pa.Table:
+                rev4 = batch["rev4"].to_numpy(zero_copy_only=False)
+                okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+                order = np.lexsort((okey, -rev4))[:k]
+                return batch.take(pa.array(order))
+
+            g = ensure_columns(
+                joined.map_batches(topk_part, batch_format="pyarrow",
+                                   batch_size=65536).to_pandas(),
+                {"l_orderkey": "int64", "rev4": "int64",
+                 "o_orderdate": "datetime64[us]",
+                 "o_orderpriority": "object"})
+    g = g.sort_values(["rev4", "l_orderkey"],
+                      ascending=[False, True]).head(k).reset_index(drop=True)
+    rev4 = g["rev4"].to_numpy(np.int64)
+    return pa.table({
+        "o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
+                               pa.int64()),
+        "revenue": pa.array(
+            np.asarray(round_half_away(rev4 / 10000.0, 2), np.float64),
+            pa.float64()),
+        "o_orderdate": pa.array(
+            g["o_orderdate"].to_numpy("datetime64[us]"),
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(g["o_orderpriority"].astype(str)
+                                    if len(g) else [], pa.string()),
+    })
+
+
+def q4_late_orders(sf_dir: str, lo: str = "1997-01-01",
+                   hi: str = "1997-04-01", late_days: int = 30,
+                   force: str | None = None) -> pa.Table:
+    """TPC-H Q4 shape — order-priority checking: per priority, how many
+    orders placed in the [lo, hi) quarter had at least one lineitem
+    shipping more than ``late_days`` after the order date (EXISTS
+    semi-join). ``∃ line: shipdate > orderdate + D`` ⟺
+    ``max(shipdate) > orderdate + D``, so the lineitem side reduces to a
+    per-orderkey MAX fold — no row-level semi-join ever materializes.
+
+    Adaptive: small orders → the quarter slice pulls to the driver and
+    broadcasts (sorted okeys, odate); lineitem batches emit the positions
+    of orders they prove late (partials bounded by quarter orders), the
+    driver unions them. Large → lineitem folds Max(ship_us) per orderkey
+    distributed, hash-joins the quarter projection, and per-batch late
+    counts fold over the 5 priority groups."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    import ray.data as rd
+
+    lo_ts = pa.scalar(np.datetime64(lo, "us"), pa.timestamp("us"))
+    hi_ts = pa.scalar(np.datetime64(hi, "us"), pa.timestamp("us"))
+    o_filter = ((pads.field("o_orderdate") >= lo_ts)
+                & (pads.field("o_orderdate") < hi_ts))
+    late_us = np.int64(late_days) * 86400 * 1_000_000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    ot = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=o_filter) if small else None
+
+    if small:
+        okeys = ot["o_orderkey"].to_numpy()
+        odate = ot["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .view(np.int64)
+        order = np.argsort(okeys, kind="stable")
+        okeys_s, odate_s = okeys[order], odate[order]
+        ref = ray.put((okeys_s, odate_s))
+
+        def late_positions(batch: pa.Table) -> pa.Table:
+            okeys_w, odate_w = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            ship = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").view(np.int64)
+            pos = np.clip(np.searchsorted(okeys_w, lk), 0,
+                          max(len(okeys_w) - 1, 0))
+            hit = (okeys_w[pos] == lk) if len(okeys_w) else \
+                np.zeros(len(lk), bool)
+            late = hit & (ship > odate_w[pos] + late_us)
+            return pa.table({"pos": pa.array(np.unique(pos[late]),
+                                             pa.int64())})
+
+        parts = ensure_columns(
+            li.map_batches(late_positions, batch_format="pyarrow",
+                           batch_size=65536).to_pandas(),
+            {"pos": "int64"})
+        late_pos = np.unique(parts["pos"].to_numpy(np.int64))
+        pri = np.asarray(ot["o_orderpriority"].to_pylist(),
+                         dtype=object)[order][late_pos] \
+            if len(late_pos) else np.array([], object)
+        vals, counts = np.unique(pri.astype(str), return_counts=True) \
+            if len(pri) else (np.array([], object), np.array([], np.int64))
+        df = pd.DataFrame({"o_orderpriority": vals,
+                           "order_count": counts.astype(np.int64)})
+    else:
+        def max_ship(batch: pa.Table) -> pa.Table:
+            ship = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").view(np.int64)
+            t = pa.table({"l_orderkey": batch["l_orderkey"],
+                          "ship_us": pa.array(ship)})
+            g = t.group_by("l_orderkey").aggregate([("ship_us", "max")])
+            return g.rename_columns(["l_orderkey", "ship_us"])
+
+        li_max = (li.map_batches(max_ship, batch_format="pyarrow",
+                                 batch_size=65536)
+                  .repartition(n_reducers())
+                  .groupby("l_orderkey")
+                  .aggregate(Max("ship_us", alias_name="ship_us")))
+
+        def ord_proj(batch: pa.Table) -> pa.Table:
+            odate = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").view(np.int64)
+            return pa.table({"o_orderkey": batch["o_orderkey"],
+                             "odate_us": pa.array(odate),
+                             "o_orderpriority": batch["o_orderpriority"]})
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+            filter=o_filter) \
+            .map_batches(ord_proj, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+        if orders.count() == 0:
+            df = pd.DataFrame({"o_orderpriority":
+                               pd.Series([], dtype="object"),
+                               "order_count":
+                               pd.Series([], dtype="int64")})
+        else:
+            joined = li_max.join(
+                orders, join_type="inner",
+                num_partitions=_join_partitions(sf_dir, "lineitem",
+                                                "orders"),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+            def late_counts(batch: pa.Table) -> pa.Table:
+                late = (batch["ship_us"].to_numpy(zero_copy_only=False)
+                        > batch["odate_us"].to_numpy(zero_copy_only=False)
+                        + late_us)
+                t = pa.table({"o_orderpriority": pc.array_filter(
+                    batch["o_orderpriority"].combine_chunks(),
+                    pa.array(late))})
+                g = t.group_by("o_orderpriority").aggregate(
+                    [([], "count_all")])
+                return g.rename_columns(["o_orderpriority", "n"])
+
+            parts = joined.map_batches(late_counts, batch_format="pyarrow",
+                                       batch_size=65536)
+            df = _fold_partials(parts, orders.count(),
+                                ["o_orderpriority"],
+                                {"order_count": "n"})
+            df["order_count"] = df["order_count"].astype(np.int64)
+    df = df.sort_values("o_orderpriority").reset_index(drop=True)
+    return pa.table({
+        "o_orderpriority": pa.array(df["o_orderpriority"].astype(str)
+                                    if len(df) else [], pa.string()),
+        "order_count": pa.array(df["order_count"].to_numpy(np.int64),
+                                pa.int64()),
+    })
+
+
+def q15_top_suppliers(sf_dir: str, lo: str = "1997-01-01",
+                      hi: str = "1997-04-01",
+                      force: str | None = None) -> pa.Table:
+    """TPC-H Q15 shape — top supplier(s): per-supplier revenue over one
+    shipdate quarter, returning every supplier tied at the MAXIMUM
+    (aggregate-then-filter-on-global-max; ties exact because revenue
+    folds in integer 1e-4 units). Supplier cardinality bounds the partial
+    rows, so the fold is adaptive (_fold_partials); names attach from the
+    dimension table driver-side, pruned to the winning keys."""
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    lo_ts = pa.scalar(np.datetime64(lo, "us"), pa.timestamp("us"))
+    hi_ts = pa.scalar(np.datetime64(hi, "us"), pa.timestamp("us"))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"],
+                         filter=((pads.field("l_shipdate") >= lo_ts)
+                                 & (pads.field("l_shipdate") < hi_ts)))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_suppkey": batch["l_suppkey"],
+                      "rev4": pa.array(_rev4(batch))})
+        g = t.group_by("l_suppkey").aggregate([("rev4", "sum")])
+        return g.rename_columns(["l_suppkey", "rev4"])
+
+    parts = li.map_batches(partials, batch_format="pyarrow",
+                           batch_size=65536)
+    # plan gate from FILE size, not li.count(): count() on a
+    # pushdown-filtered read would pay a full extra scan
+    import os
+
+    try:
+        small = os.path.getsize(f"{sf_dir}/lineitem.parquet") \
+            < _BCAST_JOIN_BYTES
+    except OSError:
+        small = False
+    if force is not None:
+        small = force == "driver"
+    g = _fold_partials(parts, 0 if small else _SMALL_ROWS,
+                       ["l_suppkey"], {"rev4": "rev4"})
+    if len(g) == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue": pa.array([], pa.float64())})
+    g["l_suppkey"] = g["l_suppkey"].astype(np.int64)
+    g["rev4"] = g["rev4"].astype(np.int64)
+    best = int(g["rev4"].max())
+    g = g[g["rev4"] == best].sort_values("l_suppkey").reset_index(drop=True)
+    sup = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(
+            g["l_suppkey"].to_numpy(np.int64))).to_pandas()
+    g = g.merge(sup, left_on="l_suppkey", right_on="s_suppkey",
+                how="inner").sort_values("s_suppkey")
+    return pa.table({
+        "s_suppkey": pa.array(g["s_suppkey"].to_numpy(np.int64),
+                              pa.int64()),
+        "s_name": pa.array(g["s_name"].astype(str) if len(g) else [],
+                           pa.string()),
+        "total_revenue": pa.array(
+            np.asarray(round_half_away(
+                g["rev4"].to_numpy(np.int64) / 10000.0, 2), np.float64),
+            pa.float64()),
+    })
+
+
+def q18_large_volume_orders(sf_dir: str, min_qty: int = 200,
+                            k: int = 100,
+                            force: str | None = None) -> pa.Table:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    lineitem quantity exceeds ``min_qty``, decorated with the order row
+    and customer name, top ``k`` by quantity. Quantities are
+    integer-valued doubles, folded as int64 so the HAVING boundary is
+    exact.
+
+    The per-orderkey quantity fold is adaptive (driver below the size
+    gate / distributed groupby-Sum above). The HAVING filter leaves a
+    small survivor set by construction, so the orders decoration is a
+    broadcast probe of the survivor okeys inside a map_batches over
+    orders (rows returned bounded by survivors), and customer names read
+    driver-side pruned to the ≤k result custkeys."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partials(batch: pa.Table) -> pa.Table:
+        qty = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "qty": pa.array(qty)})
+        g = t.group_by("l_orderkey").aggregate([("qty", "sum")])
+        return g.rename_columns(["l_orderkey", "qty"])
+
+    parts = li.map_batches(qty_partials, batch_format="pyarrow",
+                           batch_size=65536)
+    try:
+        small = os.path.getsize(f"{sf_dir}/lineitem.parquet") \
+            < _BCAST_JOIN_BYTES
+    except OSError:
+        small = False
+    if force is not None:
+        small = force == "driver"
+    if small:
+        df = ensure_columns(parts.to_pandas(),
+                            {"l_orderkey": "int64", "qty": "int64"})
+        g = df.groupby("l_orderkey", as_index=False)["qty"].sum()
+    else:
+        g = (parts.repartition(n_reducers()).groupby("l_orderkey")
+             .aggregate(Sum("qty", alias_name="qty"))).to_pandas()
+        g = ensure_columns(g, {"l_orderkey": "int64", "qty": "int64"})
+    g = g[g["qty"] > min_qty]
+    okeys = np.sort(g["l_orderkey"].to_numpy(np.int64))
+    qty_by_okey = dict(zip(g["l_orderkey"].to_numpy(np.int64),
+                           g["qty"].to_numpy(np.int64)))
+    ref = ray.put(okeys)
+
+    def order_hits(batch: pa.Table) -> pa.Table:
+        keys_w = cached(ref)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys_w, ok), 0,
+                      max(len(keys_w) - 1, 0))
+        hit = (keys_w[pos] == ok) if len(keys_w) else np.zeros(len(ok), bool)
+        return batch.filter(pa.array(hit))
+
+    odf = ensure_columns(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(order_hits, batch_format="pyarrow", batch_size=65536)
+        .to_pandas(),
+        {"o_orderkey": "int64", "o_custkey": "int64",
+         "o_orderdate": "datetime64[us]", "o_totalprice": "float64"})
+    odf["sum_qty"] = odf["o_orderkey"].map(qty_by_okey).astype(np.int64) \
+        if len(odf) else pd.Series([], dtype="int64")
+    odf = odf.sort_values(["sum_qty", "o_orderkey"],
+                          ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(
+            odf["o_custkey"].to_numpy(np.int64))).to_pandas()
+    odf = odf.merge(cust, left_on="o_custkey", right_on="c_custkey",
+                    how="left")
+    return pa.table({
+        "o_orderkey": pa.array(odf["o_orderkey"].to_numpy(np.int64),
+                               pa.int64()),
+        "o_custkey": pa.array(odf["o_custkey"].to_numpy(np.int64),
+                              pa.int64()),
+        "c_name": pa.array(odf["c_name"].astype(str) if len(odf) else [],
+                           pa.string()),
+        "o_orderdate": pa.array(odf["o_orderdate"]
+                                .to_numpy("datetime64[us]"),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array(odf["o_totalprice"]
+                                 .to_numpy(np.float64), pa.float64()),
+        "sum_qty": pa.array(odf["sum_qty"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+_Q19_BRACKETS = (
+    ("Brand#11", 1, 15, 1, 20),
+    ("Brand#16", 20, 50, 15, 45),
+    ("Brand#22", 10, 30, 5, 30),
+)
+
+
+def q19_bracket_revenue(sf_dir: str, brackets=_Q19_BRACKETS,
+                        force: str | None = None) -> pa.Table:
+    """TPC-H Q19 shape — disjunctive bracket predicate: revenue and item
+    count per (brand, size-range, quantity-range) bracket, the OR-of-ANDs
+    part ⋈ lineitem filter. Brackets are brand-disjoint, so each lineitem
+    matches at most one.
+
+    part is a dimension: each bracket's qualifying partkeys resolve
+    driver-side (predicate-pushdown read) into ONE sorted array +
+    bracket-id array, broadcast once. The lineitem scan prunes at the
+    read to the global quantity envelope, probes partkeys via
+    searchsorted, checks the bracket's quantity range, and folds
+    (bracket, rev4, n) partials — group-bounded by len(brackets), driver
+    fold always."""
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    pk_all, bid_all = [], []
+    for bi, (brand, slo, shi, _, _) in enumerate(brackets):
+        pt = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+            columns=["p_partkey"],
+            filter=((pads.field("p_brand") == brand)
+                    & (pads.field("p_size") >= slo)
+                    & (pads.field("p_size") <= shi)))
+        keys = pt["p_partkey"].to_numpy()
+        pk_all.append(keys)
+        bid_all.append(np.full(len(keys), bi, np.int64))
+    pk = np.concatenate(pk_all) if pk_all else np.empty(0, np.int64)
+    bid = np.concatenate(bid_all) if bid_all else np.empty(0, np.int64)
+    order = np.argsort(pk, kind="stable")
+    pk_s, bid_s = pk[order], bid[order]
+    qlo = np.array([b[3] for b in brackets], np.float64)
+    qhi = np.array([b[4] for b in brackets], np.float64)
+    ref = ray.put((pk_s, bid_s, qlo, qhi))
+
+    glo, ghi = float(qlo.min()), float(qhi.max())
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=((pads.field("l_quantity") >= glo)
+                & (pads.field("l_quantity") <= ghi)))
+
+    n_brackets = len(brackets)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pk_w, bid_w, qlo_w, qhi_w = cached(ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        rev4 = _rev4(batch)
+        pos = np.clip(np.searchsorted(pk_w, lp), 0, max(len(pk_w) - 1, 0))
+        hit = (pk_w[pos] == lp) if len(pk_w) else np.zeros(len(lp), bool)
+        b = bid_w[pos]
+        keep = hit & (qty >= qlo_w[np.minimum(b, len(qlo_w) - 1)]) \
+            & (qty <= qhi_w[np.minimum(b, len(qhi_w) - 1)])
+        sums = np.zeros(n_brackets, np.int64)
+        cnts = np.zeros(n_brackets, np.int64)
+        np.add.at(sums, b[keep], rev4[keep])
+        np.add.at(cnts, b[keep], 1)
+        return pa.table({"bi": pa.array(np.arange(n_brackets), pa.int64()),
+                         "rev4": pa.array(sums, pa.int64()),
+                         "n": pa.array(cnts, pa.int64())})
+
+    t = ensure_columns(
+        li.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+          .to_pandas(),
+        {"bi": "int64", "rev4": "int64", "n": "int64"})
+    g = t.groupby("bi")[["rev4", "n"]].sum()
+    brands = [b[0] for b in brackets]
+    rev4 = np.array([int(g["rev4"].get(i, 0)) for i in range(n_brackets)],
+                    np.int64)
+    return pa.table({
+        "bracket": pa.array(brands, pa.string()),
+        "n_items": pa.array([int(g["n"].get(i, 0))
+                             for i in range(n_brackets)], pa.int64()),
+        "revenue": pa.array(
+            np.asarray(round_half_away(rev4 / 10000.0, 2), np.float64),
+            pa.float64()),
+    })
+
+
+def q22_idle_rich_customers(sf_dir: str,
+                            force: str | None = None) -> pa.Table:
+    """TPC-H Q22 shape — global-sales-opportunity: per nation, the count
+    and total balance of customers whose account balance exceeds the
+    positive-balance MEAN but who have placed no URGENT order (anti
+    semi-join; every customer has *some* order in this data, so the
+    urgent slice keeps the predicate meaningful).
+
+    The mean comparison is exact-rational: ``cents·n_pos > total_cents``
+    in int64 — no division, so boundary membership cannot disagree with
+    the oracle's identically-rendered integer predicate. The anti-join is
+    adaptive: small orders → the urgent custkeys pull to the driver
+    (pushdown read) and broadcast, customers probe per batch; large →
+    tagged-union shuffle (customer rows carry the nation/cents payload,
+    urgent-order rows carry has_order=1; groupby custkey keeps groups
+    with max(has_order)=0 — the user_activity_reconcile discipline).
+    Output is nation-bounded either way."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                      "c_acctbal"])
+
+    def bal_partials(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        pos = cents > 0
+        return pa.table({"total": pa.array([int(cents[pos].sum())],
+                                           pa.int64()),
+                         "n_pos": pa.array([int(pos.sum())], pa.int64())})
+
+    bt = ensure_columns(
+        cust.map_batches(bal_partials, batch_format="pyarrow",
+                         batch_size=65536).to_pandas(),
+        {"total": "int64", "n_pos": "int64"})
+    total_cents = int(bt["total"].sum())
+    n_pos = int(bt["n_pos"].sum())
+
+    urgent = pads.field("o_orderpriority") == "1-URGENT"
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        ok = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+            columns=["o_custkey"], filter=urgent)
+        keys = np.unique(ok["o_custkey"].to_numpy())
+        ref = ray.put(keys)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            keys_w = cached(ref)
+            cents = np.round(batch["c_acctbal"]
+                             .to_numpy(zero_copy_only=False)
+                             * 100.0).astype(np.int64)
+            ckey = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            nat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys_w, ckey), 0,
+                          max(len(keys_w) - 1, 0))
+            has = (keys_w[pos] == ckey) if len(keys_w) else \
+                np.zeros(len(ckey), bool)
+            keep = (~has) & (cents * n_pos > total_cents)
+            t = pa.table({"c_nationkey": pa.array(nat[keep]),
+                          "cents": pa.array(cents[keep]),
+                          "one": pa.array(np.ones(int(keep.sum()),
+                                                  np.int64))})
+            g = t.group_by("c_nationkey").aggregate(
+                [("cents", "sum"), ("one", "sum")])
+            return g.rename_columns(["c_nationkey", "cents", "n"])
+
+        t = ensure_columns(
+            cust.map_batches(partials, batch_format="pyarrow",
+                             batch_size=65536).to_pandas(),
+            {"c_nationkey": "int64", "cents": "int64", "n": "int64"})
+        g = t.groupby("c_nationkey", as_index=False)[["cents", "n"]].sum()
+    else:
+        def cust_rows(batch: pa.Table) -> pa.Table:
+            cents = np.round(batch["c_acctbal"]
+                             .to_numpy(zero_copy_only=False)
+                             * 100.0).astype(np.int64)
+            keep = cents * n_pos > total_cents
+            return pa.table({
+                "key": pc.array_filter(batch["c_custkey"].combine_chunks(),
+                                       pa.array(keep)),
+                "nat": pc.array_filter(
+                    batch["c_nationkey"].combine_chunks(), pa.array(keep)),
+                "cents": pa.array(cents[keep]),
+                "has_order": pa.array(np.zeros(int(keep.sum()), np.int64)),
+                "is_cust": pa.array(np.ones(int(keep.sum()), np.int64))})
+
+        def order_rows(batch: pa.Table) -> pa.Table:
+            keys = np.unique(batch["o_custkey"]
+                             .to_numpy(zero_copy_only=False))
+            z = np.zeros(len(keys), np.int64)
+            return pa.table({"key": pa.array(keys), "nat": pa.array(z),
+                             "cents": pa.array(z),
+                             "has_order": pa.array(z + 1),
+                             "is_cust": pa.array(z)})
+
+        left = cust.map_batches(cust_rows, batch_format="pyarrow",
+                                batch_size=65536)
+        right = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"], filter=urgent) \
+            .map_batches(order_rows, batch_format="pyarrow",
+                         batch_size=65536)
+        merged = (left.union(right)
+                  .repartition(n_reducers())
+                  .groupby("key")
+                  .aggregate(Max("has_order", alias_name="has_order"),
+                             Sum("nat", alias_name="nat"),
+                             Sum("cents", alias_name="cents"),
+                             Sum("is_cust", alias_name="is_cust")))
+
+        def nat_partials(batch: pa.Table) -> pa.Table:
+            # anti-join predicate fused into the vectorized fold (no
+            # row-lambda filter): customer rows whose group saw no
+            # urgent-order row
+            keep = ((batch["has_order"].to_numpy(zero_copy_only=False)
+                     == 0)
+                    & (batch["is_cust"].to_numpy(zero_copy_only=False)
+                       == 1))
+            t = pa.table({
+                "c_nationkey": pc.array_filter(
+                    batch["nat"].combine_chunks(), pa.array(keep)),
+                "cents": pc.array_filter(
+                    batch["cents"].combine_chunks(), pa.array(keep)),
+                "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+            g = t.group_by("c_nationkey").aggregate(
+                [("cents", "sum"), ("one", "sum")])
+            return g.rename_columns(["c_nationkey", "cents", "n"])
+
+        t = ensure_columns(
+            merged.map_batches(nat_partials, batch_format="pyarrow",
+                               batch_size=65536).to_pandas(),
+            {"c_nationkey": "int64", "cents": "int64", "n": "int64"})
+        g = t.groupby("c_nationkey", as_index=False)[["cents", "n"]].sum()
+    g = g.sort_values("c_nationkey").reset_index(drop=True)
+    return pa.table({
+        "c_nationkey": pa.array(g["c_nationkey"].to_numpy(np.int64),
+                                pa.int64()),
+        "n_custs": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        "total_acctbal": pa.array(
+            np.asarray(round_half_away(
+                g["cents"].to_numpy(np.int64) / 100.0, 2), np.float64),
+            pa.float64()),
+    })

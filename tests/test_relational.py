@@ -886,3 +886,41 @@ def test_table_profile_and_fk_orphans(ray_session, tmp_path):
     row = planted[planted["relation"] == "events.user_id->customer"]
     assert int(row["n_orphans"].iloc[0]) == 1
     assert int(row["n_rows"].iloc[0]) == ev.num_rows + 1
+
+
+def test_tpch_batch_forced_branches_agree(ray_session):
+    """The r4-s4 TPC-H-shape batch: each adaptive query's non-default
+    branch (forced distributed/shuffle) must equal the default
+    driver-side plan exactly (CLAUDE.md adaptive-plan invariant)."""
+    from sketch_ray.pipelines import relational as R
+
+    for fn in (R.q3_shipping_priority, R.q4_late_orders,
+               R.q15_top_suppliers, R.q18_large_volume_orders,
+               R.q22_idle_rich_customers):
+        a = fn(SF, force="driver").to_pandas()
+        b = fn(SF, force="dist").to_pandas()
+        pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
+
+
+def test_q19_brackets_vs_duckdb(ray_session):
+    """q19 bracket revenue matches an independently-written DuckDB
+    formulation (per-bracket subqueries rather than the CASE join)."""
+    from sketch_ray.pipelines.relational import _Q19_BRACKETS, q19_bracket_revenue
+
+    got = q19_bracket_revenue(SF).to_pandas()
+    con = duckdb.connect()
+    for brand, slo, shi, qlo, qhi in _Q19_BRACKETS:
+        want = con.execute(f"""
+            SELECT count(*) AS n,
+                   coalesce(round(sum(
+                       CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                   )/10000.0, 2), 0.0) AS rev
+            FROM read_parquet('{SF}/lineitem.parquet') l
+            JOIN read_parquet('{SF}/part.parquet') p
+              ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = '{brand}' AND p.p_size BETWEEN {slo} AND {shi}
+              AND l.l_quantity BETWEEN {qlo} AND {qhi}""").fetchone()
+        row = got[got["bracket"] == brand].iloc[0]
+        assert int(row["n_items"]) == int(want[0])
+        assert float(row["revenue"]) == float(want[1])
