@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_orders": relational.q18_large_volume_orders,
         "q19_bracket_revenue": relational.q19_bracket_revenue,
         "q22_idle_rich_customers": relational.q22_idle_rich_customers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
     }
 
 
@@ -1986,6 +1987,27 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM b LEFT JOIN hit ON b.bracket = hit.bracket
             GROUP BY b.bracket ORDER BY b.bracket
+        """,
+        "q21_waiting_suppliers": """
+            WITH ls AS (
+                SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+                       max(CASE WHEN l.l_shipdate
+                                     > o.o_orderdate + INTERVAL 30 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1, 2
+            ), per_o AS (
+                SELECT okey, count(*) AS n_supp, sum(late) AS n_late,
+                       max(skey * late) AS late_skey
+                FROM ls GROUP BY okey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM per_o p JOIN supplier s ON p.late_skey = s.s_suppkey
+            WHERE p.n_supp >= 2 AND p.n_late = 1
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY numwait DESC, s.s_suppkey LIMIT 50
         """,
         "q22_idle_rich_customers": """
             WITH pos AS (

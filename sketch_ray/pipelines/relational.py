@@ -3309,3 +3309,157 @@ def q22_idle_rich_customers(sf_dir: str,
                 g["cents"].to_numpy(np.int64) / 100.0, 2), np.float64),
             pa.float64()),
     })
+
+
+def q21_waiting_suppliers(sf_dir: str, late_days: int = 30, k: int = 50,
+                          force: str | None = None) -> pa.Table:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: per supplier,
+    the number of multi-supplier orders in which THEY were the only
+    supplier with a late lineitem (shipdate > orderdate + ``late_days``).
+    The classic nested EXISTS / NOT-EXISTS self-join on lineitem,
+    linearized into two per-key folds:
+
+      pair fold   (okey, skey) → max(ship)   [+ late flag vs orderdate]
+      order fold  okey → (n_supp, n_late, late_skey=max(skey·late))
+
+    ``n_supp ≥ 2 ∧ n_late = 1`` picks the qualifying orders; the single
+    late supplier's key pops out of the max — no row-level self-join ever
+    materializes. Adaptive: small orders → (okey, odate) broadcasts and
+    both folds finish on the driver (pair rows are lineitem-bounded but
+    2 M-gated); large → distributed groupby([okey, skey]) Max, hash join
+    to orders, distributed per-okey aggregate, supplier-bounded final
+    fold. Output (s_suppkey, s_name, numwait) top-``k`` by numwait desc,
+    suppkey."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    late_us = np.int64(late_days) * 86400 * 1_000_000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                    "l_shipdate"])
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        import pyarrow.parquet as pq_mod
+
+        ot = pq_mod.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_orderdate"])
+        okeys = ot["o_orderkey"].to_numpy()
+        odate = ot["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .view(np.int64)
+        order = np.argsort(okeys, kind="stable")
+        ref = ray.put((okeys[order], odate[order]))
+
+        def pair_partials(batch: pa.Table) -> pa.Table:
+            okeys_w, odate_w = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            ship = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").view(np.int64)
+            pos = np.clip(np.searchsorted(okeys_w, lk), 0,
+                          max(len(okeys_w) - 1, 0))
+            hit = (okeys_w[pos] == lk) if len(okeys_w) else \
+                np.zeros(len(lk), bool)
+            late = (hit & (ship > odate_w[pos] + late_us)).astype(np.int64)
+            t = pa.table({"okey": pa.array(lk), "skey": pa.array(sk),
+                          "late": pa.array(late)})
+            g = t.group_by(["okey", "skey"]).aggregate([("late", "max")])
+            return g.rename_columns(["okey", "skey", "late"])
+
+        pairs = ensure_columns(
+            li.map_batches(pair_partials, batch_format="pyarrow",
+                           batch_size=65536).to_pandas(),
+            {"okey": "int64", "skey": "int64", "late": "int64"})
+        pairs = pairs.groupby(["okey", "skey"], as_index=False)["late"] \
+            .max()
+        # late supplier key = max(skey·late): 0 when none, the unique key
+        # when exactly one (the only case the filter keeps)
+        pairs["sl"] = pairs["skey"] * pairs["late"]
+        per_o = pairs.groupby("okey").agg(
+            n_supp=("skey", "size"), n_late=("late", "sum"),
+            late_skey=("sl", "max"))
+        q = per_o[(per_o["n_supp"] >= 2) & (per_o["n_late"] == 1)]
+        g = q.groupby("late_skey").size().reset_index(name="numwait")
+        g = g.rename(columns={"late_skey": "s_suppkey"})
+    else:
+        def pair_max(batch: pa.Table) -> pa.Table:
+            ship = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").view(np.int64)
+            t = pa.table({"okey": batch["l_orderkey"],
+                          "skey": batch["l_suppkey"],
+                          "ship_us": pa.array(ship)})
+            g = t.group_by(["okey", "skey"]).aggregate([("ship_us", "max")])
+            return g.rename_columns(["okey", "skey", "ship_us"])
+
+        pair_ds = (li.map_batches(pair_max, batch_format="pyarrow",
+                                  batch_size=65536)
+                   .repartition(n_reducers())
+                   .groupby(["okey", "skey"])
+                   .aggregate(Max("ship_us", alias_name="ship_us")))
+
+        def ord_proj(batch: pa.Table) -> pa.Table:
+            odate = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").view(np.int64)
+            return pa.table({"o_orderkey": batch["o_orderkey"],
+                             "odate_us": pa.array(odate)})
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+            .map_batches(ord_proj, batch_format="pyarrow",
+                         batch_size=65536)
+        joined = pair_ds.join(
+            orders, join_type="inner",
+            num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
+            on=("okey",), right_on=("o_orderkey",))
+
+        def late_flag(batch: pa.Table) -> pa.Table:
+            late = (batch["ship_us"].to_numpy(zero_copy_only=False)
+                    > batch["odate_us"].to_numpy(zero_copy_only=False)
+                    + late_us).astype(np.int64)
+            sk = batch["skey"].to_numpy(zero_copy_only=False)
+            return pa.table({"okey": batch["okey"],
+                             "one": pa.array(np.ones(len(sk), np.int64)),
+                             "late": pa.array(late),
+                             "sl": pa.array(sk * late)})
+
+        per_o = (joined.map_batches(late_flag, batch_format="pyarrow",
+                                    batch_size=65536)
+                 .groupby("okey")
+                 .aggregate(Sum("one", alias_name="n_supp"),
+                            Sum("late", alias_name="n_late"),
+                            Max("sl", alias_name="late_skey")))
+
+        def wait_partials(batch: pa.Table) -> pa.Table:
+            keep = ((batch["n_supp"].to_numpy(zero_copy_only=False) >= 2)
+                    & (batch["n_late"].to_numpy(zero_copy_only=False)
+                       == 1))
+            t = pa.table({"s_suppkey": pc.array_filter(
+                batch["late_skey"].combine_chunks(), pa.array(keep))})
+            g = t.group_by("s_suppkey").aggregate([([], "count_all")])
+            return g.rename_columns(["s_suppkey", "numwait"])
+
+        g = ensure_columns(
+            per_o.map_batches(wait_partials, batch_format="pyarrow",
+                              batch_size=65536).to_pandas(),
+            {"s_suppkey": "int64", "numwait": "int64"})
+        g = g.groupby("s_suppkey", as_index=False)["numwait"].sum()
+    g = g.sort_values(["numwait", "s_suppkey"],
+                      ascending=[False, True]).head(k).reset_index(drop=True)
+    sup = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(
+            g["s_suppkey"].to_numpy(np.int64))).to_pandas()
+    g = g.merge(sup, on="s_suppkey", how="inner")
+    return pa.table({
+        "s_suppkey": pa.array(g["s_suppkey"].to_numpy(np.int64),
+                              pa.int64()),
+        "s_name": pa.array(g["s_name"].astype(str) if len(g) else [],
+                           pa.string()),
+        "numwait": pa.array(g["numwait"].to_numpy(np.int64), pa.int64()),
+    })

@@ -896,7 +896,7 @@ def test_tpch_batch_forced_branches_agree(ray_session):
 
     for fn in (R.q3_shipping_priority, R.q4_late_orders,
                R.q15_top_suppliers, R.q18_large_volume_orders,
-               R.q22_idle_rich_customers):
+               R.q22_idle_rich_customers, R.q21_waiting_suppliers):
         a = fn(SF, force="driver").to_pandas()
         b = fn(SF, force="dist").to_pandas()
         pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
