@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_bracket_revenue": relational.q19_bracket_revenue,
         "q22_idle_rich_customers": relational.q22_idle_rich_customers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        # Zipf exponent per language (corpus-health diagnostic)
+        "zipf_slope_per_lang": text_analysis.zipf_slope_per_lang,
     }
 
 
@@ -1987,6 +1989,33 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM b LEFT JOIN hit ON b.bracket = hit.bracket
             GROUP BY b.bracket ORDER BY b.bracket
+        """,
+        "zipf_slope_per_lang": """
+            WITH tok AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), c AS (
+                SELECT lang, token, count(*) AS cnt
+                FROM tok GROUP BY lang, token
+            ), r AS (
+                SELECT lang, cnt,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY cnt DESC, token)
+                           AS rank
+                FROM c
+            ), t AS (
+                SELECT lang, ln(rank) AS x, ln(cnt) AS y
+                FROM r WHERE rank <= 200
+            ), a AS (
+                SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM t GROUP BY lang
+            )
+            SELECT lang,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS zipf_slope,
+                   CAST(n AS BIGINT) AS n_tokens
+            FROM a ORDER BY lang
         """,
         "q21_waiting_suppliers": """
             WITH ls AS (

@@ -1533,3 +1533,64 @@ def type_token_ratio(sf_dir: str) -> pa.Table:
         {"doc_id": "int64", "n_tokens": "int64", "n_types": "int64", "ttr": "float64"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def zipf_slope_per_lang(sf_dir: str, k: int = 200) -> pa.Table:
+    """Zipf-law exponent per language: the OLS slope of ln(count) vs
+    ln(rank) over each language's top-``k`` tokens — the corpus-health
+    diagnostic that flags synthetic/templated text (natural language sits
+    near −1; duplicated boilerplate flattens the head). Ranks use the
+    deterministic (count DESC, token ASC) total order so ties cannot
+    disagree with the oracle's ROW_NUMBER.
+
+    The heavy step is the vocab-bounded (lang, token) count fold
+    (per-batch Arrow pre-aggregation → distributed groupby); the
+    regression runs driver-side over k·n_langs rows. Float math appears
+    only in the final ln/ratio, rounded 6dp on both sides
+    (lang_token_divergence precedent)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].combine_chunks()
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        lang_rep = lang.take(pa.array(np.repeat(np.arange(len(lang)),
+                                                ntok)))
+        t = pa.table({"lang": lang_rep, "token": flat})
+        g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "token", "partial"])
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow",
+                          batch_size=8192)
+           .repartition(n_reducers())
+           .groupby(["lang", "token"])
+           .aggregate(Sum("partial", alias_name="cnt")))
+    df = ensure_columns(agg.to_pandas(),
+                        {"lang": "object", "token": "object",
+                         "cnt": "int64"})
+    df = df.sort_values(["lang", "cnt", "token"],
+                        ascending=[True, False, True])
+    top = df.groupby("lang", as_index=False).head(k)
+    top = top.assign(rank=top.groupby("lang").cumcount() + 1)
+    rows = []
+    for lang, sub in top.groupby("lang"):
+        x = np.log(sub["rank"].to_numpy(np.float64))
+        y = np.log(sub["cnt"].to_numpy(np.float64))
+        n = float(len(sub))
+        denom = n * float((x * x).sum()) - float(x.sum()) ** 2
+        slope = (n * float((x * y).sum()) - float(x.sum()) * float(y.sum())) \
+            / denom if denom != 0.0 else 0.0
+        rows.append((lang, float(round6(slope)), int(n)))
+    out = pd.DataFrame(rows, columns=["lang", "zipf_slope", "n_tokens"]) \
+        .sort_values("lang").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(out["lang"].astype(str) if len(out) else [],
+                         pa.string()),
+        "zipf_slope": pa.array(out["zipf_slope"].to_numpy(np.float64)
+                               if len(out) else [], pa.float64()),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)
+                             if len(out) else [], pa.int64()),
+    })

@@ -712,3 +712,27 @@ def test_type_token_ratio_hand_case(ray_session, tmp_path):
     assert out["n_tokens"].tolist() == [3, 4, 3]
     assert out["n_types"].tolist() == [3, 1, 2]
     assert out["ttr"].tolist() == [1.0, 0.25, 0.666667]
+
+
+def test_zipf_slope_per_lang(ray_session):
+    """Zipf slope: negative for every language on the zipfian fixture and
+    equal to a direct driver-side recomputation from exact counts."""
+    import duckdb
+
+    from sketch_ray.pipelines.text_analysis import zipf_slope_per_lang
+
+    got = zipf_slope_per_lang(SF, k=50).to_pandas()
+    assert len(got) and (got["zipf_slope"] < 0).all()
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH tok AS (SELECT lang, unnest(string_split(text,' ')) AS token
+                     FROM read_parquet('{SF}/documents.parquet')),
+        c AS (SELECT lang, token, count(*) cnt FROM tok GROUP BY 1,2),
+        r AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+                  ORDER BY cnt DESC, token) rank FROM c),
+        t AS (SELECT lang, ln(rank) x, ln(cnt) y FROM r WHERE rank <= 50),
+        a AS (SELECT lang, count(*) n, sum(x) sx, sum(y) sy,
+                     sum(x*y) sxy, sum(x*x) sxx FROM t GROUP BY lang)
+        SELECT lang, round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS zipf_slope,
+               CAST(n AS BIGINT) AS n_tokens FROM a ORDER BY lang""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
