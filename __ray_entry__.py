@@ -249,6 +249,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         # Zipf exponent per language (corpus-health diagnostic)
         "zipf_slope_per_lang": text_analysis.zipf_slope_per_lang,
+        # turnstile membership (counting Bloom; rows-only like all
+        # sketch-estimate queries — bounds pinned in pytest)
+        "cbloom_turnstile_membership":
+            sketch_queries.cbloom_turnstile_membership,
     }
 
 

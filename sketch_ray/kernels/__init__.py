@@ -10,6 +10,7 @@ KLL, KLL± (turnstile), TDigest, MisraGries (top-k), BottomK (KMV sample).
 from .base import MergeableSketch, SketchBase, make_sketch, registry, sketch_from_bytes
 from .bloom import BloomFilter
 from .bottomk import BottomK
+from .cbloom import CountingBloom
 from .countmin import CountMin, CountMinCU
 from .countsketch import CountSketch
 from .dyadic import DyadicCM
@@ -23,6 +24,6 @@ from .tdigest import TDigest
 
 __all__ = [
     "MergeableSketch", "SketchBase", "make_sketch", "registry", "sketch_from_bytes",
-    "CountMin", "CountMinCU", "CountSketch", "FrequentDirections", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
+    "CountMin", "CountMinCU", "CountSketch", "CountingBloom", "FrequentDirections", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
     "hash_strings", "hash_arrow_strings", "hash_ints", "row_hashes", "splitmix64",
 ]

@@ -457,3 +457,28 @@ def windowed_value_quantiles(sf_dir: str, window: int = 7,
         "q": pa.array(out_q, pa.float64()),
         "est_value": pa.array(out_v, pa.float64()),
     })
+
+
+def cbloom_turnstile_membership(sf_dir: str, width: int = 1 << 16,
+                                n_probe: int = 200) -> pa.Table:
+    """TURNSTILE membership (kernels/cbloom.py): every event inserts its
+    user_id, 'error' events additionally retract theirs, so a user's net
+    multiplicity is their non-error event count — the membership analogue
+    of dynamic_quantiles' KLL± workload, which no plain Bloom filter
+    supports (clearing bits corrupts shared keys). One streaming pass,
+    shuffle-free counter-sum merge. Probes user_ids [0, n_probe) and
+    returns (user_id, member, est_count) where est_count is the CM-style
+    min-counter upper bound on the net count. Rows-only gated (the
+    guarantees are bounds); no-false-negative / never-undercount / merge
+    associativity are pinned in pytest."""
+    spec = SketchSpec("m", "cbloom", "user_id", mode="numeric",
+                      params={"width": width, "n_hashes": 4, "seed": 42},
+                      delete_eq=("event_type", "error"))
+    sk = build_sketches(_read(sf_dir, "events", ["user_id", "event_type"]),
+                        [spec], batch_size=8192)["m"]
+    probe = np.arange(n_probe, dtype=np.int64)
+    return pa.table({
+        "user_id": pa.array(probe, pa.int64()),
+        "member": pa.array(sk.contains(probe), pa.bool_()),
+        "est_count": pa.array(sk.estimate_counts(probe), pa.int64()),
+    })

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from sketch_ray.kernels import HLL, KLL, BloomFilter, TDigest, sketch_from_bytes
+from sketch_ray.kernels import HLL, KLL, BloomFilter, CountingBloom, TDigest, sketch_from_bytes
 
 
 def keys_range(a, b, prefix="key"):
@@ -178,6 +178,7 @@ def test_tdigest_bounded_size():
 @pytest.mark.parametrize("factory", [
     lambda: HLL(p=10, seed=3),
     lambda: BloomFilter(n_bits=1 << 12, n_hashes=4, seed=3),
+    lambda: CountingBloom(width=1 << 12, n_hashes=4, seed=3),
     lambda: KLL(k=128, seed=3),
     lambda: TDigest(delta=100, seed=3),
 ])
@@ -742,3 +743,77 @@ def test_cm_range_counts_pipeline(ray_session):
     assert int(t["exact_n_docs"].iloc[-1] + t["exact_n_docs"].iloc[:-1].sum()) == n
     slack = 2 * 16 * (np.e / 2048) * n + 1
     assert ((t["est_n_docs"] - t["exact_n_docs"]) <= slack).all()
+
+
+def test_cbloom_turnstile_guarantees():
+    """Counting Bloom: no false negatives, min-counter never undercounts,
+    deletes retract exactly, merge is order-independent byte-identical."""
+    import numpy as np
+
+    from sketch_ray.kernels import CountingBloom
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 500, size=4000).astype(np.int64)
+    is_del = rng.random(4000) < 0.3
+    # deletes only retract keys already inserted: insert all, then delete
+    # the flagged subset a second time with -1
+    net = {}
+    for k in keys:
+        net[int(k)] = net.get(int(k), 0) + 1
+    for k in keys[is_del]:
+        net[int(k)] -= 1
+
+    sk = CountingBloom(width=1 << 14, n_hashes=4, seed=42)
+    sk.update(keys)
+    sk.update(keys[is_del], counts=np.full(int(is_del.sum()), -1, np.int64))
+
+    probe = np.arange(600, dtype=np.int64)
+    exact = np.array([net.get(int(u), 0) for u in probe], np.int64)
+    member = sk.contains(probe)
+    est = sk.estimate_counts(probe)
+    assert member[exact > 0].all()          # zero false negatives
+    assert (est >= exact).all()             # CM-style upper bound
+    assert (est[exact > 0] == exact[exact > 0]).mean() > 0.9
+    assert member[exact == 0].mean() < 0.05  # FP rate sane at this load
+
+    # merge: partition the stream arbitrarily (deletes may precede their
+    # inserts within a partition) -> byte-identical merged state
+    parts = []
+    order = rng.permutation(4000)
+    for chunk in np.array_split(order, 7):
+        p = CountingBloom(width=1 << 14, n_hashes=4, seed=42)
+        p.update(keys[chunk])
+        dmask = is_del[chunk]
+        p.update(keys[chunk][dmask],
+                 counts=np.full(int(dmask.sum()), -1, np.int64))
+        parts.append(p)
+    rng.shuffle(parts)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.to_bytes() == sk.to_bytes() or \
+        (merged.counters == sk.counters).all()
+
+
+def test_cbloom_pipeline_matches_exact_counts(ray_session):
+    """The turnstile membership pipeline over events: est_count upper-
+    bounds (and at this width equals) each user's non-error event count."""
+    import duckdb
+    import numpy as np
+
+    from sketch_ray.pipelines.sketch_queries import cbloom_turnstile_membership
+
+    got = cbloom_turnstile_membership(
+        "/root/testdata/sf0.001", n_probe=100).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute("""
+        SELECT user_id, count(*) AS n
+        FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+        WHERE event_type <> 'error' AND user_id < 100
+        GROUP BY user_id""").df().set_index("user_id")["n"]
+    ex = np.array([int(exact.get(u, 0)) for u in got["user_id"]], np.int64)
+    est = got["est_count"].to_numpy(np.int64)
+    member = got["member"].to_numpy(bool)
+    assert member[ex > 0].all()
+    assert (est >= ex).all()
+    assert (est == ex).mean() > 0.95
