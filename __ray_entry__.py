@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_bracket_revenue": relational.q19_bracket_revenue,
         "q22_idle_rich_customers": relational.q22_idle_rich_customers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        # grouped argmin at part cardinality via order-isomorphic int64
+        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         # Zipf exponent per language (corpus-health diagnostic)
         "zipf_slope_per_lang": text_analysis.zipf_slope_per_lang,
         # turnstile membership (counting Bloom; rows-only like all
@@ -1993,6 +1995,18 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM b LEFT JOIN hit ON b.bracket = hit.bracket
             GROUP BY b.bracket ORDER BY b.bracket
+        """,
+        "cheapest_supplier_per_part": """
+            SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                   round(l_extendedprice / l_quantity, 6) AS unit_price
+            FROM (
+                SELECT l_partkey, l_suppkey, l_extendedprice, l_quantity,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY l_extendedprice / l_quantity,
+                                    l_suppkey) AS rn
+                FROM lineitem)
+            WHERE rn = 1 ORDER BY p_partkey
         """,
         "zipf_slope_per_lang": """
             WITH tok AS (

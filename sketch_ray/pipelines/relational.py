@@ -3463,3 +3463,76 @@ def q21_waiting_suppliers(sf_dir: str, late_days: int = 30, k: int = 50,
                            pa.string()),
         "numwait": pa.array(g["numwait"].to_numpy(np.int64), pa.int64()),
     })
+
+
+def cheapest_supplier_per_part(sf_dir: str,
+                               force: str | None = None) -> pa.Table:
+    """Grouped ARGMIN at part cardinality (TPC-H Q2's min-cost-supplier
+    shape on the available tables): for every part, the supplier offering
+    the lowest unit price (extendedprice/quantity), ties by suppkey.
+
+    Ray has no argmin aggregate, and 20k+ groups make map_groups a
+    per-group Python loop — instead the (unit, suppkey) lexicographic
+    order is ENCODED into one int64 so a single ``Min`` is the argmin:
+
+      num = cents(extendedprice) ≤ ~2²⁴, qty ∈ [1, 50] ⇒ two distinct
+      rationals num/qty differ by ≥ 1/2500, so enc = num·5000 // qty is
+      order-isomorphic to the exact rational (scaled gap ≥ 2 ⇒ floors
+      stay strictly ordered); comp = enc·2²⁴ + suppkey appends the
+      tie-break (enc < 2³⁹ and suppkey < 2²⁴ are asserted). The float
+      unit the oracle sorts by never collapses distinct rationals here
+      (relative gap ≥ 4e-9 ≫ 2⁻⁵³), so float order = rational order.
+
+    The winner's unit price rides along as its order-preserving positive-
+    float64 bit pattern (same argmin row ⇒ Min(bits) = winner's bits).
+    Per-batch Arrow group-min partials, then adaptive driver/distributed
+    fold; output is part-bounded."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qty = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        num = np.round(price * 100.0).astype(np.int64)
+        skey = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        enc = num * 5000 // np.maximum(qty, 1)
+        if len(enc) and (int(enc.max()) >= (1 << 39)
+                         or int(skey.max()) >= (1 << 24)):
+            raise ValueError("composite argmin key overflow")
+        comp = enc * (1 << 24) + skey
+        bits = (price / batch["l_quantity"]
+                .to_numpy(zero_copy_only=False)).view(np.int64)
+        t = pa.table({"p_partkey": batch["l_partkey"],
+                      "comp": pa.array(comp), "bits": pa.array(bits)})
+        g = t.group_by("p_partkey").aggregate(
+            [("comp", "min"), ("bits", "min")])
+        return g.rename_columns(["p_partkey", "comp", "bits"])
+
+    parts = li.map_batches(partials, batch_format="pyarrow",
+                           batch_size=65536)
+    small = (li.count() < _SMALL_ROWS) if force is None \
+        else (force == "driver")
+    if small:
+        df = ensure_columns(parts.to_pandas(),
+                            {"p_partkey": "int64", "comp": "int64",
+                             "bits": "int64"})
+        g = df.groupby("p_partkey", as_index=False)[["comp", "bits"]].min()
+    else:
+        from ray.data.aggregate import Min
+
+        g = (parts.repartition(n_reducers()).groupby("p_partkey")
+             .aggregate(Min("comp", alias_name="comp"),
+                        Min("bits", alias_name="bits"))).to_pandas()
+        g = ensure_columns(g, {"p_partkey": "int64", "comp": "int64",
+                               "bits": "int64"})
+    g = g.sort_values("p_partkey").reset_index(drop=True)
+    comp = g["comp"].to_numpy(np.int64)
+    unit = g["bits"].to_numpy(np.int64).view(np.float64)
+    return pa.table({
+        "p_partkey": pa.array(g["p_partkey"].to_numpy(np.int64),
+                              pa.int64()),
+        "s_suppkey": pa.array(comp & ((1 << 24) - 1), pa.int64()),
+        "unit_price": pa.array(
+            np.asarray(round6(unit), np.float64), pa.float64()),
+    })

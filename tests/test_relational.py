@@ -924,3 +924,22 @@ def test_q19_brackets_vs_duckdb(ray_session):
         row = got[got["bracket"] == brand].iloc[0]
         assert int(row["n_items"]) == int(want[0])
         assert float(row["revenue"]) == float(want[1])
+
+
+def test_cheapest_supplier_forced_branch_and_encoding(ray_session):
+    """Grouped argmin: the distributed Min-over-composite branch equals
+    the driver fold, and the decoded winner matches a pandas argmin."""
+    from sketch_ray.pipelines.relational import cheapest_supplier_per_part
+
+    a = cheapest_supplier_per_part(SF, force="driver").to_pandas()
+    b = cheapest_supplier_per_part(SF, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity",
+                                  "l_extendedprice"])
+    li["unit"] = li["l_extendedprice"] / li["l_quantity"]
+    want = li.sort_values(["l_partkey", "unit", "l_suppkey"]) \
+        .groupby("l_partkey", as_index=False).first()
+    m = a.merge(want, left_on="p_partkey", right_on="l_partkey")
+    assert (m["s_suppkey"] == m["l_suppkey"]).all()
