@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch-estimate queries — bounds pinned in pytest)
         "cbloom_turnstile_membership":
             sketch_queries.cbloom_turnstile_membership,
+        # conjunctive keyword search (integer-exact retrieval primitive)
+        "keyword_search_topk": text_analysis.keyword_search_topk,
     }
 
 
@@ -1995,6 +1997,22 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM b LEFT JOIN hit ON b.bracket = hit.bracket
             GROUP BY b.bracket ORDER BY b.bracket
+        """,
+        "keyword_search_topk": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS c
+                FROM tok WHERE token IN ('hash', 'table', 'scan')
+                GROUP BY doc_id, token
+            ), d AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS score,
+                       count(*) AS nterms
+                FROM tf GROUP BY doc_id
+            )
+            SELECT doc_id, score FROM d WHERE nterms = 3
+            ORDER BY score DESC, doc_id LIMIT 20
         """,
         "cheapest_supplier_per_part": """
             SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,

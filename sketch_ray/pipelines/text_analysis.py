@@ -1594,3 +1594,58 @@ def zipf_slope_per_lang(sf_dir: str, k: int = 200) -> pa.Table:
         "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)
                              if len(out) else [], pa.int64()),
     })
+
+
+_SEARCH_TERMS = ("hash", "table", "scan")
+
+
+def keyword_search_topk(sf_dir: str, terms: tuple[str, ...] = _SEARCH_TERMS,
+                        k: int = 20) -> pa.Table:
+    """Conjunctive keyword search: top-``k`` documents containing ALL query
+    terms, ranked by total term frequency — the integer-exact retrieval
+    primitive (a BM25-style weighting would only reorder by a float; the
+    scan/fold shape is identical and this one is bit-exact against SQL).
+
+    One streaming pass: per batch the flattened token stream filters to
+    the query terms (Arrow ``is_in``), per-(doc, term) counts come from
+    one bincount over doc×term codes, AND-semantics keeps docs with all
+    terms present, and each batch emits only its local top-k under the
+    total order (score DESC, doc_id ASC) — valid because doc rows are
+    unique across batches. Driver merges ≤ k·n_batches candidate rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = tuple(terms)
+    n_terms = len(terms)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(len(ids)), ntok)
+        hit = pc.is_in(flat, value_set=pa.array(terms)) \
+            .to_numpy(zero_copy_only=False)
+        flat_hit = pc.array_filter(flat, pa.array(hit))
+        # term index via dictionary over the fixed term list
+        tcode = pc.index_in(flat_hit, value_set=pa.array(terms)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        dcode = doc_idx[hit]
+        counts = np.bincount(dcode * n_terms + tcode,
+                             minlength=len(ids) * n_terms) \
+            .reshape(len(ids), n_terms)
+        ok = (counts >= 1).all(axis=1)
+        score = counts.sum(axis=1)[ok]
+        did = ids[ok]
+        order = np.lexsort((did, -score))[:k]
+        return pa.table({"doc_id": pa.array(did[order], pa.int64()),
+                         "score": pa.array(score[order], pa.int64())})
+
+    df = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=4096).to_pandas(),
+        {"doc_id": "int64", "score": "int64"})
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(df["score"].to_numpy(np.int64), pa.int64()),
+    })
