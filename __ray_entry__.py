@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sketch_queries.cbloom_turnstile_membership,
         # conjunctive keyword search (integer-exact retrieval primitive)
         "keyword_search_topk": text_analysis.keyword_search_topk,
+        # BM25 ranked retrieval (float scoring, mirrored-expression oracle)
+        "bm25_search_topk": text_analysis.bm25_search_topk,
     }
 
 
@@ -2013,6 +2015,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, score FROM d WHERE nterms = 3
             ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # BM25: every float expression mirrors the engine's numpy code
+        # operation-for-operation (same literals, same left-assoc grouping);
+        # per-term contributions are summed in FIXED term order as an
+        # explicit c0 + c1 + c2 (never a SQL SUM over arbitrary row order);
+        # round6 on both sides before the ORDER BY cut.
+        "bm25_search_topk": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, len(toks) AS dl FROM d
+            ), g AS (
+                SELECT count(*) AS n, sum(dl) AS sumdl FROM dl
+            ), tok AS (
+                SELECT doc_id, unnest(toks) AS token FROM d
+            ), tf AS (
+                SELECT doc_id,
+                       sum(CASE WHEN token = 'hash' THEN 1 ELSE 0 END)
+                           AS tf0,
+                       sum(CASE WHEN token = 'table' THEN 1 ELSE 0 END)
+                           AS tf1,
+                       sum(CASE WHEN token = 'scan' THEN 1 ELSE 0 END)
+                           AS tf2
+                FROM tok GROUP BY doc_id
+            ), dfx AS (
+                SELECT sum(CASE WHEN tf0 >= 1 THEN 1 ELSE 0 END) AS df0,
+                       sum(CASE WHEN tf1 >= 1 THEN 1 ELSE 0 END) AS df1,
+                       sum(CASE WHEN tf2 >= 1 THEN 1 ELSE 0 END) AS df2
+                FROM tf
+            ), s AS (
+                SELECT tf.doc_id,
+                       ln((g.n - dfx.df0 + 0.5) / (dfx.df0 + 0.5) + 1.0)
+                           * (tf0 * (1.2 + 1.0))
+                           / (tf0 + 1.2 * (1.0 - 0.75
+                                           + 0.75 * dl.dl * g.n / g.sumdl))
+                     + ln((g.n - dfx.df1 + 0.5) / (dfx.df1 + 0.5) + 1.0)
+                           * (tf1 * (1.2 + 1.0))
+                           / (tf1 + 1.2 * (1.0 - 0.75
+                                           + 0.75 * dl.dl * g.n / g.sumdl))
+                     + ln((g.n - dfx.df2 + 0.5) / (dfx.df2 + 0.5) + 1.0)
+                           * (tf2 * (1.2 + 1.0))
+                           / (tf2 + 1.2 * (1.0 - 0.75
+                                           + 0.75 * dl.dl * g.n / g.sumdl))
+                           AS score
+                FROM tf JOIN dl USING (doc_id) CROSS JOIN g CROSS JOIN dfx
+                WHERE tf0 >= 1 OR tf1 >= 1 OR tf2 >= 1
+            )
+            SELECT doc_id, round(score, 6) AS score
+            FROM s ORDER BY round(score, 6) DESC, doc_id LIMIT 20
         """,
         "cheapest_supplier_per_part": """
             SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,

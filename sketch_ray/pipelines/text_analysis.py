@@ -1649,3 +1649,102 @@ def keyword_search_topk(sf_dir: str, terms: tuple[str, ...] = _SEARCH_TERMS,
         "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
         "score": pa.array(df["score"].to_numpy(np.int64), pa.int64()),
     })
+
+
+def bm25_search_topk(sf_dir: str, terms: tuple[str, ...] = _SEARCH_TERMS,
+                     k: int = 20, k1: float = 1.2, b: float = 0.75) -> pa.Table:
+    """BM25-scored retrieval: top-``k`` documents for an OR-semantics term
+    query under the Lucene BM25 variant (idf = ln((N-df+0.5)/(df+0.5)+1),
+    always positive). The float companion to the integer-exact
+    ``keyword_search_topk`` — same scan/fold shape, real ranking function.
+
+    Two streaming passes, both column-pruned and scale-safe:
+    pass 1 folds the global constants (N, Σdl, per-term df) as one tiny
+    row per batch; pass 2 broadcasts those scalars in the task closure,
+    scores candidates (any-term hit) per batch with one bincount tf
+    matrix, and emits only the batch-local top-k under
+    (round6(score) DESC, doc_id ASC) — valid because doc rows are unique
+    across batches. Nothing corpus-sized ever reaches the driver.
+
+    Oracle exactness: every float expression is mirrored
+    operation-for-operation in the SQL (same literals, same left-assoc
+    grouping, per-term contributions summed in fixed term order — never a
+    SQL SUM over an arbitrary row order), and the score is round6'd on
+    both sides before the ORDER BY cut (zipf_slope ln-path precedent)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = tuple(terms)
+    n_terms = len(terms)
+    term_arr = pa.array(terms)
+
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(len(ntok)), ntok)
+        hit = pc.is_in(flat, value_set=term_arr).to_numpy(zero_copy_only=False)
+        tcode = pc.index_in(pc.array_filter(flat, pa.array(hit)),
+                            value_set=term_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(doc_idx[hit] * n_terms + tcode,
+                             minlength=len(ntok) * n_terms) \
+            .reshape(len(ntok), n_terms)
+        df = (counts >= 1).sum(axis=0).astype(np.int64)
+        cols = {"n_docs": pa.array([len(ntok)], pa.int64()),
+                "sum_dl": pa.array([int(ntok.sum())], pa.int64())}
+        for j in range(n_terms):
+            cols[f"df{j}"] = pa.array([int(df[j])], pa.int64())
+        return pa.table(cols)
+
+    stats = ensure_columns(
+        ds.map_batches(stat_partials, batch_format="pyarrow",
+                       batch_size=8192).to_pandas(),
+        {"n_docs": "int64", "sum_dl": "int64",
+         **{f"df{j}": "int64" for j in range(n_terms)}})
+    n = float(stats["n_docs"].sum())
+    sumdl = float(stats["sum_dl"].sum())
+    dfs = [float(stats[f"df{j}"].sum()) for j in range(n_terms)]
+    # idf per term: mirrored as ln((n - df + 0.5) / (df + 0.5) + 1.0)
+    idfs = [float(np.log((n - dfj + 0.5) / (dfj + 0.5) + 1.0))
+            for dfj in dfs]
+
+    def score_partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(len(ids)), ntok)
+        hit = pc.is_in(flat, value_set=term_arr).to_numpy(zero_copy_only=False)
+        tcode = pc.index_in(pc.array_filter(flat, pa.array(hit)),
+                            value_set=term_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(doc_idx[hit] * n_terms + tcode,
+                             minlength=len(ids) * n_terms) \
+            .reshape(len(ids), n_terms)
+        cand = (counts >= 1).any(axis=1)
+        if not cand.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        tf = counts[cand].astype(np.float64)
+        dl = ntok[cand].astype(np.float64)
+        # mirrored: tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * n / sumdl)
+        norm = k1 * (1.0 - b + b * dl * n / sumdl)
+        score = np.zeros(len(dl), np.float64)
+        for j in range(n_terms):  # fixed term order == SQL c0 + c1 + c2
+            score = score + idfs[j] * (tf[:, j] * (k1 + 1.0)) \
+                / (tf[:, j] + norm)
+        score_r = np.asarray(round6(score), np.float64)
+        did = ids[cand]
+        order = np.lexsort((did, -score_r))[:k]
+        return pa.table({"doc_id": pa.array(did[order], pa.int64()),
+                         "score": pa.array(score_r[order], pa.float64())})
+
+    df = ensure_columns(
+        ds.map_batches(score_partials, batch_format="pyarrow",
+                       batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "score": "float64"})
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(df["score"].to_numpy(np.float64), pa.float64()),
+    })
