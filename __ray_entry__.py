@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search_topk": text_analysis.keyword_search_topk,
         # BM25 ranked retrieval (float scoring, mirrored-expression oracle)
         "bm25_search_topk": text_analysis.bm25_search_topk,
+        # exact adjacent-token phrase search (positional retrieval)
+        "phrase_search_topk": text_analysis.phrase_search_topk,
     }
 
 
@@ -2065,6 +2067,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score, 6) AS score
             FROM s ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+        """,
+        "phrase_search_topk": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(list_filter(range(1, len(toks)),
+                           i -> toks[i] = 'table'
+                                AND toks[i + 1] = 'hash')) AS n_hits
+                FROM d
+            )
+            SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+            FROM c WHERE n_hits >= 1
+            ORDER BY n_hits DESC, doc_id LIMIT 20
         """,
         "cheapest_supplier_per_part": """
             SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,

@@ -1748,3 +1748,50 @@ def bm25_search_topk(sf_dir: str, terms: tuple[str, ...] = _SEARCH_TERMS,
         "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
         "score": pa.array(df["score"].to_numpy(np.float64), pa.float64()),
     })
+
+
+def phrase_search_topk(sf_dir: str, phrase: tuple[str, str] = ("table", "hash"),
+                       k: int = 20) -> pa.Table:
+    """Exact phrase search: top-``k`` documents by occurrence count of an
+    adjacent two-token phrase — the positional-index retrieval primitive
+    (conjunctive search can't distinguish "table hash" from "hash ...
+    table"; adjacency can). Integer-exact against SQL.
+
+    One streaming pass: per batch the flattened token stream is compared
+    against the two phrase words as shifted boolean masks (hit1[:-1] &
+    hit2[1:] on the SAME doc), counts fall out of one bincount, and the
+    batch emits only its local top-k under (n_hits DESC, doc_id ASC) —
+    valid because doc rows are unique across batches. No positions are
+    materialized; adjacency is a vectorized mask shift."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    w1, w2 = phrase
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(len(ids)), ntok)
+        h1 = pc.equal(flat, w1).to_numpy(zero_copy_only=False)
+        h2 = pc.equal(flat, w2).to_numpy(zero_copy_only=False)
+        if len(h1) < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        m = h1[:-1] & h2[1:] & (doc_idx[:-1] == doc_idx[1:])
+        cnt = np.bincount(doc_idx[:-1][m], minlength=len(ids))
+        nz = np.flatnonzero(cnt)
+        did, c = ids[nz], cnt[nz].astype(np.int64)
+        order = np.lexsort((did, -c))[:k]
+        return pa.table({"doc_id": pa.array(did[order], pa.int64()),
+                         "n_hits": pa.array(c[order], pa.int64())})
+
+    df = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=8192).to_pandas(),
+        {"doc_id": "int64", "n_hits": "int64"})
+    df = df.sort_values(["n_hits", "doc_id"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+        "n_hits": pa.array(df["n_hits"].to_numpy(np.int64), pa.int64()),
+    })
