@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_topk": text_analysis.bm25_search_topk,
         # exact adjacent-token phrase search (positional retrieval)
         "phrase_search_topk": text_analysis.phrase_search_topk,
+        # per-source PSI drift of the doc-length distribution
+        "length_psi_drift": text_analysis.length_psi_drift,
     }
 
 
@@ -2082,6 +2084,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
             FROM c WHERE n_hits >= 1
             ORDER BY n_hits DESC, doc_id LIMIT 20
+        """,
+        # PSI: smoothed p/q expressions mirror the engine's numpy code
+        # (same literals, same grouping); round6 on both sides.
+        "length_psi_drift": """
+            WITH src AS (SELECT DISTINCT source FROM documents),
+            grid AS (SELECT source, unnest(range(0, 16)) AS bucket
+                     FROM src),
+            cnt AS (
+                SELECT source, least(n_chars // 256, 15) AS bucket,
+                       count(*) AS c
+                FROM documents GROUP BY source, least(n_chars // 256, 15)
+            ),
+            f AS (
+                SELECT g.source, g.bucket, coalesce(cnt.c, 0) AS c
+                FROM grid g LEFT JOIN cnt
+                    ON g.source = cnt.source AND g.bucket = cnt.bucket
+            ),
+            tot AS (SELECT source, sum(c) AS cs FROM f GROUP BY source),
+            bt AS (SELECT bucket, sum(c) AS bc FROM f GROUP BY bucket),
+            gt AS (SELECT sum(c) AS ctot FROM f),
+            term AS (
+                SELECT f.source, tot.cs,
+                       ((f.c + 1.0) / (tot.cs + 16.0)
+                        - (bt.bc - f.c + 1.0)
+                          / (gt.ctot - tot.cs + 16.0))
+                       * ln(((f.c + 1.0) / (tot.cs + 16.0))
+                            / ((bt.bc - f.c + 1.0)
+                               / (gt.ctot - tot.cs + 16.0))) AS t
+                FROM f JOIN tot USING (source) JOIN bt USING (bucket)
+                CROSS JOIN gt
+            )
+            SELECT source, CAST(min(cs) AS BIGINT) AS n_docs,
+                   round(sum(t), 6) AS psi
+            FROM term GROUP BY source ORDER BY source
         """,
         "cheapest_supplier_per_part": """
             SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
