@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_topk": text_analysis.phrase_search_topk,
         # per-source PSI drift of the doc-length distribution
         "length_psi_drift": text_analysis.length_psi_drift,
+        # TPC-H Q13 shape: counts-of-counts incl. the zero bucket
+        "order_count_distribution": relational.order_count_distribution,
     }
 
 
@@ -2118,6 +2120,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(min(cs) AS BIGINT) AS n_docs,
                    round(sum(t), 6) AS psi
             FROM term GROUP BY source ORDER BY source
+        """,
+        "order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       count(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                    ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         "cheapest_supplier_per_part": """
             SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,

@@ -3536,3 +3536,84 @@ def cheapest_supplier_per_part(sf_dir: str,
         "unit_price": pa.array(
             np.asarray(round6(unit), np.float64), pa.float64()),
     })
+
+
+def order_count_distribution(sf_dir: str,
+                             force: str | None = None) -> pa.Table:
+    """TPC-H Q13 shape — customer distribution: how many customers placed
+    exactly ``k`` orders, INCLUDING the zero-order customers the LEFT
+    JOIN keeps. The two-level aggregation (count per customer, then a
+    histogram of those counts) without any row-level join:
+
+    - customer is a dimension: its key set becomes a dense validity mask
+      broadcast once (orphan o_custkey rows — which the LEFT JOIN would
+      drop — are filtered exactly, not assumed away), and the zero
+      bucket is ``n_customers − n_customers_with_orders`` from parquet
+      metadata + the histogram's own mass.
+    - orders is the fact: per-batch (custkey, n) partials fold either
+      driver-side (small) or through a distributed groupby at custkey
+      cardinality followed by a second group-bounded histogram fold
+      (counts-of-counts are tiny) — adaptive like every fold here, with
+      both branches pinned identical in pytest."""
+    import pyarrow.parquet as pq
+
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    ck = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey"])["c_custkey"].to_numpy()
+    valid = np.zeros(int(ck.max()) + 1 if len(ck) else 1, bool)
+    valid[ck] = True
+    ref = ray.put(valid)
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = cached(ref)
+        oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = (oc >= 0) & (oc < len(v))
+        ok &= v[np.minimum(oc, len(v) - 1)]
+        oc = oc[ok]
+        t = pa.table({"custkey": pa.array(oc, pa.int64()),
+                      "n": pa.array(np.ones(len(oc), np.int64))})
+        g = t.group_by("custkey").aggregate([("n", "sum")])
+        return g.rename_columns(["custkey", "n"])
+
+    small = (n_orders < _SMALL_ROWS) if force is None \
+        else (force == "driver")
+    if small:
+        df = ensure_columns(
+            orders.map_batches(partials, batch_format="pyarrow",
+                               batch_size=65536).to_pandas(),
+            {"custkey": "int64", "n": "int64"})
+        per = df.groupby("custkey")["n"].sum()
+        cnts, dist = np.unique(per.to_numpy(np.int64), return_counts=True)
+    else:
+        agg = (orders.map_batches(partials, batch_format="pyarrow",
+                                  batch_size=65536)
+               .repartition(n_reducers())
+               .groupby("custkey")
+               .aggregate(Sum("n", alias_name="c_count")))
+
+        def hist_partials(batch: pa.Table) -> pa.Table:
+            n = batch["c_count"].to_numpy(zero_copy_only=False)
+            u, c = np.unique(n, return_counts=True)
+            return pa.table({"c_count": pa.array(u, pa.int64()),
+                             "custdist": pa.array(c.astype(np.int64))})
+
+        h = ensure_columns(
+            agg.map_batches(hist_partials, batch_format="pyarrow",
+                            batch_size=65536).to_pandas(),
+            {"c_count": "int64", "custdist": "int64"})
+        hg = h.groupby("c_count", as_index=False)["custdist"].sum()
+        cnts = hg["c_count"].to_numpy(np.int64)
+        dist = hg["custdist"].to_numpy(np.int64)
+    n_with = int(dist.sum())
+    zero = n_cust - n_with
+    if zero > 0:
+        cnts = np.append(cnts, 0)
+        dist = np.append(dist, zero)
+    order = np.lexsort((-cnts, -dist))
+    return pa.table({
+        "c_count": pa.array(cnts[order].astype(np.int64), pa.int64()),
+        "custdist": pa.array(dist[order].astype(np.int64), pa.int64()),
+    })

@@ -943,3 +943,18 @@ def test_cheapest_supplier_forced_branch_and_encoding(ray_session):
         .groupby("l_partkey", as_index=False).first()
     m = a.merge(want, left_on="p_partkey", right_on="l_partkey")
     assert (m["s_suppkey"] == m["l_suppkey"]).all()
+
+
+def test_order_count_distribution_forced_branch(ray_session):
+    """Q13 counts-of-counts: distributed two-fold branch equals the
+    driver fold, and total customer mass is conserved (Σ custdist =
+    n_customers — the zero bucket included)."""
+    from sketch_ray.pipelines.relational import order_count_distribution
+
+    a = order_count_distribution(SF, force="driver").to_pandas()
+    b = order_count_distribution(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(b, a)
+
+    n_cust = len(pd.read_parquet(f"{SF}/customer.parquet",
+                                 columns=["c_custkey"]))
+    assert int(a["custdist"].sum()) == n_cust
