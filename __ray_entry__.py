@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_psi_drift": text_analysis.length_psi_drift,
         # TPC-H Q13 shape: counts-of-counts incl. the zero bucket
         "order_count_distribution": relational.order_count_distribution,
+        # TPC-H Q7 shape: nation→nation revenue flow matrix per ship year
+        "nation_trade_flows": relational.nation_trade_flows,
     }
 
 
@@ -2132,6 +2134,30 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "nation_trade_flows": """
+            WITH f AS (
+                SELECT ns.n_name AS supp_nation,
+                       nc.n_name AS cust_nation,
+                       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev4
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+                JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+                WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+                  AND ns.n_nationkey <> nc.n_nationkey
+            )
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(rev4) / 10000.0, 2) AS revenue
+            FROM f GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
         """,
         "cheapest_supplier_per_part": """
             SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,

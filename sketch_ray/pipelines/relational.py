@@ -3617,3 +3617,208 @@ def order_count_distribution(sf_dir: str,
         "c_count": pa.array(cnts[order].astype(np.int64), pa.int64()),
         "custdist": pa.array(dist[order].astype(np.int64), pa.int64()),
     })
+
+
+def nation_trade_flows(sf_dir: str, y0: int = 1995, y1: int = 1996,
+                       force: str | None = None) -> pa.Table:
+    """TPC-H Q7 shape — volume shipping: revenue flowing from each
+    supplier nation to each DIFFERENT customer nation per ship year, over
+    a two-year window (the reference query fixes one nation pair; the
+    full flow matrix is the same plan run for all pairs at once). The
+    6-table join resolves in one streaming pass over lineitem:
+
+    - supplier/customer/nation are dimensions → dense suppkey→natkey /
+      custkey→natkey arrays broadcast once (Q5 discipline).
+    - orders is the fact-sized hop: adaptive — small → broadcast sorted
+      (orderkey → custnat) probed per batch via searchsorted; large →
+      lineitem pre-aggregates (orderkey, suppnat, year, rev4) and Ray's
+      hash-shuffle join carries (orderkey, custnat) only.
+    - group keys pack into ONE dense composite code
+      ((suppnat·size_n + custnat)·n_years + year-y0, ≈ 25²·2 cells) so
+      per-batch partials are a single bincount; revenue folds in integer
+      1e-4-currency units (promo_revenue_share precedent).
+
+    The ship-year window is pushdown-read; only matching row groups leave
+    storage. Returns (supp_nation, cust_nation, l_year, n_items, revenue)
+    ordered by the three keys."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    nat = pq_mod.read_table(f"{sf_dir}/nation.parquet")
+    nk = nat["n_nationkey"].to_numpy()
+    size_n = int(nk.max()) + 1
+    names = np.empty(size_n, dtype=object)
+    names[nk] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+
+    def _dense(path: str, key: str, val: str) -> np.ndarray:
+        t = pq_mod.read_table(path, columns=[key, val])
+        k = t[key].to_numpy()
+        arr = np.full(int(k.max()) + 1 if len(k) else 1, -1, np.int32)
+        arr[k] = t[val].to_numpy().astype(np.int32)
+        return arr
+
+    cnat = _dense(f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+    snat = _dense(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+    n_years = y1 - y0 + 1
+    n_cells = size_n * size_n * n_years
+
+    lo = pa.scalar(np.datetime64(f"{y0}-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(f"{y1 + 1}-01-01", "us"),
+                   pa.timestamp("us"))
+    date_filter = ((pads.field("l_shipdate") >= lo)
+                   & (pads.field("l_shipdate") < hi))
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=date_filter)
+
+    def _li_codes(batch: pa.Table, snat_w: np.ndarray):
+        """(suppnat, year_idx, rev4, valid-supplier mask) for a batch."""
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_ok = (sk >= 0) & (sk < len(snat_w))
+        s_n = np.where(s_ok, snat_w[np.minimum(sk, len(snat_w) - 1)], -1)
+        yr = pc.year(batch["l_shipdate"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64) - y0
+        return s_n, yr, _rev4(batch), s_n >= 0
+
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        ot = pq_mod.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+        okeys = ot["o_orderkey"].to_numpy()
+        ocust = ot["o_custkey"].to_numpy()
+        onat = np.where((ocust >= 0) & (ocust < len(cnat)),
+                        cnat[np.minimum(ocust, len(cnat) - 1)], -1)
+        keep_o = onat >= 0
+        okeys, onat = okeys[keep_o], onat[keep_o]
+        order = np.argsort(okeys, kind="stable")
+        ref = ray.put((okeys[order], onat[order].astype(np.int32), snat))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            okeys_s, onat_s, snat_w = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            s_n, yr, rev4, s_keep = _li_codes(batch, snat_w)
+            pos = np.clip(np.searchsorted(okeys_s, lk), 0,
+                          max(len(okeys_s) - 1, 0))
+            hit = (okeys_s[pos] == lk) if len(okeys_s) else \
+                np.zeros(len(lk), bool)
+            c_n = onat_s[pos] if len(okeys_s) else np.zeros(len(lk),
+                                                            np.int32)
+            keep = hit & s_keep & (s_n != c_n)
+            code = ((s_n[keep].astype(np.int64) * size_n + c_n[keep])
+                    * n_years + yr[keep])
+            sums = np.bincount(code, weights=rev4[keep].astype(np.float64),
+                               minlength=n_cells).astype(np.int64)
+            cnts = np.bincount(code, minlength=n_cells)
+            nz = np.flatnonzero(cnts)
+            return pa.table({"code": pa.array(nz, pa.int64()),
+                             "rev4": pa.array(sums[nz], pa.int64()),
+                             "n": pa.array(cnts[nz], pa.int64())})
+
+        t = ensure_columns(
+            li.map_batches(partials, batch_format="pyarrow",
+                           batch_size=65536).to_pandas(),
+            {"code": "int64", "rev4": "int64", "n": "int64"})
+    else:
+        snat_ref = ray.put(snat)
+
+        def li_partials(batch: pa.Table) -> pa.Table:
+            snat_w = cached(snat_ref)
+            s_n, yr, rev4, keep = _li_codes(batch, snat_w)
+            t = pa.table({
+                "l_orderkey": pc.array_filter(
+                    batch["l_orderkey"].combine_chunks(), pa.array(keep)),
+                "sy": pa.array(s_n[keep].astype(np.int64) * n_years
+                               + yr[keep]),
+                "rev4": pa.array(rev4[keep]),
+                "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+            g = t.group_by(["l_orderkey", "sy"]).aggregate(
+                [("rev4", "sum"), ("one", "sum")])
+            return g.rename_columns(["l_orderkey", "sy", "rev4", "n"])
+
+        li_agg = li.map_batches(li_partials, batch_format="pyarrow",
+                                batch_size=65536)
+        cnat_ref = ray.put(cnat)
+
+        def ord_proj(batch: pa.Table) -> pa.Table:
+            cnat_w = cached(cnat_ref)
+            oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            c_ok = (oc >= 0) & (oc < len(cnat_w))
+            c_n = np.where(c_ok, cnat_w[np.minimum(oc, len(cnat_w) - 1)],
+                           -1)
+            keep = c_n >= 0
+            return pa.table({
+                "o_orderkey": pc.array_filter(
+                    batch["o_orderkey"].combine_chunks(), pa.array(keep)),
+                "custnat": pa.array(c_n[keep].astype(np.int64))})
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"]) \
+            .map_batches(ord_proj, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+        n_right = orders.count()
+        if n_right == 0:
+            t = pd.DataFrame({"code": pd.Series([], dtype="int64"),
+                              "rev4": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+        else:
+            n_parts = max(1, min(
+                _join_partitions(sf_dir, "lineitem", "orders"),
+                n_right // 64 + 1))
+            joined = li_agg.join(orders, join_type="inner",
+                                 num_partitions=n_parts,
+                                 on=("l_orderkey",),
+                                 right_on=("o_orderkey",))
+
+            def cell_partials(batch: pa.Table) -> pa.Table:
+                sy = batch["sy"].to_numpy(zero_copy_only=False)
+                c_n = batch["custnat"].to_numpy(zero_copy_only=False)
+                s_n = sy // n_years
+                keep = s_n != c_n
+                code = ((s_n[keep] * size_n + c_n[keep]) * n_years
+                        + sy[keep] % n_years)
+                rev4 = batch["rev4"].to_numpy(zero_copy_only=False)[keep]
+                n = batch["n"].to_numpy(zero_copy_only=False)[keep]
+                sums = np.bincount(code, weights=rev4.astype(np.float64),
+                                   minlength=n_cells).astype(np.int64)
+                cnts = np.bincount(code, weights=n.astype(np.float64),
+                                   minlength=n_cells).astype(np.int64)
+                nz = np.flatnonzero(cnts)
+                return pa.table({"code": pa.array(nz, pa.int64()),
+                                 "rev4": pa.array(sums[nz], pa.int64()),
+                                 "n": pa.array(cnts[nz], pa.int64())})
+
+            t = ensure_columns(
+                joined.map_batches(cell_partials, batch_format="pyarrow",
+                                   batch_size=65536).to_pandas(),
+                {"code": "int64", "rev4": "int64", "n": "int64"})
+
+    g = t.groupby("code", as_index=False)[["rev4", "n"]].sum()
+    code = g["code"].to_numpy(np.int64)
+    g["supp_nation"] = names[code // (size_n * n_years)]
+    g["cust_nation"] = names[(code // n_years) % size_n]
+    g["l_year"] = code % n_years + y0
+    # nation KEYS don't sort like nation NAMES — order by the names
+    g = g.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+    rev4 = g["rev4"].to_numpy(np.int64)
+    return pa.table({
+        "supp_nation": pa.array(g["supp_nation"], pa.string()),
+        "cust_nation": pa.array(g["cust_nation"], pa.string()),
+        "l_year": pa.array(g["l_year"].to_numpy(np.int64), pa.int64()),
+        "n_items": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        "revenue": pa.array(
+            np.asarray(round_half_away(rev4 / 10000.0, 2), np.float64),
+            pa.float64()),
+    })

@@ -958,3 +958,40 @@ def test_order_count_distribution_forced_branch(ray_session):
     n_cust = len(pd.read_parquet(f"{SF}/customer.parquet",
                                  columns=["c_custkey"]))
     assert int(a["custdist"].sum()) == n_cust
+
+
+def test_nation_trade_flows_forced_branch(ray_session):
+    """Q7 flow matrix: the hash-shuffle-join branch equals the broadcast
+    probe, no diagonal (supp==cust) cells survive, and one spot cell
+    matches an independent pandas recomputation."""
+    from sketch_ray.pipelines.relational import nation_trade_flows
+
+    a = nation_trade_flows(SF, force="driver").to_pandas()
+    b = nation_trade_flows(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(b, a)
+    assert (a["supp_nation"] != a["cust_nation"]).all()
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"])
+    cu = pd.read_parquet(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    su = pd.read_parquet(f"{SF}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    na = pd.read_parquet(f"{SF}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    li = li[(li["l_shipdate"] >= "1995-01-01")
+            & (li["l_shipdate"] < "1997-01-01")]
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey") \
+        .merge(cu, left_on="o_custkey", right_on="c_custkey") \
+        .merge(su, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(na, left_on="s_nationkey", right_on="n_nationkey") \
+        .rename(columns={"n_name": "supp_nation"}) \
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey") \
+        .rename(columns={"n_name": "cust_nation"})
+    m = m[m["supp_nation"] != m["cust_nation"]]
+    row = a.iloc[0]
+    sub = m[(m["supp_nation"] == row["supp_nation"])
+            & (m["cust_nation"] == row["cust_nation"])
+            & (m["l_shipdate"].dt.year == row["l_year"])]
+    assert len(sub) == int(row["n_items"])
