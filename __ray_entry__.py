@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_count_distribution": relational.order_count_distribution,
         # TPC-H Q7 shape: nation→nation revenue flow matrix per ship year
         "nation_trade_flows": relational.nation_trade_flows,
+        # TPC-H Q8 shape: one nation's revenue share of a region's market
+        "nation_market_share": relational.nation_market_share,
     }
 
 
@@ -2158,6 +2160,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(rev4) / 10000.0, 2) AS revenue
             FROM f GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        # Q8: explicit DOUBLE casts — HUGEINT/HUGEINT integer-divides
+        "nation_market_share": """
+            WITH f AS (
+                SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                       ns.n_name AS supp_nation,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev4
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+                JOIN region r ON nc.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+                WHERE r.r_name = 'ASIA'
+                  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            )
+            SELECT l_year, CAST(count(*) AS BIGINT) AS n_items,
+                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                                       THEN rev4 ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(rev4) AS DOUBLE), 6) AS mkt_share
+            FROM f GROUP BY l_year ORDER BY l_year
         """,
         "cheapest_supplier_per_part": """
             SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,

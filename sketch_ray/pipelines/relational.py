@@ -3822,3 +3822,203 @@ def nation_trade_flows(sf_dir: str, y0: int = 1995, y1: int = 1996,
             np.asarray(round_half_away(rev4 / 10000.0, 2), np.float64),
             pa.float64()),
     })
+
+
+def nation_market_share(sf_dir: str, region: str = "ASIA",
+                        target_nation: str = "NATION_2",
+                        y0: int = 1995, y1: int = 1996,
+                        force: str | None = None) -> pa.Table:
+    """TPC-H Q8 shape — national market share: within the orders of
+    ``region``'s customers, the fraction of lineitem revenue supplied by
+    ``target_nation``, per ship year. Same 6-table resolution as
+    nation_trade_flows (dense nat-key arrays + adaptive orderkey hop),
+    but the fold keys are (suppnat, year) cells restricted to in-region
+    customers, and the driver finishes with ONE mirrored division of the
+    two integer revenue sums per year (round6 both sides; the DuckDB
+    side casts to DOUBLE explicitly — HUGEINT/HUGEINT would integer-
+    divide)."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    nat = pq_mod.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq_mod.read_table(f"{sf_dir}/region.parquet")
+    want_rk = {k: v for k, v in zip(reg["r_name"].to_pylist(),
+                                    reg["r_regionkey"].to_pylist())}[region]
+    nk = nat["n_nationkey"].to_numpy()
+    size_n = int(nk.max()) + 1
+    in_region = np.zeros(size_n, bool)
+    in_region[nk] = nat["n_regionkey"].to_numpy() == want_rk
+    names = np.empty(size_n, dtype=object)
+    names[nk] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    target_key = int(nk[np.asarray(nat["n_name"].to_pylist(), dtype=object)
+                        == target_nation][0])
+
+    def _dense(path: str, key: str, val: str) -> np.ndarray:
+        t = pq_mod.read_table(path, columns=[key, val])
+        k = t[key].to_numpy()
+        arr = np.full(int(k.max()) + 1 if len(k) else 1, -1, np.int32)
+        arr[k] = t[val].to_numpy().astype(np.int32)
+        return arr
+
+    cnat = _dense(f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+    snat = _dense(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+    n_years = y1 - y0 + 1
+    n_cells = size_n * n_years
+
+    lo = pa.scalar(np.datetime64(f"{y0}-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(f"{y1 + 1}-01-01", "us"),
+                   pa.timestamp("us"))
+    date_filter = ((pads.field("l_shipdate") >= lo)
+                   & (pads.field("l_shipdate") < hi))
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=date_filter)
+
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    def _cells(s_n, yr, rev4, keep):
+        code = s_n[keep].astype(np.int64) * n_years + yr[keep]
+        sums = np.bincount(code, weights=rev4[keep].astype(np.float64),
+                           minlength=n_cells).astype(np.int64)
+        cnts = np.bincount(code, minlength=n_cells)
+        nz = np.flatnonzero(cnts)
+        return pa.table({"code": pa.array(nz, pa.int64()),
+                         "rev4": pa.array(sums[nz], pa.int64()),
+                         "n": pa.array(cnts[nz], pa.int64())})
+
+    if small:
+        ot = pq_mod.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+        okeys = ot["o_orderkey"].to_numpy()
+        ocust = ot["o_custkey"].to_numpy()
+        onat = np.where((ocust >= 0) & (ocust < len(cnat)),
+                        cnat[np.minimum(ocust, len(cnat) - 1)], -1)
+        keep_o = (onat >= 0) & in_region[np.maximum(onat, 0)]
+        okeys = okeys[keep_o]
+        order = np.argsort(okeys, kind="stable")
+        ref = ray.put((okeys[order], snat))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            okeys_s, snat_w = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            s_ok = (sk >= 0) & (sk < len(snat_w))
+            s_n = np.where(s_ok, snat_w[np.minimum(sk, len(snat_w) - 1)],
+                           -1)
+            yr = pc.year(batch["l_shipdate"].combine_chunks()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64) - y0
+            pos = np.clip(np.searchsorted(okeys_s, lk), 0,
+                          max(len(okeys_s) - 1, 0))
+            hit = (okeys_s[pos] == lk) if len(okeys_s) else \
+                np.zeros(len(lk), bool)
+            return _cells(s_n, yr, _rev4(batch), hit & (s_n >= 0))
+
+        t = ensure_columns(
+            li.map_batches(partials, batch_format="pyarrow",
+                           batch_size=65536).to_pandas(),
+            {"code": "int64", "rev4": "int64", "n": "int64"})
+    else:
+        snat_ref = ray.put(snat)
+
+        def li_partials(batch: pa.Table) -> pa.Table:
+            snat_w = cached(snat_ref)
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            s_ok = (sk >= 0) & (sk < len(snat_w))
+            s_n = np.where(s_ok, snat_w[np.minimum(sk, len(snat_w) - 1)],
+                           -1)
+            yr = pc.year(batch["l_shipdate"].combine_chunks()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64) - y0
+            keep = s_n >= 0
+            t = pa.table({
+                "l_orderkey": pc.array_filter(
+                    batch["l_orderkey"].combine_chunks(), pa.array(keep)),
+                "sy": pa.array(s_n[keep].astype(np.int64) * n_years
+                               + yr[keep]),
+                "rev4": pa.array(_rev4(batch)[keep]),
+                "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+            g = t.group_by(["l_orderkey", "sy"]).aggregate(
+                [("rev4", "sum"), ("one", "sum")])
+            return g.rename_columns(["l_orderkey", "sy", "rev4", "n"])
+
+        li_agg = li.map_batches(li_partials, batch_format="pyarrow",
+                                batch_size=65536)
+        cnat_ref = ray.put((cnat, in_region))
+
+        def ord_proj(batch: pa.Table) -> pa.Table:
+            cnat_w, in_region_w = cached(cnat_ref)
+            oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            c_ok = (oc >= 0) & (oc < len(cnat_w))
+            c_n = np.where(c_ok, cnat_w[np.minimum(oc, len(cnat_w) - 1)],
+                           -1)
+            keep = (c_n >= 0) & in_region_w[np.maximum(c_n, 0)]
+            return batch.select(["o_orderkey"]) \
+                .filter(pa.array(keep))
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"]) \
+            .map_batches(ord_proj, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+        n_right = orders.count()
+        if n_right == 0:
+            t = pd.DataFrame({"code": pd.Series([], dtype="int64"),
+                              "rev4": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+        else:
+            n_parts = max(1, min(
+                _join_partitions(sf_dir, "lineitem", "orders"),
+                n_right // 64 + 1))
+            joined = li_agg.join(orders, join_type="inner",
+                                 num_partitions=n_parts,
+                                 on=("l_orderkey",),
+                                 right_on=("o_orderkey",))
+
+            def cell_partials(batch: pa.Table) -> pa.Table:
+                sy = batch["sy"].to_numpy(zero_copy_only=False)
+                rev4 = batch["rev4"].to_numpy(zero_copy_only=False)
+                n = batch["n"].to_numpy(zero_copy_only=False)
+                sums = np.bincount(sy, weights=rev4.astype(np.float64),
+                                   minlength=n_cells).astype(np.int64)
+                cnts = np.bincount(sy, weights=n.astype(np.float64),
+                                   minlength=n_cells).astype(np.int64)
+                nz = np.flatnonzero(cnts)
+                return pa.table({"code": pa.array(nz, pa.int64()),
+                                 "rev4": pa.array(sums[nz], pa.int64()),
+                                 "n": pa.array(cnts[nz], pa.int64())})
+
+            t = ensure_columns(
+                joined.map_batches(cell_partials, batch_format="pyarrow",
+                                   batch_size=65536).to_pandas(),
+                {"code": "int64", "rev4": "int64", "n": "int64"})
+
+    g = t.groupby("code", as_index=False)[["rev4", "n"]].sum()
+    code = g["code"].to_numpy(np.int64)
+    yr_all = code % n_years
+    sn_all = code // n_years
+    rev = g["rev4"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    years, shares, items = [], [], []
+    for yi in range(n_years):
+        m = yr_all == yi
+        den = int(rev[m].sum())
+        if den == 0:
+            continue
+        num = int(rev[m & (sn_all == target_key)].sum())
+        years.append(y0 + yi)
+        items.append(int(cnt[m].sum()))
+        shares.append(float(round6(float(num) / float(den))))
+    return pa.table({
+        "l_year": pa.array(years, pa.int64()),
+        "n_items": pa.array(items, pa.int64()),
+        "mkt_share": pa.array(shares, pa.float64()),
+    })

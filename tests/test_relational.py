@@ -995,3 +995,13 @@ def test_nation_trade_flows_forced_branch(ray_session):
             & (m["cust_nation"] == row["cust_nation"])
             & (m["l_shipdate"].dt.year == row["l_year"])]
     assert len(sub) == int(row["n_items"])
+
+
+def test_nation_market_share_forced_branch(ray_session):
+    """Q8 market share: both hop branches identical; shares in [0, 1]."""
+    from sketch_ray.pipelines.relational import nation_market_share
+
+    a = nation_market_share(SF, force="driver").to_pandas()
+    b = nation_market_share(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(b, a)
+    assert ((a["mkt_share"] >= 0) & (a["mkt_share"] <= 1)).all()
