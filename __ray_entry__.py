@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_flows": relational.nation_trade_flows,
         # TPC-H Q8 shape: one nation's revenue share of a region's market
         "nation_market_share": relational.nation_market_share,
+        # sliding-window counts per event type (exponential histogram /
+        # DGIM; rows-only like all sketch-estimate queries — the error
+        # bound and ordered-merge contract are pinned in pytest)
+        "window_count_estimates": sketch_queries.window_count_estimates,
     }
 
 

@@ -482,3 +482,72 @@ def cbloom_turnstile_membership(sf_dir: str, width: int = 1 << 16,
         "member": pa.array(sk.contains(probe), pa.bool_()),
         "est_count": pa.array(sk.estimate_counts(probe), pa.int64()),
     })
+
+
+def window_count_estimates(sf_dir: str, window_days: int = 7,
+                           k: int = 32) -> pa.Table:
+    """Sliding-window counting per event type via the exponential-histogram
+    kernel (kernels/ehist.py, the DGIM generalization): estimated number of
+    events in the trailing ``window_days`` ending at the stream's newest
+    timestamp, with guaranteed relative error ≤ 1/(2k) in O(k·log n)
+    state per type.
+
+    The events table is time-sorted on disk and Ray Data batches are
+    contiguous row ranges in block order, so per-batch per-type EH states
+    are TIME-CONTIGUOUS substream summaries: the driver sorts the
+    (n_blocks × n_types) partial rows by (min_ts, max_ts) and merges in
+    stream order — unlike the linear sketches this fold is ordered, which
+    is exactly why it can't ride build_sketches' order-free tree reduce.
+    t_now comes from parquet row-group statistics (no scan). Rows-only
+    gated; the error bound, merge contract and space bound are pinned in
+    pytest (test_sketches)."""
+    from ..kernels.ehist import ExpHistogram
+    from ._util import parquet_minmax
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        et = batch["event_type"].combine_chunks()
+        codes = pc.dictionary_encode(et)
+        idx = codes.indices.to_numpy(zero_copy_only=False)
+        types = codes.dictionary.to_pylist()
+        rows_t, rows_lo, rows_hi, rows_st = [], [], [], []
+        for ti, name in enumerate(types):
+            tt = ts[idx == ti]
+            eh = ExpHistogram(k=k)
+            eh.update(tt)
+            rows_t.append(name)
+            rows_lo.append(int(tt[0]))
+            rows_hi.append(int(tt[-1]))
+            rows_st.append(eh.to_bytes())
+        return pa.table({"event_type": pa.array(rows_t, pa.string()),
+                         "min_ts": pa.array(rows_lo, pa.int64()),
+                         "max_ts": pa.array(rows_hi, pa.int64()),
+                         "state": pa.array(rows_st, pa.binary())})
+
+    df = ds.map_batches(partials, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+    _, t_now = parquet_minmax(f"{sf_dir}/events.parquet", "ts")
+    t_now_us = int(np.datetime64(t_now, "us").astype(np.int64))
+    window_us = int(window_days) * 86_400_000_000
+    out_type, out_n, out_est = [], [], []
+    for name, sub in df.groupby("event_type"):
+        sub = sub.sort_values(["min_ts", "max_ts"])
+        merged = None
+        for raw in sub["state"]:
+            eh = ExpHistogram.from_bytes(raw)
+            merged = eh if merged is None else merged.merge(eh)
+        out_type.append(name)
+        out_n.append(merged.n_total)
+        out_est.append(merged.estimate(t_now_us, window_us))
+    order = np.argsort(np.asarray(out_type, dtype=object))
+    return pa.table({
+        "event_type": pa.array(np.asarray(out_type, object)[order],
+                               pa.string()),
+        "n_events": pa.array(np.asarray(out_n, np.int64)[order],
+                             pa.int64()),
+        "est_window": pa.array(np.asarray(out_est, np.int64)[order],
+                               pa.int64()),
+    })

@@ -817,3 +817,67 @@ def test_cbloom_pipeline_matches_exact_counts(ray_session):
     assert member[ex > 0].all()
     assert (est >= ex).all()
     assert (est == ex).mean() > 0.95
+
+
+def test_ehist_window_bound_and_ordered_merge():
+    """Exponential histogram (DGIM generalization): estimate within
+    true/(2k)+1 of the exact trailing-window count for random streams
+    split into random time-contiguous chunks; n_total exact; state
+    O(k log n); serialization roundtrip; out-of-order merge refused."""
+    from sketch_ray.kernels.ehist import ExpHistogram
+
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        n = int(rng.integers(1, 4000))
+        k = int(rng.choice([4, 8, 16]))
+        times = np.sort(rng.integers(0, 50000, n)).astype(np.int64)
+        n_chunks = int(rng.integers(1, 6))
+        cuts = np.sort(rng.integers(0, n, n_chunks - 1)) \
+            if n_chunks > 1 else []
+        merged = None
+        for ch in np.split(times, cuts):
+            e = ExpHistogram(k=k)
+            e.update(ch)
+            merged = e if merged is None else merged.merge(e)
+        assert merged.n_total == n
+        assert len(merged.cnt) <= 4 * k * (np.log2(max(n, 2)) + 2)
+        t_now = int(times.max())
+        for w in (1, 100, 10000, 100000):
+            est = merged.estimate(t_now, w)
+            true = int((times >= t_now - w + 1).sum())
+            assert abs(est - true) <= true / (2 * k) + 1, (est, true, k, w)
+        rt = ExpHistogram.from_bytes(merged.to_bytes())
+        assert np.array_equal(rt.ts, merged.ts)
+        assert np.array_equal(rt.cnt, merged.cnt)
+
+    a, b = ExpHistogram(k=8), ExpHistogram(k=8)
+    a.update(np.array([100, 200], np.int64))
+    b.update(np.array([10, 20], np.int64))
+    with pytest.raises(ValueError):
+        a.merge(b)  # b precedes a: time-contiguity contract
+
+
+def test_window_count_estimates_vs_exact(ray_session):
+    """Pipeline: per-type trailing-7d EH estimates within the kernel bound
+    of the exact DuckDB window counts; n_events exact per type."""
+    import duckdb
+
+    from sketch_ray.pipelines.sketch_queries import window_count_estimates
+
+    sf = "/root/testdata/sf0.01"
+    k = 32
+    got = window_count_estimates(sf, window_days=7, k=k).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        WITH g AS (SELECT max(ts) AS tmax
+                   FROM read_parquet('{sf}/events.parquet'))
+        SELECT event_type, count(*) AS n,
+               sum(CASE WHEN ts >= g.tmax - INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS w
+        FROM read_parquet('{sf}/events.parquet') CROSS JOIN g
+        GROUP BY event_type ORDER BY event_type""").df()
+    assert list(got["event_type"]) == list(exact["event_type"])
+    assert (got["n_events"].to_numpy() == exact["n"].to_numpy()).all()
+    true = exact["w"].to_numpy(np.int64)
+    est = got["est_window"].to_numpy(np.int64)
+    assert (np.abs(est - true) <= true / (2 * k) + 1).all(), (est, true)
