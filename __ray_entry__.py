@@ -273,6 +273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DGIM; rows-only like all sketch-estimate queries — the error
         # bound and ordered-merge contract are pinned in pytest)
         "window_count_estimates": sketch_queries.window_count_estimates,
+        # product-quantization ANN (codes + ADC + exact rerank; recall
+        # vs brute force pinned in pytest)
+        "pq_ann_topk": lambda sf: similarity.pq_ann_topk(sf, k=5,
+                                                         n_queries=64),
     }
 
 

@@ -834,3 +834,103 @@ def embedding_kmeans(sf_dir: str, n_clusters: int = 8, iters: int = 5,
             np.asarray(round6(np.where(counts > 0, sims / np.maximum(counts, 1),
                                        0.0)), np.float64), pa.float64()),
     })
+
+
+def _pq_codebooks(train: np.ndarray, m: int, n_codes: int, seed: int,
+                  iters: int = 10) -> np.ndarray:
+    """Per-subspace vanilla Lloyd (Euclidean mean, NOT the unit-normalized
+    spherical k-means of _kmeans_centroids — PQ cells approximate raw
+    subvectors). Deterministic seeded init from hashed row order; trains
+    on the seeded distributed sample only."""
+    d = train.shape[1]
+    ds_sub = d // m
+    cbs = np.empty((m, n_codes, ds_sub), np.float64)
+    for j in range(m):
+        sub = np.ascontiguousarray(train[:, j * ds_sub:(j + 1) * ds_sub])
+        order = np.argsort(splitmix64(
+            np.arange(len(sub), dtype=_U64) + _U64(seed * 1000003 + j)))
+        cb = sub[order[:n_codes]].copy()
+        if len(cb) < n_codes:  # degenerate train set: tile to shape
+            reps = -(-n_codes // max(len(cb), 1))
+            cb = np.tile(cb, (reps, 1))[:n_codes]
+        for _ in range(iters):
+            # argmin ||x-c||^2 == argmax (x·c - ||c||^2/2)
+            a = np.argmax(sub @ cb.T - 0.5 * (cb ** 2).sum(axis=1), axis=1)
+            for c in range(n_codes):
+                memb = sub[a == c]
+                if len(memb):
+                    cb[c] = memb.mean(axis=0)
+        cbs[j] = cb
+    return cbs
+
+
+def pq_ann_topk(
+    sf_dir: str, k: int = 5, n_queries: int = 8, m: int = 16,
+    n_codes: int = 16, seed: int = 42, train_rows: int = 4096,
+    rerank: int = 64,
+) -> pa.Table:
+    """Product-quantization ANN (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", PAMI 2011 — public): the
+    third scale path next to LSH and IVF. Each vector compresses to ``m``
+    uint4/uint8 codes (m·log2(n_codes) bits ≈ 8 bytes here vs 512 for the
+    raw float64[64]) and query↔vector scores come from table lookups
+    (ADC), so the per-batch cost is m gather-adds instead of a d-wide
+    matmul — at 100 TB the codes, not the vectors, are what a reranking
+    tier would keep hot.
+
+    Pipeline shape: codebooks train driver-side on the seeded distributed
+    sample (_sample_matrix, O(train_rows)); per batch the stage encodes
+    vectors once (m small matmuls), scores ALL queries via the broadcast
+    LUT (vectorized gather-sum), takes the ADC top-``rerank`` per query
+    and EXACT-rescores only those (candidate-union block matmul), so
+    returned cosines are exact for whatever PQ retrieves (IVF
+    discipline). Rows-only gated; recall vs brute force pinned in
+    pytest."""
+    train = _sample_matrix(sf_dir, train_rows, seed)
+    d = train.shape[1]
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    ds_sub = d // m
+    cbs = _pq_codebooks(train, m, n_codes, seed)
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    # LUT[q, j, c] = q_subspace_j · codebook[j][c]  (ADC inner product;
+    # corpus vectors are unit-normalized so dot == cosine)
+    lut = np.einsum("qjd,jcd->qjc",
+                    q_mat.reshape(len(q_mat), m, ds_sub), cbs)
+    ref = ray.put((q_ids, q_mat, cbs, lut))
+
+    def pq_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY_PARTIAL)
+        qi, qm, cbs_w, lut_w = cached(ref)
+        ids, mat = _batch_matrix(batch)
+        n = len(ids)
+        sub = mat.reshape(n, m, ds_sub)
+        codes = np.empty((n, m), np.int64)
+        for j in range(m):
+            codes[:, j] = np.argmax(
+                sub[:, j] @ cbs_w[j].T - 0.5 * (cbs_w[j] ** 2).sum(axis=1),
+                axis=1)
+        adc = np.zeros((len(qi), n), np.float64)
+        for j in range(m):
+            adc += lut_w[:, j, :][:, codes[:, j]]
+        rr = min(rerank + 1, n)  # +1: self may be among the candidates
+        cand = np.argpartition(-adc, rr - 1, axis=1)[:, :rr]
+        # exact rescore of the candidate UNION in one block matmul, then
+        # per-query top-k restricted to each query's own candidates
+        uniq = np.unique(cand)
+        sims_all = qm @ mat[uniq].T                      # (nq, |U|)
+        pos = np.searchsorted(uniq, cand)                # (nq, rr)
+        sims_cand = np.take_along_axis(sims_all, pos, axis=1)
+        kk = min(k + 1, rr)
+        part = np.argpartition(-sims_cand, kk - 1, axis=1)[:, :kk]
+        sel = np.take_along_axis(cand, part, axis=1)     # batch positions
+        return _partial_table(
+            [np.repeat(qi, kk)],
+            [ids[sel.reshape(-1)]],
+            [np.take_along_axis(sims_cand, part, axis=1).reshape(-1)])
+
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(pq_topk, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    return _merge_topk(partials, k)

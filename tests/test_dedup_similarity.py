@@ -887,3 +887,24 @@ def test_near_dup_edit_distances(ray_session):
         ORDER BY doc_a, doc_b""").df()
     pd.testing.assert_frame_equal(t, ref, check_dtype=False)
     assert len(t) > 0 and (t["edit_dist"] >= 0).all()
+
+
+def test_pq_ann_recall_vs_bruteforce(ray_session):
+    """PQ-ADC with exact reranking: deterministic, high recall@5 on
+    clustered data, and every returned cosine is the exact brute-force
+    score (the rerank stage rescores candidates exactly)."""
+    from sketch_ray.pipelines.similarity import ann_topk, pq_ann_topk
+
+    exact = ann_topk(SF, k=5, n_queries=64).to_pandas()
+    got = pq_ann_topk(SF, k=5, n_queries=64).to_pandas()
+    got2 = pq_ann_topk(SF, k=5, n_queries=64).to_pandas()
+    pd.testing.assert_frame_equal(got, got2)
+    hits = tot = 0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        g = set(got[got["query_id"] == q]["vec_id"])
+        hits += len(e & g); tot += len(e)
+    assert hits / tot >= 0.7, f"PQ recall too low: {hits}/{tot}"
+    merged = got.merge(exact, on=["query_id", "vec_id"],
+                       suffixes=("_pq", "_bf"))
+    assert (merged["cosine_pq"] == merged["cosine_bf"]).all()
