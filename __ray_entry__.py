@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vs brute force pinned in pytest)
         "pq_ann_topk": lambda sf: similarity.pq_ann_topk(sf, k=5,
                                                          n_queries=64),
+        # MERGE-INTO latest-wins upsert (CDC-apply / compaction primitive)
+        "upsert_orders_latest": relational.upsert_orders_latest,
     }
 
 
@@ -2132,6 +2134,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(min(cs) AS BIGINT) AS n_docs,
                    round(sum(t), 6) AS psi
             FROM term GROUP BY source ORDER BY source
+        """,
+        "upsert_orders_latest": """
+            WITH u AS (
+                SELECT o_orderkey, CAST(2 AS BIGINT) AS version,
+                       round(o_totalprice * 1.1, 2) AS o_totalprice,
+                       'U' AS o_orderstatus
+                FROM orders WHERE o_orderkey % 7 = 0
+            ), b AS (
+                SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+                       o_totalprice, o_orderstatus
+                FROM orders
+            ), all_rows AS (
+                SELECT * FROM b UNION ALL SELECT * FROM u
+            )
+            SELECT o_orderkey, version, o_totalprice, o_orderstatus
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY o_orderkey
+                      ORDER BY version DESC) AS rn
+                  FROM all_rows)
+            WHERE rn = 1 ORDER BY o_orderkey
         """,
         "order_count_distribution": """
             SELECT c_count, count(*) AS custdist

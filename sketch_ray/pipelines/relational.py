@@ -4022,3 +4022,100 @@ def nation_market_share(sf_dir: str, region: str = "ASIA",
         "n_items": pa.array(items, pa.int64()),
         "mkt_share": pa.array(shares, pa.float64()),
     })
+
+
+def upsert_latest(base, updates, key: str, version_col: str = "version",
+                  force: str | None = None):
+    """MERGE-INTO (latest-wins upsert): apply an updates Dataset onto a
+    base Dataset, keeping per ``key`` the row with the highest
+    ``version_col`` — the compaction primitive of an incremental ingest
+    (CDC apply / snapshot merge). Returns a Ray Dataset (or driver
+    pa.Table on the small branch) of the merged rows.
+
+    Scale shape: ONE union feeds per-batch pre-reduction (each batch
+    keeps only its own per-key max-version row — duplicate versions of a
+    hot key collapse before the exchange), then a single hash exchange:
+    small → driver lexsort; large → groupby(key).map_groups picking the
+    winner inside each key partition (pandas is the group container, the
+    map_groups house pattern). Ties on version are broken by preferring
+    the UPDATE side via a tag column, then input order — deterministic on
+    both branches."""
+    tagged_u = updates.map_batches(
+        lambda b: b.append_column("_src", pa.array(
+            np.ones(b.num_rows, np.int8))), batch_format="pyarrow")
+    tagged_b = base.map_batches(
+        lambda b: b.append_column("_src", pa.array(
+            np.zeros(b.num_rows, np.int8))), batch_format="pyarrow")
+    ds = tagged_b.union(tagged_u)
+
+    def pre_reduce(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values([key, version_col, "_src"], kind="stable")
+        return pa.Table.from_pandas(df.drop_duplicates(key, keep="last"),
+                                    preserve_index=False,
+                                    schema=batch.schema)
+
+    reduced = ds.map_batches(pre_reduce, batch_format="pyarrow",
+                             batch_size=65536)
+    n_rows = base.count() + updates.count()
+    small = (n_rows < _SMALL_ROWS) if force is None \
+        else (force == "driver")
+    if small:
+        df = reduced.to_pandas()
+        if len(df) == 0:
+            return pa.Table.from_pandas(df, preserve_index=False)
+        df = df.sort_values([key, version_col, "_src"], kind="stable") \
+            .drop_duplicates(key, keep="last") \
+            .sort_values(key).drop(columns=["_src"])
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
+    def winner(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([version_col, "_src"], kind="stable")
+        return g.tail(1).drop(columns=["_src"])
+
+    return reduced.repartition(n_reducers()).groupby(key) \
+        .map_groups(winner, batch_format="pandas")
+
+
+def upsert_orders_latest(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Latest-wins upsert demo over orders: every orderkey divisible by 7
+    receives a version-2 update (10% price bump, status 'U'; synthesized
+    deterministically from the base table — no external data), merged via
+    ``upsert_latest``. Exact oracle: the identical derivation + window
+    row_number in SQL. Returns (o_orderkey, version, o_totalprice,
+    o_orderstatus) ordered by key."""
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    base = _read(sf_dir, "orders", cols).map_batches(
+        lambda b: b.append_column("version", pa.array(
+            np.ones(b.num_rows, np.int64))), batch_format="pyarrow")
+
+    def mk_updates(batch: pa.Table) -> pa.Table:
+        keep = (batch["o_orderkey"].to_numpy(zero_copy_only=False)
+                % 7) == 0
+        sub = batch.filter(pa.array(keep))
+        price = sub["o_totalprice"].to_numpy(zero_copy_only=False)
+        # mirrored: round(o_totalprice * 1.1, 2) half-away (DuckDB ROUND)
+        newp = np.asarray(round_half_away(price * 1.1, 2), np.float64)
+        return pa.table({
+            "o_orderkey": sub["o_orderkey"],
+            "o_totalprice": pa.array(newp, pa.float64()),
+            "o_orderstatus": pa.array(["U"] * sub.num_rows, pa.string()),
+            "version": pa.array(np.full(sub.num_rows, 2, np.int64)),
+        })
+
+    updates = _read(sf_dir, "orders", cols).map_batches(
+        mk_updates, batch_format="pyarrow")
+    out = upsert_latest(base, updates, key="o_orderkey",
+                        version_col="version", force=force)
+    if not isinstance(out, pa.Table):
+        out = pa.Table.from_pandas(
+            ensure_columns(out.to_pandas(),
+                           {"o_orderkey": "int64", "o_totalprice": "float64",
+                            "o_orderstatus": "object", "version": "int64"})
+            .sort_values("o_orderkey").reset_index(drop=True),
+            preserve_index=False)
+    return out.select(["o_orderkey", "version", "o_totalprice",
+                       "o_orderstatus"])

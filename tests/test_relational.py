@@ -1005,3 +1005,26 @@ def test_nation_market_share_forced_branch(ray_session):
     b = nation_market_share(SF, force="distributed").to_pandas()
     pd.testing.assert_frame_equal(b, a)
     assert ((a["mkt_share"] >= 0) & (a["mkt_share"] <= 1)).all()
+
+
+def test_upsert_latest_forced_branch_and_semantics(ray_session):
+    """MERGE-INTO latest-wins: both branches identical; updated keys carry
+    version 2 with the bumped price, untouched keys keep their base row,
+    and the key set is exactly the base key set."""
+    from sketch_ray.pipelines.relational import upsert_orders_latest
+
+    a = upsert_orders_latest(SF, force="driver").to_pandas()
+    b = upsert_orders_latest(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
+
+    base = pd.read_parquet(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice",
+                                    "o_orderstatus"])
+    assert set(a["o_orderkey"]) == set(base["o_orderkey"])
+    upd = a[a["o_orderkey"] % 7 == 0]
+    assert (upd["version"] == 2).all()
+    assert (upd["o_orderstatus"] == "U").all()
+    rest = a[a["o_orderkey"] % 7 != 0].merge(base, on="o_orderkey",
+                                             suffixes=("", "_b"))
+    assert (rest["version"] == 1).all()
+    assert (rest["o_totalprice"] == rest["o_totalprice_b"]).all()
