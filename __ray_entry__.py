@@ -24,9 +24,10 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sketch_ray.pipelines import (bpe, dedup, exact, heavy_hitters,
-                                      relational, sharding, similarity,
-                                      sketch_queries, text_analysis)
+    from sketch_ray.pipelines import (bpe, classifier, dedup, exact,
+                                      heavy_hitters, relational, sharding,
+                                      similarity, sketch_queries,
+                                      text_analysis)
     from sketch_ray.stages import multimodal
 
     # Key ORDER is part of the contract: the driver's correctness gate
@@ -279,6 +280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                          n_queries=64),
         # MERGE-INTO latest-wins upsert (CDC-apply / compaction primitive)
         "upsert_orders_latest": relational.upsert_orders_latest,
+        # distributed logistic-regression training (rows-only: iterative;
+        # convergence + determinism pinned in pytest)
+        "train_quality_classifier": classifier.train_quality_classifier,
     }
 
 

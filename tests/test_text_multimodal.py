@@ -736,3 +736,39 @@ def test_zipf_slope_per_lang(ray_session):
         SELECT lang, round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS zipf_slope,
                CAST(n AS BIGINT) AS n_tokens FROM a ORDER BY lang""").df()
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_quality_classifier_convergence_and_determinism(ray_session, tmp_path):
+    """Distributed logistic training: (a) on a PLANTED separable corpus the
+    classifier reaches >0.9 accuracy with monotone-decreasing loss; (b) on
+    the real testdata the run is bit-deterministic (fsum folds) and loss
+    never increases."""
+    import numpy as np
+    import pandas as pd
+
+    from sketch_ray.pipelines.classifier import train_quality_classifier
+
+    # planted corpus: 'en' docs are stopword-dense and long, others short
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(400):
+        if i % 2 == 0:
+            toks = ["the", "and", "of", "word"] * int(rng.integers(20, 40))
+            lang = "en"
+        else:
+            toks = ["zzz", "qqq"] * int(rng.integers(3, 8))
+            lang = "de"
+        rows.append((i, " ".join(toks), lang, "src0", len(" ".join(toks))))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = train_quality_classifier(str(tmp_path)).to_pandas()
+    L = train_quality_classifier.last_losses
+    assert all(L[i + 1] <= L[i] + 1e-9 for i in range(len(L) - 1)), L
+    assert got["train_acc"].iloc[0] > 0.9, got
+
+    a = train_quality_classifier(SF).to_pandas()
+    La = list(train_quality_classifier.last_losses)
+    b = train_quality_classifier(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert all(La[i + 1] <= La[i] + 1e-9 for i in range(len(La) - 1))
