@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed logistic-regression training (rows-only: iterative;
         # convergence + determinism pinned in pytest)
         "train_quality_classifier": classifier.train_quality_classifier,
+        # fuzzy key join (ed<=1) via FastSS deletion-neighborhood blocking
+        "fuzzy_join_customers": relational.fuzzy_join_customers,
     }
 
 
@@ -2138,6 +2140,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(min(cs) AS BIGINT) AS n_docs,
                    round(sum(t), 6) AS psi
             FROM term GROUP BY source ORDER BY source
+        """,
+        "fuzzy_join_customers": """
+            WITH dirty AS (
+                SELECT c_custkey AS d_custkey,
+                       CASE WHEN c_custkey % 3 = 0
+                            THEN substr(c_name, 1,
+                                        c_custkey % strlen(c_name))
+                                 || substr(c_name,
+                                           c_custkey % strlen(c_name) + 2)
+                            ELSE c_name END AS d_name
+                FROM customer
+            )
+            SELECT d.d_custkey, c.c_custkey,
+                   CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS dist
+            FROM dirty d JOIN customer c
+                ON levenshtein(d.d_name, c.c_name) <= 1
+            ORDER BY d.d_custkey, c.c_custkey
         """,
         "upsert_orders_latest": """
             WITH u AS (

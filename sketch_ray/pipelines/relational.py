@@ -4119,3 +4119,217 @@ def upsert_orders_latest(sf_dir: str, force: str | None = None) -> pa.Table:
             preserve_index=False)
     return out.select(["o_orderkey", "version", "o_totalprice",
                        "o_orderstatus"])
+
+
+def _name_byte_matrix(names) -> np.ndarray | None:
+    """(n, L) uint8 matrix when every name has one byte length (ASCII),
+    else None (caller falls back to the per-row path — acceptable only on
+    dimension-bounded sides)."""
+    import pyarrow.compute as _pc
+
+    arr = names if isinstance(names, pa.Array) else pa.array(list(names))
+    lens = _pc.binary_length(arr.cast(pa.binary())) \
+        .to_numpy(zero_copy_only=False)
+    if len(lens) == 0 or (lens != lens[0]).any():
+        return None
+    flat = arr.cast(pa.binary()).combine_chunks() if \
+        isinstance(arr, pa.ChunkedArray) else arr.cast(pa.binary())
+    buf = b"".join(flat.to_pylist())  # one linear pass, dimension-bounded
+    return np.frombuffer(buf, np.uint8).reshape(len(lens), int(lens[0]))
+
+
+def _del1_key_rows(mat: np.ndarray, width: int):
+    """FastSS deletion-neighborhood keys for fixed-length byte rows:
+    the row itself plus every single-character deletion, all padded into
+    ``S<width>`` (ASCII never contains NUL, so padding cannot collide).
+    Returns (keys S<width>[(L+1)·n], owner_row_idx int64[(L+1)·n])."""
+    n, L = mat.shape
+    dt = f"S{width}"
+    keys = [np.ascontiguousarray(
+        np.pad(mat, ((0, 0), (0, width - L)))).view(dt).ravel()]
+    owners = [np.arange(n, dtype=np.int64)]
+    for j in range(L):
+        sub = np.ascontiguousarray(
+            np.pad(np.delete(mat, j, axis=1),
+                   ((0, 0), (0, width - (L - 1))))).view(dt).ravel()
+        keys.append(sub)
+        owners.append(np.arange(n, dtype=np.int64))
+    return np.concatenate(keys), np.concatenate(owners)
+
+
+def fuzzy_join_customers(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Fuzzy key join (edit distance ≤ 1) via FastSS deletion-neighborhood
+    blocking (Bocek et al. 2007, public): a deterministically corrupted
+    copy of customer names (every third custkey loses the character at
+    position ``custkey mod len``) joins back against the clean dimension.
+    ed(x,y) ≤ 1 ⟹ ({x} ∪ del1(x)) ∩ ({y} ∪ del1(y)) ≠ ∅, so blocking on
+    deletion variants finds every true pair; candidates then verify with
+    the exact two-row-DP Levenshtein (dedup._levenshtein) — variant
+    collisions (which CAN have ed 2, e.g. "ab"/"ba") are filtered, never
+    reported. All-pairs never materializes on either branch.
+
+    Branches (forced-branch pytest): broadcast — the clean side's sorted
+    variant keys + owner ids ship once, dirty batches probe via
+    searchsorted range lookup; distributed — both variant tables meet in
+    Ray's hash-shuffle join on the variant key. Sequential TPC-H names
+    make this a real stress: neighboring custkeys differ by one digit, so
+    genuine ed-1 matches are dense (~tens per key), not just the planted
+    corruptions."""
+    import pyarrow.parquet as pq_mod
+
+    from .dedup import _levenshtein
+
+    ct = pq_mod.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    ckeys = ct["c_custkey"].to_numpy()
+    cnames = np.asarray(ct["c_name"].to_pylist(), dtype=object)
+    mat = _name_byte_matrix(ct["c_name"].combine_chunks())
+    if mat is None:
+        raise NotImplementedError("variable-length keys: per-row variant "
+                                  "fallback not needed for this dataset")
+    L = mat.shape[1]
+    width = L  # deletions are shorter; the full name is the widest key
+    clean_keys, clean_owner = _del1_key_rows(mat, width)
+    order = np.argsort(clean_keys, kind="stable")
+    clean_keys, clean_owner = clean_keys[order], clean_owner[order]
+    name_by_row = cnames  # row-aligned with ct
+    key_by_row = ckeys.astype(np.int64)
+
+    def _dirty_rows(batch: pa.Table):
+        """Deterministic corruption mirrored in the oracle SQL."""
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        m = _name_byte_matrix(batch["c_name"].combine_chunks())
+        corrupt = (keys % 3) == 0
+        pos = (keys % m.shape[1]).astype(np.int64)
+        names = np.asarray(batch["c_name"].to_pylist(), dtype=object)
+        out = names.copy()
+        if corrupt.any():
+            grid = np.arange(m.shape[1])[None, :]
+            sub = m[corrupt][grid[0][None, :] != pos[corrupt, None]] \
+                .reshape(int(corrupt.sum()), m.shape[1] - 1)
+            out[corrupt] = [s.tobytes().decode() for s in sub]
+        return keys.astype(np.int64), out
+
+    ref = ray.put((clean_keys, clean_owner, name_by_row, key_by_row))
+
+    small = True if force is None else (force == "driver")
+    try:
+        import os
+
+        small = (os.path.getsize(f"{sf_dir}/customer.parquet")
+                 < _BCAST_JOIN_BYTES) if force is None \
+            else (force == "driver")
+    except OSError:
+        pass
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ck, co, nbr, kbr = cached(ref)
+        dkeys, dnames = _dirty_rows(batch)
+        dmat = _name_byte_matrix(pa.array([n for n in dnames]))
+        if dmat is None:  # mixed 17/18-char rows: pad via object path
+            enc = [n.encode() for n in dnames]
+            wmax = max(len(e) for e in enc)
+            dmat = np.zeros((len(enc), wmax), np.uint8)
+            for i, e in enumerate(enc):
+                dmat[i, :len(e)] = np.frombuffer(e, np.uint8)
+            # trailing NULs in short rows: harmless, del1 keys still pad
+        qk, qo = _del1_key_rows(dmat, width)
+        lo = np.searchsorted(ck, qk, side="left")
+        hi = np.searchsorted(ck, qk, side="right")
+        cnt = hi - lo
+        nz = cnt > 0
+        starts, counts, owners_q = lo[nz], cnt[nz], qo[nz]
+        flat_clean = np.concatenate(
+            [co[s:s + c] for s, c in zip(starts, counts)]) \
+            if len(starts) else np.empty(0, np.int64)
+        flat_dirty = np.repeat(owners_q, counts)
+        pairs = np.unique(np.stack([flat_dirty, flat_clean], axis=1),
+                          axis=0) if len(flat_dirty) else \
+            np.empty((0, 2), np.int64)
+        out_d, out_c, out_dist = [], [], []
+        for drow, crow in pairs:
+            dist = _levenshtein(dnames[drow].encode(),
+                                nbr[crow].encode())
+            if dist <= 1:
+                out_d.append(dkeys[drow])
+                out_c.append(kbr[crow])
+                out_dist.append(dist)
+        return pa.table({
+            "d_custkey": pa.array(np.asarray(out_d, np.int64)),
+            "c_custkey": pa.array(np.asarray(out_c, np.int64)),
+            "dist": pa.array(np.asarray(out_dist, np.int64))})
+
+    if small:
+        df = ensure_columns(
+            _read(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(probe, batch_format="pyarrow",
+                         batch_size=8192).to_pandas(),
+            {"d_custkey": "int64", "c_custkey": "int64", "dist": "int64"})
+    else:
+        # distributed: variant tables meet in Ray's hash-shuffle join
+        def clean_variants(batch: pa.Table) -> pa.Table:
+            m = _name_byte_matrix(batch["c_name"].combine_chunks())
+            k, o = _del1_key_rows(m, width)
+            keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            names = np.asarray(batch["c_name"].to_pylist(), dtype=object)
+            return pa.table({
+                "vh": pa.array([bytes(x) for x in k], pa.binary()),
+                "c_custkey": pa.array(keys[o].astype(np.int64)),
+                "c_name": pa.array(names[o], pa.string())})
+
+        def dirty_variants(batch: pa.Table) -> pa.Table:
+            dkeys, dnames = _dirty_rows(batch)
+            enc = [n.encode() for n in dnames]
+            dmat = np.zeros((len(enc), width), np.uint8)
+            for i, e in enumerate(enc):
+                dmat[i, :len(e)] = np.frombuffer(e, np.uint8)
+            k, o = _del1_key_rows(dmat, width)
+            return pa.table({
+                "vh": pa.array([bytes(x) for x in k], pa.binary()),
+                "d_custkey": pa.array(dkeys[o]),
+                "d_name": pa.array(dnames[o], pa.string())})
+
+        left = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+            .map_batches(dirty_variants, batch_format="pyarrow",
+                         batch_size=8192).materialize()
+        right = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+            .map_batches(clean_variants, batch_format="pyarrow",
+                         batch_size=8192).materialize()
+        n_parts = max(1, min(_join_partitions(sf_dir, "customer",
+                                              "customer"),
+                             right.count() // 64 + 1))
+        joined = left.join(right, join_type="inner",
+                           num_partitions=n_parts, on=("vh",))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            dn = batch["d_name"].to_pylist()
+            cn = batch["c_name"].to_pylist()
+            dk = batch["d_custkey"].to_numpy(zero_copy_only=False)
+            ck2 = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            seen = set()
+            out_d, out_c, out_dist = [], [], []
+            for i in range(len(dn)):
+                pk = (int(dk[i]), int(ck2[i]))
+                if pk in seen:
+                    continue
+                seen.add(pk)
+                dist = _levenshtein(dn[i].encode(), cn[i].encode())
+                if dist <= 1:
+                    out_d.append(pk[0])
+                    out_c.append(pk[1])
+                    out_dist.append(dist)
+            return pa.table({
+                "d_custkey": pa.array(np.asarray(out_d, np.int64)),
+                "c_custkey": pa.array(np.asarray(out_c, np.int64)),
+                "dist": pa.array(np.asarray(out_dist, np.int64))})
+
+        df = ensure_columns(
+            joined.map_batches(verify, batch_format="pyarrow",
+                               batch_size=65536).to_pandas(),
+            {"d_custkey": "int64", "c_custkey": "int64", "dist": "int64"})
+    df = df.drop_duplicates(["d_custkey", "c_custkey"]) \
+        .sort_values(["d_custkey", "c_custkey"]).reset_index(drop=True)
+    return pa.table({
+        "d_custkey": pa.array(df["d_custkey"].to_numpy(np.int64)),
+        "c_custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
+        "dist": pa.array(df["dist"].to_numpy(np.int64))})

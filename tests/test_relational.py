@@ -1028,3 +1028,24 @@ def test_upsert_latest_forced_branch_and_semantics(ray_session):
                                              suffixes=("", "_b"))
     assert (rest["version"] == 1).all()
     assert (rest["o_totalprice"] == rest["o_totalprice_b"]).all()
+
+
+def test_fuzzy_join_forced_branch_and_recovery(ray_session):
+    """FastSS ed<=1 join: broadcast probe equals the distributed variant
+    join, every corrupted key recovers its own clean row, and no reported
+    pair exceeds distance 1."""
+    from sketch_ray.pipelines.relational import fuzzy_join_customers
+
+    a = fuzzy_join_customers(SF, force="driver").to_pandas()
+    b = fuzzy_join_customers(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(b, a)
+    assert (a["dist"] <= 1).all()
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey"])
+    corrupted = cust[cust["c_custkey"] % 3 == 0]["c_custkey"]
+    self_pairs = a[(a["d_custkey"] == a["c_custkey"])]
+    assert set(corrupted).issubset(set(self_pairs["d_custkey"]))
+    # corrupted self-match has distance exactly 1 (one char removed)
+    cp = self_pairs[self_pairs["d_custkey"].isin(set(corrupted))]
+    assert (cp["dist"] == 1).all()
