@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_quality_classifier": classifier.train_quality_classifier,
         # fuzzy key join (ed<=1) via FastSS deletion-neighborhood blocking
         "fuzzy_join_customers": relational.fuzzy_join_customers,
+        # sliding-window value sums (weighted exponential histogram)
+        "window_value_sums": sketch_queries.window_value_sums,
     }
 
 

@@ -14,7 +14,7 @@ from .cbloom import CountingBloom
 from .countmin import CountMin, CountMinCU
 from .countsketch import CountSketch
 from .dyadic import DyadicCM
-from .ehist import ExpHistogram
+from .ehist import ExpHistogram, ExpHistogramSum
 from .freqdirs import FrequentDirections
 from .hashing import hash_arrow_strings, hash_ints, hash_strings, row_hashes, splitmix64
 from .hll import HLL
@@ -25,6 +25,6 @@ from .tdigest import TDigest
 
 __all__ = [
     "MergeableSketch", "SketchBase", "make_sketch", "registry", "sketch_from_bytes",
-    "CountMin", "CountMinCU", "CountSketch", "CountingBloom", "ExpHistogram", "FrequentDirections", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
+    "CountMin", "CountMinCU", "CountSketch", "CountingBloom", "ExpHistogram", "ExpHistogramSum", "FrequentDirections", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
     "hash_strings", "hash_arrow_strings", "hash_ints", "row_hashes", "splitmix64",
 ]

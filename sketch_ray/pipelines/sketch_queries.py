@@ -551,3 +551,65 @@ def window_count_estimates(sf_dir: str, window_days: int = 7,
         "est_window": pa.array(np.asarray(out_est, np.int64)[order],
                                pa.int64()),
     })
+
+
+def window_value_sums(sf_dir: str, window_days: int = 7,
+                      k: int = 32) -> pa.Table:
+    """Sliding-window value SUM per event type via the weighted
+    exponential histogram (kernels/ehist.py::ExpHistogramSum): estimated
+    trailing-``window_days`` revenue-like mass, error ≤ true/(2k) +
+    a_max/2 in O(k·log M) state. Values fold as exact integer CENTS
+    (promo_revenue_share precedent). Same ordered time-contiguous merge
+    discipline as window_count_estimates; rows-only gated, bound pinned
+    in pytest."""
+    from ..kernels.ehist import ExpHistogramSum
+    from ._util import parquet_minmax
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        codes = pc.dictionary_encode(batch["event_type"].combine_chunks())
+        idx = codes.indices.to_numpy(zero_copy_only=False)
+        types = codes.dictionary.to_pylist()
+        rows_t, rows_lo, rows_hi, rows_st = [], [], [], []
+        for ti, name in enumerate(types):
+            m = idx == ti
+            eh = ExpHistogramSum(k=k)
+            eh.update(ts[m], cents[m])
+            rows_t.append(name)
+            rows_lo.append(int(ts[m][0]))
+            rows_hi.append(int(ts[m][-1]))
+            rows_st.append(eh.to_bytes())
+        return pa.table({"event_type": pa.array(rows_t, pa.string()),
+                         "min_ts": pa.array(rows_lo, pa.int64()),
+                         "max_ts": pa.array(rows_hi, pa.int64()),
+                         "state": pa.array(rows_st, pa.binary())})
+
+    df = ds.map_batches(partials, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+    _, t_now = parquet_minmax(f"{sf_dir}/events.parquet", "ts")
+    t_now_us = int(np.datetime64(t_now, "us").astype(np.int64))
+    window_us = int(window_days) * 86_400_000_000
+    out_type, out_tot, out_est = [], [], []
+    for name, sub in df.groupby("event_type"):
+        sub = sub.sort_values(["min_ts", "max_ts"])
+        merged = None
+        for raw in sub["state"]:
+            eh = ExpHistogramSum.from_bytes(raw)
+            merged = eh if merged is None else merged.merge(eh)
+        out_type.append(name)
+        out_tot.append(merged.v_total)
+        out_est.append(merged.estimate(t_now_us, window_us))
+    order = np.argsort(np.asarray(out_type, dtype=object))
+    return pa.table({
+        "event_type": pa.array(np.asarray(out_type, object)[order],
+                               pa.string()),
+        "total_cents": pa.array(np.asarray(out_tot, np.int64)[order],
+                                pa.int64()),
+        "est_window_cents": pa.array(np.asarray(out_est, np.int64)[order],
+                                     pa.int64()),
+    })

@@ -881,3 +881,59 @@ def test_window_count_estimates_vs_exact(ray_session):
     true = exact["w"].to_numpy(np.int64)
     est = got["est_window"].to_numpy(np.int64)
     assert (np.abs(est - true) <= true / (2 * k) + 1).all(), (est, true)
+
+
+def test_ehsum_window_bound_and_pipeline(ray_session):
+    """Weighted EH: |est - true| <= true/(2k) + a_max/2 + 1 on random
+    value streams under random contiguous splits; pipeline totals exact
+    and window estimates within the bound vs DuckDB."""
+    import duckdb
+
+    from sketch_ray.kernels.ehist import ExpHistogramSum
+    from sketch_ray.pipelines.sketch_queries import window_value_sums
+
+    rng = np.random.default_rng(13)
+    for _ in range(40):
+        n = int(rng.integers(1, 2500))
+        k = int(rng.choice([8, 16, 32]))
+        times = np.sort(rng.integers(0, 40000, n)).astype(np.int64)
+        vals = rng.integers(0, 500, n).astype(np.int64)
+        cuts = (np.sort(rng.integers(0, n, int(rng.integers(0, 5))))
+                if n > 1 else [])
+        merged = None
+        for tc, vc in zip(np.split(times, cuts), np.split(vals, cuts)):
+            e = ExpHistogramSum(k=k)
+            e.update(tc, vc)
+            merged = e if merged is None else merged.merge(e)
+        assert merged.v_total == int(vals.sum())
+        t_now = int(times.max())
+        amax = int(vals.max()) if n else 0
+        for w in (1, 1000, 100000):
+            est = merged.estimate(t_now, w)
+            true = int(vals[times >= t_now - w + 1].sum())
+            assert abs(est - true) <= true / (2 * k) + amax / 2 + 1
+
+    sf = "/root/testdata/sf0.01"
+    k = 32
+    got = window_value_sums(sf, window_days=7, k=k).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        WITH g AS (SELECT max(ts) AS tmax
+                   FROM read_parquet('{sf}/events.parquet'))
+        SELECT event_type,
+               sum(CAST(round(value * 100) AS BIGINT)) AS tot,
+               sum(CASE WHEN ts >= g.tmax - INTERVAL 7 DAY
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS w,
+               max(CASE WHEN ts >= g.tmax - INTERVAL 8 DAY
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS amax
+        FROM read_parquet('{sf}/events.parquet') CROSS JOIN g
+        GROUP BY event_type ORDER BY event_type""").df()
+    assert list(got["event_type"]) == list(exact["event_type"])
+    assert (got["total_cents"].to_numpy(np.int64)
+            == exact["tot"].to_numpy(np.int64)).all()
+    true = exact["w"].to_numpy(np.int64)
+    est = got["est_window_cents"].to_numpy(np.int64)
+    amax = exact["amax"].to_numpy(np.int64)
+    assert (np.abs(est - true) <= true / (2 * k) + amax / 2 + 1).all()
