@@ -4121,40 +4121,68 @@ def upsert_orders_latest(sf_dir: str, force: str | None = None) -> pa.Table:
                        "o_orderstatus"])
 
 
-def _name_byte_matrix(names) -> np.ndarray | None:
-    """(n, L) uint8 matrix when every name has one byte length (ASCII),
-    else None (caller falls back to the per-row path — acceptable only on
-    dimension-bounded sides)."""
-    import pyarrow.compute as _pc
-
-    arr = names if isinstance(names, pa.Array) else pa.array(list(names))
-    lens = _pc.binary_length(arr.cast(pa.binary())) \
-        .to_numpy(zero_copy_only=False)
-    if len(lens) == 0 or (lens != lens[0]).any():
-        return None
-    flat = arr.cast(pa.binary()).combine_chunks() if \
-        isinstance(arr, pa.ChunkedArray) else arr.cast(pa.binary())
-    buf = b"".join(flat.to_pylist())  # one linear pass, dimension-bounded
-    return np.frombuffer(buf, np.uint8).reshape(len(lens), int(lens[0]))
+def _padded_mat(names: np.ndarray, width: int) -> np.ndarray:
+    """(n, width) uint8 matrix of ASCII names NUL-padded to ``width`` —
+    one vectorized astype, no per-row Python."""
+    return np.ascontiguousarray(
+        names.astype(f"S{width}")).view(np.uint8).reshape(len(names), width)
 
 
 def _del1_key_rows(mat: np.ndarray, width: int):
-    """FastSS deletion-neighborhood keys for fixed-length byte rows:
-    the row itself plus every single-character deletion, all padded into
-    ``S<width>`` (ASCII never contains NUL, so padding cannot collide).
-    Returns (keys S<width>[(L+1)·n], owner_row_idx int64[(L+1)·n])."""
-    n, L = mat.shape
+    """FastSS deletion-neighborhood keys for fixed-width byte rows: the
+    row itself plus every single-position deletion, all viewed as
+    ``S<width>`` (ASCII never contains NUL, so NUL padding cannot
+    collide). Returns (keys S<width>[(W+1)·n], owner_row_idx)."""
+    n, W = mat.shape
     dt = f"S{width}"
-    keys = [np.ascontiguousarray(
-        np.pad(mat, ((0, 0), (0, width - L)))).view(dt).ravel()]
+    keys = [np.ascontiguousarray(mat).view(dt).ravel()]
     owners = [np.arange(n, dtype=np.int64)]
-    for j in range(L):
+    pad = np.zeros((n, 1), np.uint8)
+    for j in range(W):
         sub = np.ascontiguousarray(
-            np.pad(np.delete(mat, j, axis=1),
-                   ((0, 0), (0, width - (L - 1))))).view(dt).ravel()
+            np.hstack([np.delete(mat, j, axis=1), pad])).view(dt).ravel()
         keys.append(sub)
         owners.append(np.arange(n, dtype=np.int64))
     return np.concatenate(keys), np.concatenate(owners)
+
+
+def _ed1_mask(a_mat: np.ndarray, a_len: np.ndarray,
+              b_mat: np.ndarray, b_len: np.ndarray) -> np.ndarray:
+    """Vectorized EXACT edit-distance ≤ 1 test over padded byte-matrix
+    pairs (NUL padding, ASCII content):
+
+    - equal length → at most one mismatching byte (substitution);
+    - length differing by 1 → the longer equals the shorter with one
+      char inserted: with p = first mismatch position, check the
+      shifted suffix longer[p+1:] == shorter[p:] (padding compares
+      equal-to-padding, so the full padded width is safe);
+    - otherwise distance ≥ 2.
+
+    No DP: the candidate sets here come from deletion-neighborhood
+    blocking where per-pair DP (the dedup._levenshtein path) measured
+    ~100 µs/pair and dominated the whole query at sf0.1."""
+    m, W = a_mat.shape
+    out = np.zeros(m, bool)
+    same = a_len == b_len
+    if same.any():
+        out[same] = (a_mat[same] != b_mat[same]).sum(axis=1) <= 1
+    d1 = np.abs(a_len - b_len) == 1
+    if d1.any():
+        ai, bi = a_mat[d1], b_mat[d1]
+        swap = (a_len < b_len)[d1]
+        lg = np.where(swap[:, None], bi, ai)
+        sh = np.where(swap[:, None], ai, bi)
+        neq = lg[:, :W - 1] != sh[:, :W - 1]
+        pe = np.where(neq.any(axis=1), neq.argmax(axis=1), W - 1)
+        eq_shift = lg[:, 1:] == sh[:, :W - 1]
+        sufeq = np.flip(np.cumprod(np.flip(eq_shift, axis=1), axis=1),
+                        axis=1).astype(bool)
+        ok = np.where(pe >= W - 1, True,
+                      np.take_along_axis(
+                          sufeq, np.minimum(pe, W - 2)[:, None],
+                          axis=1).ravel())
+        out[d1] = ok
+    return out
 
 
 def fuzzy_join_customers(sf_dir: str, force: str | None = None) -> pa.Table:
@@ -4163,56 +4191,61 @@ def fuzzy_join_customers(sf_dir: str, force: str | None = None) -> pa.Table:
     copy of customer names (every third custkey loses the character at
     position ``custkey mod len``) joins back against the clean dimension.
     ed(x,y) ≤ 1 ⟹ ({x} ∪ del1(x)) ∩ ({y} ∪ del1(y)) ≠ ∅, so blocking on
-    deletion variants finds every true pair; candidates then verify with
-    the exact two-row-DP Levenshtein (dedup._levenshtein) — variant
-    collisions (which CAN have ed 2, e.g. "ab"/"ba") are filtered, never
-    reported. All-pairs never materializes on either branch.
+    deletion variants finds every true pair; candidates verify with the
+    vectorized exact ed≤1 test (_ed1_mask — variant collisions CAN have
+    ed 2, e.g. "ab"/"ba", and are filtered, never reported). All-pairs
+    never materializes, and nothing per-pair runs in Python: sequential
+    TPC-H names make genuine ed-1 matches DENSE (~45 per key at sf0.1),
+    which is exactly the stress that killed the per-pair-DP first cut of
+    this operator (116 s → vectorized rewrite).
 
     Branches (forced-branch pytest): broadcast — the clean side's sorted
     variant keys + owner ids ship once, dirty batches probe via
     searchsorted range lookup; distributed — both variant tables meet in
-    Ray's hash-shuffle join on the variant key. Sequential TPC-H names
-    make this a real stress: neighboring custkeys differ by one digit, so
-    genuine ed-1 matches are dense (~tens per key), not just the planted
-    corruptions."""
+    Ray's hash-shuffle join on the variant key."""
     import pyarrow.parquet as pq_mod
-
-    from .dedup import _levenshtein
 
     ct = pq_mod.read_table(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
-    ckeys = ct["c_custkey"].to_numpy()
+    ckeys = ct["c_custkey"].to_numpy().astype(np.int64)
+    import pyarrow.compute as _pc2
+
     cnames = np.asarray(ct["c_name"].to_pylist(), dtype=object)
-    mat = _name_byte_matrix(ct["c_name"].combine_chunks())
-    if mat is None:
-        raise NotImplementedError("variable-length keys: per-row variant "
-                                  "fallback not needed for this dataset")
-    L = mat.shape[1]
-    width = L  # deletions are shorter; the full name is the widest key
-    clean_keys, clean_owner = _del1_key_rows(mat, width)
+    lens = _pc2.utf8_length(ct["c_name"].combine_chunks()) \
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    width = int(lens.max()) if len(lens) else 1
+    cmat = _padded_mat(cnames, width)
+    clean_keys, clean_owner = _del1_key_rows(cmat, width)
     order = np.argsort(clean_keys, kind="stable")
     clean_keys, clean_owner = clean_keys[order], clean_owner[order]
-    name_by_row = cnames  # row-aligned with ct
-    key_by_row = ckeys.astype(np.int64)
+    ref = ray.put((clean_keys, clean_owner, cmat, lens, ckeys))
 
-    def _dirty_rows(batch: pa.Table):
-        """Deterministic corruption mirrored in the oracle SQL."""
-        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        m = _name_byte_matrix(batch["c_name"].combine_chunks())
-        corrupt = (keys % 3) == 0
-        pos = (keys % m.shape[1]).astype(np.int64)
+    def _dirty_mats(batch: pa.Table):
+        """Deterministic corruption mirrored in the oracle SQL: custkey%3
+        == 0 drops the char at custkey % len. Byte matrices end-to-end,
+        no string materialization."""
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         names = np.asarray(batch["c_name"].to_pylist(), dtype=object)
-        out = names.copy()
+        dlens = pc.utf8_length(batch["c_name"].combine_chunks()) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
+        m = _padded_mat(names, width)
+        corrupt = (keys % 3) == 0
         if corrupt.any():
-            grid = np.arange(m.shape[1])[None, :]
-            sub = m[corrupt][grid[0][None, :] != pos[corrupt, None]] \
-                .reshape(int(corrupt.sum()), m.shape[1] - 1)
-            out[corrupt] = [s.tobytes().decode() for s in sub]
-        return keys.astype(np.int64), out
+            pos = (keys[corrupt] % dlens[corrupt]).astype(np.int64)
+            cm = m[corrupt]
+            grid = np.arange(width)[None, :]
+            gathered = cm[np.repeat(np.arange(len(cm)), width - 1)
+                          .reshape(len(cm), width - 1),
+                          np.where(grid[:, :width - 1] <
+                                   pos[:, None], grid[:, :width - 1],
+                                   grid[:, :width - 1] + 1)]
+            out = np.zeros((len(cm), width), np.uint8)
+            out[:, :width - 1] = gathered
+            m[corrupt] = out
+            dlens[corrupt] -= 1
+        return keys, m, dlens
 
-    ref = ray.put((clean_keys, clean_owner, name_by_row, key_by_row))
-
-    small = True if force is None else (force == "driver")
     try:
         import os
 
@@ -4220,74 +4253,76 @@ def fuzzy_join_customers(sf_dir: str, force: str | None = None) -> pa.Table:
                  < _BCAST_JOIN_BYTES) if force is None \
             else (force == "driver")
     except OSError:
-        pass
+        small = force != "distributed"
+
+    def _expand_ranges(starts, counts):
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, np.int64)
+        offs = np.cumsum(counts) - counts
+        return (np.arange(total, dtype=np.int64)
+                - np.repeat(offs, counts) + np.repeat(starts, counts))
 
     def probe(batch: pa.Table) -> pa.Table:
-        ck, co, nbr, kbr = cached(ref)
-        dkeys, dnames = _dirty_rows(batch)
-        dmat = _name_byte_matrix(pa.array([n for n in dnames]))
-        if dmat is None:  # mixed 17/18-char rows: pad via object path
-            enc = [n.encode() for n in dnames]
-            wmax = max(len(e) for e in enc)
-            dmat = np.zeros((len(enc), wmax), np.uint8)
-            for i, e in enumerate(enc):
-                dmat[i, :len(e)] = np.frombuffer(e, np.uint8)
-            # trailing NULs in short rows: harmless, del1 keys still pad
+        ck, co, cmat_w, clens_w, ckeys_w = cached(ref)
+        dkeys, dmat, dlens = _dirty_mats(batch)
         qk, qo = _del1_key_rows(dmat, width)
         lo = np.searchsorted(ck, qk, side="left")
         hi = np.searchsorted(ck, qk, side="right")
         cnt = hi - lo
         nz = cnt > 0
-        starts, counts, owners_q = lo[nz], cnt[nz], qo[nz]
-        flat_clean = np.concatenate(
-            [co[s:s + c] for s, c in zip(starts, counts)]) \
-            if len(starts) else np.empty(0, np.int64)
-        flat_dirty = np.repeat(owners_q, counts)
-        pairs = np.unique(np.stack([flat_dirty, flat_clean], axis=1),
-                          axis=0) if len(flat_dirty) else \
-            np.empty((0, 2), np.int64)
-        out_d, out_c, out_dist = [], [], []
-        for drow, crow in pairs:
-            dist = _levenshtein(dnames[drow].encode(),
-                                nbr[crow].encode())
-            if dist <= 1:
-                out_d.append(dkeys[drow])
-                out_c.append(kbr[crow])
-                out_dist.append(dist)
+        pos = _expand_ranges(lo[nz], cnt[nz])
+        flat_clean = co[pos]
+        flat_dirty = np.repeat(qo[nz], cnt[nz])
+        if len(flat_dirty) == 0:
+            return pa.table({"d_custkey": pa.array([], pa.int64()),
+                             "c_custkey": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        comp = np.unique(flat_dirty * len(cmat_w) + flat_clean)
+        drow = comp // len(cmat_w)
+        crow = comp % len(cmat_w)
+        ok = _ed1_mask(dmat[drow], dlens[drow],
+                       cmat_w[crow], clens_w[crow])
+        drow, crow = drow[ok], crow[ok]
+        dist = (dmat[drow] != cmat_w[crow]).any(axis=1).astype(np.int64)
         return pa.table({
-            "d_custkey": pa.array(np.asarray(out_d, np.int64)),
-            "c_custkey": pa.array(np.asarray(out_c, np.int64)),
-            "dist": pa.array(np.asarray(out_dist, np.int64))})
+            "d_custkey": pa.array(dkeys[drow], pa.int64()),
+            "c_custkey": pa.array(ckeys_w[crow], pa.int64()),
+            "dist": pa.array(dist, pa.int64())})
 
     if small:
         df = ensure_columns(
             _read(sf_dir, "customer", ["c_custkey", "c_name"])
             .map_batches(probe, batch_format="pyarrow",
-                         batch_size=8192).to_pandas(),
+                         batch_size=2048).to_pandas(),
             {"d_custkey": "int64", "c_custkey": "int64", "dist": "int64"})
     else:
-        # distributed: variant tables meet in Ray's hash-shuffle join
         def clean_variants(batch: pa.Table) -> pa.Table:
-            m = _name_byte_matrix(batch["c_name"].combine_chunks())
-            k, o = _del1_key_rows(m, width)
-            keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
             names = np.asarray(batch["c_name"].to_pylist(), dtype=object)
+            m = _padded_mat(names, width)
+            ln = pc.utf8_length(batch["c_name"].combine_chunks()) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            k, o = _del1_key_rows(m, width)
+            keys = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
             return pa.table({
-                "vh": pa.array([bytes(x) for x in k], pa.binary()),
-                "c_custkey": pa.array(keys[o].astype(np.int64)),
-                "c_name": pa.array(names[o], pa.string())})
+                "vh": pa.array(k.tolist(), pa.binary()),
+                "c_custkey": pa.array(keys[o]),
+                "c_pad": pa.array(
+                    np.ascontiguousarray(m[o]).view(f"S{width}")
+                    .ravel().tolist(), pa.binary()),
+                "c_len": pa.array(ln[o])})
 
         def dirty_variants(batch: pa.Table) -> pa.Table:
-            dkeys, dnames = _dirty_rows(batch)
-            enc = [n.encode() for n in dnames]
-            dmat = np.zeros((len(enc), width), np.uint8)
-            for i, e in enumerate(enc):
-                dmat[i, :len(e)] = np.frombuffer(e, np.uint8)
+            dkeys, dmat, dlens = _dirty_mats(batch)
             k, o = _del1_key_rows(dmat, width)
             return pa.table({
-                "vh": pa.array([bytes(x) for x in k], pa.binary()),
+                "vh": pa.array(k.tolist(), pa.binary()),
                 "d_custkey": pa.array(dkeys[o]),
-                "d_name": pa.array(dnames[o], pa.string())})
+                "d_pad": pa.array(
+                    np.ascontiguousarray(dmat[o]).view(f"S{width}")
+                    .ravel().tolist(), pa.binary()),
+                "d_len": pa.array(dlens[o])})
 
         left = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
             .map_batches(dirty_variants, batch_format="pyarrow",
@@ -4301,27 +4336,36 @@ def fuzzy_join_customers(sf_dir: str, force: str | None = None) -> pa.Table:
         joined = left.join(right, join_type="inner",
                            num_partitions=n_parts, on=("vh",))
 
+        def _bin_mat(col, n: int) -> np.ndarray:
+            # numpy's .tolist() on S-dtype TRIMS trailing NULs, so the
+            # binary column carries variable-length values — re-pad here
+            a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            return np.asarray(a.to_pylist(), dtype=object) \
+                .astype(f"S{width}").view(np.uint8).reshape(n, width)
+
         def verify(batch: pa.Table) -> pa.Table:
-            dn = batch["d_name"].to_pylist()
-            cn = batch["c_name"].to_pylist()
+            n = batch.num_rows
+            if n == 0:
+                return pa.table({"d_custkey": pa.array([], pa.int64()),
+                                 "c_custkey": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64())})
+            dmat = _bin_mat(batch["d_pad"], n)
+            cmat_b = _bin_mat(batch["c_pad"], n)
+            dl = batch["d_len"].to_numpy(zero_copy_only=False)
+            cl = batch["c_len"].to_numpy(zero_copy_only=False)
             dk = batch["d_custkey"].to_numpy(zero_copy_only=False)
             ck2 = batch["c_custkey"].to_numpy(zero_copy_only=False)
-            seen = set()
-            out_d, out_c, out_dist = [], [], []
-            for i in range(len(dn)):
-                pk = (int(dk[i]), int(ck2[i]))
-                if pk in seen:
-                    continue
-                seen.add(pk)
-                dist = _levenshtein(dn[i].encode(), cn[i].encode())
-                if dist <= 1:
-                    out_d.append(pk[0])
-                    out_c.append(pk[1])
-                    out_dist.append(dist)
+            comp = dk * (np.int64(1) << 32) + ck2  # keys < 2^31
+            _, first = np.unique(comp, return_index=True)
+            dmat, cmat_b = dmat[first], cmat_b[first]
+            dl, cl, dk, ck2 = dl[first], cl[first], dk[first], ck2[first]
+            ok = _ed1_mask(dmat, dl, cmat_b, cl)
+            dist = (dmat[ok] != cmat_b[ok]).any(axis=1).astype(np.int64)
             return pa.table({
-                "d_custkey": pa.array(np.asarray(out_d, np.int64)),
-                "c_custkey": pa.array(np.asarray(out_c, np.int64)),
-                "dist": pa.array(np.asarray(out_dist, np.int64))})
+                "d_custkey": pa.array(dk[ok], pa.int64()),
+                "c_custkey": pa.array(ck2[ok], pa.int64()),
+                "dist": pa.array(dist, pa.int64())})
 
         df = ensure_columns(
             joined.map_batches(verify, batch_format="pyarrow",
