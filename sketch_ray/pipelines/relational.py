@@ -4057,9 +4057,13 @@ def upsert_latest(base, updates, key: str, version_col: str = "version",
                                     preserve_index=False,
                                     schema=batch.schema)
 
+    # ONE execution: materialize the pre-reduced union, then count() is
+    # a metadata read and both branches consume the same blocks (the
+    # naive base.count() + updates.count() probe executed the whole
+    # input twice before the real pass — measured 2.8 s at sf0.1)
     reduced = ds.map_batches(pre_reduce, batch_format="pyarrow",
-                             batch_size=65536)
-    n_rows = base.count() + updates.count()
+                             batch_size=65536).materialize()
+    n_rows = reduced.count()
     small = (n_rows < _SMALL_ROWS) if force is None \
         else (force == "driver")
     if small:
