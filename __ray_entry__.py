@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_customers": relational.fuzzy_join_customers,
         # sliding-window value sums (weighted exponential histogram)
         "window_value_sums": sketch_queries.window_value_sums,
+        # Gini coefficient of customer revenue (exact big-int Lorenz math)
+        "revenue_gini": relational.revenue_gini,
     }
 
 
@@ -2142,6 +2144,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(min(cs) AS BIGINT) AS n_docs,
                    round(sum(t), 6) AS psi
             FROM term GROUP BY source ORDER BY source
+        """,
+        # gini over customers WITH orders; ONE mirrored double division
+        "revenue_gini": """
+            WITH r AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY o_custkey
+            ), s AS (
+                SELECT cents,
+                       row_number() OVER (ORDER BY cents, o_custkey) AS i,
+                       count(*) OVER () AS n,
+                       sum(cents) OVER () AS tot
+                FROM r
+            )
+            SELECT CAST(max(n) AS BIGINT) AS n_customers,
+                   round(CAST(2 * sum(i * cents)
+                              - (max(n) + 1) * max(tot) AS DOUBLE)
+                         / CAST(max(n) * max(tot) AS DOUBLE), 6) AS gini
+            FROM s
         """,
         "fuzzy_join_customers": """
             WITH dirty AS (

@@ -4381,3 +4381,77 @@ def fuzzy_join_customers(sf_dir: str, force: str | None = None) -> pa.Table:
         "d_custkey": pa.array(df["d_custkey"].to_numpy(np.int64)),
         "c_custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
         "dist": pa.array(df["dist"].to_numpy(np.int64))})
+
+
+def revenue_gini(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Gini coefficient of per-customer order revenue — the inequality
+    diagnostic a pipeline runs before stratifying spend-weighted samples
+    (a heavy-tailed customer base needs different salting than a flat
+    one). Over customers WITH orders (the LEFT-JOIN zero bucket is
+    order_count_distribution's job; the SQL mirrors this choice).
+
+    Exactness: revenue folds as integer cents at customer cardinality
+    (adaptive driver/distributed, Q13 discipline); the driver sorts the
+    group-bounded array and evaluates gini = (2·Σi·x_(i) − (n+1)·Σx) /
+    (n·Σx) in EXACT big-int arithmetic — Σi·x overflows int64 beyond
+    ~10⁶ customers, so the dot product accumulates int64 chunks into a
+    Python int — with ONE mirrored double division at the end (tie order
+    within equal x is irrelevant: equal values contribute the same sum
+    under any permutation of their positions)."""
+    import pyarrow.parquet as pq_mod
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    n_orders = pq_mod.ParquetFile(f"{sf_dir}/orders.parquet") \
+        .metadata.num_rows
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(batch["o_totalprice"]
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"custkey": pa.array(ck.astype(np.int64)),
+                      "cents": pa.array(cents)})
+        g = t.group_by("custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["custkey", "cents"])
+
+    small = (n_orders < _SMALL_ROWS) if force is None \
+        else (force == "driver")
+    if small:
+        df = ensure_columns(
+            orders.map_batches(partials, batch_format="pyarrow",
+                               batch_size=65536).to_pandas(),
+            {"custkey": "int64", "cents": "int64"})
+        per = df.groupby("custkey")["cents"].sum().to_numpy(np.int64)
+    else:
+        agg = (orders.map_batches(partials, batch_format="pyarrow",
+                                  batch_size=65536)
+               .repartition(n_reducers())
+               .groupby("custkey")
+               .aggregate(Sum("cents", alias_name="cents")))
+        # gini needs the full sorted vector; the pull is CUSTOMER-bounded
+        # (dimension cardinality), never order/lineitem-bounded
+        df = ensure_columns(agg.to_pandas(),
+                            {"custkey": "int64", "cents": "int64"})
+        per = df["cents"].to_numpy(np.int64)
+    n = len(per)
+    if n == 0:
+        return pa.table({"n_customers": pa.array([], pa.int64()),
+                         "gini": pa.array([], pa.float64())})
+    x = np.sort(per)
+    tot = int(x.sum())
+    # exact Σ i·x_(i): int64 chunks (each < 2^63) into a Python int;
+    # chunk sized from the worst single term so no partial dot overflows
+    iwx = 0
+    max_term = max(1, n * int(x[-1]))
+    chunk = max(1, min(4096, (1 << 62) // max_term))
+    for s0 in range(0, n, chunk):
+        seg = x[s0:s0 + chunk]
+        idx = np.arange(s0 + 1, s0 + 1 + len(seg), dtype=np.int64)
+        iwx += int(np.dot(idx, seg))
+    num = 2 * iwx - (n + 1) * tot
+    den = n * tot
+    gini = float(round6(float(num) / float(den))) if den else 0.0
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "gini": pa.array([gini], pa.float64()),
+    })

@@ -1049,3 +1049,28 @@ def test_fuzzy_join_forced_branch_and_recovery(ray_session):
     # corrupted self-match has distance exactly 1 (one char removed)
     cp = self_pairs[self_pairs["d_custkey"].isin(set(corrupted))]
     assert (cp["dist"] == 1).all()
+
+
+def test_revenue_gini_forced_branch_and_range(ray_session):
+    """Gini: both fold branches identical, value in [0, 1), and an
+    independent numpy float recomputation agrees to 1e-9."""
+    import numpy as np
+
+    from sketch_ray.pipelines.relational import revenue_gini
+
+    a = revenue_gini(SF, force="driver").to_pandas()
+    b = revenue_gini(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(b, a)
+    g = float(a["gini"].iloc[0])
+    assert 0.0 <= g < 1.0
+
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    cents = np.round(od["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    per = pd.DataFrame({"k": od["o_custkey"], "c": cents}) \
+        .groupby("k")["c"].sum().to_numpy(np.int64)
+    x = np.sort(per).astype(np.float64)
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    ref = (2 * float(i @ x) - (n + 1) * x.sum()) / (n * x.sum())
+    assert abs(g - ref) < 1e-9
