@@ -1073,4 +1073,4 @@ def test_revenue_gini_forced_branch_and_range(ray_session):
     n = len(x)
     i = np.arange(1, n + 1, dtype=np.float64)
     ref = (2 * float(i @ x) - (n + 1) * x.sum()) / (n * x.sum())
-    assert abs(g - ref) < 1e-9
+    assert abs(g - ref) <= 5.01e-7  # engine value is round6'd
