@@ -24,9 +24,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sketch_ray.pipelines import (bpe, classifier, dedup, exact,
-                                      heavy_hitters, relational, sharding,
-                                      similarity, sketch_queries,
+    from sketch_ray.pipelines import (analytics, bpe, classifier, dedup,
+                                      exact, heavy_hitters, relational,
+                                      sharding, similarity, sketch_queries,
                                       text_analysis)
     from sketch_ray.stages import multimodal
 
@@ -289,6 +289,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_value_sums": sketch_queries.window_value_sums,
         # Gini coefficient of customer revenue (exact big-int Lorenz math)
         "revenue_gini": relational.revenue_gini,
+        # EWMA smoother over daily counts (recursive-CTE mirrored recurrence)
+        "events_ewma_daily": analytics.events_ewma_daily,
+        # CUSUM change-point day per event type (exact integer deviations)
+        "cusum_changepoint": analytics.cusum_changepoint,
+        # last-touch revenue attribution (reversed as-of join, cents-exact)
+        "revenue_attribution": analytics.revenue_attribution,
+        # pairwise language vocabulary Jaccard (bitmask fold)
+        "lang_token_overlap": analytics.lang_token_overlap,
+        # per-doc length percent_rank within lang (histogram-fold broadcast)
+        "doc_length_percentiles": analytics.doc_length_percentiles,
+        # exact NTILE(10) balance buckets (bucketed distributed prefix sum)
+        "customer_balance_ntiles": analytics.customer_balance_ntiles,
     }
 
 
@@ -2340,6 +2352,132 @@ def oracle_sql() -> dict[str, str]:
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
             GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+        """,
+        # EWMA recurrence evaluated in day order via a recursive CTE — the
+        # SAME IEEE-double op sequence (0.5*c + 0.5*prev) as the pipeline's
+        # driver loop, so no summation-order ambiguity exists
+        "events_ewma_daily": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM events GROUP BY 1, 2
+            ), seq AS (
+                SELECT event_type, day, c,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                                               ORDER BY day) AS BIGINT) AS rn
+                FROM daily
+            ), ew AS (
+                SELECT event_type, day, rn, c AS ewma FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT s.event_type, s.day, s.rn, 0.5 * s.c + 0.5 * e.ewma
+                FROM ew e JOIN seq s
+                  ON s.event_type = e.event_type AND s.rn = e.rn + 1
+            )
+            SELECT event_type, day, round(ewma, 6) AS ewma
+            FROM ew ORDER BY event_type, day
+        """,
+        # CUSUM deviations kept integer: (prefix·n − i·total) is exact in
+        # BIGINT; ONE division + round6 mirrors the pipeline; argmax on the
+        # ROUNDED score with earliest-day tie-break
+        "cusum_changepoint": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ), m AS (
+                SELECT event_type, sum(c) AS tot,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM daily GROUP BY 1
+            ), cs AS (
+                SELECT d.event_type, d.day,
+                       round(CAST(abs(
+                           sum(d.c) OVER (PARTITION BY d.event_type
+                                          ORDER BY d.day
+                                          ROWS UNBOUNDED PRECEDING) * m.n
+                           - CAST(row_number() OVER (PARTITION BY d.event_type
+                                                     ORDER BY d.day) AS BIGINT)
+                             * m.tot) AS DOUBLE) / m.n, 6) AS s
+                FROM daily d JOIN m USING (event_type)
+            )
+            SELECT event_type, day AS change_day, s AS max_dev FROM cs
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY s DESC, day) = 1
+            ORDER BY event_type
+        """,
+        # last-touch attribution: latest event per order with the SAME
+        # (ts DESC, event_id DESC) tie rule as the composite-rank
+        # searchsorted; money summed in integer cents
+        "revenue_attribution": """
+            WITH m AS (
+                SELECT o.o_orderkey,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                       e.event_type,
+                       row_number() OVER (PARTITION BY o.o_orderkey
+                                          ORDER BY e.ts DESC,
+                                                   e.event_id DESC) AS rn
+                FROM orders o JOIN events e
+                  ON e.user_id = o.o_custkey
+                 AND e.ts <= o.o_orderdate + INTERVAL 9131 DAYS
+            ), w AS (
+                SELECT o_orderkey, cents, event_type FROM m WHERE rn = 1
+            ), att AS (
+                SELECT event_type, sum(cents) AS sc, count(*) AS n
+                FROM w GROUP BY 1
+                UNION ALL
+                SELECT '(none)' AS event_type,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)),
+                       count(*)
+                FROM orders
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM w)
+            )
+            SELECT event_type,
+                   round(CAST(sc AS DOUBLE) / 100.0, 2) AS attributed_revenue,
+                   CAST(n AS BIGINT) AS n_orders
+            FROM att WHERE n > 0 ORDER BY event_type
+        """,
+        # pairwise distinct-token Jaccard; the pipeline groups 64-bit token
+        # hashes (collision odds ~vocab²/2⁶⁴), the oracle literal strings
+        "lang_token_overlap": """
+            WITH tok AS (
+                SELECT DISTINCT lang, tok FROM (
+                    SELECT lang, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+            ), cnt AS (
+                SELECT lang, count(*) AS c FROM tok GROUP BY 1
+            ), inter AS (
+                SELECT a.lang AS la, b.lang AS lb, count(*) AS i
+                FROM tok a JOIN tok b
+                  ON a.tok = b.tok AND a.lang < b.lang
+                GROUP BY 1, 2
+            )
+            SELECT ca.lang AS lang_a, cb.lang AS lang_b,
+                   CAST(coalesce(i.i, 0) AS BIGINT) AS n_common,
+                   CAST(ca.c + cb.c - coalesce(i.i, 0) AS BIGINT) AS n_union,
+                   round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                         / (ca.c + cb.c - coalesce(i.i, 0)), 6) AS jaccard
+            FROM cnt ca JOIN cnt cb ON ca.lang < cb.lang
+            LEFT JOIN inter i ON i.la = ca.lang AND i.lb = cb.lang
+            ORDER BY lang_a, lang_b
+        """,
+        "doc_length_percentiles": """
+            SELECT doc_id, lang, n_chars,
+                   round(percent_rank() OVER (PARTITION BY lang
+                                              ORDER BY n_chars), 6) AS pct_rank
+            FROM documents ORDER BY doc_id
+        """,
+        "customer_balance_ntiles": """
+            WITH t AS (
+                SELECT c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                       ntile(10) OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal, c_custkey) AS tile
+                FROM customer)
+            SELECT c_mktsegment, CAST(tile AS BIGINT) AS tile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS sum_balance,
+                   round(CAST(min(cents) AS DOUBLE) / 100.0, 2) AS min_balance,
+                   round(CAST(max(cents) AS DOUBLE) / 100.0, 2) AS max_balance
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
     # the Bloom prefilter is an invisible physical optimization: identical

@@ -1,0 +1,553 @@
+"""Time-series analytics + ranking operators over the event stream and
+dimension tables: EWMA smoothing, CUSUM change-point detection, last-touch
+revenue attribution (reversed as-of join), pairwise language vocabulary
+overlap, per-document percent ranks, and exact NTILE bucketing.
+
+All exact-oracle queries follow the house float discipline (CLAUDE.md):
+integer folds wherever the math allows, ONE mirrored division at the end,
+`_util.round6` / `round_half_away` on both sides of every gated float.
+Recurrences (EWMA) that cannot avoid float accumulation are evaluated in
+the SAME deterministic day order on both sides (driver loop here, a
+recursive CTE in the oracle) so IEEE rounding agrees bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..kernels.hashing import hash_arrow_strings, splitmix64
+from ..stages.broadcast import cached
+from ._util import ensure_columns, round6, round_half_away
+from .relational import _SMALL_ROWS, _fold_partials, _read
+
+_ATTR_SHIFT_US = np.int64(9131) * 86400 * 1_000_000  # the asof-join shift
+
+
+def _daily_type_counts(sf_dir: str) -> pd.DataFrame:
+    """(event_type, day, cnt) over the events stream — per-batch day-floor
+    group_by partials, adaptive fold (`relational._fold_partials`
+    discipline). Group-bounded: at most n_types × n_days rows reach the
+    driver. Shared by events_ewma_daily and cusum_changepoint."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        t = pa.table({"day": day, "event_type": batch["event_type"]})
+        g = t.group_by(["day", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "event_type", "c_p"])
+
+    df = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=32768),
+        ds.count(), ["day", "event_type"], {"cnt": "c_p"})
+    df["cnt"] = df["cnt"].astype(np.int64)
+    return df.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def events_ewma_daily(sf_dir: str, alpha: float = 0.5) -> pa.Table:
+    """Exponentially-weighted moving average of the daily event count per
+    event_type — the classic streaming smoother. The recurrence
+    ``e_i = alpha*c_i + (1-alpha)*e_{i-1}`` (seeded e_0 = c_0) runs over
+    the OBSERVED days in day order; the oracle renders the identical
+    float expression in a recursive CTE evaluated in the same order, so
+    both sides perform the exact same IEEE-double op sequence. Scale
+    shape: one streaming count fold (group-bounded), then an
+    O(n_types × n_days) driver scan. Returns (event_type, day, ewma)."""
+    daily = _daily_type_counts(sf_dir)
+    a, b = float(alpha), 1.0 - float(alpha)
+    out = np.empty(len(daily), np.float64)
+    types = daily["event_type"].to_numpy()
+    cnts = daily["cnt"].to_numpy().astype(np.float64)
+    prev_t, e = None, 0.0
+    for i in range(len(daily)):
+        c = cnts[i]
+        e = c if types[i] != prev_t else a * c + b * e
+        prev_t = types[i]
+        out[i] = e
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "day": pa.Array.from_pandas(daily["day"], type=pa.timestamp("us")),
+        "ewma": pa.array(round6(out), pa.float64()),
+    })
+
+
+def cusum_changepoint(sf_dir: str) -> pa.Table:
+    """CUSUM change-point day per event_type: the day maximizing the
+    |cumulative deviation from the mean daily count|. All math is exact
+    integers until ONE mirrored division: with prefix sums p_i over n days
+    totalling T, the deviation is (p_i·n − (i+1)·T)/n — numerator exact in
+    int64, |·| taken on the integer, round6 after the division; argmax on
+    the ROUNDED score with earliest-day tie-break (event_anomaly_days
+    precedent). Returns (event_type, change_day, max_dev)."""
+    daily = _daily_type_counts(sf_dir)
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        c = g["cnt"].to_numpy()
+        n = np.int64(len(c))
+        tot = np.int64(c.sum())
+        pre = np.cumsum(c, dtype=np.int64)
+        i1 = np.arange(1, len(c) + 1, dtype=np.int64)
+        num = np.abs(pre * n - i1 * tot)
+        dev = round6(num.astype(np.float64) / float(n))
+        j = int(np.lexsort((g["day"].to_numpy(), -dev))[0])
+        rows.append((et, g["day"].iloc[j], float(dev[j])))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "change_day": pa.Array.from_pandas(
+            pd.Series([r[1] for r in rows]), type=pa.timestamp("us")),
+        "max_dev": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _attr_match(uid_o: np.ndarray, bound_o: np.ndarray, cents_o: np.ndarray,
+                uid_e: np.ndarray, ts_e: np.ndarray, eid_e: np.ndarray,
+                code_e: np.ndarray, n_types: int
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized last-touch resolve: for each order, the latest event of
+    the same user with ts <= bound, ties on ts broken by max event_id
+    (mirrors ORDER BY ts DESC, event_id DESC LIMIT 1). Composite rank
+    trick: uid·(R+1) + rank(ts) makes one searchsorted find the last
+    qualifying event per order. Returns per-type (cents_sum, n_orders)
+    plus the unmatched (cents, count)."""
+    date_ranks = np.unique(ts_e)
+    R = np.int64(len(date_ranks))
+    r_e = np.searchsorted(date_ranks, ts_e).astype(np.int64)
+    comp_e = uid_e * (R + 1) + r_e + 1
+    order = np.lexsort((eid_e, comp_e))  # ties: larger event_id LAST
+    comp_sorted = comp_e[order]
+    rb = np.searchsorted(date_ranks, bound_o, side="right").astype(np.int64)
+    comp_q = uid_o * (R + 1) + rb
+    idx = np.searchsorted(comp_sorted, comp_q, side="right")
+    has = idx > 0
+    cand = np.where(has, idx - 1, 0)
+    ok = has & (comp_sorted[cand] // (R + 1) == uid_o)
+    code = code_e[order][cand]
+    sums = np.zeros(n_types, np.int64)
+    cnts = np.zeros(n_types, np.int64)
+    np.add.at(sums, code[ok], cents_o[ok])
+    np.add.at(cnts, code[ok], 1)
+    return sums, cnts, np.int64(cents_o[~ok].sum()), np.int64((~ok).sum())
+
+
+def revenue_attribution(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Last-touch revenue attribution — the as-of join REVERSED (orders
+    probe the event stream): each order's o_totalprice is credited to the
+    user's latest event at or before o_orderdate + 9131 days (the shift
+    that interleaves the two tables' time ranges, relational.py asof
+    precedent); orders with no qualifying event fall in a '(none)' bucket.
+
+    Two plans, pytest-pinned equal (``force``="driver"/"partitioned"):
+    driver resolve below `_SMALL_ROWS` combined input rows, else a
+    hash-partition-by-user tagged union + groupby(part).map_groups
+    co-group (both sides large — the 100 TB path; each group emits only
+    n_types+1 partial rows). Money folds in integer cents. Returns
+    (event_type, attributed_revenue, n_orders)."""
+    etypes = _event_type_list(sf_dir)
+    tmap = {t: i for i, t in enumerate(etypes)}
+    n_types = len(etypes)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    total_rows = orders.count() + events.count()
+    small = (total_rows < _SMALL_ROWS) if force is None else (force == "driver")
+
+    if small:
+        ot = orders.to_pandas()
+        et = events.to_pandas()
+        sums, cnts, none_c, none_n = _attr_match(
+            ot["o_custkey"].to_numpy().astype(np.int64),
+            ot["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            + _ATTR_SHIFT_US,
+            np.round(ot["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+            et["user_id"].to_numpy().astype(np.int64),
+            et["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            et["event_id"].to_numpy().astype(np.int64),
+            et["event_type"].map(tmap).to_numpy().astype(np.int64),
+            n_types)
+    else:
+        P = np.int64(64)
+        code_ref = ray.put((pa.array(etypes, pa.string()), n_types))
+
+        def order_rows(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bound = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+                     .astype("datetime64[us]").astype(np.int64) + _ATTR_SHIFT_US)
+            cents = np.round(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            part = (splitmix64(ck.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+            return pa.table({
+                "part": pa.array(part, pa.int64()),
+                "side": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+                "key": pa.array(ck, pa.int64()),
+                "t": pa.array(bound, pa.int64()),
+                "aux": pa.array(cents, pa.int64()),      # order: cents
+                "aux2": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+            })
+
+        def event_rows(b: pa.Table) -> pa.Table:
+            types_arr, _ = cached(code_ref)
+            uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = (b["ts"].to_numpy(zero_copy_only=False)
+                  .astype("datetime64[us]").astype(np.int64))
+            code = pc.index_in(b["event_type"].combine_chunks(),
+                               value_set=types_arr) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            part = (splitmix64(uid.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+            return pa.table({
+                "part": pa.array(part, pa.int64()),
+                "side": pa.array(np.ones(len(uid), np.int8), pa.int8()),
+                "key": pa.array(uid, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "aux": pa.array(code, pa.int64()),        # event: type code
+                "aux2": pa.array(
+                    b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64()),
+            })
+
+        o_t = orders.map_batches(order_rows, batch_format="pyarrow", batch_size=32768)
+        e_t = events.map_batches(event_rows, batch_format="pyarrow", batch_size=32768)
+
+        def attr_group(df: pd.DataFrame) -> pd.DataFrame:
+            _, nt = cached(code_ref)
+            o = df[df["side"] == 0]
+            e = df[df["side"] == 1]
+            if len(o) == 0:
+                return pd.DataFrame({"code": pd.Series([], dtype="int64"),
+                                     "cents_p": pd.Series([], dtype="int64"),
+                                     "n_p": pd.Series([], dtype="int64")})
+            if len(e) == 0:
+                return pd.DataFrame({"code": [np.int64(nt)],
+                                     "cents_p": [np.int64(o["aux"].sum())],
+                                     "n_p": [np.int64(len(o))]})
+            sums, cnts, none_c, none_n = _attr_match(
+                o["key"].to_numpy(), o["t"].to_numpy(), o["aux"].to_numpy(),
+                e["key"].to_numpy(), e["t"].to_numpy(), e["aux2"].to_numpy(),
+                e["aux"].to_numpy(), nt)
+            return pd.DataFrame({
+                "code": np.concatenate([np.arange(nt, dtype=np.int64), [nt]]),
+                "cents_p": np.concatenate([sums, [none_c]]),
+                "n_p": np.concatenate([cnts, [none_n]]),
+            })
+
+        parts = (o_t.union(e_t).groupby("part")
+                 .map_groups(attr_group, batch_format="pandas"))
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"code": "int64", "cents_p": "int64", "n_p": "int64"})
+        agg = pdf.groupby("code").agg(cents=("cents_p", "sum"), n=("n_p", "sum"))
+        sums = np.zeros(n_types, np.int64)
+        cnts = np.zeros(n_types, np.int64)
+        for code, row in agg.iterrows():
+            if code < n_types:
+                sums[code], cnts[code] = row["cents"], row["n"]
+        none_c = np.int64(agg.loc[n_types, "cents"]) if n_types in agg.index else np.int64(0)
+        none_n = np.int64(agg.loc[n_types, "n"]) if n_types in agg.index else np.int64(0)
+
+    names = list(etypes) + ["(none)"]
+    all_sums = np.concatenate([sums, [none_c]])
+    all_cnts = np.concatenate([cnts, [none_n]])
+    keep = all_cnts > 0
+    out = pa.table({
+        "event_type": pa.array([n for n, k in zip(names, keep) if k], pa.string()),
+        "attributed_revenue": pa.array(
+            round_half_away(all_sums[keep].astype(np.float64) / 100.0, 2),
+            pa.float64()),
+        "n_orders": pa.array(all_cnts[keep], pa.int64()),
+    })
+    return out.take(pc.sort_indices(out, sort_keys=[("event_type", "ascending")]))
+
+
+def _event_type_list(sf_dir: str) -> list[str]:
+    """Global sorted event-type list — a tiny distinct fold over one
+    low-cardinality column (per-batch unique, driver set-union)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"].combine_chunks().unique()})
+
+    vals = ds.map_batches(uniq, batch_format="pyarrow", batch_size=65536).to_pandas()
+    return sorted(set(vals["event_type"].tolist()))
+
+
+def lang_token_overlap(sf_dir: str, seed: int = 7,
+                       force: str | None = None) -> pa.Table:
+    """Pairwise vocabulary overlap between languages: Jaccard of the
+    DISTINCT whitespace-token sets of every lang pair — the corpus-mixing
+    diagnostic a multilingual training pipeline runs before weighting.
+
+    Scale shape: per-batch distinct (token-hash, lang) pairs; adaptive fold
+    (driver or-fold below `_SMALL_ROWS` docs, else ONE vocab-bounded
+    distributed groupby, tfidf df-fold discipline); then lang-set BITMASKS
+    per token make every pairwise intersection a bincount over ≤2^L mask
+    values — no token ever compares against another. Token identity is the
+    64-bit hash (collision odds ~vocab²/2⁶⁴, table_profile precedent; the
+    oracle joins literal strings). ONE mirrored division per pair.
+    Returns (lang_a, lang_b, n_common, n_union, jaccard)."""
+    from ray.data.aggregate import Sum
+
+    from ._util import n_reducers
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    n_docs = ds.count()
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        lists = pc.split_pattern(text, " ")
+        toks = pc.list_flatten(lists)
+        ntok = pc.list_value_length(lists).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = hash_arrow_strings(toks, seed=seed).view(np.int64)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        doc_lang = np.repeat(lang, ntok)
+        df = pd.DataFrame({"h": h, "lang": doc_lang}).drop_duplicates()
+        return pa.table({"h": pa.array(df["h"].to_numpy(), pa.int64()),
+                         "lang": pa.array(df["lang"].to_numpy(), pa.string()),
+                         "one": pa.array(np.ones(len(df), np.int64), pa.int64())})
+
+    partials = ds.map_batches(pair_partials, batch_format="pyarrow", batch_size=4096)
+    small = (n_docs < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(partials.to_pandas(),
+                             {"h": "int64", "lang": "object", "one": "int64"})
+    else:
+        # one vocab×n_langs-bounded shuffle dedupes pairs seen in many batches
+        dd = (partials.repartition(n_reducers()).groupby(["h", "lang"])
+              .aggregate(Sum("one", alias_name="one")))
+        pdf = ensure_columns(dd.to_pandas(),
+                             {"h": "int64", "lang": "object", "one": "int64"})
+    pdf = pdf.drop_duplicates(subset=["h", "lang"])
+    langs = sorted(pdf["lang"].unique().tolist())
+    lcode = {l: i for i, l in enumerate(langs)}
+    L = len(langs)
+    vocab, inv = np.unique(pdf["h"].to_numpy(), return_inverse=True)
+    bits = np.array([1 << lcode[l] for l in pdf["lang"]], np.int64)
+    masks = np.zeros(len(vocab), np.int64)
+    np.bitwise_or.at(masks, inv, bits)
+    mask_counts = np.bincount(masks, minlength=1 << L)
+    mvals = np.arange(1 << L, dtype=np.int64)
+    has_bit = [((mvals >> a) & 1).astype(bool) for a in range(L)]
+    la, lb, n_common, n_union, jac = [], [], [], [], []
+    for a in range(L):
+        cnt_a = int(mask_counts[has_bit[a]].sum())
+        for b in range(a + 1, L):
+            cnt_b = int(mask_counts[has_bit[b]].sum())
+            inter = int(mask_counts[has_bit[a] & has_bit[b]].sum())
+            union = cnt_a + cnt_b - inter
+            la.append(langs[a])
+            lb.append(langs[b])
+            n_common.append(inter)
+            n_union.append(union)
+            jac.append(float(round6(inter / union)) if union else 0.0)
+    return pa.table({
+        "lang_a": pa.array(la, pa.string()),
+        "lang_b": pa.array(lb, pa.string()),
+        "n_common": pa.array(n_common, pa.int64()),
+        "n_union": pa.array(n_union, pa.int64()),
+        "jaccard": pa.array(jac, pa.float64()),
+    })
+
+
+def doc_length_percentiles(sf_dir: str, force: str | None = None) -> pa.Table:
+    """percent_rank of every document's n_chars within its language —
+    the per-doc length-percentile feature column. rank semantics: ties
+    share a rank, pct = count(shorter)/(n_lang − 1) (0 when n_lang = 1),
+    exactly SQL PERCENT_RANK.
+
+    Scale shape: ONE (lang, n_chars) histogram fold (group-bounded:
+    distinct lengths per lang, grouped_quantiles_exact discipline,
+    adaptive via `_fold_partials`), broadcast of the per-lang sorted
+    (length → cumulative-below) arrays — histogram-sized, NOT corpus-
+    sized — then a second streaming pass attaches the percentile to every
+    doc with one searchsorted per batch. ONE mirrored division.
+    Returns (doc_id, lang, n_chars, pct_rank)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    n_docs = ds.count()
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"], "n_chars": batch["n_chars"]})
+        g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "c_p"])
+
+    fold_rows = n_docs if force is None else (0 if force == "driver" else _SMALL_ROWS)
+    hist = _fold_partials(
+        ds.map_batches(hist_partials, batch_format="pyarrow", batch_size=32768),
+        fold_rows, ["lang", "n_chars"], {"cnt": "c_p"})
+    hist["cnt"] = hist["cnt"].astype(np.int64)
+    lut: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        lens = g["n_chars"].to_numpy().astype(np.int64)
+        cnts = g["cnt"].to_numpy()
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+        lut[lang] = (lens, below, int(cnts.sum()))
+    ref = ray.put(lut)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        table = cached(ref)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pct = np.zeros(len(nc), np.float64)
+        for lg in np.unique(lang):
+            m = lang == lg
+            lens, below, n = table[lg]
+            if n > 1:
+                idx = np.searchsorted(lens, nc[m])
+                pct[m] = round6(below[idx].astype(np.float64) / float(n - 1))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+            "pct_rank": pa.array(pct, pa.float64()),
+        })
+
+    out = ds.map_batches(attach, batch_format="pyarrow", batch_size=32768).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _ntile_of_rank(rank0: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k): first n % k tiles take ceil(n/k) rows. 0-based rank
+    in, 1-based tile out."""
+    q, r = divmod(int(n), int(k))
+    cut = r * (q + 1)
+    big = rank0 < cut
+    # q == 0 means n < k: every rank is < cut = n, the else branch is unused
+    tile = np.where(big, rank0 // (q + 1) + 1,
+                    r + (rank0 - cut) // max(q, 1) + 1)
+    return tile.astype(np.int64)
+
+
+def customer_balance_ntiles(sf_dir: str, k: int = 10,
+                            force: str | None = None) -> pa.Table:
+    """Exact NTILE(k) buckets of customers by account balance within each
+    market segment, aggregated per tile (count, sum/min/max balance) —
+    the window-function rank family done distributed-exact.
+
+    Distributed plan (the 100 TB path): global ranks via a BUCKETED PREFIX
+    SUM (pack_sequences discipline) — equal-width cents buckets from
+    parquet min/max statistics (no sampling, no sort of the full table),
+    per-(segment, bucket) counts folded once, cumulative base offsets
+    broadcast, then groupby(segment, bucket).map_groups local-sorts each
+    bucket by (cents, custkey) and emits per-tile PARTIALS only. Driver
+    plan below `_SMALL_ROWS` rows sorts in one lexsort; pytest pins the
+    branches equal. Money in integer cents end-to-end.
+    Returns (c_mktsegment, tile, n_customers, sum_balance, min_balance,
+    max_balance)."""
+    from ._util import parquet_minmax
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    n_rows = ds.count()
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+
+    def tile_partials(seg: np.ndarray, cents: np.ndarray, rank0: np.ndarray,
+                      seg_n: dict[str, int]) -> pd.DataFrame:
+        rows = []
+        for s in np.unique(seg):
+            m = seg == s
+            tile = _ntile_of_rank(rank0[m], seg_n[s], k)
+            for t in np.unique(tile):
+                tm = m.copy()
+                tm[m] = tile == t
+                c = cents[tm]
+                rows.append((s, int(t), int(len(c)), int(c.sum()),
+                             int(c.min()), int(c.max())))
+        return pd.DataFrame(rows, columns=["c_mktsegment", "tile", "n_p",
+                                           "sum_p", "min_p", "max_p"])
+
+    if small:
+        df = ds.to_pandas()
+        seg = df["c_mktsegment"].to_numpy()
+        cents = np.round(df["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        ck = df["c_custkey"].to_numpy().astype(np.int64)
+        seg_n = {s: int((seg == s).sum()) for s in np.unique(seg)}
+        rank0 = np.empty(len(df), np.int64)
+        for s in np.unique(seg):
+            m = seg == s
+            order = np.lexsort((ck[m], cents[m]))
+            rr = np.empty(m.sum(), np.int64)
+            rr[order] = np.arange(m.sum())
+            rank0[m] = rr
+        pdf = tile_partials(seg, cents, rank0, seg_n)
+    else:
+        lo, hi = parquet_minmax(f"{sf_dir}/customer.parquet", "c_acctbal")
+        lo_c = np.int64(np.floor(float(lo) * 100.0))
+        hi_c = np.int64(np.ceil(float(hi) * 100.0))
+        n_buckets = 64
+        edges = np.linspace(float(lo_c), float(hi_c) + 1.0, n_buckets + 1)[1:-1]
+
+        def bucketed(batch: pa.Table) -> pa.Table:
+            cents = np.round(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                             * 100.0).astype(np.int64)
+            b = np.searchsorted(edges, cents.astype(np.float64), side="right")
+            return pa.table({
+                "c_mktsegment": batch["c_mktsegment"],
+                "bucket": pa.array(b.astype(np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            })
+
+        tagged = ds.map_batches(bucketed, batch_format="pyarrow",
+                                batch_size=32768).materialize()
+
+        def count_partials(batch: pa.Table) -> pa.Table:
+            t = pa.table({"c_mktsegment": batch["c_mktsegment"],
+                          "bucket": batch["bucket"]})
+            g = t.group_by(["c_mktsegment", "bucket"]).aggregate([([], "count_all")])
+            return g.rename_columns(["c_mktsegment", "bucket", "c_p"])
+
+        counts = _fold_partials(
+            tagged.map_batches(count_partials, batch_format="pyarrow",
+                               batch_size=65536),
+            0, ["c_mktsegment", "bucket"], {"cnt": "c_p"})
+        counts["cnt"] = counts["cnt"].astype(np.int64)
+        counts = counts.sort_values(["c_mktsegment", "bucket"])
+        base: dict[tuple[str, int], int] = {}
+        seg_n = {}
+        for s, g in counts.groupby("c_mktsegment"):
+            off = 0
+            for _, row in g.iterrows():
+                base[(s, int(row["bucket"]))] = off
+                off += int(row["cnt"])
+            seg_n[s] = off
+        ref = ray.put((base, seg_n))
+
+        def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+            base_m, seg_n_m = cached(ref)
+            s = df["c_mktsegment"].iloc[0]
+            b = int(df["bucket"].iloc[0])
+            cents = df["cents"].to_numpy()
+            ck = df["c_custkey"].to_numpy()
+            order = np.lexsort((ck, cents))
+            rank0 = np.empty(len(df), np.int64)
+            rank0[order] = np.arange(len(df)) + base_m[(s, b)]
+            return tile_partials(np.full(len(df), s, object), cents, rank0,
+                                 seg_n_m)
+
+        parts = (tagged.groupby(["c_mktsegment", "bucket"])
+                 .map_groups(rank_group, batch_format="pandas"))
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"c_mktsegment": "object", "tile": "int64",
+                              "n_p": "int64", "sum_p": "int64",
+                              "min_p": "int64", "max_p": "int64"})
+
+    agg = pdf.groupby(["c_mktsegment", "tile"], as_index=False).agg(
+        n_customers=("n_p", "sum"), sum_c=("sum_p", "sum"),
+        min_c=("min_p", "min"), max_c=("max_p", "max"))
+    agg = agg.sort_values(["c_mktsegment", "tile"]).reset_index(drop=True)
+    return pa.table({
+        "c_mktsegment": pa.array(agg["c_mktsegment"], pa.string()),
+        "tile": pa.array(agg["tile"].astype(np.int64), pa.int64()),
+        "n_customers": pa.array(agg["n_customers"].astype(np.int64), pa.int64()),
+        "sum_balance": pa.array(
+            round_half_away(agg["sum_c"].to_numpy().astype(np.float64) / 100.0, 2),
+            pa.float64()),
+        "min_balance": pa.array(
+            round_half_away(agg["min_c"].to_numpy().astype(np.float64) / 100.0, 2),
+            pa.float64()),
+        "max_balance": pa.array(
+            round_half_away(agg["max_c"].to_numpy().astype(np.float64) / 100.0, 2),
+            pa.float64()),
+    })

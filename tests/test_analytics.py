@@ -1,0 +1,141 @@
+"""Tests for pipelines/analytics.py — EWMA, CUSUM, attribution, language
+overlap, percent ranks, NTILE. Every adaptive operator gets a forced
+non-default-branch equality test (house invariant, CLAUDE.md)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _daily(con_sql: str = ""):
+    return duckdb.sql(
+        f"""SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS c
+            FROM read_parquet('{SF}/events.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+
+
+def test_ewma_matches_pandas_recurrence(ray_session):
+    from sketch_ray.pipelines.analytics import events_ewma_daily
+    from sketch_ray.pipelines._util import round6
+
+    out = events_ewma_daily(SF).to_pandas()
+    daily = _daily()
+    want = []
+    for et, g in daily.groupby("event_type", sort=True):
+        e = g["c"].astype(float).ewm(alpha=0.5, adjust=False).mean()
+        want.extend(round6(e.to_numpy()).tolist())
+    assert np.allclose(out["ewma"].to_numpy(), np.array(want), atol=1.1e-6)
+    assert len(out) == len(daily)
+
+
+def test_cusum_matches_bruteforce(ray_session):
+    from sketch_ray.pipelines.analytics import cusum_changepoint
+    from sketch_ray.pipelines._util import round6
+
+    out = cusum_changepoint(SF).to_pandas().set_index("event_type")
+    daily = _daily()
+    for et, g in daily.groupby("event_type", sort=True):
+        c = g["c"].to_numpy().astype(object)  # python ints: exact
+        n, tot = len(c), int(sum(c))
+        best = None
+        pre = 0
+        for i, ci in enumerate(c):
+            pre += int(ci)
+            dev = float(round6(abs(pre * n - (i + 1) * tot) / n))
+            if best is None or dev > best[0]:
+                best = (dev, g["day"].iloc[i])
+        assert out.loc[et, "max_dev"] == pytest.approx(best[0], abs=1e-9)
+        assert pd.Timestamp(out.loc[et, "change_day"]) == pd.Timestamp(best[1])
+
+
+def test_attribution_branches_agree_and_conserve(ray_session):
+    from sketch_ray.pipelines.analytics import revenue_attribution
+
+    a = revenue_attribution(SF, force="driver").to_pandas()
+    b = revenue_attribution(SF, force="partitioned").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # conservation: every order is attributed exactly once
+    orders = duckdb.sql(
+        f"""SELECT count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM read_parquet('{SF}/orders.parquet')"""
+    ).fetchone()
+    assert int(a["n_orders"].sum()) == orders[0]
+    assert float(a["attributed_revenue"].sum()) == pytest.approx(
+        orders[1] / 100.0, abs=0.05)
+
+
+def test_lang_token_overlap_branches_and_bruteforce(ray_session):
+    from sketch_ray.pipelines.analytics import lang_token_overlap
+    from sketch_ray.pipelines._util import round6
+
+    a = lang_token_overlap(SF, force="driver").to_pandas()
+    b = lang_token_overlap(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    docs = duckdb.sql(
+        f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')").df()
+    sets: dict[str, set] = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        sets.setdefault(lang, set()).update(text.split(" "))
+    for _, row in a.iterrows():
+        sa, sb = sets[row["lang_a"]], sets[row["lang_b"]]
+        inter, union = len(sa & sb), len(sa | sb)
+        assert row["n_common"] == inter
+        assert row["n_union"] == union
+        assert row["jaccard"] == pytest.approx(float(round6(inter / union)))
+
+
+def test_doc_length_percentiles_branches_and_rank(ray_session):
+    from sketch_ray.pipelines.analytics import doc_length_percentiles
+
+    a = doc_length_percentiles(SF, force="driver").to_pandas()
+    b = doc_length_percentiles(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM read_parquet('{SF}/documents.parquet')"
+        " ORDER BY doc_id").df()
+    for lang, g in docs.groupby("lang"):
+        n = len(g)
+        want = (g["n_chars"].rank(method="min") - 1) / max(n - 1, 1)
+        got = a.set_index("doc_id").loc[g["doc_id"], "pct_rank"]
+        assert np.allclose(got.to_numpy(), want.to_numpy(), atol=1.1e-6)
+
+
+def test_ntiles_branches_and_duckdb(ray_session):
+    from sketch_ray.pipelines.analytics import customer_balance_ntiles
+
+    a = customer_balance_ntiles(SF, force="driver").to_pandas()
+    b = customer_balance_ntiles(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    want = duckdb.sql(
+        f"""WITH t AS (
+                SELECT c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                       ntile(10) OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal, c_custkey) AS tile
+                FROM read_parquet('{SF}/customer.parquet'))
+            SELECT c_mktsegment, CAST(tile AS BIGINT) AS tile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS sum_balance
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    got = a[["c_mktsegment", "tile", "n_customers", "sum_balance"]]
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # tile populations differ by at most one within a segment
+    for _, g in a.groupby("c_mktsegment"):
+        assert g["n_customers"].max() - g["n_customers"].min() <= 1
+
+
+def test_ntile_formula_matches_sql_semantics():
+    from sketch_ray.pipelines.analytics import _ntile_of_rank
+
+    for n in (1, 3, 9, 10, 11, 25, 100):
+        got = _ntile_of_rank(np.arange(n), n, 10)
+        want = duckdb.sql(
+            f"SELECT ntile(10) OVER (ORDER BY i) AS t FROM range({n}) r(i)"
+            " ORDER BY i").df()["t"].to_numpy()
+        assert (got == want).all()
