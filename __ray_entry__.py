@@ -301,6 +301,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_percentiles": analytics.doc_length_percentiles,
         # exact NTILE(10) balance buckets (bucketed distributed prefix sum)
         "customer_balance_ntiles": analytics.customer_balance_ntiles,
+        # sequential pattern: consecutive event-type triples per user
+        "event_type_trigrams": analytics.event_type_trigrams,
+        # market-basket pair mining (order-bucket expand + pair-keyed fold)
+        "copurchase_pairs": analytics.copurchase_pairs,
+        # lag-k autocorrelation of daily counts (exact big-int deviations)
+        "daily_autocorrelation": analytics.daily_autocorrelation,
+        # Benford first-digit screen over order totals
+        "first_digit_profile": analytics.first_digit_profile,
+        # order-to-ship latency histogram (adaptive broadcast/native join)
+        "ship_latency_histogram": analytics.ship_latency_histogram,
     }
 
 
@@ -2479,8 +2489,104 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(cents) AS DOUBLE) / 100.0, 2) AS max_balance
             FROM t GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "event_type_trigrams": """
+            WITH s AS (
+                SELECT event_type AS t1,
+                       lead(event_type, 1) OVER w AS t2,
+                       lead(event_type, 2) OVER w AS t3,
+                       lead(user_id, 2) OVER w AS u3, user_id
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+            FROM s WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "copurchase_pairs": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            p AS (
+                SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b,
+                       count(*) AS cnt
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2)
+            SELECT pk_a, pk_b, CAST(cnt AS BIGINT) AS cnt FROM p
+            ORDER BY cnt DESC, pk_a, pk_b LIMIT 25
+        """,
+        # scaled integer deviations d_i = c_i·n − T: numerator/denominator
+        # exact in HUGEINT, each cast to DOUBLE before the one division
+        # (HUGEINT/HUGEINT integer-divides — nation_market_share trap)
+        "daily_autocorrelation": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ), seq AS (
+                SELECT event_type, c,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                                               ORDER BY day) AS BIGINT) AS rn
+                FROM daily
+            ), m AS (
+                SELECT event_type, sum(c) AS tot,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM seq GROUP BY 1
+            ), dev AS (
+                SELECT s.event_type, s.rn,
+                       CAST(s.c * m.n - m.tot AS HUGEINT) AS dv
+                FROM seq s JOIN m USING (event_type)
+            ), den AS (
+                SELECT event_type, sum(dv * dv) AS d2 FROM dev GROUP BY 1
+            )
+            SELECT a.event_type, k.lag,
+                   round(CAST(sum(a.dv * b.dv) AS DOUBLE)
+                         / CAST(den.d2 AS DOUBLE), 6) AS autocorr
+            FROM (VALUES (1), (7)) k(lag)
+            CROSS JOIN dev a
+            JOIN dev b ON b.event_type = a.event_type AND b.rn = a.rn + k.lag
+            JOIN den ON den.event_type = a.event_type
+            WHERE den.d2 > 0
+            GROUP BY a.event_type, k.lag, den.d2
+            ORDER BY a.event_type, k.lag
+        """,
+        "first_digit_profile": _BENFORD_SQL,
+        "ship_latency_histogram": """
+            SELECT o.o_orderpriority,
+                   CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                        AS BIGINT) AS latency_days,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
     }
     # the Bloom prefilter is an invisible physical optimization: identical
     # answer, identical oracle
     out["decontaminate_corpus_bloom"] = out["decontaminate_corpus"]
     return out
+
+
+def _benford_sql() -> str:
+    """Benford oracle with the expected-share constants rendered as PYTHON
+    double literals — log10 in two engines is not guaranteed to round
+    identically, so both sides must share one set of doubles."""
+    import numpy as np
+
+    from sketch_ray.pipelines._util import round6
+
+    cases = " ".join(
+        f"WHEN {d} THEN {float(round6(np.log10(1.0 + 1.0 / d)))!r}"
+        for d in range(1, 10))
+    return f"""
+        WITH dig AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders
+        ), tot AS (SELECT count(*) AS n FROM dig)
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(count(*) AS DOUBLE) / tot.n, 6) AS share,
+               CASE digit {cases} END AS benford_p
+        FROM dig, tot GROUP BY digit, tot.n ORDER BY digit
+    """
+
+
+_BENFORD_SQL = _benford_sql()

@@ -551,3 +551,324 @@ def customer_balance_ntiles(sf_dir: str, k: int = 10,
             round_half_away(agg["max_c"].to_numpy().astype(np.float64) / 100.0, 2),
             pa.float64()),
     })
+
+
+def event_type_trigrams(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Counts of consecutive event-type TRIPLES per user (ordered by
+    ts, event_id) — the sequential-pattern / LEAD-window statistic one
+    step beyond event_transitions' pairs. Adaptive: driver pass below
+    `_SMALL_ROWS`, else user-bucket map_groups emitting
+    (types³ × buckets)-bounded partials. Returns (t1, t2, t3, cnt)."""
+    from .relational import _bucket_users
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"t1": pd.Series([], dtype="object"),
+                                 "t2": pd.Series([], dtype="object"),
+                                 "t3": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        b = batch.sort_values(["user_id", "ts", "event_id"])
+        uid = b["user_id"].to_numpy(np.int64)
+        et = b["event_type"].to_numpy()
+        same = (uid[2:] == uid[:-2]) if len(uid) > 2 else np.array([], bool)
+        return pd.DataFrame({"t1": et[:-2][same], "t2": et[1:-1][same],
+                             "t3": et[2:][same]}) \
+            .groupby(["t1", "t2", "t3"], as_index=False) \
+            .size().rename(columns={"size": "cnt"})
+
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        df = per_batch(ds.to_pandas())
+    else:
+        out = (ds.map_batches(_bucket_users, batch_format="pyarrow",
+                              batch_size=65536)
+               .groupby("bucket")
+               .map_groups(lambda g: per_batch(g.drop(columns=["bucket"])),
+                           batch_format="pandas"))
+        df = ensure_columns(out.to_pandas(),
+                            {"t1": "object", "t2": "object",
+                             "t3": "object", "cnt": "int64"})
+        df = df.groupby(["t1", "t2", "t3"], as_index=False)["cnt"].sum()
+    df = df.astype({"cnt": "int64"}) \
+        .sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _pair_expand(okey: np.ndarray, pk: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered part pairs within each order: inputs DISTINCT
+    (okey, pk) rows; output (pk_a, pk_b) with pk_a < pk_b — fully
+    vectorized (repeat + offset arithmetic, no per-order loop)."""
+    order = np.lexsort((pk, okey))
+    ok, p = okey[order], pk[order]
+    n = len(ok)
+    if n == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    new = np.concatenate([[True], ok[1:] != ok[:-1]])
+    seg_id = np.cumsum(new) - 1
+    seg_start = np.flatnonzero(new)
+    seg_len = np.diff(np.concatenate([seg_start, [n]]))
+    seg_end = seg_start + seg_len
+    reps = seg_end[seg_id] - np.arange(n) - 1
+    a_idx = np.repeat(np.arange(n), reps)
+    c = np.concatenate([[0], np.cumsum(reps)])[:-1]
+    b_idx = np.arange(int(reps.sum())) - np.repeat(c, reps) + a_idx + 1
+    return p[a_idx], p[b_idx]
+
+
+def copurchase_pairs(sf_dir: str, k: int = 25,
+                     force: str | None = None) -> pa.Table:
+    """Market-basket pair mining: the top-k part pairs that co-occur in
+    the most orders (frequent-itemset level 2). Per-order part sets are
+    deduped; pairs rank by (count DESC, pk_a, pk_b) — fully deterministic.
+
+    Scale shape: per-batch distinct (order, part) rows bucket by ORDER
+    hash (whole orders co-locate); each bucket group expands its pairs
+    vectorized and pre-counts them; the pair counts then fold adaptively —
+    driver below `_SMALL_ROWS` lineitem rows, else ONE pair-keyed
+    distributed groupby whose counts are final, so each output block
+    contributes a local top-k (≤k rows) and the driver merges k-bounded
+    partials only. Returns (pk_a, pk_b, cnt)."""
+    from ray.data.aggregate import Sum
+
+    from ._util import n_reducers
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_rows = ds.count()
+    P = np.int64(64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = pa.table({"okey": batch["l_orderkey"], "pk": batch["l_partkey"]})
+        df = t.to_pandas().drop_duplicates()
+        ok = df["okey"].to_numpy(np.int64)
+        return pa.table({
+            "bucket": pa.array(
+                (splitmix64(ok.astype(np.uint64)) % np.uint64(P))
+                .astype(np.int64), pa.int64()),
+            "okey": pa.array(ok, pa.int64()),
+            "pk": pa.array(df["pk"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def pairs_group(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df[["okey", "pk"]].drop_duplicates()
+        a, b = _pair_expand(dd["okey"].to_numpy(np.int64),
+                            dd["pk"].to_numpy(np.int64))
+        return pd.DataFrame({"pk_a": a, "pk_b": b}) \
+            .groupby(["pk_a", "pk_b"], as_index=False) \
+            .size().rename(columns={"size": "cnt_p"})
+
+    grouped = (ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+               .groupby("bucket")
+               .map_groups(lambda g: pairs_group(g.drop(columns=["bucket"])),
+                           batch_format="pandas"))
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(grouped.to_pandas(),
+                             {"pk_a": "int64", "pk_b": "int64", "cnt_p": "int64"})
+        agg = pdf.groupby(["pk_a", "pk_b"], as_index=False)["cnt_p"].sum()
+    else:
+        def local_topk(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df.sort_values(["cnt_p", "pk_a", "pk_b"],
+                                ascending=[False, True, True]).head(k)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        folded = (grouped.repartition(n_reducers())
+                  .groupby(["pk_a", "pk_b"])
+                  .aggregate(Sum("cnt_p", alias_name="cnt_p"))
+                  .map_batches(local_topk, batch_format="pyarrow"))
+        agg = ensure_columns(folded.to_pandas(),
+                             {"pk_a": "int64", "pk_b": "int64", "cnt_p": "int64"})
+    agg = agg.sort_values(["cnt_p", "pk_a", "pk_b"],
+                          ascending=[False, True, True]).head(k)
+    return pa.table({
+        "pk_a": pa.array(agg["pk_a"].to_numpy(np.int64), pa.int64()),
+        "pk_b": pa.array(agg["pk_b"].to_numpy(np.int64), pa.int64()),
+        "cnt": pa.array(agg["cnt_p"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def daily_autocorrelation(sf_dir: str, lags: tuple[int, ...] = (1, 7)) -> pa.Table:
+    """Lag-k autocorrelation of the daily event count per event_type:
+    r_k = Σ d_i·d_{i+k} / Σ d_i² with SCALED integer deviations
+    d_i = c_i·n − T (the n² factors cancel) — numerator and denominator
+    exact big-ints, each cast to double BEFORE the one mirrored division
+    (big-int ratios above 2^53 would otherwise round differently than the
+    SQL's HUGEINT→DOUBLE casts). Group-bounded fold + driver scan.
+    Returns (event_type, lag, autocorr) for series with n > k and a
+    nonzero denominator."""
+    daily = _daily_type_counts(sf_dir)
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        c = [int(x) for x in g["cnt"]]
+        n, tot = len(c), sum(c)
+        d = [ci * n - tot for ci in c]
+        den = sum(x * x for x in d)
+        for k in lags:
+            if n <= k or den == 0:
+                continue
+            num = sum(d[i] * d[i + k] for i in range(n - k))
+            rows.append((et, int(k), float(round6(float(num) / float(den)))))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "lag": pa.array([r[1] for r in rows], pa.int64()),
+        "autocorr": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def first_digit_profile(sf_dir: str) -> pa.Table:
+    """Benford first-digit profile of order totals — the fraud /
+    data-quality screen: count + share per leading digit of the integer
+    CENTS (shifting by 100 preserves the leading digit; string slicing
+    sidesteps float log10 edge cases on both sides). benford_p constants
+    are rendered as literals into the oracle so both sides share the
+    identical doubles. Returns (digit, n_orders, share, benford_p)."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        digit = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(pa.array(cents), pa.string()), 0, 1), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cnt = np.bincount(digit, minlength=10)[1:]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "c_p": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    df = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=65536),
+        ds.count(), ["digit"], {"cnt": "c_p"})
+    df = df.sort_values("digit").reset_index(drop=True)
+    cnt = df["cnt"].to_numpy().astype(np.int64)
+    total = int(cnt.sum())
+    keep = cnt > 0
+    digits = df["digit"].to_numpy().astype(np.int64)[keep]
+    cnt = cnt[keep]
+    return pa.table({
+        "digit": pa.array(digits, pa.int64()),
+        "n_orders": pa.array(cnt, pa.int64()),
+        "share": pa.array(round6(cnt.astype(np.float64) / float(total)),
+                          pa.float64()),
+        "benford_p": pa.array(
+            round6(np.log10(1.0 + 1.0 / digits.astype(np.float64))),
+            pa.float64()),
+    })
+
+
+def ship_latency_histogram(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Order-to-ship latency distribution per order priority: lineitem ⋈
+    orders on orderkey, whole-day diff (both columns are midnight-aligned
+    timestamps so integer-microsecond floor-div equals SQL date_diff),
+    counted per (priority, latency_days) — group-bounded output.
+
+    Adaptive join (revenue_per_priority gate): broadcast the orders side
+    as sorted-key arrays when small (ONE searchsorted per batch), else
+    pre-aggregate lineitem per (okey, ship-day) and use Ray's native
+    hash-shuffle Dataset.join sized by `_join_partitions`.
+    ``force``="driver"/"native". Returns (o_orderpriority, latency_days,
+    n_lines)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .relational import _BCAST_JOIN_BYTES, _join_partitions
+
+    _DAY_US = np.int64(86400) * 1_000_000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+        ok = ot["o_orderkey"].to_numpy()
+        order = np.argsort(ok, kind="stable")
+        prios = sorted(set(ot["o_orderpriority"].to_pylist()))
+        pmap = {p: i for i, p in enumerate(prios)}
+        pcode = np.array([pmap[p] for p in ot["o_orderpriority"].to_pylist()],
+                         np.int64)[order]
+        oday = (ot["o_orderdate"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // _DAY_US)[order]
+        ref = ray.put((ok[order], oday, pcode, prios))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            oks, odays, pcs, prs = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            sday = (batch["l_shipdate"].to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+            idx = np.searchsorted(oks, lk)
+            ok_m = (idx < len(oks)) & (oks[np.minimum(idx, len(oks) - 1)] == lk)
+            idx, sday = idx[ok_m], sday[ok_m]
+            diff = sday - odays[idx]
+            code = pcs[idx]
+            # diff can be NEGATIVE (the synthetic dates are independent);
+            # shift into [0, 2^15) before packing
+            key = code * np.int64(1 << 15) + (diff + np.int64(1 << 14))
+            uniq, cnts = np.unique(key, return_counts=True)
+            return pa.table({
+                "o_orderpriority": pa.array([prs[i] for i in uniq >> 15],
+                                            pa.string()),
+                "latency_days": pa.array((uniq & ((1 << 15) - 1))
+                                         - np.int64(1 << 14), pa.int64()),
+                "c_p": pa.array(cnts.astype(np.int64), pa.int64()),
+            })
+
+        df = _fold_partials(
+            li.map_batches(probe, batch_format="pyarrow", batch_size=65536),
+            li.count(), ["o_orderpriority", "latency_days"], {"n_lines": "c_p"})
+    else:
+        def li_partials(batch: pa.Table) -> pa.Table:
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            sday = (batch["l_shipdate"].to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+            key = lk * np.int64(1 << 20) + sday  # ship-day fits 20 bits
+            uniq, cnts = np.unique(key, return_counts=True)
+            return pa.table({
+                "l_orderkey": pa.array(uniq // (1 << 20), pa.int64()),
+                "sday": pa.array(uniq % (1 << 20), pa.int64()),
+                "c_p": pa.array(cnts.astype(np.int64), pa.int64()),
+            })
+
+        def o_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "oday": pa.array(
+                    batch["o_orderdate"].to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]").astype(np.int64) // _DAY_US,
+                    pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+            })
+
+        lp = li.map_batches(li_partials, batch_format="pyarrow", batch_size=65536)
+        op = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .map_batches(o_rows, batch_format="pyarrow", batch_size=65536)
+        joined = lp.join(op, join_type="inner", on=("l_orderkey",),
+                         right_on=("o_orderkey",),
+                         num_partitions=_join_partitions(sf_dir, "lineitem", "orders"))
+
+        def diff_partials(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "o_orderpriority": batch["o_orderpriority"],
+                "latency_days": pc.subtract(batch["sday"], batch["oday"]),
+                "c": batch["c_p"],
+            })
+            g = t.group_by(["o_orderpriority", "latency_days"]) \
+                .aggregate([("c", "sum")])
+            return g.rename_columns(["o_orderpriority", "latency_days", "c_p"])
+
+        df = _fold_partials(
+            joined.map_batches(diff_partials, batch_format="pyarrow",
+                               batch_size=65536),
+            0, ["o_orderpriority", "latency_days"], {"n_lines": "c_p"})
+    df["n_lines"] = df["n_lines"].astype(np.int64)
+    df["latency_days"] = df["latency_days"].astype(np.int64)
+    df = df.sort_values(["o_orderpriority", "latency_days"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["o_orderpriority", "latency_days", "n_lines"]], preserve_index=False)

@@ -139,3 +139,74 @@ def test_ntile_formula_matches_sql_semantics():
             f"SELECT ntile(10) OVER (ORDER BY i) AS t FROM range({n}) r(i)"
             " ORDER BY i").df()["t"].to_numpy()
         assert (got == want).all()
+
+
+def test_trigrams_branches_and_duckdb(ray_session):
+    from sketch_ray.pipelines.analytics import event_type_trigrams
+
+    a = event_type_trigrams(SF, force="driver").to_pandas()
+    b = event_type_trigrams(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    want = duckdb.sql(
+        f"""WITH s AS (
+                SELECT event_type AS t1,
+                       lead(event_type, 1) OVER w AS t2,
+                       lead(event_type, 2) OVER w AS t3
+                FROM read_parquet('{SF}/events.parquet')
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+            FROM s WHERE t3 IS NOT NULL GROUP BY 1,2,3 ORDER BY 1,2,3""").df()
+    pd.testing.assert_frame_equal(a, want.astype(a.dtypes.to_dict()))
+
+
+def test_pair_expand_vectorization():
+    from sketch_ray.pipelines.analytics import _pair_expand
+
+    ok = np.array([5, 5, 5, 9, 9, 2], np.int64)
+    pk = np.array([3, 1, 7, 4, 2, 8], np.int64)
+    a, b = _pair_expand(ok, pk)
+    got = sorted(zip(a.tolist(), b.tolist()))
+    assert got == [(1, 3), (1, 7), (2, 4), (3, 7)]
+    a, b = _pair_expand(np.array([], np.int64), np.array([], np.int64))
+    assert len(a) == 0 and len(b) == 0
+
+
+def test_copurchase_branches_agree(ray_session):
+    from sketch_ray.pipelines.analytics import copurchase_pairs
+
+    a = copurchase_pairs(SF, force="driver").to_pandas()
+    b = copurchase_pairs(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["pk_a"] < a["pk_b"]).all()
+    # counts are non-increasing down the ranking
+    assert (np.diff(a["cnt"].to_numpy()) <= 0).all()
+
+
+def test_ship_latency_branches_agree(ray_session):
+    from sketch_ray.pipelines.analytics import ship_latency_histogram
+
+    a = ship_latency_histogram(SF, force="driver").to_pandas()
+    b = ship_latency_histogram(SF, force="native").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    n_li = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet')").fetchone()[0]
+    assert int(a["n_lines"].sum()) == n_li  # inner join loses no lineitem
+
+
+def test_autocorr_lag0_is_one(ray_session):
+    from sketch_ray.pipelines.analytics import daily_autocorrelation
+
+    out = daily_autocorrelation(SF, lags=(0,)).to_pandas()
+    assert len(out) > 0
+    assert np.allclose(out["autocorr"].to_numpy(), 1.0)
+
+
+def test_first_digit_profile_sums(ray_session):
+    from sketch_ray.pipelines.analytics import first_digit_profile
+
+    out = first_digit_profile(SF).to_pandas()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')").fetchone()[0]
+    assert int(out["n_orders"].sum()) == n
+    assert out["share"].sum() == pytest.approx(1.0, abs=1e-4)
+    assert out["benford_p"].sum() == pytest.approx(1.0, abs=1e-4)
