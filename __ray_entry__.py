@@ -311,6 +311,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_digit_profile": analytics.first_digit_profile,
         # order-to-ship latency histogram (adaptive broadcast/native join)
         "ship_latency_histogram": analytics.ship_latency_histogram,
+        # per-lang OLS of token count on char count (exact integer normal eqs)
+        "length_token_regression": analytics.length_token_regression,
+        # per-lang Spearman rank correlation (doubled midranks, exact ties)
+        "length_token_spearman": analytics.length_token_spearman,
+        # event→order conversion within a 30-day window (time-window semi-join)
+        "event_order_conversion": analytics.event_order_conversion,
+        # connected components of the co-purchase graph (min-label closure)
+        "copurchase_components": analytics.copurchase_components,
     }
 
 
@@ -2550,6 +2558,101 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a.event_type, k.lag
         """,
         "first_digit_profile": _BENFORD_SQL,
+        # exact-integer normal equations in HUGEINT; every division casts
+        # BOTH operands to DOUBLE first (HUGEINT/HUGEINT integer-divides)
+        "length_token_regression": """
+            WITH d AS (
+                SELECT lang, CAST(n_chars AS HUGEINT) AS x,
+                       CAST(len(string_split(text, ' ')) AS HUGEINT) AS y
+                FROM documents
+            ), m AS (
+                SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                       sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM d GROUP BY 1
+            )
+            SELECT lang, CAST(n AS BIGINT) AS n_docs,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+                   round(CAST(sy*sxx - sx*sxy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS intercept,
+                   round(CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+                         / (CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+            FROM m
+            WHERE n*sxx - sx*sx != 0 AND n*syy - sy*sy != 0
+            ORDER BY lang
+        """,
+        # doubled midranks r2(v) = 2·count(<v) + count(=v) + 1 stay integer
+        # under ties; Spearman = Pearson over them, one sqrt + one division
+        "length_token_spearman": """
+            WITH d AS (
+                SELECT lang, n_chars AS x,
+                       len(string_split(text, ' ')) AS y
+                FROM documents
+            ), rk AS (
+                SELECT lang,
+                       CAST(2*(rank() OVER (PARTITION BY lang ORDER BY x) - 1)
+                            + count(*) OVER (PARTITION BY lang, x) + 1
+                            AS HUGEINT) AS rx,
+                       CAST(2*(rank() OVER (PARTITION BY lang ORDER BY y) - 1)
+                            + count(*) OVER (PARTITION BY lang, y) + 1
+                            AS HUGEINT) AS ry
+                FROM d
+            ), m AS (
+                SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+                       sum(rx) AS sx, sum(ry) AS sy, sum(rx*rx) AS sxx,
+                       sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+                FROM rk GROUP BY 1
+            )
+            SELECT lang, CAST(n AS BIGINT) AS n_docs,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS spearman
+            FROM m
+            WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+            ORDER BY lang
+        """,
+        "event_order_conversion": """
+            WITH conv AS (
+                SELECT DISTINCT e.event_id
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id
+                 AND o.o_orderdate + INTERVAL 9131 DAYS >= e.ts
+                 AND o.o_orderdate + INTERVAL 9131 DAYS
+                     < e.ts + INTERVAL 30 DAYS
+            )
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN c.event_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   round(CAST(sum(CASE WHEN c.event_id IS NOT NULL
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS conv_rate
+            FROM events e LEFT JOIN conv c ON c.event_id = e.event_id
+            GROUP BY 1 ORDER BY 1
+        """,
+        "copurchase_components": """
+            WITH RECURSIVE lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), p AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), edges AS (
+                SELECT pa AS a, pb AS b FROM p
+                UNION ALL SELECT pb, pa FROM p
+            ), nodes AS (SELECT DISTINCT a AS n FROM edges),
+            reach(src, dst) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            )
+            SELECT src AS p_partkey, min(dst) AS component_rep
+            FROM reach GROUP BY src ORDER BY p_partkey
+        """,
         "ship_latency_histogram": """
             SELECT o.o_orderpriority,
                    CAST(date_diff('day', o.o_orderdate, l.l_shipdate)

@@ -872,3 +872,358 @@ def ship_latency_histogram(sf_dir: str, force: str | None = None) -> pa.Table:
     df = df.sort_values(["o_orderpriority", "latency_days"]).reset_index(drop=True)
     return pa.Table.from_pandas(
         df[["o_orderpriority", "latency_days", "n_lines"]], preserve_index=False)
+
+
+def _lang_xy_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-lang exact integer moment sums of x = n_chars, y = token count:
+    (n, sx, sy, sxx, syy, sxy) — ONE streaming pass, group-bounded fold.
+    int64 partials are safe (x ≤ ~10⁴, per-batch sums ≪ 2⁶³); the driver
+    re-sums in python big-ints so the downstream normal-equation products
+    never overflow. Shared by regression + Spearman's moment stage."""
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        y = pc.list_value_length(lists).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"lang": batch["lang"],
+                      "n_p": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                      "sx_p": pa.array(x, pa.int64()),
+                      "sy_p": pa.array(y, pa.int64()),
+                      "sxx_p": pa.array(x * x, pa.int64()),
+                      "syy_p": pa.array(y * y, pa.int64()),
+                      "sxy_p": pa.array(x * y, pa.int64())})
+        g = t.group_by(["lang"]).aggregate(
+            [("n_p", "sum"), ("sx_p", "sum"), ("sy_p", "sum"),
+             ("sxx_p", "sum"), ("syy_p", "sum"), ("sxy_p", "sum")])
+        return g.rename_columns(
+            ["lang", "n_p", "sx_p", "sy_p", "sxx_p", "syy_p", "sxy_p"])
+
+    return _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192),
+        ds.count(), ["lang"],
+        {"n": "n_p", "sx": "sx_p", "sy": "sy_p",
+         "sxx": "sxx_p", "syy": "syy_p", "sxy": "sxy_p"})
+
+
+def length_token_regression(sf_dir: str) -> pa.Table:
+    """Per-language OLS of token count on character count — slope,
+    intercept, r² from the normal equations evaluated in EXACT integer
+    arithmetic (python big-ints after the int64 moment fold); each output
+    is one mirrored double division of two exact integers:
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    intercept = (ΣyΣx² − ΣxΣxy)/(nΣx² − (Σx)²),
+    r² = (nΣxy − ΣxΣy)²/((nΣx² − (Σx)²)(nΣy² − (Σy)²)).
+    The oracle renders identical HUGEINT expressions with DOUBLE casts on
+    both operands of every division. Returns
+    (lang, n_docs, slope, intercept, r2); langs with a degenerate x or y
+    variance are excluded on both sides."""
+    mom = _lang_xy_moments(sf_dir)
+    rows = []
+    for _, r in mom.sort_values("lang").iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 == 0 or d2 == 0:
+            continue
+        rows.append((r["lang"], n,
+                     float(round6(float(num) / float(d1))),
+                     float(round6(float(sy * sxx - sx * sxy) / float(d1))),
+                     float(round6(float(num * num)
+                                  / (float(d1) * float(d2))))))
+    return pa.table({
+        "lang": pa.array([x[0] for x in rows], pa.string()),
+        "n_docs": pa.array([x[1] for x in rows], pa.int64()),
+        "slope": pa.array([x[2] for x in rows], pa.float64()),
+        "intercept": pa.array([x[3] for x in rows], pa.float64()),
+        "r2": pa.array([x[4] for x in rows], pa.float64()),
+    })
+
+
+def length_token_spearman(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Per-language Spearman rank correlation between n_chars and token
+    count, EXACT under ties via doubled midranks: r2(v) = 2·count(<v) +
+    count(=v) + 1 is an integer, and Spearman = Pearson over the midranks
+    — so every sum is an exact big-int and the single float step is
+    num / sqrt(d1·d2) (IEEE sqrt is correctly rounded, so both engines
+    agree given identical doubles).
+
+    Scale shape: TWO histogram folds (distinct values per lang — the
+    doc_length_percentiles discipline) broadcast as rank LUTs; a second
+    streaming pass emits per-batch integer moment partials of the
+    midranks. ``force`` pins the fold branch. Returns (lang, n_docs,
+    spearman)."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+    n_docs = ds.count()
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        y = pc.list_value_length(lists).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lang_np = batch["lang"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "lang": pa.array(np.concatenate([lang_np, lang_np]), pa.string()),
+            "which": pa.array(np.concatenate(
+                [np.zeros(len(x), np.int64), np.ones(len(y), np.int64)]),
+                pa.int64()),
+            "v": pa.array(np.concatenate([x, y]), pa.int64()),
+        })
+        g = t.group_by(["lang", "which", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "which", "v", "c_p"])
+
+    fold_rows = n_docs if force is None else (0 if force == "driver" else _SMALL_ROWS)
+    hist = _fold_partials(
+        ds.map_batches(hist_partials, batch_format="pyarrow", batch_size=8192),
+        fold_rows, ["lang", "which", "v"], {"cnt": "c_p"})
+    hist["cnt"] = hist["cnt"].astype(np.int64)
+    # per-(lang, which) LUT: sorted values -> doubled midrank
+    lut: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+    for (lang, which), g in hist.groupby(["lang", "which"]):
+        g = g.sort_values("v")
+        vals = g["v"].to_numpy().astype(np.int64)
+        cnts = g["cnt"].to_numpy()
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+        lut[(lang, int(which))] = (vals, 2 * below + cnts + 1)
+    ref = ray.put(lut)
+
+    def moment_partials(batch: pa.Table) -> pa.Table:
+        table = cached(ref)
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        y = pc.list_value_length(lists).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        out = {"lang": [], "n_p": [], "sx_p": [], "sy_p": [],
+               "sxx_p": [], "syy_p": [], "sxy_p": []}
+        for lg in np.unique(lang):
+            m = lang == lg
+            vx, rx = table[(lg, 0)]
+            vy, ry = table[(lg, 1)]
+            mx = rx[np.searchsorted(vx, x[m])]
+            my = ry[np.searchsorted(vy, y[m])]
+            out["lang"].append(lg)
+            out["n_p"].append(int(m.sum()))
+            out["sx_p"].append(int(mx.sum()))
+            out["sy_p"].append(int(my.sum()))
+            out["sxx_p"].append(int((mx * mx).sum()))
+            out["syy_p"].append(int((my * my).sum()))
+            out["sxy_p"].append(int((mx * my).sum()))
+        return pa.table({k: pa.array(v, pa.string() if k == "lang" else pa.int64())
+                         for k, v in out.items()})
+
+    mom = _fold_partials(
+        ds.map_batches(moment_partials, batch_format="pyarrow", batch_size=8192),
+        fold_rows, ["lang"],
+        {"n": "n_p", "sx": "sx_p", "sy": "sy_p",
+         "sxx": "sxx_p", "syy": "syy_p", "sxy": "sxy_p"})
+    rows = []
+    for _, r in mom.sort_values("lang").iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue
+        rows.append((r["lang"], n,
+                     float(round6(float(num)
+                                  / math.sqrt(float(d1) * float(d2))))))
+    return pa.table({
+        "lang": pa.array([x[0] for x in rows], pa.string()),
+        "n_docs": pa.array([x[1] for x in rows], pa.int64()),
+        "spearman": pa.array([x[2] for x in rows], pa.float64()),
+    })
+
+
+def event_order_conversion(sf_dir: str, window_days: int = 30,
+                           force: str | None = None) -> pa.Table:
+    """Event→order conversion rate per event type: an event CONVERTS when
+    the same user places an order whose (shifted) date falls within
+    [ts, ts + window_days) — the time-window semi-join behind every
+    marketing funnel. Same adaptive shape as revenue_attribution: driver
+    searchsorted below `_SMALL_ROWS` combined rows, else user-hash
+    tagged-union co-group with (types × parts)-bounded partials. ONE
+    mirrored division. Returns (event_type, n_events, n_converted,
+    conv_rate)."""
+    etypes = _event_type_list(sf_dir)
+    n_types = len(etypes)
+    W = np.int64(window_days) * 86400 * 1_000_000
+
+    def window_counts(uid_e, ts_e, code_e, uid_o, odate_o):
+        """(per-type events, per-type converted) via two searchsorteds on
+        the composite (uid, order-date-rank) array."""
+        date_ranks = np.unique(odate_o)
+        R = np.int64(len(date_ranks))
+        comp = uid_o * (R + 1) + np.searchsorted(date_ranks, odate_o)
+        comp_sorted = np.sort(comp)
+        lo = uid_e * (R + 1) + np.searchsorted(date_ranks, ts_e, side="left")
+        hi = uid_e * (R + 1) + np.searchsorted(date_ranks, ts_e + W, side="left")
+        n_in = (np.searchsorted(comp_sorted, hi, side="left")
+                - np.searchsorted(comp_sorted, lo, side="left"))
+        conv = n_in > 0
+        n_ev = np.bincount(code_e, minlength=n_types).astype(np.int64)
+        n_cv = np.bincount(code_e[conv], minlength=n_types).astype(np.int64)
+        return n_ev, n_cv
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    total_rows = orders.count() + events.count()
+    small = (total_rows < _SMALL_ROWS) if force is None else (force == "driver")
+    types_arr = pa.array(etypes, pa.string())
+
+    if small:
+        ot = orders.to_pandas()
+        et = events.to_pandas()
+        code = pc.index_in(pa.array(et["event_type"]), value_set=types_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ev, n_cv = window_counts(
+            et["user_id"].to_numpy().astype(np.int64),
+            et["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            code,
+            ot["o_custkey"].to_numpy().astype(np.int64),
+            ot["o_orderdate"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64) + _ATTR_SHIFT_US)
+    else:
+        P = np.int64(64)
+        ref = ray.put(types_arr)
+
+        def order_rows(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            od = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+                  .astype("datetime64[us]").astype(np.int64) + _ATTR_SHIFT_US)
+            part = (splitmix64(ck.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+            return pa.table({
+                "part": pa.array(part, pa.int64()),
+                "side": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+                "key": pa.array(ck, pa.int64()),
+                "t": pa.array(od, pa.int64()),
+                "code": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+            })
+
+        def event_rows(b: pa.Table) -> pa.Table:
+            ta = cached(ref)
+            uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = (b["ts"].to_numpy(zero_copy_only=False)
+                  .astype("datetime64[us]").astype(np.int64))
+            code = pc.index_in(b["event_type"].combine_chunks(), value_set=ta) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            part = (splitmix64(uid.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+            return pa.table({
+                "part": pa.array(part, pa.int64()),
+                "side": pa.array(np.ones(len(uid), np.int8), pa.int8()),
+                "key": pa.array(uid, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "code": pa.array(code, pa.int64()),
+            })
+
+        def conv_group(df: pd.DataFrame) -> pd.DataFrame:
+            o = df[df["side"] == 0]
+            e = df[df["side"] == 1]
+            if len(e) == 0:
+                return pd.DataFrame({"code": pd.Series([], dtype="int64"),
+                                     "n_p": pd.Series([], dtype="int64"),
+                                     "c_p": pd.Series([], dtype="int64")})
+            if len(o) == 0:
+                n_ev = np.bincount(e["code"].to_numpy(), minlength=n_types)
+                n_cv = np.zeros(n_types, np.int64)
+            else:
+                n_ev, n_cv = window_counts(
+                    e["key"].to_numpy(), e["t"].to_numpy(),
+                    e["code"].to_numpy(), o["key"].to_numpy(),
+                    o["t"].to_numpy())
+            return pd.DataFrame({"code": np.arange(n_types, dtype=np.int64),
+                                 "n_p": n_ev.astype(np.int64),
+                                 "c_p": n_cv.astype(np.int64)})
+
+        o_t = orders.map_batches(order_rows, batch_format="pyarrow", batch_size=32768)
+        e_t = events.map_batches(event_rows, batch_format="pyarrow", batch_size=32768)
+        pdf = ensure_columns(
+            o_t.union(e_t).groupby("part")
+            .map_groups(conv_group, batch_format="pandas").to_pandas(),
+            {"code": "int64", "n_p": "int64", "c_p": "int64"})
+        agg = pdf.groupby("code").agg(n=("n_p", "sum"), c=("c_p", "sum"))
+        n_ev = np.zeros(n_types, np.int64)
+        n_cv = np.zeros(n_types, np.int64)
+        for code, row in agg.iterrows():
+            n_ev[code], n_cv[code] = row["n"], row["c"]
+
+    keep = n_ev > 0
+    return pa.table({
+        "event_type": pa.array([t for t, k in zip(etypes, keep) if k], pa.string()),
+        "n_events": pa.array(n_ev[keep], pa.int64()),
+        "n_converted": pa.array(n_cv[keep], pa.int64()),
+        "conv_rate": pa.array(
+            round6(n_cv[keep].astype(np.float64) / n_ev[keep].astype(np.float64)),
+            pa.float64()),
+    })
+
+
+def copurchase_components(sf_dir: str, min_cnt: int = 2,
+                          force: str | None = None) -> pa.Table:
+    """Connected components of the co-purchase graph: parts are linked
+    when they co-occur in at least ``min_cnt`` orders; every edge-touched
+    part gets its component's minimum partkey as label (the
+    dedup_clusters recursive-closure semantics, reusing its vectorized
+    min-label propagation). Edge discovery shares copurchase_pairs'
+    order-bucket expansion; the label pass is O(edge-touched parts), not
+    O(part catalog). Returns (p_partkey, component_rep)."""
+    from ray.data.aggregate import Sum
+
+    from ._util import n_reducers
+    from .dedup import _cluster_labels
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_rows = ds.count()
+    P = np.int64(64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = pa.table({"okey": batch["l_orderkey"], "pk": batch["l_partkey"]})
+        df = t.to_pandas().drop_duplicates()
+        ok = df["okey"].to_numpy(np.int64)
+        return pa.table({
+            "bucket": pa.array(
+                (splitmix64(ok.astype(np.uint64)) % np.uint64(P))
+                .astype(np.int64), pa.int64()),
+            "okey": pa.array(ok, pa.int64()),
+            "pk": pa.array(df["pk"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def pairs_group(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df[["okey", "pk"]].drop_duplicates()
+        a, b = _pair_expand(dd["okey"].to_numpy(np.int64),
+                            dd["pk"].to_numpy(np.int64))
+        return pd.DataFrame({"pk_a": a, "pk_b": b}) \
+            .groupby(["pk_a", "pk_b"], as_index=False) \
+            .size().rename(columns={"size": "cnt_p"})
+
+    grouped = (ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+               .groupby("bucket")
+               .map_groups(lambda g: pairs_group(g.drop(columns=["bucket"])),
+                           batch_format="pandas"))
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(grouped.to_pandas(),
+                             {"pk_a": "int64", "pk_b": "int64", "cnt_p": "int64"})
+        agg = pdf.groupby(["pk_a", "pk_b"], as_index=False)["cnt_p"].sum()
+        edges = agg[agg["cnt_p"] >= min_cnt]
+    else:
+        folded = (grouped.repartition(n_reducers())
+                  .groupby(["pk_a", "pk_b"])
+                  .aggregate(Sum("cnt_p", alias_name="cnt_p"))
+                  .filter(expr=f"cnt_p >= {int(min_cnt)}"))
+        edges = ensure_columns(folded.to_pandas(),
+                               {"pk_a": "int64", "pk_b": "int64",
+                                "cnt_p": "int64"})
+    if not len(edges):
+        return pa.table({"p_partkey": pa.array([], pa.int64()),
+                         "component_rep": pa.array([], pa.int64())})
+    pairs = edges.rename(columns={"pk_a": "doc_a", "pk_b": "doc_b"})
+    nodes, labels = _cluster_labels(pairs)
+    return pa.table({"p_partkey": pa.array(nodes, pa.int64()),
+                     "component_rep": pa.array(labels, pa.int64())})

@@ -210,3 +210,60 @@ def test_first_digit_profile_sums(ray_session):
     assert int(out["n_orders"].sum()) == n
     assert out["share"].sum() == pytest.approx(1.0, abs=1e-4)
     assert out["benford_p"].sum() == pytest.approx(1.0, abs=1e-4)
+
+
+def test_regression_matches_numpy_polyfit(ray_session):
+    from sketch_ray.pipelines.analytics import length_token_regression
+
+    out = length_token_regression(SF).to_pandas()
+    docs = duckdb.sql(
+        f"""SELECT lang, n_chars AS x, len(string_split(text, ' ')) AS y
+            FROM read_parquet('{SF}/documents.parquet')""").df()
+    for _, row in out.iterrows():
+        g = docs[docs["lang"] == row["lang"]]
+        slope, intercept = np.polyfit(g["x"], g["y"], 1)
+        assert row["slope"] == pytest.approx(slope, abs=1e-4)
+        assert row["intercept"] == pytest.approx(intercept, abs=1e-2)
+        r = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert row["r2"] == pytest.approx(r * r, abs=1e-4)
+
+
+def test_spearman_branches_and_scipy_free_check(ray_session):
+    from sketch_ray.pipelines.analytics import length_token_spearman
+
+    a = length_token_spearman(SF, force="driver").to_pandas()
+    b = length_token_spearman(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    docs = duckdb.sql(
+        f"""SELECT lang, n_chars AS x, len(string_split(text, ' ')) AS y
+            FROM read_parquet('{SF}/documents.parquet')""").df()
+    for _, row in a.iterrows():
+        g = docs[docs["lang"] == row["lang"]]
+        rx = g["x"].rank(method="average")
+        ry = g["y"].rank(method="average")
+        want = np.corrcoef(rx, ry)[0, 1]
+        assert row["spearman"] == pytest.approx(want, abs=1e-5)
+        assert -1.0 <= row["spearman"] <= 1.0
+
+
+def test_conversion_branches_agree(ray_session):
+    from sketch_ray.pipelines.analytics import event_order_conversion
+
+    a = event_order_conversion(SF, force="driver").to_pandas()
+    b = event_order_conversion(SF, force="partitioned").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_converted"] <= a["n_events"]).all()
+    assert ((a["conv_rate"] >= 0) & (a["conv_rate"] <= 1)).all()
+
+
+def test_copurchase_components_branches_and_invariants(ray_session):
+    from sketch_ray.pipelines.analytics import copurchase_components
+
+    a = copurchase_components(SF, force="driver").to_pandas()
+    b = copurchase_components(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # every label is a member of its own component (min-node semantics)
+    reps = set(a["component_rep"])
+    assert reps <= set(a["p_partkey"])
+    assert (a.set_index("p_partkey").loc[sorted(reps), "component_rep"]
+            .to_numpy() == sorted(reps)).all()
