@@ -25,6 +25,7 @@ from ._util import ensure_columns, round6, round_half_away
 from .relational import _SMALL_ROWS, _fold_partials, _read
 
 _ATTR_SHIFT_US = np.int64(9131) * 86400 * 1_000_000  # the asof-join shift
+_PAIR_COUNT_MEMO: dict = {}  # driver-branch co-purchase counts, one corpus
 
 
 def _daily_type_counts(sf_dir: str) -> pd.DataFrame:
@@ -618,71 +619,117 @@ def _pair_expand(okey: np.ndarray, pk: np.ndarray
     return p[a_idx], p[b_idx]
 
 
-def copurchase_pairs(sf_dir: str, k: int = 25,
-                     force: str | None = None) -> pa.Table:
-    """Market-basket pair mining: the top-k part pairs that co-occur in
-    the most orders (frequent-itemset level 2). Per-order part sets are
-    deduped; pairs rank by (count DESC, pk_a, pk_b) — fully deterministic.
+def _copurchase_tag(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct (order, part) rows + order-hash bucket — the
+    shared first stage of both co-purchase operators. Dedup via a
+    composite-key np.unique (pandas drop_duplicates costs ~10× more on
+    this box's slow cores)."""
+    ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    stride = np.int64(pk.max()) + 1 if len(pk) else np.int64(1)
+    uniq = np.unique(ok * stride + pk)
+    ok, pk = uniq // stride, uniq % stride
+    return pa.table({
+        "bucket": pa.array(
+            (splitmix64(ok.astype(np.uint64)) % np.uint64(64))
+            .astype(np.int64), pa.int64()),
+        "okey": pa.array(ok, pa.int64()),
+        "pk": pa.array(pk, pa.int64()),
+    })
 
-    Scale shape: per-batch distinct (order, part) rows bucket by ORDER
-    hash (whole orders co-locate); each bucket group expands its pairs
-    vectorized and pre-counts them; the pair counts then fold adaptively —
-    driver below `_SMALL_ROWS` lineitem rows, else ONE pair-keyed
-    distributed groupby whose counts are final, so each output block
-    contributes a local top-k (≤k rows) and the driver merges k-bounded
-    partials only. Returns (pk_a, pk_b, cnt)."""
+
+def _pair_counts_np(okey: np.ndarray, pk: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(pk_a, pk_b, cnt) over distinct per-order part pairs — composite
+    int64 key + np.unique(return_counts), no pandas in the hot path."""
+    stride = np.int64(pk.max()) + 1 if len(pk) else np.int64(1)
+    uniq = np.unique(okey * stride + pk)
+    a, b = _pair_expand(uniq // stride, uniq % stride)
+    comp, cnt = np.unique(a * stride + b, return_counts=True)
+    return comp // stride, comp % stride, cnt.astype(np.int64)
+
+
+def _copurchase_pair_counts(sf_dir: str, force: str | None,
+                            min_cnt: int = 1,
+                            topk_per_block: int | None = None) -> pd.DataFrame:
+    """Full (pk_a, pk_b, cnt_p >= min_cnt) co-purchase counts, adaptive:
+    below `_SMALL_ROWS` lineitem rows the distinct (order, part) set pulls
+    once and everything is one driver numpy pass (NO shuffle — the
+    order-bucket map_groups + pair groupby costs seconds of fixed Ray
+    overhead that dwarf the work at this size); above it, order-hash
+    bucket groups expand pairs vectorized and ONE pair-keyed distributed
+    groupby finalizes counts (the 100 TB path). Shared by
+    copurchase_pairs and copurchase_components."""
     from ray.data.aggregate import Sum
 
     from ._util import n_reducers
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     n_rows = ds.count()
-    P = np.int64(64)
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
 
-    def tag(batch: pa.Table) -> pa.Table:
-        t = pa.table({"okey": batch["l_orderkey"], "pk": batch["l_partkey"]})
-        df = t.to_pandas().drop_duplicates()
-        ok = df["okey"].to_numpy(np.int64)
-        return pa.table({
-            "bucket": pa.array(
-                (splitmix64(ok.astype(np.uint64)) % np.uint64(P))
-                .astype(np.int64), pa.int64()),
-            "okey": pa.array(ok, pa.int64()),
-            "pk": pa.array(df["pk"].to_numpy(np.int64), pa.int64()),
-        })
+    if small:
+        # memoized per corpus file identity: pairs + components share ONE
+        # scan per suite run (the dedup._doc_classes_for discipline)
+        import os
+
+        path = f"{sf_dir}/lineitem.parquet"
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+        out = _PAIR_COUNT_MEMO.get(key)
+        if out is None:
+            df = ds.to_pandas()
+            pa_, pb_, cnt = _pair_counts_np(
+                df["l_orderkey"].to_numpy().astype(np.int64),
+                df["l_partkey"].to_numpy().astype(np.int64))
+            out = pd.DataFrame({"pk_a": pa_, "pk_b": pb_, "cnt_p": cnt})
+            _PAIR_COUNT_MEMO.clear()  # hold one corpus at a time
+            _PAIR_COUNT_MEMO[key] = out
+        return out[out["cnt_p"] >= min_cnt] if min_cnt > 1 else out
 
     def pairs_group(df: pd.DataFrame) -> pd.DataFrame:
-        dd = df[["okey", "pk"]].drop_duplicates()
-        a, b = _pair_expand(dd["okey"].to_numpy(np.int64),
-                            dd["pk"].to_numpy(np.int64))
-        return pd.DataFrame({"pk_a": a, "pk_b": b}) \
-            .groupby(["pk_a", "pk_b"], as_index=False) \
-            .size().rename(columns={"size": "cnt_p"})
+        pa_, pb_, cnt = _pair_counts_np(df["okey"].to_numpy(np.int64),
+                                        df["pk"].to_numpy(np.int64))
+        return pd.DataFrame({"pk_a": pa_, "pk_b": pb_, "cnt_p": cnt})
 
-    grouped = (ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+    grouped = (ds.map_batches(_copurchase_tag, batch_format="pyarrow",
+                              batch_size=65536)
                .groupby("bucket")
                .map_groups(lambda g: pairs_group(g.drop(columns=["bucket"])),
                            batch_format="pandas"))
-    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
-    if small:
-        pdf = ensure_columns(grouped.to_pandas(),
-                             {"pk_a": "int64", "pk_b": "int64", "cnt_p": "int64"})
-        agg = pdf.groupby(["pk_a", "pk_b"], as_index=False)["cnt_p"].sum()
-    else:
+    folded = (grouped.repartition(n_reducers())
+              .groupby(["pk_a", "pk_b"])
+              .aggregate(Sum("cnt_p", alias_name="cnt_p")))
+    if min_cnt > 1:
+        folded = folded.filter(expr=f"cnt_p >= {int(min_cnt)}")
+    if topk_per_block is not None:
+        # counts are FINAL after the pair-keyed groupby, so a per-block
+        # top-k is a valid prune: the driver pulls ≤ k rows per block
+        k = int(topk_per_block)
+
         def local_topk(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
-            df = df.sort_values(["cnt_p", "pk_a", "pk_b"],
-                                ascending=[False, True, True]).head(k)
-            return pa.Table.from_pandas(df, preserve_index=False)
+            order = np.lexsort((df["pk_b"].to_numpy(), df["pk_a"].to_numpy(),
+                                -df["cnt_p"].to_numpy()))[:k]
+            return pa.Table.from_pandas(df.iloc[order], preserve_index=False)
 
-        folded = (grouped.repartition(n_reducers())
-                  .groupby(["pk_a", "pk_b"])
-                  .aggregate(Sum("cnt_p", alias_name="cnt_p"))
-                  .map_batches(local_topk, batch_format="pyarrow"))
-        agg = ensure_columns(folded.to_pandas(),
-                             {"pk_a": "int64", "pk_b": "int64", "cnt_p": "int64"})
-    agg = agg.sort_values(["cnt_p", "pk_a", "pk_b"],
-                          ascending=[False, True, True]).head(k)
+        folded = folded.map_batches(local_topk, batch_format="pyarrow")
+    return ensure_columns(folded.to_pandas(),
+                          {"pk_a": "int64", "pk_b": "int64", "cnt_p": "int64"})
+
+
+def copurchase_pairs(sf_dir: str, k: int = 25,
+                     force: str | None = None) -> pa.Table:
+    """Market-basket pair mining: the top-k part pairs that co-occur in
+    the most orders (frequent-itemset level 2). Per-order part sets are
+    deduped; pairs rank by (count DESC, pk_a, pk_b) — fully deterministic.
+    Counting via `_copurchase_pair_counts` (adaptive driver-numpy /
+    order-bucket + pair-keyed groupby; the distributed branch prunes to a
+    per-block top-k before the driver pull). Returns (pk_a, pk_b, cnt)."""
+    agg = _copurchase_pair_counts(sf_dir, force, topk_per_block=k)
+    order = np.lexsort((agg["pk_b"].to_numpy(), agg["pk_a"].to_numpy(),
+                        -agg["cnt_p"].to_numpy()))[:k]
+    agg = agg.iloc[order]
     return pa.table({
         "pk_a": pa.array(agg["pk_a"].to_numpy(np.int64), pa.int64()),
         "pk_b": pa.array(agg["pk_b"].to_numpy(np.int64), pa.int64()),
@@ -1170,56 +1217,12 @@ def copurchase_components(sf_dir: str, min_cnt: int = 2,
     when they co-occur in at least ``min_cnt`` orders; every edge-touched
     part gets its component's minimum partkey as label (the
     dedup_clusters recursive-closure semantics, reusing its vectorized
-    min-label propagation). Edge discovery shares copurchase_pairs'
-    order-bucket expansion; the label pass is O(edge-touched parts), not
-    O(part catalog). Returns (p_partkey, component_rep)."""
-    from ray.data.aggregate import Sum
-
-    from ._util import n_reducers
+    min-label propagation). Edge discovery shares
+    `_copurchase_pair_counts`; the label pass is O(edge-touched parts),
+    not O(part catalog). Returns (p_partkey, component_rep)."""
     from .dedup import _cluster_labels
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    n_rows = ds.count()
-    P = np.int64(64)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        t = pa.table({"okey": batch["l_orderkey"], "pk": batch["l_partkey"]})
-        df = t.to_pandas().drop_duplicates()
-        ok = df["okey"].to_numpy(np.int64)
-        return pa.table({
-            "bucket": pa.array(
-                (splitmix64(ok.astype(np.uint64)) % np.uint64(P))
-                .astype(np.int64), pa.int64()),
-            "okey": pa.array(ok, pa.int64()),
-            "pk": pa.array(df["pk"].to_numpy(np.int64), pa.int64()),
-        })
-
-    def pairs_group(df: pd.DataFrame) -> pd.DataFrame:
-        dd = df[["okey", "pk"]].drop_duplicates()
-        a, b = _pair_expand(dd["okey"].to_numpy(np.int64),
-                            dd["pk"].to_numpy(np.int64))
-        return pd.DataFrame({"pk_a": a, "pk_b": b}) \
-            .groupby(["pk_a", "pk_b"], as_index=False) \
-            .size().rename(columns={"size": "cnt_p"})
-
-    grouped = (ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
-               .groupby("bucket")
-               .map_groups(lambda g: pairs_group(g.drop(columns=["bucket"])),
-                           batch_format="pandas"))
-    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
-    if small:
-        pdf = ensure_columns(grouped.to_pandas(),
-                             {"pk_a": "int64", "pk_b": "int64", "cnt_p": "int64"})
-        agg = pdf.groupby(["pk_a", "pk_b"], as_index=False)["cnt_p"].sum()
-        edges = agg[agg["cnt_p"] >= min_cnt]
-    else:
-        folded = (grouped.repartition(n_reducers())
-                  .groupby(["pk_a", "pk_b"])
-                  .aggregate(Sum("cnt_p", alias_name="cnt_p"))
-                  .filter(expr=f"cnt_p >= {int(min_cnt)}"))
-        edges = ensure_columns(folded.to_pandas(),
-                               {"pk_a": "int64", "pk_b": "int64",
-                                "cnt_p": "int64"})
+    edges = _copurchase_pair_counts(sf_dir, force, min_cnt=min_cnt)
     if not len(edges):
         return pa.table({"p_partkey": pa.array([], pa.int64()),
                          "component_rep": pa.array([], pa.int64())})
