@@ -302,11 +302,19 @@ def lang_token_overlap(sf_dir: str, seed: int = 7,
             .to_numpy(zero_copy_only=False)
         h = hash_arrow_strings(toks, seed=seed).view(np.int64)
         lang = batch["lang"].to_numpy(zero_copy_only=False)
-        doc_lang = np.repeat(lang, ntok)
-        df = pd.DataFrame({"h": h, "lang": doc_lang}).drop_duplicates()
-        return pa.table({"h": pa.array(df["h"].to_numpy(), pa.int64()),
-                         "lang": pa.array(df["lang"].to_numpy(), pa.string()),
-                         "one": pa.array(np.ones(len(df), np.int64), pa.int64())})
+        langs_u, inv = np.unique(lang, return_inverse=True)
+        tok_lang = np.repeat(inv, ntok)
+        # per-lang np.unique beats a pandas drop_duplicates ~10× on this
+        # box (few langs per batch, one sort each)
+        hs, ls = [], []
+        for i, lg in enumerate(langs_u):
+            hu = np.unique(h[tok_lang == i])
+            hs.append(hu)
+            ls.extend([lg] * len(hu))
+        hcat = np.concatenate(hs) if hs else np.array([], np.int64)
+        return pa.table({"h": pa.array(hcat, pa.int64()),
+                         "lang": pa.array(ls, pa.string()),
+                         "one": pa.array(np.ones(len(hcat), np.int64), pa.int64())})
 
     partials = ds.map_batches(pair_partials, batch_format="pyarrow", batch_size=4096)
     small = (n_docs < _SMALL_ROWS) if force is None else (force == "driver")
@@ -319,12 +327,14 @@ def lang_token_overlap(sf_dir: str, seed: int = 7,
               .aggregate(Sum("one", alias_name="one")))
         pdf = ensure_columns(dd.to_pandas(),
                              {"h": "int64", "lang": "object", "one": "int64"})
-    pdf = pdf.drop_duplicates(subset=["h", "lang"])
-    langs = sorted(pdf["lang"].unique().tolist())
-    lcode = {l: i for i, l in enumerate(langs)}
+    # no explicit (h, lang) dedup needed: bit-OR is idempotent, so
+    # duplicate partial rows fold away inside the mask build
+    lang_np = pdf["lang"].to_numpy()
+    langs_u, lcode_inv = np.unique(lang_np, return_inverse=True)
+    langs = [str(x) for x in langs_u]
     L = len(langs)
     vocab, inv = np.unique(pdf["h"].to_numpy(), return_inverse=True)
-    bits = np.array([1 << lcode[l] for l in pdf["lang"]], np.int64)
+    bits = (np.int64(1) << lcode_inv.astype(np.int64))
     masks = np.zeros(len(vocab), np.int64)
     np.bitwise_or.at(masks, inv, bits)
     mask_counts = np.bincount(masks, minlength=1 << L)
