@@ -319,6 +319,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_order_conversion": analytics.event_order_conversion,
         # connected components of the co-purchase graph (min-label closure)
         "copurchase_components": analytics.copurchase_components,
+        # Holt double exponential smoothing + h-step forecast
+        "holt_linear_forecast": analytics.holt_linear_forecast,
+        # brand-affinity lift over distinct-order brand sets
+        "brand_copurchase_lift": analytics.brand_copurchase_lift,
+        # customer LTV deciles (rank-after-aggregate NTILE composition)
+        "user_ltv_deciles": analytics.user_ltv_deciles,
     }
 
 
@@ -2631,6 +2637,80 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS conv_rate
             FROM events e LEFT JOIN conv c ON c.event_id = e.event_id
             GROUP BY 1 ORDER BY 1
+        """,
+        # two-column recursive CTE: the NEW level expression is repeated
+        # textually inside the trend update — identical doubles both sides
+        "holt_linear_forecast": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM events GROUP BY 1, 2
+            ), seq AS (
+                SELECT event_type, c,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                                               ORDER BY day) AS BIGINT) AS rn
+                FROM daily
+            ), hw AS (
+                SELECT a.event_type, CAST(1 AS BIGINT) AS rn,
+                       a.c AS l, b.c - a.c AS b
+                FROM seq a JOIN seq b
+                  ON b.event_type = a.event_type AND a.rn = 1 AND b.rn = 2
+                UNION ALL
+                SELECT s.event_type, s.rn,
+                       0.5 * s.c + 0.5 * (h.l + h.b),
+                       0.5 * ((0.5 * s.c + 0.5 * (h.l + h.b)) - h.l)
+                       + 0.5 * h.b
+                FROM hw h JOIN seq s
+                  ON s.event_type = h.event_type AND s.rn = h.rn + 1
+            ), fin AS (
+                SELECT hw.event_type, hw.l, hw.b
+                FROM hw JOIN (SELECT event_type, max(rn) AS mx
+                              FROM hw GROUP BY 1) q
+                  ON q.event_type = hw.event_type AND hw.rn = q.mx
+            )
+            SELECT fin.event_type, CAST(g.s AS BIGINT) AS h,
+                   round(fin.l + g.s * fin.b, 6) AS forecast
+            FROM fin CROSS JOIN (SELECT unnest(range(1, 8)) AS s) g
+            ORDER BY event_type, h
+        """,
+        "brand_copurchase_lift": """
+            WITH lb AS (
+                SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS b
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            ), n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM lb),
+            s AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM lb GROUP BY 1),
+            pr AS (
+                SELECT a.b AS brand_a, bb.b AS brand_b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM lb a JOIN lb bb
+                  ON a.okey = bb.okey AND a.b < bb.b
+                GROUP BY 1, 2
+            ), sc AS (
+                SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+                       round(CAST(pr.n_ab * n.n AS DOUBLE)
+                             / CAST(sa.c * sb.c AS DOUBLE), 6) AS lift
+                FROM pr CROSS JOIN n
+                JOIN s sa ON sa.b = pr.brand_a
+                JOIN s sb ON sb.b = pr.brand_b
+            )
+            SELECT brand_a, brand_b, n_ab AS n_orders, lift
+            FROM sc ORDER BY lift DESC, brand_a, brand_b LIMIT 20
+        """,
+        "user_ltv_deciles": """
+            WITH r AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders GROUP BY 1
+            ), t AS (
+                SELECT o_custkey, cents,
+                       ntile(10) OVER (ORDER BY cents, o_custkey) AS tile
+                FROM r)
+            SELECT CAST(tile AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_revenue,
+                   round(CAST(min(cents) AS DOUBLE) / 100.0, 2) AS min_revenue,
+                   round(CAST(max(cents) AS DOUBLE) / 100.0, 2) AS max_revenue
+            FROM t GROUP BY 1 ORDER BY 1
         """,
         "copurchase_components": """
             WITH RECURSIVE lp AS (

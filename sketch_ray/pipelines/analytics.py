@@ -1240,3 +1240,206 @@ def copurchase_components(sf_dir: str, min_cnt: int = 2,
     nodes, labels = _cluster_labels(pairs)
     return pa.table({"p_partkey": pa.array(nodes, pa.int64()),
                      "component_rep": pa.array(labels, pa.int64())})
+
+
+def holt_linear_forecast(sf_dir: str, alpha: float = 0.5, beta: float = 0.5,
+                         horizon: int = 7) -> pa.Table:
+    """Holt double exponential smoothing over the daily count series per
+    event_type, with an h-step-ahead linear forecast — the trend-aware
+    upgrade of events_ewma_daily. Init l₁=c₁, b₁=c₂−c₁; recurrence
+    l=α·c+(1−α)·(l+b), b=β·(l−l_prev)+(1−β)·b — mirrored op-for-op by a
+    two-column recursive CTE evaluated in the same day order, so the IEEE
+    sequences agree exactly; forecast = l_n + h·b_n, round6. Series with
+    a single observed day are excluded (no trend) on both sides.
+    Returns (event_type, h, forecast)."""
+    daily = _daily_type_counts(sf_dir)
+    a, b_ = float(alpha), float(beta)
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        c = g["cnt"].to_numpy().astype(np.float64)
+        if len(c) < 2:
+            continue
+        lev, tr = c[0], c[1] - c[0]
+        for i in range(1, len(c)):
+            prev = lev
+            lev = a * c[i] + (1.0 - a) * (lev + tr)
+            tr = b_ * (lev - prev) + (1.0 - b_) * tr
+        for h in range(1, horizon + 1):
+            rows.append((et, h, float(round6(lev + float(h) * tr))))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "h": pa.array([r[1] for r in rows], pa.int64()),
+        "forecast": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _order_brand_rows(sf_dir: str):
+    """Distinct (orderkey, brand-code) per batch: partkey→brand via the
+    broadcast part dimension (dimension tables broadcast once — the
+    revenue_per_nation discipline), dedup via composite np.unique.
+    Returns (tagged dataset builder, sorted brand list)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy()
+    brands = sorted(set(part["p_brand"].to_pylist()))
+    bmap = {b: i for i, b in enumerate(brands)}
+    codes = np.array([bmap[b] for b in part["p_brand"].to_pylist()], np.int64)
+    lut = np.full(int(pk.max()) + 2, -1, np.int64)
+    lut[pk] = codes
+    ref = ray.put(lut)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        table = cached(ref)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pkey = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = table[np.minimum(pkey, len(table) - 1)]
+        keep = code >= 0
+        ok, code = ok[keep], code[keep]
+        nb = np.int64(len(table))  # > any code
+        uniq = np.unique(ok * nb + code)
+        ok, code = uniq // nb, uniq % nb
+        return pa.table({
+            "bucket": pa.array(
+                (splitmix64(ok.astype(np.uint64)) % np.uint64(64))
+                .astype(np.int64), pa.int64()),
+            "okey": pa.array(ok, pa.int64()),
+            "code": pa.array(code, pa.int64()),
+        })
+
+    return tag, brands
+
+
+def brand_copurchase_lift(sf_dir: str, k: int = 20,
+                          force: str | None = None) -> pa.Table:
+    """Brand-affinity lift: for brand pairs co-occurring in an order,
+    lift = (n_ab · N) / (n_a · n_b) over distinct-order brand sets —
+    integer numerator and denominator, ONE mirrored division, ranked by
+    (round6(lift) DESC, brand_a, brand_b) top-k. Brand count is tiny, so
+    every partial is brands²-bounded regardless of corpus size; adaptive
+    driver / order-bucket co-group like the part-level pair miner.
+    Returns (brand_a, brand_b, n_orders, lift)."""
+    tag, brands = _order_brand_rows(sf_dir)
+    nb = len(brands)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_rows = ds.count()
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+
+    def group_stats(ok: np.ndarray, code: np.ndarray):
+        """(pair counts brands², single counts, distinct orders) from
+        distinct (okey, code) rows."""
+        a, b = _pair_expand(ok, code)
+        pair = np.bincount(a * nb + b, minlength=nb * nb).astype(np.int64)
+        single = np.bincount(code, minlength=nb).astype(np.int64)
+        n_orders = np.int64(len(np.unique(ok)))
+        return pair, single, n_orders
+
+    if small:
+        t = ds.map_batches(tag, batch_format="pyarrow", batch_size=65536) \
+            .to_pandas()
+        # re-dedup across batches (an order can span batch boundaries)
+        comp = np.unique(t["okey"].to_numpy(np.int64) * np.int64(nb + 1)
+                         + t["code"].to_numpy(np.int64))
+        pair, single, N = group_stats(comp // (nb + 1), comp % (nb + 1))
+    else:
+        def per_group(df: pd.DataFrame) -> pd.DataFrame:
+            comp = np.unique(df["okey"].to_numpy(np.int64) * np.int64(nb + 1)
+                             + df["code"].to_numpy(np.int64))
+            pair, single, n_o = group_stats(comp // (nb + 1), comp % (nb + 1))
+            ij = np.flatnonzero(pair)
+            sj = np.flatnonzero(single)
+            return pd.DataFrame({
+                "kind": np.concatenate([np.zeros(len(ij), np.int64),
+                                        np.ones(len(sj), np.int64),
+                                        [np.int64(2)]]),
+                "key": np.concatenate([ij, sj, [np.int64(0)]]),
+                "c": np.concatenate([pair[ij], single[sj], [n_o]]),
+            })
+
+        out = (ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+               .groupby("bucket")
+               .map_groups(lambda g: per_group(g.drop(columns=["bucket"])),
+                           batch_format="pandas"))
+        pdf = ensure_columns(out.to_pandas(),
+                             {"kind": "int64", "key": "int64", "c": "int64"})
+        agg = pdf.groupby(["kind", "key"])["c"].sum()
+        pair = np.zeros(nb * nb, np.int64)
+        single = np.zeros(nb, np.int64)
+        N = np.int64(0)
+        for (kind, key), c in agg.items():
+            if kind == 0:
+                pair[key] = c
+            elif kind == 1:
+                single[key] = c
+            else:
+                N = np.int64(c)
+
+    ij = np.flatnonzero(pair)
+    a_idx, b_idx = ij // nb, ij % nb
+    n_ab = pair[ij]
+    # exact int64 products on BOTH sides of the one division, cast after —
+    # mirrors the oracle's CAST(n_ab*N AS DOUBLE)/CAST(c_a*c_b AS DOUBLE)
+    lift = round6((n_ab * np.int64(N)).astype(np.float64)
+                  / (single[a_idx] * single[b_idx]).astype(np.float64))
+    order = np.lexsort((b_idx, a_idx, -lift))[:k]
+    return pa.table({
+        "brand_a": pa.array([brands[i] for i in a_idx[order]], pa.string()),
+        "brand_b": pa.array([brands[i] for i in b_idx[order]], pa.string()),
+        "n_orders": pa.array(n_ab[order], pa.int64()),
+        "lift": pa.array(lift[order], pa.float64()),
+    })
+
+
+def user_ltv_deciles(sf_dir: str, k: int = 10) -> pa.Table:
+    """Customer lifetime-value deciles: total order revenue per customer
+    (integer cents, custkey-bounded fold), NTILE(k) over (revenue,
+    custkey) across ordering customers, per-decile count and revenue
+    stats — the rank-after-aggregate composition (fold feeds the exact
+    NTILE machinery). Customer cardinality is dimension-bounded, so the
+    rank step is a driver lexsort by design (the fold output is already
+    smaller than one Parquet row group of the fact table).
+    Returns (decile, n_customers, total_revenue, min_revenue,
+    max_revenue)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        return pa.table({
+            "ck": pa.array(uniq, pa.int64()),
+            "c_p": pa.array(np.bincount(inv, weights=cents,
+                                        minlength=len(uniq)).astype(np.int64),
+                            pa.int64()),
+        })
+
+    df = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=65536),
+        ds.count(), ["ck"], {"cents": "c_p"})
+    ck = df["ck"].to_numpy().astype(np.int64)
+    cents = df["cents"].to_numpy().astype(np.int64)
+    order = np.lexsort((ck, cents))
+    rank0 = np.empty(len(ck), np.int64)
+    rank0[order] = np.arange(len(ck))
+    tile = _ntile_of_rank(rank0, len(ck), k)
+    rows = []
+    for t in range(1, k + 1):
+        m = tile == t
+        if not m.any():
+            continue
+        c = cents[m]
+        rows.append((t, int(m.sum()), int(c.sum()), int(c.min()), int(c.max())))
+    return pa.table({
+        "decile": pa.array([r[0] for r in rows], pa.int64()),
+        "n_customers": pa.array([r[1] for r in rows], pa.int64()),
+        "total_revenue": pa.array(
+            round_half_away(np.array([r[2] for r in rows], np.float64) / 100.0, 2),
+            pa.float64()),
+        "min_revenue": pa.array(
+            round_half_away(np.array([r[3] for r in rows], np.float64) / 100.0, 2),
+            pa.float64()),
+        "max_revenue": pa.array(
+            round_half_away(np.array([r[4] for r in rows], np.float64) / 100.0, 2),
+            pa.float64()),
+    })

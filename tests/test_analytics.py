@@ -267,3 +267,46 @@ def test_copurchase_components_branches_and_invariants(ray_session):
     assert reps <= set(a["p_partkey"])
     assert (a.set_index("p_partkey").loc[sorted(reps), "component_rep"]
             .to_numpy() == sorted(reps)).all()
+
+
+def test_holt_matches_bruteforce(ray_session):
+    from sketch_ray.pipelines.analytics import holt_linear_forecast
+
+    out = holt_linear_forecast(SF).to_pandas()
+    daily = _daily()
+    for et, g in daily.groupby("event_type", sort=True):
+        c = g["c"].astype(float).to_numpy()
+        if len(c) < 2:
+            continue
+        lev, tr = c[0], c[1] - c[0]
+        for i in range(1, len(c)):
+            prev = lev
+            lev = 0.5 * c[i] + 0.5 * (lev + tr)
+            tr = 0.5 * (lev - prev) + 0.5 * tr
+        sub = out[out["event_type"] == et].set_index("h")
+        for h in range(1, 8):
+            assert sub.loc[h, "forecast"] == pytest.approx(lev + h * tr, abs=2e-6)
+
+
+def test_brand_lift_branches_agree(ray_session):
+    from sketch_ray.pipelines.analytics import brand_copurchase_lift
+
+    a = brand_copurchase_lift(SF, force="driver").to_pandas()
+    b = brand_copurchase_lift(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["lift"] > 0).all()
+    assert (np.diff(a["lift"].to_numpy()) <= 0).all()
+
+
+def test_ltv_deciles_balanced(ray_session):
+    from sketch_ray.pipelines.analytics import user_ltv_deciles
+
+    out = user_ltv_deciles(SF).to_pandas()
+    n_cust = duckdb.sql(
+        f"SELECT count(DISTINCT o_custkey) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert int(out["n_customers"].sum()) == n_cust
+    assert out["n_customers"].max() - out["n_customers"].min() <= 1
+    # deciles are revenue-ordered: min of decile d+1 >= max of decile d
+    assert (out["min_revenue"].to_numpy()[1:]
+            >= out["max_revenue"].to_numpy()[:-1]).all()
