@@ -325,6 +325,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_copurchase_lift": analytics.brand_copurchase_lift,
         # customer LTV deciles (rank-after-aggregate NTILE composition)
         "user_ltv_deciles": analytics.user_ltv_deciles,
+        # 2-D Pareto frontier (skyline-of-skylines merge, shuffle-free)
+        "order_skyline": analytics.order_skyline,
+        # grouped MODE with deterministic ties (broadcast dimension probe)
+        "modal_priority_per_nation": analytics.modal_priority_per_nation,
     }
 
 
@@ -2695,6 +2699,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT brand_a, brand_b, n_ab AS n_orders, lift
             FROM sc ORDER BY lift DESC, brand_a, brand_b LIMIT 20
+        """,
+        # skyline via price-level max dates: survives iff date beats the
+        # running max over STRICTLY higher price levels and equals its own
+        # level's max (weak dominance; exact duplicates both survive)
+        "order_skyline": """
+            WITH o AS (
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderdate
+                FROM orders
+            ), lv AS (
+                SELECT cents, max(o_orderdate) AS mxd FROM o GROUP BY 1
+            ), r AS (
+                SELECT cents, mxd,
+                       max(mxd) OVER (ORDER BY cents DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS m1
+                FROM lv
+            )
+            SELECT o.o_orderkey,
+                   round(CAST(o.cents AS DOUBLE) / 100.0, 2) AS o_totalprice,
+                   o.o_orderdate
+            FROM o JOIN r ON r.cents = o.cents
+            WHERE (r.m1 IS NULL OR o.o_orderdate > r.m1)
+              AND o.o_orderdate = r.mxd
+            ORDER BY o.o_orderkey
+        """,
+        "modal_priority_per_nation": """
+            WITH c AS (
+                SELECT n.n_name, o.o_orderpriority, count(*) AS cnt
+                FROM orders o
+                JOIN customer cu ON cu.c_custkey = o.o_custkey
+                JOIN nation n ON n.n_nationkey = cu.c_nationkey
+                GROUP BY 1, 2)
+            SELECT n_name, o_orderpriority AS modal_priority,
+                   CAST(cnt AS BIGINT) AS n_orders
+            FROM c
+            QUALIFY row_number() OVER (PARTITION BY n_name
+                                       ORDER BY cnt DESC, o_orderpriority) = 1
+            ORDER BY n_name
         """,
         "user_ltv_deciles": """
             WITH r AS (

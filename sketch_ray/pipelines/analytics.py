@@ -1443,3 +1443,139 @@ def user_ltv_deciles(sf_dir: str, k: int = 10) -> pa.Table:
             round_half_away(np.array([r[4] for r in rows], np.float64) / 100.0, 2),
             pa.float64()),
     })
+
+
+def _skyline_2d(cents: np.ndarray, day: np.ndarray, keys: np.ndarray
+                ) -> np.ndarray:
+    """Indices of the 2-D Pareto frontier under WEAK dominance: a point is
+    dominated iff another has price ≥ AND date ≥ with at least one strict
+    (exact duplicates are mutually non-dominating and both survive).
+    Vectorized: sort by price desc; a point survives iff its date beats
+    the max date of all STRICTLY higher prices and equals the max date of
+    its own price level."""
+    order = np.lexsort((keys, day, cents))[::-1]
+    c, d = cents[order], day[order]
+    n = len(c)
+    if n == 0:
+        return order
+    new_lvl = np.concatenate([[True], c[1:] != c[:-1]])
+    lvl = np.cumsum(new_lvl) - 1
+    n_lvl = int(lvl[-1]) + 1
+    lvl_max = np.full(n_lvl, np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(lvl_max, lvl, d)
+    run = np.maximum.accumulate(lvl_max)
+    m1 = np.concatenate([[np.iinfo(np.int64).min], run[:-1]])  # higher levels
+    keep = (d > m1[lvl]) & (d == lvl_max[lvl])
+    return order[keep]
+
+
+def order_skyline(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Pareto frontier of orders over (totalprice, orderdate): orders not
+    weakly dominated in both dimensions — the skyline operator. Skylines
+    compose: skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)), so each
+    batch emits its LOCAL frontier (expected O(log batch) rows for
+    independent dimensions) and the driver merges — a shuffle-free
+    distributed structure regardless of corpus size; ``force`` only pins
+    whether the local-prune stage runs (both give identical output,
+    pytest-pinned). Money in integer cents, dates in integer days.
+    Returns (o_orderkey, o_totalprice, o_orderdate) sorted by key."""
+    _DAY_US = np.int64(86400) * 1_000_000
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_frontier(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        day = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+        idx = _skyline_2d(cents, day, ok)
+        return pa.table({"ok": pa.array(ok[idx], pa.int64()),
+                         "cents": pa.array(cents[idx], pa.int64()),
+                         "day": pa.array(day[idx], pa.int64())})
+
+    pruned = (force != "driver")
+    src = ds.map_batches(local_frontier, batch_format="pyarrow",
+                         batch_size=65536) if pruned else ds.map_batches(
+        lambda b: pa.table({
+            "ok": b["o_orderkey"].cast(pa.int64()),
+            "cents": pa.array(np.round(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0)
+                .astype(np.int64), pa.int64()),
+            "day": pa.array(
+                b["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64) // _DAY_US,
+                pa.int64()),
+        }), batch_format="pyarrow", batch_size=65536)
+    df = src.to_pandas()
+    idx = _skyline_2d(df["cents"].to_numpy(), df["day"].to_numpy(),
+                      df["ok"].to_numpy())
+    out = df.iloc[idx].sort_values("ok")
+    return pa.table({
+        "o_orderkey": pa.array(out["ok"].to_numpy(np.int64), pa.int64()),
+        "o_totalprice": pa.array(
+            round_half_away(out["cents"].to_numpy().astype(np.float64) / 100.0, 2),
+            pa.float64()),
+        "o_orderdate": pa.array(
+            (out["day"].to_numpy(np.int64) * (86400 * 1_000_000))
+            .astype("datetime64[us]"), pa.timestamp("us")),
+    })
+
+
+def modal_priority_per_nation(sf_dir: str) -> pa.Table:
+    """Per-nation MODE of order priority (ties broken by priority string
+    asc) — grouped argmax over counts: the custkey→nation hop is the
+    broadcast dimension probe (revenue_per_nation discipline), partials
+    are (nations × priorities)-bounded. Returns
+    (n_name, modal_priority, n_orders)."""
+    from .relational import _broadcast_map
+
+    ref = _broadcast_map(sf_dir)
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({"p": batch["o_orderpriority"].combine_chunks().unique()})
+
+    prios = sorted(set(
+        ds.map_batches(uniq, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()["p"].tolist()))
+    pmap_arr = pa.array(prios, pa.string())
+    pref = ray.put(pmap_arr)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        nation_code, names = cached(ref)
+        parr = cached(pref)
+        cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pcode = pc.index_in(batch["o_orderpriority"].combine_chunks(),
+                            value_set=parr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        in_range = (cust >= 0) & (cust < len(nation_code))
+        ncode = np.where(in_range,
+                         nation_code[np.minimum(cust, len(nation_code) - 1)], -1)
+        keep = ncode >= 0
+        key = ncode[keep] * np.int64(len(parr)) + pcode[keep]
+        cnt = np.bincount(key, minlength=len(names) * len(parr))
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "key": pa.array(nz.astype(np.int64), pa.int64()),
+            "c_p": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+        })
+
+    df = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=65536),
+        ds.count(), ["key"], {"cnt": "c_p"})
+    nation_code, names = ray.get(ref)
+    npr = len(prios)
+    key = df["key"].to_numpy().astype(np.int64)
+    cnt = df["cnt"].to_numpy().astype(np.int64)
+    nat, pri = key // npr, key % npr
+    # argmax per nation: count desc, then priority asc
+    order = np.lexsort((pri, -cnt, nat))
+    first = np.concatenate([[True], nat[order][1:] != nat[order][:-1]])
+    sel = order[first]
+    srt = np.argsort([names[i] for i in nat[sel]])
+    sel = sel[srt]
+    return pa.table({
+        "n_name": pa.array([names[i] for i in nat[sel]], pa.string()),
+        "modal_priority": pa.array([prios[i] for i in pri[sel]], pa.string()),
+        "n_orders": pa.array(cnt[sel], pa.int64()),
+    })

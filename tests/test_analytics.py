@@ -310,3 +310,53 @@ def test_ltv_deciles_balanced(ray_session):
     # deciles are revenue-ordered: min of decile d+1 >= max of decile d
     assert (out["min_revenue"].to_numpy()[1:]
             >= out["max_revenue"].to_numpy()[:-1]).all()
+
+
+def test_skyline_prune_identity_and_dominance(ray_session):
+    from sketch_ray.pipelines.analytics import order_skyline
+
+    a = order_skyline(SF).to_pandas()
+    b = order_skyline(SF, force="driver").to_pandas()  # no local prune
+    pd.testing.assert_frame_equal(a, b)
+    allo = duckdb.sql(
+        f"""SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+                   o_orderdate FROM read_parquet('{SF}/orders.parquet')""").df()
+    # no skyline member is weakly dominated by any order
+    for _, row in a.iterrows():
+        c = int(round(row["o_totalprice"] * 100))
+        d = row["o_orderdate"]
+        dom = allo[((allo["cents"] >= c) & (allo["o_orderdate"] >= d))
+                   & ((allo["cents"] > c) | (allo["o_orderdate"] > d))]
+        assert len(dom) == 0
+
+
+def test_skyline_kernel_handles_duplicates():
+    from sketch_ray.pipelines.analytics import _skyline_2d
+
+    cents = np.array([10, 10, 5, 7], np.int64)
+    day = np.array([3, 3, 9, 3], np.int64)
+    keys = np.arange(4, dtype=np.int64)
+    keep = sorted(keys[_skyline_2d(cents, day, keys)].tolist())
+    # the two exact duplicates both survive; (7,3) is dominated by (10,3)
+    assert keep == [0, 1, 2]
+
+
+def test_modal_priority_matches_duckdb(ray_session):
+    from sketch_ray.pipelines.analytics import modal_priority_per_nation
+
+    out = modal_priority_per_nation(SF).to_pandas()
+    want = duckdb.sql(
+        f"""WITH c AS (
+                SELECT n.n_name, o.o_orderpriority, count(*) AS cnt
+                FROM read_parquet('{SF}/orders.parquet') o
+                JOIN read_parquet('{SF}/customer.parquet') cu
+                  ON cu.c_custkey = o.o_custkey
+                JOIN read_parquet('{SF}/nation.parquet') n
+                  ON n.n_nationkey = cu.c_nationkey
+                GROUP BY 1, 2)
+            SELECT n_name, o_orderpriority AS modal_priority,
+                   CAST(cnt AS BIGINT) AS n_orders
+            FROM c QUALIFY row_number() OVER (PARTITION BY n_name
+                ORDER BY cnt DESC, o_orderpriority) = 1
+            ORDER BY n_name""").df()
+    pd.testing.assert_frame_equal(out, want.astype(out.dtypes.to_dict()))
