@@ -613,3 +613,29 @@ def window_value_sums(sf_dir: str, window_days: int = 7,
         "est_window_cents": pa.array(np.asarray(out_est, np.int64)[order],
                                      pa.int64()),
     })
+
+
+def cs_join_size(sf_dir: str, widths: tuple[int, ...] = (1 << 12, 1 << 16)) -> pa.Table:
+    """Equi-join-size estimation from two COUNT-SKETCHES (the bilinear AMS
+    form, Alon-Gibbons-Matias-Szegedy 1999): est = median over rows of
+    <row_j(CS_events), row_j(CS_orders)>. Signs cancel cross terms in
+    expectation, so unlike cm_join_size this estimator is UNBIASED with
+    two-sided error ~ sqrt(F2(a)·F2(b))/sqrt(width) — the right tool when
+    an over-estimate is as costly as an under-estimate (e.g. join-order
+    planning). One streaming pass per side, no key exchange; the exact
+    ground truth is the oracle-gated join_size_exact and the error is
+    pinned in pytest. Returns (width, est_pairs)."""
+    def specs(prefix: str, column: str) -> list[SketchSpec]:
+        return [SketchSpec(f"{prefix}{w}", "countsketch", column, mode="column",
+                           params={"width": int(w), "depth": 5, "seed": 42})
+                for w in widths]
+
+    a = build_sketches(_read(sf_dir, "events", ["user_id"]),
+                       specs("a", "user_id"), batch_size=16384)
+    b = build_sketches(_read(sf_dir, "orders", ["o_custkey"]),
+                       specs("b", "o_custkey"), batch_size=16384)
+    return pa.table({
+        "width": pa.array([int(w) for w in widths], pa.int64()),
+        "est_pairs": pa.array(
+            [a[f"a{w}"].inner_product(b[f"b{w}"]) for w in widths], pa.int64()),
+    })

@@ -937,3 +937,34 @@ def test_ehsum_window_bound_and_pipeline(ray_session):
     est = got["est_window_cents"].to_numpy(np.int64)
     amax = exact["amax"].to_numpy(np.int64)
     assert (np.abs(est - true) <= true / (2 * k) + amax / 2 + 1).all()
+
+
+def test_cs_join_size_two_sided_bound(ray_session):
+    """Count-sketch bilinear join-size estimate: two-sided error within
+    ~4·sqrt(F2(a)·F2(b)/width) of the exact join size (AMS variance bound
+    with a generous constant for the median-of-5 rows)."""
+    import math
+
+    import duckdb
+
+    from sketch_ray.pipelines.sketch_queries import cs_join_size
+
+    sf = "/root/testdata/sf0.001"
+    want = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{sf}/events.parquet') e
+            JOIN read_parquet('{sf}/orders.parquet') o
+            ON e.user_id = o.o_custkey"""
+    ).fetchone()[0]
+    f2a = duckdb.sql(
+        f"""SELECT sum(c*c) FROM (SELECT count(*) AS c FROM
+            read_parquet('{sf}/events.parquet') GROUP BY user_id)"""
+    ).fetchone()[0]
+    f2b = duckdb.sql(
+        f"""SELECT sum(c*c) FROM (SELECT count(*) AS c FROM
+            read_parquet('{sf}/orders.parquet') GROUP BY o_custkey)"""
+    ).fetchone()[0]
+    est = cs_join_size(sf).to_pandas()
+    assert list(est.columns) == ["width", "est_pairs"]
+    for _, r in est.iterrows():
+        tol = 4.0 * math.sqrt(float(f2a) * float(f2b) / r["width"])
+        assert abs(r["est_pairs"] - want) <= tol, (r["est_pairs"], want, tol)
