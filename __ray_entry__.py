@@ -330,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": analytics.order_skyline,
         # grouped MODE with deterministic ties (broadcast dimension probe)
         "modal_priority_per_nation": analytics.modal_priority_per_nation,
+        # iterative graph centrality over the distributed Q7 edge fold
+        # (rows-only: power iteration is not SQL)
+        "nation_pagerank": analytics.nation_pagerank,
     }
 
 

@@ -1579,3 +1579,44 @@ def modal_priority_per_nation(sf_dir: str) -> pa.Table:
         "modal_priority": pa.array([prios[i] for i in pri[sel]], pa.string()),
         "n_orders": pa.array(cnt[sel], pa.int64()),
     })
+
+
+def nation_pagerank(sf_dir: str, d: float = 0.85, iters: int = 50) -> pa.Table:
+    """PageRank over the nation trade graph — the iterative-graph-algorithm
+    composition: edges are the Q7 trade-flow matrix (supplier nation →
+    customer nation, weight = n_items; relational.nation_trade_flows does
+    the distributed 6-table edge fold), then the driver runs weighted
+    power iteration on the nations×nations matrix (graph state is
+    dimension-bounded by construction — the heavy lifting IS the edge
+    fold). Dangling mass redistributes uniformly. Rows-only gated
+    (iterative, not SQL); convergence + stochasticity pinned in pytest.
+    Returns (nation, pagerank, in_weight) sorted by rank desc, nation."""
+    flows = _fold_trade_edges(sf_dir)
+    nations = sorted(set(flows["supp_nation"]) | set(flows["cust_nation"]))
+    idx = {n: i for i, n in enumerate(nations)}
+    n = len(nations)
+    W = np.zeros((n, n), np.float64)
+    for _, r in flows.iterrows():
+        W[idx[r["supp_nation"]], idx[r["cust_nation"]]] += float(r["n_items"])
+    out_w = W.sum(axis=1)
+    P = np.divide(W, out_w[:, None], out=np.zeros_like(W),
+                  where=out_w[:, None] > 0)
+    dangling = out_w == 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1.0 - d) / n + d * (P.T @ r + r[dangling].sum() / n)
+    order = np.lexsort((np.array(nations), -r))
+    return pa.table({
+        "nation": pa.array([nations[i] for i in order], pa.string()),
+        "pagerank": pa.array(round6(r[order]), pa.float64()),
+        "in_weight": pa.array(W.sum(axis=0)[order], pa.float64()),
+    })
+
+
+def _fold_trade_edges(sf_dir: str) -> pd.DataFrame:
+    """(supp_nation, cust_nation, n_items) edge list via the existing Q7
+    distributed fold (all years aggregated)."""
+    from .relational import nation_trade_flows
+
+    t = nation_trade_flows(sf_dir).to_pandas()
+    return t.groupby(["supp_nation", "cust_nation"], as_index=False)["n_items"].sum()

@@ -360,3 +360,26 @@ def test_modal_priority_matches_duckdb(ray_session):
                 ORDER BY cnt DESC, o_orderpriority) = 1
             ORDER BY n_name""").df()
     pd.testing.assert_frame_equal(out, want.astype(out.dtypes.to_dict()))
+
+
+def test_pagerank_stationary_and_stochastic(ray_session):
+    from sketch_ray.pipelines.analytics import nation_pagerank, _fold_trade_edges
+
+    out = nation_pagerank(SF).to_pandas()
+    assert out["pagerank"].sum() == pytest.approx(1.0, abs=1e-4)
+    assert (out["pagerank"] > 0).all()
+    # fixed point: one more iteration moves nothing (within round6 quantum)
+    flows = _fold_trade_edges(SF)
+    nations = sorted(set(flows["supp_nation"]) | set(flows["cust_nation"]))
+    idx = {n: i for i, n in enumerate(nations)}
+    n = len(nations)
+    W = np.zeros((n, n))
+    for _, r in flows.iterrows():
+        W[idx[r["supp_nation"]], idx[r["cust_nation"]]] += float(r["n_items"])
+    ow = W.sum(axis=1)
+    P = np.divide(W, ow[:, None], out=np.zeros_like(W), where=ow[:, None] > 0)
+    dang = ow == 0
+    r = out.set_index("nation").loc[nations, "pagerank"].to_numpy()
+    r = r / r.sum()
+    nxt = 0.15 / n + 0.85 * (P.T @ r + r[dang].sum() / n)
+    assert np.abs(nxt - r).max() < 5e-6
