@@ -2809,14 +2809,16 @@ def _benford_sql() -> str:
         for d in range(1, 10))
     return f"""
         WITH dig AS (
-            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            SELECT CAST(substr(CAST(abs(CAST(round(o_totalprice * 100)
+                                             AS BIGINT)) AS VARCHAR),
+                               1, 1) AS BIGINT) AS digit
             FROM orders
-        ), tot AS (SELECT count(*) AS n FROM dig)
+        ), nz AS (SELECT digit FROM dig WHERE digit >= 1),
+        tot AS (SELECT count(*) AS n FROM nz)
         SELECT digit, CAST(count(*) AS BIGINT) AS n_orders,
                round(CAST(count(*) AS DOUBLE) / tot.n, 6) AS share,
                CASE digit {cases} END AS benford_p
-        FROM dig, tot GROUP BY digit, tot.n ORDER BY digit
+        FROM nz, tot GROUP BY digit, tot.n ORDER BY digit
     """
 
 

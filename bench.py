@@ -125,7 +125,14 @@ def _make_soak_dir(sf_dir: str, factor: int = 10) -> str:
                 i = p.schema.get_field_index(idc)
                 p = p.set_column(i, idc, pc.add(p[idc], r * 10_000_000))
             parts.append(p)
-        pq.write_table(pa.concat_tables(parts), dst)
+        big = pa.concat_tables(parts)
+        if t == "events":
+            # the REAL events table is ts-sorted and the exponential-
+            # histogram windows rely on that invariant (time-contiguous
+            # blocks); naive replica concatenation would break it
+            big = big.take(pc.sort_indices(
+                big, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+        pq.write_table(big, dst)
     return out
 
 

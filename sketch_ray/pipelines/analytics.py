@@ -26,13 +26,24 @@ from .relational import _SMALL_ROWS, _fold_partials, _read
 
 _ATTR_SHIFT_US = np.int64(9131) * 86400 * 1_000_000  # the asof-join shift
 _PAIR_COUNT_MEMO: dict = {}  # driver-branch co-purchase counts, one corpus
+_DAILY_COUNT_MEMO: dict = {}  # (event_type, day) count fold, one corpus
 
 
 def _daily_type_counts(sf_dir: str) -> pd.DataFrame:
     """(event_type, day, cnt) over the events stream — per-batch day-floor
     group_by partials, adaptive fold (`relational._fold_partials`
     discipline). Group-bounded: at most n_types × n_days rows reach the
-    driver. Shared by events_ewma_daily and cusum_changepoint."""
+    driver. Memoized per corpus file identity: FOUR operators share it
+    (EWMA, CUSUM, autocorrelation, Holt) — the dedup._doc_classes_for
+    discipline, one events scan per suite run instead of four."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    hit = _DAILY_COUNT_MEMO.get(key)
+    if hit is not None:
+        return hit.copy()
     ds = _read(sf_dir, "events", ["ts", "event_type"])
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -45,7 +56,10 @@ def _daily_type_counts(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(partials, batch_format="pyarrow", batch_size=32768),
         ds.count(), ["day", "event_type"], {"cnt": "c_p"})
     df["cnt"] = df["cnt"].astype(np.int64)
-    return df.sort_values(["event_type", "day"]).reset_index(drop=True)
+    df = df.sort_values(["event_type", "day"]).reset_index(drop=True)
+    _DAILY_COUNT_MEMO.clear()  # hold one corpus at a time
+    _DAILY_COUNT_MEMO[key] = df
+    return df.copy()
 
 
 def events_ewma_daily(sf_dir: str, alpha: float = 0.5) -> pa.Table:
@@ -113,18 +127,34 @@ def _attr_match(uid_o: np.ndarray, bound_o: np.ndarray, cents_o: np.ndarray,
     trick: uid·(R+1) + rank(ts) makes one searchsorted find the last
     qualifying event per order. Returns per-type (cents_sum, n_orders)
     plus the unmatched (cents, count)."""
+    if len(ts_e) == 0:
+        sums = np.zeros(n_types, np.int64)
+        return (sums, sums.copy(), np.int64(cents_o.sum()),
+                np.int64(len(cents_o)))
     date_ranks = np.unique(ts_e)
     R = np.int64(len(date_ranks))
+    # rank uids too: the composite then fits int64 while
+    # (distinct uids)·(distinct ts) < 2^63 within this partition — raise
+    # loudly rather than wrap if a partition ever exceeds that (raise the
+    # partition count P, which scales with the cluster)
+    uid_ranks = np.unique(np.concatenate([uid_e, uid_o]))
+    U = np.int64(len(uid_ranks))
+    if int(U) * (int(R) + 1) >= (1 << 62):
+        raise OverflowError(
+            "as-of composite would overflow int64; increase the user-hash "
+            "partition count")
+    u_e = np.searchsorted(uid_ranks, uid_e).astype(np.int64)
+    u_o = np.searchsorted(uid_ranks, uid_o).astype(np.int64)
     r_e = np.searchsorted(date_ranks, ts_e).astype(np.int64)
-    comp_e = uid_e * (R + 1) + r_e + 1
+    comp_e = u_e * (R + 1) + r_e + 1
     order = np.lexsort((eid_e, comp_e))  # ties: larger event_id LAST
     comp_sorted = comp_e[order]
     rb = np.searchsorted(date_ranks, bound_o, side="right").astype(np.int64)
-    comp_q = uid_o * (R + 1) + rb
+    comp_q = u_o * (R + 1) + rb
     idx = np.searchsorted(comp_sorted, comp_q, side="right")
     has = idx > 0
     cand = np.where(has, idx - 1, 0)
-    ok = has & (comp_sorted[cand] // (R + 1) == uid_o)
+    ok = has & (comp_sorted[cand] // (R + 1) == u_o)
     code = code_e[order][cand]
     sums = np.zeros(n_types, np.int64)
     cnts = np.zeros(n_types, np.int64)
@@ -629,6 +659,24 @@ def _pair_expand(okey: np.ndarray, pk: np.ndarray
     return p[a_idx], p[b_idx]
 
 
+def _unique_pairs(a: np.ndarray, b: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (a, b) rows: composite-key np.unique when the pack
+    provably fits int64, else a structured-array unique (same result,
+    ~2× slower) — the silent-wraparound guard for the co-purchase family
+    at extreme key ranges."""
+    if len(a) == 0:
+        return a.astype(np.int64), b.astype(np.int64)
+    stride = np.int64(b.max()) + 1
+    if int(a.max()) < (1 << 62) // int(stride):
+        uniq = np.unique(a * stride + b)
+        return uniq // stride, uniq % stride
+    arr = np.empty(len(a), dtype=[("a", np.int64), ("b", np.int64)])
+    arr["a"], arr["b"] = a, b
+    uniq = np.unique(arr)
+    return uniq["a"].copy(), uniq["b"].copy()
+
+
 def _copurchase_tag(batch: pa.Table) -> pa.Table:
     """Per-batch distinct (order, part) rows + order-hash bucket — the
     shared first stage of both co-purchase operators. Dedup via a
@@ -636,9 +684,7 @@ def _copurchase_tag(batch: pa.Table) -> pa.Table:
     this box's slow cores)."""
     ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    stride = np.int64(pk.max()) + 1 if len(pk) else np.int64(1)
-    uniq = np.unique(ok * stride + pk)
-    ok, pk = uniq // stride, uniq % stride
+    ok, pk = _unique_pairs(ok, pk)
     return pa.table({
         "bucket": pa.array(
             (splitmix64(ok.astype(np.uint64)) % np.uint64(64))
@@ -651,10 +697,13 @@ def _copurchase_tag(batch: pa.Table) -> pa.Table:
 def _pair_counts_np(okey: np.ndarray, pk: np.ndarray
                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(pk_a, pk_b, cnt) over distinct per-order part pairs — composite
-    int64 key + np.unique(return_counts), no pandas in the hot path."""
+    int64 key + np.unique(return_counts), no pandas in the hot path.
+    Pair packing (partkey², not orderkey·partkey) fits int64 for any
+    partkey < ~3e9; the (order, part) dedup goes through the guarded
+    `_unique_pairs`."""
+    ok, pk = _unique_pairs(okey, pk)
     stride = np.int64(pk.max()) + 1 if len(pk) else np.int64(1)
-    uniq = np.unique(okey * stride + pk)
-    a, b = _pair_expand(uniq // stride, uniq % stride)
+    a, b = _pair_expand(ok, pk)
     comp, cnt = np.unique(a * stride + b, return_counts=True)
     return comp // stride, comp % stride, cnt.astype(np.int64)
 
@@ -785,8 +834,12 @@ def first_digit_profile(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "orders", ["o_totalprice"])
 
     def partials(batch: pa.Table) -> pa.Table:
-        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
-                         * 100.0).astype(np.int64)
+        # |cents|: negatives would break the string slice on BOTH engines;
+        # zero totals land on digit 0, which both sides exclude from the
+        # rows AND the share denominator (mirrored WHERE digit >= 1)
+        cents = np.abs(np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0)
+            .astype(np.int64))
         digit = pc.cast(pc.utf8_slice_codeunits(
             pc.cast(pa.array(cents), pa.string()), 0, 1), pa.int64()) \
             .to_numpy(zero_copy_only=False)
@@ -865,7 +918,12 @@ def ship_latency_histogram(sf_dir: str, force: str | None = None) -> pa.Table:
             diff = sday - odays[idx]
             code = pcs[idx]
             # diff can be NEGATIVE (the synthetic dates are independent);
-            # shift into [0, 2^15) before packing
+            # shift into [0, 2^15) before packing — and fail LOUDLY if a
+            # corpus ever exceeds ±2^14 days (~±44 y), rather than bleed
+            # counts into the neighboring priority's bucket
+            if len(diff) and (int(diff.min()) < -(1 << 14)
+                              or int(diff.max()) >= (1 << 14)):
+                raise OverflowError("ship latency exceeds the 15-bit pack")
             key = code * np.int64(1 << 15) + (diff + np.int64(1 << 14))
             uniq, cnts = np.unique(key, return_counts=True)
             return pa.table({
@@ -1045,6 +1103,13 @@ def length_token_spearman(sf_dir: str, force: str | None = None) -> pa.Table:
         g = g.sort_values("v")
         vals = g["v"].to_numpy().astype(np.int64)
         cnts = g["cnt"].to_numpy()
+        n_lang = int(cnts.sum())
+        # the int64 moment fold is exact while Σ midrank² ≈ 4n³ < 2^63;
+        # wrap silently it would not — refuse loudly (shard by lang above)
+        if 4 * n_lang ** 3 >= (1 << 62):
+            raise OverflowError(
+                f"Spearman midrank moments for lang {lang!r} (n={n_lang}) "
+                "would overflow the int64 fold; shard the corpus by lang")
         below = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
         lut[(lang, int(which))] = (vals, 2 * below + cnts + 1)
     ref = ray.put(lut)
@@ -1114,13 +1179,22 @@ def event_order_conversion(sf_dir: str, window_days: int = 30,
 
     def window_counts(uid_e, ts_e, code_e, uid_o, odate_o):
         """(per-type events, per-type converted) via two searchsorteds on
-        the composite (uid, order-date-rank) array."""
+        the composite (uid-rank, order-date-rank) array. Both key
+        dimensions are RANKED so the composite fits int64 while
+        uids·dates < 2^63 per partition (the _attr_match guard)."""
         date_ranks = np.unique(odate_o)
         R = np.int64(len(date_ranks))
-        comp = uid_o * (R + 1) + np.searchsorted(date_ranks, odate_o)
+        uid_ranks = np.unique(np.concatenate([uid_e, uid_o]))
+        if len(uid_ranks) * (int(R) + 1) >= (1 << 62):
+            raise OverflowError(
+                "window composite would overflow int64; increase the "
+                "user-hash partition count")
+        u_e = np.searchsorted(uid_ranks, uid_e).astype(np.int64)
+        u_o = np.searchsorted(uid_ranks, uid_o).astype(np.int64)
+        comp = u_o * (R + 1) + np.searchsorted(date_ranks, odate_o)
         comp_sorted = np.sort(comp)
-        lo = uid_e * (R + 1) + np.searchsorted(date_ranks, ts_e, side="left")
-        hi = uid_e * (R + 1) + np.searchsorted(date_ranks, ts_e + W, side="left")
+        lo = u_e * (R + 1) + np.searchsorted(date_ranks, ts_e, side="left")
+        hi = u_e * (R + 1) + np.searchsorted(date_ranks, ts_e + W, side="left")
         n_in = (np.searchsorted(comp_sorted, hi, side="left")
                 - np.searchsorted(comp_sorted, lo, side="left"))
         conv = n_in > 0
@@ -1295,10 +1369,7 @@ def _order_brand_rows(sf_dir: str):
         pkey = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         code = table[np.minimum(pkey, len(table) - 1)]
         keep = code >= 0
-        ok, code = ok[keep], code[keep]
-        nb = np.int64(len(table))  # > any code
-        uniq = np.unique(ok * nb + code)
-        ok, code = uniq // nb, uniq % nb
+        ok, code = _unique_pairs(ok[keep], code[keep])
         return pa.table({
             "bucket": pa.array(
                 (splitmix64(ok.astype(np.uint64)) % np.uint64(64))
@@ -1595,6 +1666,10 @@ def nation_pagerank(sf_dir: str, d: float = 0.85, iters: int = 50) -> pa.Table:
     nations = sorted(set(flows["supp_nation"]) | set(flows["cust_nation"]))
     idx = {n: i for i, n in enumerate(nations)}
     n = len(nations)
+    if n == 0:  # no flows in the Q7 window → empty graph, empty result
+        return pa.table({"nation": pa.array([], pa.string()),
+                         "pagerank": pa.array([], pa.float64()),
+                         "in_weight": pa.array([], pa.float64())})
     W = np.zeros((n, n), np.float64)
     for _, r in flows.iterrows():
         W[idx[r["supp_nation"]], idx[r["cust_nation"]]] += float(r["n_items"])
@@ -1615,7 +1690,8 @@ def nation_pagerank(sf_dir: str, d: float = 0.85, iters: int = 50) -> pa.Table:
 
 def _fold_trade_edges(sf_dir: str) -> pd.DataFrame:
     """(supp_nation, cust_nation, n_items) edge list via the existing Q7
-    distributed fold (all years aggregated)."""
+    distributed fold — NOTE it inherits Q7's shape: the default 1995-96
+    ship window and no same-nation flows (self-loop-free graph)."""
     from .relational import nation_trade_flows
 
     t = nation_trade_flows(sf_dir).to_pandas()

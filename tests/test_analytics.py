@@ -383,3 +383,29 @@ def test_pagerank_stationary_and_stochastic(ray_session):
     r = r / r.sum()
     nxt = 0.15 / n + 0.85 * (P.T @ r + r[dang].sum() / n)
     assert np.abs(nxt - r).max() < 5e-6
+
+
+def test_attr_match_empty_events_side():
+    """Review fix: an empty events side must put every order in '(none)',
+    not IndexError (empty partitions are routine at scale)."""
+    from sketch_ray.pipelines.analytics import _attr_match
+
+    sums, cnts, none_c, none_n = _attr_match(
+        np.array([1, 2], np.int64), np.array([10, 20], np.int64),
+        np.array([100, 200], np.int64),
+        np.array([], np.int64), np.array([], np.int64),
+        np.array([], np.int64), np.array([], np.int64), 3)
+    assert sums.sum() == 0 and cnts.sum() == 0
+    assert none_c == 300 and none_n == 2
+
+
+def test_unique_pairs_overflow_fallback():
+    """Review fix: huge key products take the structured-unique path and
+    still dedup exactly."""
+    from sketch_ray.pipelines.analytics import _unique_pairs
+
+    big = np.int64(1) << 60
+    a = np.array([big, big, big + 1], np.int64)
+    b = np.array([7, 7, 9], np.int64)
+    ua, ub = _unique_pairs(a, b)
+    assert sorted(zip(ua.tolist(), ub.tolist())) == [(big, 7), (big + 1, 9)]
