@@ -333,6 +333,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph centrality over the distributed Q7 edge fold
         # (rows-only: power iteration is not SQL)
         "nation_pagerank": analytics.nation_pagerank,
+        # bounce rate by session entry point (sessionize + first-event type)
+        "session_bounce_rate": analytics.session_bounce_rate,
+        # trailing 7-day moving average over observed days
+        "daily_moving_avg": analytics.daily_moving_avg,
+        # key-sequence integrity audit (missing + duplicate ids)
+        "id_gap_audit": analytics.id_gap_audit,
     }
 
 
@@ -2703,6 +2709,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT brand_a, brand_b, n_ab AS n_orders, lift
             FROM sc ORDER BY lift DESC, brand_a, brand_b LIMIT 20
+        """,
+        "session_bounce_rate": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+                FROM e
+            ), cnt AS (
+                SELECT user_id, sess, count(*) AS c
+                FROM s GROUP BY 1, 2
+            ), first AS (
+                SELECT user_id, sess, event_type
+                FROM s QUALIFY row_number() OVER (PARTITION BY user_id, sess
+                                                  ORDER BY ts, event_id) = 1
+            )
+            SELECT f.event_type AS first_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounce,
+                   round(CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS bounce_rate
+            FROM first f JOIN cnt c USING (user_id, sess)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "daily_moving_avg": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day,
+                   round(CAST(sum(c) OVER w AS DOUBLE)
+                         / count(*) OVER w, 6) AS ma
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY event_type, day
+        """,
+        "id_gap_audit": """
+            SELECT CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(max(event_id) - min(event_id) + 1
+                        - count(DISTINCT event_id) AS BIGINT) AS n_missing,
+                   CAST(count(*) - count(DISTINCT event_id)
+                        AS BIGINT) AS n_duplicate
+            FROM events
         """,
         # skyline via price-level max dates: survives iff date beats the
         # running max over STRICTLY higher price levels and equals its own

@@ -26,6 +26,7 @@ from .relational import _SMALL_ROWS, _fold_partials, _read
 
 _ATTR_SHIFT_US = np.int64(9131) * 86400 * 1_000_000  # the asof-join shift
 _PAIR_COUNT_MEMO: dict = {}  # driver-branch co-purchase counts, one corpus
+_PAIR_DS_MEMO: dict = {}  # distributed-branch materialized pair counts
 _DAILY_COUNT_MEMO: dict = {}  # (event_type, day) count fold, one corpus
 
 
@@ -716,11 +717,9 @@ def _copurchase_pair_counts(sf_dir: str, force: str | None,
     once and everything is one driver numpy pass (NO shuffle — the
     order-bucket map_groups + pair groupby costs seconds of fixed Ray
     overhead that dwarf the work at this size); above it, order-hash
-    bucket groups expand pairs vectorized and ONE pair-keyed distributed
-    groupby finalizes counts (the 100 TB path). Shared by
-    copurchase_pairs and copurchase_components."""
-    from ray.data.aggregate import Sum
-
+    bucket groups expand pairs vectorized and ONE pair-hash bucket
+    exchange finalizes counts vectorized per group (the 100 TB path).
+    Shared by copurchase_pairs and copurchase_components."""
     from ._util import n_reducers
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -751,14 +750,50 @@ def _copurchase_pair_counts(sf_dir: str, force: str | None,
                                         df["pk"].to_numpy(np.int64))
         return pd.DataFrame({"pk_a": pa_, "pk_b": pb_, "cnt_p": cnt})
 
-    grouped = (ds.map_batches(_copurchase_tag, batch_format="pyarrow",
-                              batch_size=65536)
-               .groupby("bucket")
-               .map_groups(lambda g: pairs_group(g.drop(columns=["bucket"])),
-                           batch_format="pandas"))
-    folded = (grouped.repartition(n_reducers())
-              .groupby(["pk_a", "pk_b"])
-              .aggregate(Sum("cnt_p", alias_name="cnt_p")))
+    # the folded pair-count Dataset is ALSO memoized (materialized) per
+    # corpus: pairs + components each paid the full distributed shuffle at
+    # soak scale before this — only the k/min_cnt PRUNE differs per caller.
+    # The fold itself is a pair-hash BUCKET groupby with a vectorized
+    # per-group count, NOT a native groupby(["pk_a","pk_b"]): Ray's
+    # aggregate over a per-row-cardinality multi-column key measured 206 s
+    # on 1.2M rows where this shape takes 1.9 s (see CLAUDE.md trap).
+    import os
+
+    path = f"{sf_dir}/lineitem.parquet"
+    st = os.stat(path)
+    dkey = (path, st.st_size, st.st_mtime_ns)
+    folded = _PAIR_DS_MEMO.get(dkey)
+    if folded is None:
+        grouped = (ds.map_batches(_copurchase_tag, batch_format="pyarrow",
+                                  batch_size=65536)
+                   .groupby("bucket")
+                   .map_groups(lambda g: pairs_group(g.drop(columns=["bucket"])),
+                               batch_format="pandas"))
+
+        def part_tag(batch: pa.Table) -> pa.Table:
+            a = batch["pk_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = batch["pk_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            part = ((splitmix64(a) ^ splitmix64(b + np.uint64(7)))
+                    % np.uint64(n_reducers())).astype(np.int64)
+            return batch.append_column("part", pa.array(part, pa.int64()))
+
+        def count_group(df: pd.DataFrame) -> pd.DataFrame:
+            a = df["pk_a"].to_numpy(np.int64)
+            b = df["pk_b"].to_numpy(np.int64)
+            c = df["cnt_p"].to_numpy(np.int64)
+            stride = np.int64(b.max()) + 1  # partkey² pack, safe < ~3e9
+            uniq, inv = np.unique(a * stride + b, return_inverse=True)
+            cnt = np.bincount(inv, weights=c).astype(np.int64)
+            return pd.DataFrame({"pk_a": uniq // stride,
+                                 "pk_b": uniq % stride, "cnt_p": cnt})
+
+        folded = (grouped.map_batches(part_tag, batch_format="pyarrow")
+                  .groupby("part")
+                  .map_groups(lambda g: count_group(g.drop(columns=["part"])),
+                              batch_format="pandas")
+                  .materialize())
+        _PAIR_DS_MEMO.clear()
+        _PAIR_DS_MEMO[dkey] = folded
     if min_cnt > 1:
         folded = folded.filter(expr=f"cnt_p >= {int(min_cnt)}")
     if topk_per_block is not None:
@@ -1696,3 +1731,124 @@ def _fold_trade_edges(sf_dir: str) -> pd.DataFrame:
 
     t = nation_trade_flows(sf_dir).to_pandas()
     return t.groupby(["supp_nation", "cust_nation"], as_index=False)["n_items"].sum()
+
+
+def session_bounce_rate(sf_dir: str, gap_minutes: int = 30,
+                        force: str | None = None) -> pa.Table:
+    """Bounce rate by session entry point: sessionize each user's events
+    (gap > gap_minutes starts a session, the sessionize_users rule with
+    an explicit (ts, event_id) tie order), then per FIRST-event-type:
+    session count, single-event-session count, bounce rate. Adaptive
+    driver pass / user-bucket map_groups; partials are types-bounded.
+    ONE mirrored division. Returns (first_type, n_sessions, n_bounce,
+    bounce_rate)."""
+    from .relational import _bucket_users
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"first_type": pd.Series([], dtype="object"),
+                                 "n_p": pd.Series([], dtype="int64"),
+                                 "b_p": pd.Series([], dtype="int64")})
+        b = batch.sort_values(["user_id", "ts", "event_id"])
+        uid = b["user_id"].to_numpy(np.int64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = b["event_type"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[np.int64(0)], np.diff(ts)]) > gap_us
+        starts = np.flatnonzero(new_user | gap)
+        sizes = np.diff(np.concatenate([starts, [len(uid)]]))
+        return pd.DataFrame({"first_type": et[starts],
+                             "bounce": (sizes == 1).astype(np.int64)}) \
+            .groupby("first_type", as_index=False) \
+            .agg(n_p=("bounce", "size"), b_p=("bounce", "sum"))
+
+    small = (ds.count() < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        df = per_batch(ds.to_pandas())
+    else:
+        out = (ds.map_batches(_bucket_users, batch_format="pyarrow",
+                              batch_size=65536)
+               .groupby("bucket")
+               .map_groups(lambda g: per_batch(g.drop(columns=["bucket"])),
+                           batch_format="pandas"))
+        df = ensure_columns(out.to_pandas(),
+                            {"first_type": "object", "n_p": "int64",
+                             "b_p": "int64"})
+        df = df.groupby("first_type", as_index=False).sum()
+    df = df.sort_values("first_type").reset_index(drop=True)
+    n = df["n_p"].to_numpy().astype(np.int64)
+    bn = df["b_p"].to_numpy().astype(np.int64)
+    return pa.table({
+        "first_type": pa.array(df["first_type"], pa.string()),
+        "n_sessions": pa.array(n, pa.int64()),
+        "n_bounce": pa.array(bn, pa.int64()),
+        "bounce_rate": pa.array(
+            round6(bn.astype(np.float64) / n.astype(np.float64)), pa.float64()),
+    })
+
+
+def daily_moving_avg(sf_dir: str, window: int = 7) -> pa.Table:
+    """Trailing ``window``-day moving average of daily event counts per
+    type over the OBSERVED days (the ROWS BETWEEN 6 PRECEDING frame):
+    integer window sums and counts, ONE mirrored division per row.
+    Shares the memoized daily fold. Returns (event_type, day, ma)."""
+    daily = _daily_type_counts(sf_dir)
+    out = np.empty(len(daily), np.float64)
+    pos = 0
+    for _, g in daily.groupby("event_type", sort=True):
+        c = g["cnt"].to_numpy().astype(np.int64)
+        cs = np.concatenate([[np.int64(0)], np.cumsum(c)])
+        i = np.arange(len(c))
+        lo = np.maximum(i - (window - 1), 0)
+        wsum = cs[i + 1] - cs[lo]
+        wcnt = (i + 1 - lo).astype(np.int64)
+        out[pos:pos + len(c)] = round6(wsum.astype(np.float64)
+                                       / wcnt.astype(np.float64))
+        pos += len(c)
+    return pa.table({
+        "event_type": pa.array(daily["event_type"].to_numpy(), pa.string()),
+        "day": pa.Array.from_pandas(daily["day"], type=pa.timestamp("us")),
+        "ma": pa.array(out, pa.float64()),
+    })
+
+
+def id_gap_audit(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Key-sequence integrity audit over events.event_id: min, max, row
+    count, missing-id count (max − min + 1 − distinct), duplicate count
+    (rows − distinct). min/max/rows fold from per-batch partials; the
+    exact distinct is adaptive — driver np.unique of per-batch unique
+    partials below `_SMALL_ROWS`, else ONE key-hash groupby (the
+    table_profile distinct discipline). Returns one row."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    n_rows = ds.count()
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+
+    def uniq_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["event_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"id": pa.array(u, pa.int64())})
+
+    parts = ds.map_batches(uniq_partial, batch_format="pyarrow",
+                           batch_size=65536)
+    if small:
+        ids = parts.to_pandas()["id"].to_numpy()
+        u = np.unique(ids)
+        n_distinct = len(u)
+        mn, mx = (int(u[0]), int(u[-1])) if len(u) else (0, -1)
+    else:
+        from ._util import n_reducers, parquet_minmax
+
+        dd = parts.repartition(n_reducers()).groupby("id").count()
+        n_distinct = dd.count()
+        mn, mx = parquet_minmax(f"{sf_dir}/events.parquet", "event_id")
+        mn, mx = int(mn), int(mx)
+    return pa.table({
+        "min_id": pa.array([mn], pa.int64()),
+        "max_id": pa.array([mx], pa.int64()),
+        "n_rows": pa.array([int(n_rows)], pa.int64()),
+        "n_missing": pa.array([mx - mn + 1 - n_distinct], pa.int64()),
+        "n_duplicate": pa.array([int(n_rows) - n_distinct], pa.int64()),
+    })

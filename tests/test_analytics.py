@@ -409,3 +409,61 @@ def test_unique_pairs_overflow_fallback():
     b = np.array([7, 7, 9], np.int64)
     ua, ub = _unique_pairs(a, b)
     assert sorted(zip(ua.tolist(), ub.tolist())) == [(big, 7), (big + 1, 9)]
+
+
+def test_bounce_rate_branches_and_totals(ray_session):
+    from sketch_ray.pipelines.analytics import session_bounce_rate
+
+    a = session_bounce_rate(SF, force="driver").to_pandas()
+    b = session_bounce_rate(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    total_sessions = duckdb.sql(
+        f"""WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM read_parquet('{SF}/events.parquet')
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT sum(new_s) FROM e""").fetchone()[0]
+    assert int(a["n_sessions"].sum()) == total_sessions
+    assert (a["n_bounce"] <= a["n_sessions"]).all()
+
+
+def test_moving_avg_window_edges(ray_session):
+    from sketch_ray.pipelines.analytics import daily_moving_avg
+    from sketch_ray.pipelines._util import round6
+
+    out = daily_moving_avg(SF).to_pandas()
+    daily = _daily()
+    for et, g in daily.groupby("event_type", sort=True):
+        c = g["c"].to_numpy()
+        sub = out[out["event_type"] == et]["ma"].to_numpy()
+        for i in range(len(c)):
+            lo = max(i - 6, 0)
+            want = float(round6(float(c[lo:i + 1].sum()) / (i + 1 - lo)))
+            assert sub[i] == pytest.approx(want, abs=1e-9)
+
+
+def test_id_gap_audit_branches_and_planted_gap(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.analytics import id_gap_audit
+
+    a = id_gap_audit(SF, force="driver").to_pandas()
+    b = id_gap_audit(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # planted corpus: ids 1..10 with 4,7 missing and one duplicate 9
+    ids = [1, 2, 3, 5, 6, 8, 9, 9, 10]
+    pq.write_table(pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array([0] * len(ids), pa.timestamp("us")),
+        "user_id": pa.array([1] * len(ids), pa.int64()),
+        "event_type": pa.array(["view"] * len(ids), pa.string()),
+        "value": pa.array([0.0] * len(ids), pa.float64()),
+        "props": pa.array(["{}"] * len(ids), pa.string()),
+    }), tmp_path / "events.parquet")
+    out = id_gap_audit(str(tmp_path)).to_pandas().iloc[0]
+    assert out["min_id"] == 1 and out["max_id"] == 10
+    assert out["n_missing"] == 2 and out["n_duplicate"] == 1
