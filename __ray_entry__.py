@@ -339,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_moving_avg": analytics.daily_moving_avg,
         # key-sequence integrity audit (missing + duplicate ids)
         "id_gap_audit": analytics.id_gap_audit,
+        # association rules: support/confidence over the shared pair fold
+        "copurchase_rules": analytics.copurchase_rules,
     }
 
 
@@ -2820,6 +2822,31 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(min(cents) AS DOUBLE) / 100.0, 2) AS min_revenue,
                    round(CAST(max(cents) AS DOUBLE) / 100.0, 2) AS max_revenue
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "copurchase_rules": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM lp),
+            s AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS c
+                  FROM lp GROUP BY 1),
+            pr AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), dirs AS (
+                SELECT pa AS antecedent, pb AS consequent, n_ab FROM pr
+                UNION ALL
+                SELECT pb, pa, n_ab FROM pr
+            ), sc AS (
+                SELECT d.antecedent, d.consequent, d.n_ab AS n_both,
+                       round(CAST(d.n_ab AS DOUBLE) / s.c, 6) AS confidence,
+                       round(CAST(d.n_ab AS DOUBLE) / n.n, 6) AS support
+                FROM dirs d JOIN s ON s.pk = d.antecedent CROSS JOIN n
+            )
+            SELECT * FROM sc
+            ORDER BY confidence DESC, antecedent, consequent LIMIT 25
         """,
         "copurchase_components": """
             WITH RECURSIVE lp AS (

@@ -1852,3 +1852,95 @@ def id_gap_audit(sf_dir: str, force: str | None = None) -> pa.Table:
         "n_missing": pa.array([mx - mn + 1 - n_distinct], pa.int64()),
         "n_duplicate": pa.array([int(n_rows) - n_distinct], pa.int64()),
     })
+
+
+def copurchase_rules(sf_dir: str, k: int = 25, min_pair_orders: int = 2,
+                     force: str | None = None) -> pa.Table:
+    """Association rules a→b over the co-purchase pairs (both directions
+    of every pair with ≥ min_pair_orders co-occurrences): support =
+    n_ab/N, confidence = n_ab/n_a — integer ratios, ONE mirrored division
+    each; ranked by (round6(confidence) DESC, antecedent, consequent)
+    top-k. Pair counts come from the shared memoized fold; antecedent
+    counts and the distinct-order total are one extra (pk)-bincount /
+    distinct-okey fold. Completes the support/confidence/lift
+    market-basket trio. Returns (antecedent, consequent, n_both,
+    confidence, support)."""
+    pairs = _copurchase_pair_counts(sf_dir, force, min_cnt=min_pair_orders)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_rows = ds.count()
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+
+    def single_partials(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok, pk = _unique_pairs(ok, pk)
+        upk, cnt = np.unique(pk, return_counts=True)
+        uok = np.unique(ok)
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(upk), np.int64), np.ones(len(uok), np.int64)]),
+                pa.int64()),
+            "key": pa.array(np.concatenate([upk, uok]), pa.int64()),
+            "c_p": pa.array(np.concatenate(
+                [cnt.astype(np.int64), np.ones(len(uok), np.int64)]),
+                pa.int64()),
+        })
+
+    # per-batch distinct under-counts duplicates that span batches only
+    # for the DISTINCT-order/part pair — re-dedup keyed rows driver-side
+    # below _SMALL_ROWS, else through a key-hash bucket fold
+    if small:
+        t = ds.to_pandas()
+        ok, pk = _unique_pairs(t["l_orderkey"].to_numpy(np.int64),
+                               t["l_partkey"].to_numpy(np.int64))
+        upk, cnt = np.unique(pk, return_counts=True)
+        singles = dict(zip(upk.tolist(), cnt.tolist()))
+        N = len(np.unique(ok))
+    else:
+        from ._util import n_reducers
+
+        def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+            ok, pk = _unique_pairs(df["okey"].to_numpy(np.int64),
+                                   df["pk"].to_numpy(np.int64))
+            upk, cnt = np.unique(pk, return_counts=True)
+            return pd.DataFrame({"pk": upk, "c": cnt.astype(np.int64),
+                                 "n_orders": np.zeros(len(upk), np.int64)})
+
+        tagged = ds.map_batches(_copurchase_tag, batch_format="pyarrow",
+                                batch_size=65536)
+        # orders co-locate per bucket (bucket is a function of okey), so
+        # per-bucket distinct orders sum to the global distinct count
+        def group_stats(df: pd.DataFrame) -> pd.DataFrame:
+            out = dedup_group(df)
+            out.loc[len(out)] = {"pk": -1, "c": 0,
+                                 "n_orders": len(np.unique(
+                                     df["okey"].to_numpy(np.int64)))}
+            return out
+
+        pdf = ensure_columns(
+            tagged.groupby("bucket")
+            .map_groups(lambda g: group_stats(g.drop(columns=["bucket"])),
+                        batch_format="pandas").to_pandas(),
+            {"pk": "int64", "c": "int64", "n_orders": "int64"})
+        N = int(pdf["n_orders"].sum())
+        agg = pdf[pdf["pk"] >= 0].groupby("pk")["c"].sum()
+        singles = agg.to_dict()
+
+    a = pairs["pk_a"].to_numpy(np.int64)
+    b = pairs["pk_b"].to_numpy(np.int64)
+    nab = pairs["cnt_p"].to_numpy(np.int64)
+    ante = np.concatenate([a, b])
+    cons = np.concatenate([b, a])
+    both = np.concatenate([nab, nab])
+    n_ante = np.array([singles[x] for x in ante.tolist()], np.int64)
+    conf = round6(both.astype(np.float64) / n_ante.astype(np.float64))
+    supp = round6(both.astype(np.float64) / float(N))
+    order = np.lexsort((cons, ante, -conf))[:k]
+    return pa.table({
+        "antecedent": pa.array(ante[order], pa.int64()),
+        "consequent": pa.array(cons[order], pa.int64()),
+        "n_both": pa.array(both[order], pa.int64()),
+        "confidence": pa.array(conf[order], pa.float64()),
+        "support": pa.array(supp[order], pa.float64()),
+    })

@@ -467,3 +467,14 @@ def test_id_gap_audit_branches_and_planted_gap(ray_session, tmp_path):
     out = id_gap_audit(str(tmp_path)).to_pandas().iloc[0]
     assert out["min_id"] == 1 and out["max_id"] == 10
     assert out["n_missing"] == 2 and out["n_duplicate"] == 1
+
+
+def test_copurchase_rules_branches_and_bounds(ray_session):
+    from sketch_ray.pipelines.analytics import copurchase_rules
+
+    a = copurchase_rules(SF, force="driver").to_pandas()
+    b = copurchase_rules(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert ((a["confidence"] > 0) & (a["confidence"] <= 1)).all()
+    assert ((a["support"] > 0) & (a["support"] <= 1)).all()
+    assert (a["support"] <= a["confidence"] + 1e-9).all()  # n_a <= N
