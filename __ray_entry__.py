@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_exact": relational.join_size_exact,
         "cm_join_size": sketch_queries.cm_join_size,
         "cs_join_size": sketch_queries.cs_join_size,
+        "lincount_cardinalities": sketch_queries.lincount_cardinalities,
         # Bloom-prefiltered decontamination (same answer, fixed-size
         # broadcast scale path; oracle shared with decontaminate_corpus)
         "decontaminate_corpus_bloom": lambda sf: dedup.decontaminate_corpus_bloom(

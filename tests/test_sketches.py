@@ -968,3 +968,55 @@ def test_cs_join_size_two_sided_bound(ray_session):
     for _, r in est.iterrows():
         tol = 4.0 * math.sqrt(float(f2a) * float(f2b) / r["width"])
         assert abs(r["est_pairs"] - want) <= tol, (r["est_pairs"], want, tol)
+
+
+def test_linear_counter_error_merge_and_saturation():
+    """LinearCounter: estimate within 5 std errors of truth across fill
+    ratios, merge == single-pass byte-identically, saturation returns the
+    documented m·ln(m) boundary."""
+    import math
+
+    from sketch_ray.kernels.lincount import LinearCounter
+
+    rng = np.random.default_rng(7)
+    m = 1 << 12
+    for n in (50, 500, 4000, 12000):
+        keys = [f"k{i}" for i in range(n)]
+        lc = LinearCounter(n_bits=m, seed=1)
+        lc.update(keys)
+        t = n / m
+        se = math.sqrt(m) * math.sqrt(max(math.exp(t) - t - 1, 1e-12)) / t / m
+        assert abs(lc.estimate() - n) <= 5 * se * n + 3, (n, lc.estimate())
+    # merge associativity/idempotence: any partition -> same bytes
+    keys = [f"u{i}" for i in range(3000)]
+    whole = LinearCounter(n_bits=m, seed=1)
+    whole.update(keys)
+    parts = [LinearCounter(n_bits=m, seed=1) for _ in range(3)]
+    for i, kk in enumerate(keys):
+        parts[i % 3].update([kk])
+    merged = parts[0].merge(parts[1]).merge(parts[2]).merge(parts[1])
+    assert bytes(merged.bits) == bytes(whole.bits)
+    # saturation
+    full = LinearCounter(n_bits=64, seed=1)
+    full.update([f"x{i}" for i in range(5000)])
+    assert full.estimate() == 64 * math.log(64)
+
+
+def test_lincount_query_tracks_truth(ray_session):
+    import duckdb
+
+    from sketch_ray.pipelines.sketch_queries import lincount_cardinalities
+
+    sf = "/root/testdata/sf0.001"
+    out = lincount_cardinalities(sf).to_pandas().set_index("column")
+    truth = {
+        "documents.source": duckdb.sql(
+            f"SELECT count(DISTINCT source) FROM read_parquet('{sf}/documents.parquet')").fetchone()[0],
+        "events.user_id": duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')").fetchone()[0],
+        "events.event_type": duckdb.sql(
+            f"SELECT count(DISTINCT event_type) FROM read_parquet('{sf}/events.parquet')").fetchone()[0],
+    }
+    for col, n in truth.items():
+        est = out.loc[col, "est"]
+        assert abs(est - n) <= max(0.05 * n, 3), (col, est, n)
