@@ -18,9 +18,9 @@ from .ehist import ExpHistogram, ExpHistogramSum
 from .freqdirs import FrequentDirections
 from .hashing import hash_arrow_strings, hash_ints, hash_strings, row_hashes, splitmix64
 from .hll import HLL
-from .lincount import LinearCounter
 from .kll import KLL
 from .kllpm import KLLPM
+from .lincount import LinearCounter
 from .spacesaving import MisraGries
 from .tdigest import TDigest
 

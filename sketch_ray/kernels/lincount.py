@@ -29,6 +29,8 @@ class LinearCounter(SketchBase):
     kind = "lincount"
 
     def __init__(self, n_bits: int = 1 << 16, seed: int = 42):
+        if int(n_bits) <= 0:
+            raise ValueError(f"n_bits must be positive, got {n_bits}")
         self.n_bits = int(n_bits)
         self.seed = int(seed)
         self.bits = np.zeros((self.n_bits + 7) // 8, dtype=np.uint8)

@@ -37,26 +37,30 @@ def cmcu_token_estimates(sf_dir: str, top: int = 50) -> pa.Table:
     return pa.table({"token": pa.array(keys, pa.string()), "est": pa.array(est, pa.int64())})
 
 
-def hll_cardinalities(sf_dir: str) -> pa.Table:
-    """Approximate distinct counts across tables in ONE streaming pass per
-    table (north_star: distinct url/host cardinality).
+def _column_sketches(sf_dir: str, kind: str, params: dict,
+                     cols_by_table: dict[str, list[str]]) -> dict:
+    """One `kind` sketch per column, ONE streaming pass per table. The
+    passes run SEQUENTIALLY: each is already fully distributed, and two
+    concurrent streaming executions in one driver contend for the same
+    CPU pool (measured: warm wall scatters 0.7-5.2 s threaded vs a
+    stable 1.0-1.5 s sequential at sf0.1/32 CPUs). Shared scaffolding of
+    every per-column cardinality query (hll / lincount)."""
+    out: dict = {}
+    for table, cols in cols_by_table.items():
+        specs = [SketchSpec(f"{table}.{c}", kind, c, mode="column",
+                            params=dict(params)) for c in cols]
+        out.update(build_sketches(_read(sf_dir, table, list(cols)),
+                                  specs, 8192))
+    return out
 
-    The two passes run sequentially: each is already fully distributed, and
-    two concurrent streaming executions in one driver contend for the same
-    CPU pool (measured here: warm wall scatters 0.7-5.2 s threaded vs a
-    stable 1.0-1.5 s sequential at sf0.1/32 CPUs).
-    """
-    specs_docs = [
-        SketchSpec("documents.source", "hll", "source", mode="column", params={"p": 14, "seed": 42}),
-        SketchSpec("documents.text", "hll", "text", mode="column", params={"p": 14, "seed": 42}),
-    ]
-    specs_ev = [
-        SketchSpec("events.user_id", "hll", "user_id", mode="column", params={"p": 14, "seed": 42}),
-        SketchSpec("events.event_type", "hll", "event_type", mode="column", params={"p": 14, "seed": 42}),
-    ]
-    docs = build_sketches(_read(sf_dir, "documents", ["source", "text"]), specs_docs, 8192)
-    ev = build_sketches(_read(sf_dir, "events", ["user_id", "event_type"]), specs_ev, 8192)
-    all_sk = {**docs, **ev}
+
+def hll_cardinalities(sf_dir: str) -> pa.Table:
+    """Approximate distinct counts across tables (north_star: distinct
+    url/host cardinality) — see _column_sketches for the pass shape."""
+    all_sk = _column_sketches(
+        sf_dir, "hll", {"p": 14, "seed": 42},
+        {"documents": ["source", "text"],
+         "events": ["user_id", "event_type"]})
     names = sorted(all_sk)
     return pa.table(
         {
@@ -650,20 +654,9 @@ def lincount_cardinalities(sf_dir: str, n_bits: int = 1 << 16) -> pa.Table:
     Rows-only gated (estimates); exact ground truth is the oracle-gated
     distinct_sources_per_lang / table_profile family, and the error
     envelope is pinned in pytest. Returns (column, est, n_set_bits)."""
-    specs_docs = [
-        SketchSpec("documents.source", "lincount", "source", mode="column",
-                   params={"n_bits": int(n_bits), "seed": 42}),
-    ]
-    specs_ev = [
-        SketchSpec("events.user_id", "lincount", "user_id", mode="column",
-                   params={"n_bits": int(n_bits), "seed": 42}),
-        SketchSpec("events.event_type", "lincount", "event_type",
-                   mode="column", params={"n_bits": int(n_bits), "seed": 42}),
-    ]
-    docs = build_sketches(_read(sf_dir, "documents", ["source"]), specs_docs, 8192)
-    ev = build_sketches(_read(sf_dir, "events", ["user_id", "event_type"]),
-                        specs_ev, 8192)
-    all_sk = {**docs, **ev}
+    all_sk = _column_sketches(
+        sf_dir, "lincount", {"n_bits": int(n_bits), "seed": 42},
+        {"documents": ["source"], "events": ["user_id", "event_type"]})
     names = sorted(all_sk)
     return pa.table({
         "column": pa.array(names, pa.string()),
