@@ -342,6 +342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "id_gap_audit": analytics.id_gap_audit,
         # association rules: support/confidence over the shared pair fold
         "copurchase_rules": analytics.copurchase_rules,
+        # month-over-month revenue growth (integer-cents fold + LAG ratio)
+        "monthly_revenue_growth": analytics.monthly_revenue_growth,
+        # latency quantiles composed from the ship-latency histogram
+        "ship_latency_quantiles": analytics.ship_latency_quantiles,
     }
 
 
@@ -2757,6 +2761,41 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY event_type ORDER BY day
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
             ORDER BY event_type, day
+        """,
+        "monthly_revenue_growth": """
+            WITH m AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders GROUP BY 1
+            ), g AS (
+                SELECT month, cents,
+                       lag(cents) OVER (ORDER BY month) AS prev
+                FROM m)
+            SELECT month,
+                   round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+                   round(CAST(cents - prev AS DOUBLE)
+                         / CAST(prev AS DOUBLE), 6) AS growth
+            FROM g WHERE prev IS NOT NULL ORDER BY month
+        """,
+        "ship_latency_quantiles": """
+            WITH d AS (
+                SELECT o.o_orderpriority,
+                       date_diff('day', o.o_orderdate, l.l_shipdate) AS lat
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+            SELECT * FROM (
+                SELECT o_orderpriority, 0.5::DOUBLE AS q,
+                       CAST(quantile_disc(lat, 0.5) AS BIGINT) AS latency_days
+                FROM d GROUP BY 1
+                UNION ALL
+                SELECT o_orderpriority, 0.9::DOUBLE AS q,
+                       CAST(quantile_disc(lat, 0.9) AS BIGINT)
+                FROM d GROUP BY 1
+                UNION ALL
+                SELECT o_orderpriority, 0.99::DOUBLE AS q,
+                       CAST(quantile_disc(lat, 0.99) AS BIGINT)
+                FROM d GROUP BY 1
+            ) ORDER BY o_orderpriority, q
         """,
         "id_gap_audit": """
             SELECT CAST(min(event_id) AS BIGINT) AS min_id,

@@ -1944,3 +1944,64 @@ def copurchase_rules(sf_dir: str, k: int = 25, min_pair_orders: int = 2,
         "confidence": pa.array(conf[order], pa.float64()),
         "support": pa.array(supp[order], pa.float64()),
     })
+
+
+def monthly_revenue_growth(sf_dir: str) -> pa.Table:
+    """Month-over-month revenue growth: order totals folded per month in
+    integer cents (group-bounded), growth = (cur − prev)/prev with both
+    big-int operands cast to double before the ONE mirrored division;
+    the first month has no predecessor and is dropped on both sides.
+    Returns (month, revenue, growth)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch["o_orderdate"].combine_chunks(),
+                                  unit="month")
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        t = pa.table({"month": month,
+                      "c": pa.array(cents, pa.int64())})
+        g = t.group_by(["month"]).aggregate([("c", "sum")])
+        return g.rename_columns(["month", "c_p"])
+
+    df = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=65536),
+        ds.count(), ["month"], {"cents": "c_p"})
+    df = df.sort_values("month").reset_index(drop=True)
+    cents = df["cents"].to_numpy().astype(np.int64)
+    growth = round6((cents[1:] - cents[:-1]).astype(np.float64)
+                    / cents[:-1].astype(np.float64))
+    return pa.table({
+        "month": pa.Array.from_pandas(df["month"].iloc[1:],
+                                      type=pa.timestamp("us")),
+        "revenue": pa.array(
+            round_half_away(cents[1:].astype(np.float64) / 100.0, 2),
+            pa.float64()),
+        "growth": pa.array(growth, pa.float64()),
+    })
+
+
+def ship_latency_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                           force: str | None = None) -> pa.Table:
+    """Order-to-ship latency quantiles per priority — EXACT integer
+    element selection (quantile_disc rule: smallest value with
+    cum_count >= max(ceil(q·n), 1)) over the SAME (priority, latency)
+    histogram ship_latency_histogram folds; composition costs one driver
+    cumsum, no second scan shape. Returns (o_orderpriority, q,
+    latency_days)."""
+    hist = ship_latency_histogram(sf_dir, force=force).to_pandas()
+    rows = []
+    for prio, sub in hist.groupby("o_orderpriority", sort=True):
+        sub = sub.sort_values("latency_days")
+        vals = sub["latency_days"].to_numpy()
+        cum = sub["n_lines"].to_numpy().cumsum()
+        ntot = int(cum[-1])
+        for q in qs:
+            target = max(int(np.ceil(q * ntot)), 1)
+            rows.append((prio, float(q),
+                         int(vals[int(np.searchsorted(cum, target))])))
+    return pa.table({
+        "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+        "q": pa.array([r[1] for r in rows], pa.float64()),
+        "latency_days": pa.array([r[2] for r in rows], pa.int64()),
+    })

@@ -478,3 +478,30 @@ def test_copurchase_rules_branches_and_bounds(ray_session):
     assert ((a["confidence"] > 0) & (a["confidence"] <= 1)).all()
     assert ((a["support"] > 0) & (a["support"] <= 1)).all()
     assert (a["support"] <= a["confidence"] + 1e-9).all()  # n_a <= N
+
+
+def test_monthly_growth_reconciles(ray_session):
+    from sketch_ray.pipelines.analytics import monthly_revenue_growth
+
+    out = monthly_revenue_growth(SF).to_pandas()
+    total = duckdb.sql(
+        f"""SELECT round(sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0, 2),
+                   count(DISTINCT date_trunc('month', o_orderdate))
+            FROM read_parquet('{SF}/orders.parquet')""").fetchone()
+    assert len(out) == total[1] - 1  # first month dropped
+    # growth recomputes from the revenue column itself
+    rev = out["revenue"].to_numpy()
+    g = out["growth"].to_numpy()
+    recomputed = (rev[1:] - rev[:-1]) / rev[:-1]
+    assert np.allclose(g[1:], recomputed, atol=2e-6)
+
+
+def test_latency_quantiles_monotone_and_in_range(ray_session):
+    from sketch_ray.pipelines.analytics import ship_latency_quantiles
+
+    a = ship_latency_quantiles(SF, force="driver").to_pandas()
+    b = ship_latency_quantiles(SF, force="native").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    for _, g in a.groupby("o_orderpriority"):
+        v = g.sort_values("q")["latency_days"].to_numpy()
+        assert (np.diff(v) >= 0).all()
