@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_growth": analytics.monthly_revenue_growth,
         # latency quantiles composed from the ship-latency histogram
         "ship_latency_quantiles": analytics.ship_latency_quantiles,
+        # cohort LTV matrix: first-order cohorts × month offsets
+        "cohort_revenue_curves": analytics.cohort_revenue_curves,
     }
 
 
@@ -2761,6 +2763,25 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY event_type ORDER BY day
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
             ORDER BY event_type, day
+        """,
+        "cohort_revenue_curves": """
+            WITH f AS (
+                SELECT o_custkey,
+                       min(date_trunc('month', o_orderdate)) AS cohort
+                FROM orders GROUP BY 1
+            ), o AS (
+                SELECT o.o_custkey, f.cohort,
+                       CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                            - (year(f.cohort) * 12 + month(f.cohort))
+                            AS BIGINT) AS month_offset,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+            )
+            SELECT cohort AS cohort_month, month_offset,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active
+            FROM o GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "monthly_revenue_growth": """
             WITH m AS (

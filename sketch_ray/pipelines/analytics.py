@@ -2005,3 +2005,146 @@ def ship_latency_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
         "q": pa.array([r[1] for r in rows], pa.float64()),
         "latency_days": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def cohort_revenue_curves(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Cohort LTV curves: customers cohorted by FIRST-order month; per
+    (cohort_month, month_offset) cell: order count, revenue (integer
+    cents), distinct active customers — the classic retention-revenue
+    matrix.
+
+    Scale shape: pass 1 folds each customer's min order month
+    (custkey-bounded, adaptive); the ck→cohort map broadcasts once as a
+    dense month-index array; pass 2 emits (cell, cents, count) bincount
+    partials — cells are (cohorts × offsets)-bounded — while the distinct
+    actives go through a ck-hash BUCKET dedup (the measured multi-column
+    groupby trap forbids a native (cell, ck) groupby). Returns
+    (cohort_month, month_offset, n_orders, revenue, n_active)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    n_rows = ds.count()
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+    _MONTH0 = np.datetime64("1970-01-01", "M")
+
+    def month_idx(us: np.ndarray) -> np.ndarray:
+        return (us.astype("datetime64[us]").astype("datetime64[M]")
+                - _MONTH0).astype(np.int64)
+
+    def min_partials(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mi = month_idx(batch["o_orderdate"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((mi, ck))
+        first = np.concatenate([[True], ck[order][1:] != ck[order][:-1]])
+        return pa.table({"ck": pa.array(ck[order][first], pa.int64()),
+                         "m_p": pa.array(mi[order][first], pa.int64())})
+
+    parts = ds.map_batches(min_partials, batch_format="pyarrow",
+                           batch_size=65536)
+    if small:
+        pdf = ensure_columns(parts.to_pandas(), {"ck": "int64", "m_p": "int64"})
+        agg = pdf.groupby("ck", as_index=False)["m_p"].min()
+    else:
+        from ray.data.aggregate import Min
+
+        from ._util import n_reducers
+
+        agg = ensure_columns(
+            parts.repartition(n_reducers()).groupby("ck")
+            .aggregate(Min("m_p", alias_name="m_p")).to_pandas(),
+            {"ck": "int64", "m_p": "int64"})
+    ck_arr = agg["ck"].to_numpy().astype(np.int64)
+    lut = np.full(int(ck_arr.max()) + 2, -1, np.int64)
+    lut[ck_arr] = agg["m_p"].to_numpy().astype(np.int64)
+    ref = ray.put(lut)
+    n_cohorts = int(agg["m_p"].max() - agg["m_p"].min()) + 1
+    base_month = int(agg["m_p"].min())
+
+    STRIDE = np.int64(1024)  # month offsets < 1024 by construction
+
+    # one full-column pass: (cell, n, cents) partials + distinct-active rows
+    ds3 = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def cell3(batch: pa.Table) -> pa.Table:
+        table = cached(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mi = month_idx(batch["o_orderdate"].to_numpy(zero_copy_only=False))
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        coh = table[np.minimum(ck, len(table) - 1)]
+        cell = (coh - base_month) * STRIDE + (mi - coh)
+        uniq, inv = np.unique(cell, return_inverse=True)
+        # per-batch distinct (cell, ck) for the active-customer dedup
+        dcell, dck = _unique_pairs(cell, ck)
+        return pa.table({
+            "cell": pa.array(np.concatenate([uniq, dcell]), pa.int64()),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(uniq), np.int64),
+                 np.ones(len(dcell), np.int64)]), pa.int64()),
+            "ck": pa.array(np.concatenate(
+                [np.zeros(len(uniq), np.int64), dck]), pa.int64()),
+            "n_p": pa.array(np.concatenate(
+                [np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+                 np.zeros(len(dcell), np.int64)]), pa.int64()),
+            "c_p": pa.array(np.concatenate(
+                [np.bincount(inv, weights=cents,
+                             minlength=len(uniq)).astype(np.int64),
+                 np.zeros(len(dcell), np.int64)]), pa.int64()),
+        })
+
+    out = ds3.map_batches(cell3, batch_format="pyarrow", batch_size=65536)
+    if small:
+        pdf = ensure_columns(out.to_pandas(),
+                             {"cell": "int64", "kind": "int64", "ck": "int64",
+                              "n_p": "int64", "c_p": "int64"})
+        sums = pdf[pdf["kind"] == 0].groupby("cell", as_index=False) \
+            .agg(n=("n_p", "sum"), c=("c_p", "sum"))
+        act = pdf[pdf["kind"] == 1][["cell", "ck"]]
+        dc, _ = _unique_pairs(act["cell"].to_numpy(np.int64),
+                              act["ck"].to_numpy(np.int64))
+        au, ac = np.unique(dc, return_counts=True)
+        active = dict(zip(au.tolist(), ac.tolist()))
+    else:
+        # active dedup: ck-hash buckets co-locate (cell, ck) duplicates
+        def bucketed(batch: pa.Table) -> pa.Table:
+            ck = batch["ck"].to_numpy(zero_copy_only=False)
+            b = (splitmix64(ck.astype(np.uint64)) % np.uint64(64)).astype(np.int64)
+            return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+        def dedup_count(df: pd.DataFrame) -> pd.DataFrame:
+            sums = df[df["kind"] == 0].groupby("cell", as_index=False) \
+                .agg(n=("n_p", "sum"), c=("c_p", "sum"))
+            act = df[df["kind"] == 1]
+            dc, _ = _unique_pairs(act["cell"].to_numpy(np.int64),
+                                  act["ck"].to_numpy(np.int64))
+            au, acnt = np.unique(dc, return_counts=True)
+            return pd.concat([
+                sums.assign(a=np.zeros(len(sums), np.int64)),
+                pd.DataFrame({"cell": au, "n": np.zeros(len(au), np.int64),
+                              "c": np.zeros(len(au), np.int64),
+                              "a": acnt.astype(np.int64)}),
+            ], ignore_index=True)
+
+        pdf = ensure_columns(
+            out.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: dedup_count(g.drop(columns=["bucket"])),
+                        batch_format="pandas").to_pandas(),
+            {"cell": "int64", "n": "int64", "c": "int64", "a": "int64"})
+        g = pdf.groupby("cell", as_index=False).agg(
+            n=("n", "sum"), c=("c", "sum"), a=("a", "sum"))
+        sums = g[["cell", "n", "c"]]
+        active = dict(zip(g["cell"].tolist(), g["a"].tolist()))
+
+    sums = sums.sort_values("cell").reset_index(drop=True)
+    cell = sums["cell"].to_numpy().astype(np.int64)
+    coh_idx = cell // STRIDE + base_month
+    months = (coh_idx.astype("datetime64[M]")).astype("datetime64[us]")
+    return pa.table({
+        "cohort_month": pa.array(months, pa.timestamp("us")),
+        "month_offset": pa.array(cell % STRIDE, pa.int64()),
+        "n_orders": pa.array(sums["n"].to_numpy(np.int64), pa.int64()),
+        "revenue": pa.array(round_half_away(
+            sums["c"].to_numpy().astype(np.float64) / 100.0, 2), pa.float64()),
+        "n_active": pa.array(
+            np.array([active.get(int(x), 0) for x in cell], np.int64),
+            pa.int64()),
+    })

@@ -505,3 +505,31 @@ def test_latency_quantiles_monotone_and_in_range(ray_session):
     for _, g in a.groupby("o_orderpriority"):
         v = g.sort_values("q")["latency_days"].to_numpy()
         assert (np.diff(v) >= 0).all()
+
+
+def test_cohort_curves_branches_and_duckdb(ray_session):
+    from sketch_ray.pipelines.analytics import cohort_revenue_curves
+
+    a = cohort_revenue_curves(SF, force="driver").to_pandas()
+    b = cohort_revenue_curves(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    want = duckdb.sql(
+        f"""WITH f AS (
+                SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+                FROM read_parquet('{SF}/orders.parquet') GROUP BY 1
+            ), o AS (
+                SELECT o.o_custkey, f.cohort,
+                       CAST((year(o.o_orderdate)*12 + month(o.o_orderdate))
+                            - (year(f.cohort)*12 + month(f.cohort)) AS BIGINT) AS month_offset,
+                       CAST(round(o.o_totalprice*100) AS BIGINT) AS cents
+                FROM read_parquet('{SF}/orders.parquet') o
+                JOIN f ON f.o_custkey = o.o_custkey)
+            SELECT cohort AS cohort_month, month_offset,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(CAST(sum(cents) AS DOUBLE)/100.0, 2) AS revenue,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active
+            FROM o GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    pd.testing.assert_frame_equal(a, want.astype(a.dtypes.to_dict()))
+    # offset 0 cell of each cohort has every cohort member active
+    first = a[a["month_offset"] == 0]
+    assert (first["n_active"] >= 1).all()
