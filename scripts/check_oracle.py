@@ -32,10 +32,27 @@ def to_pandas(obj) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize to the dtype classes the driver's value hash distinguishes.
+
+    The driver hashes the column-name-sorted frame's VALUES, which is
+    insensitive to integer width (int32(5) and int64(5) hash alike) but
+    SENSITIVE to int-vs-float (99111 != 99111.0 — the r4 props_field_stats
+    failure).  So: unify widths within a class, never across classes, and
+    compare with check_dtype=True afterwards.
+    """
     df = df[sorted(df.columns)].copy()
+    import numpy as np
+
     for c in df.columns:
+        kind = df[c].dtype.kind
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif kind in "iu":
+            df[c] = df[c].astype(np.int64)
+        elif kind == "f":
+            df[c] = df[c].astype(np.float64)
+        elif kind == "M":
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -94,7 +111,7 @@ def main() -> int:
             status.append(f"cols {list(got.columns)} != {list(want.columns)}")
         elif len(got) == len(want):
             try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+                pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
             except AssertionError as e:
                 status.append("values differ: " + str(e).splitlines()[-1][:160])
         if status:

@@ -353,9 +353,33 @@ def lang_token_overlap(sf_dir: str, seed: int = 7,
         pdf = ensure_columns(partials.to_pandas(),
                              {"h": "int64", "lang": "object", "one": "int64"})
     else:
-        # one vocab×n_langs-bounded shuffle dedupes pairs seen in many batches
-        dd = (partials.repartition(n_reducers()).groupby(["h", "lang"])
-              .aggregate(Sum("one", alias_name="one")))
+        # dedupe pairs seen in many batches with ONE token-hash BUCKET
+        # exchange + vectorized per-group per-lang np.unique — NOT a
+        # native groupby(["h","lang"]): Ray's aggregate over a per-row-
+        # cardinality multi-column key is the 206s-vs-1.9s pathology
+        # (CLAUDE.md trap, _copurchase_pair_counts discipline)
+        def bucket_tag(batch: pa.Table) -> pa.Table:
+            h = batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            b = (splitmix64(h) % np.uint64(n_reducers())).astype(np.int64)
+            return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+        def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+            h = df["h"].to_numpy(np.int64)
+            lang = df["lang"].to_numpy()
+            langs_u, inv = np.unique(lang, return_inverse=True)
+            hs, ls = [], []
+            for i, lg in enumerate(langs_u):
+                hu = np.unique(h[inv == i])
+                hs.append(hu)
+                ls.extend([lg] * len(hu))
+            hcat = np.concatenate(hs) if hs else np.array([], np.int64)
+            return pd.DataFrame({"h": hcat, "lang": ls,
+                                 "one": np.ones(len(hcat), np.int64)})
+
+        dd = (partials.map_batches(bucket_tag, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: dedup_group(g.drop(columns=["bucket"])),
+                          batch_format="pandas"))
         pdf = ensure_columns(dd.to_pandas(),
                              {"h": "int64", "lang": "object", "one": "int64"})
     # no explicit (h, lang) dedup needed: bit-OR is idempotent, so
@@ -761,7 +785,11 @@ def _copurchase_pair_counts(sf_dir: str, force: str | None,
 
     path = f"{sf_dir}/lineitem.parquet"
     st = os.stat(path)
-    dkey = (path, st.st_size, st.st_mtime_ns)
+    # job_id in the key: a materialized Dataset's object refs die with the
+    # Ray session, so a re-init in the same process must rebuild, not
+    # hand back dead refs
+    dkey = (path, st.st_size, st.st_mtime_ns,
+            ray.get_runtime_context().get_job_id())
     folded = _PAIR_DS_MEMO.get(dkey)
     if folded is None:
         grouped = (ds.map_batches(_copurchase_tag, batch_format="pyarrow",
@@ -1841,8 +1869,23 @@ def id_gap_audit(sf_dir: str, force: str | None = None) -> pa.Table:
     else:
         from ._util import n_reducers, parquet_minmax
 
-        dd = parts.repartition(n_reducers()).groupby("id").count()
-        n_distinct = dd.count()
+        # NOT groupby("id").count(): a native groupby over a per-row-
+        # cardinality key is the measured pathology (CLAUDE.md trap —
+        # key packing alone cost 12.7s on 1.2M rows).  Hash-bucket the
+        # ids and sum per-group np.unique sizes instead.
+        def bucket_tag(batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_numpy(zero_copy_only=False).view(np.uint64)
+            b = (splitmix64(ids) % np.uint64(n_reducers())).astype(np.int64)
+            return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+        def group_distinct(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(np.unique(df["id"].to_numpy(np.int64)))
+            return pd.DataFrame({"n": [n]})
+
+        dd = (parts.map_batches(bucket_tag, batch_format="pyarrow")
+              .groupby("bucket").map_groups(group_distinct,
+                                            batch_format="pandas"))
+        n_distinct = int(dd.to_pandas()["n"].sum())
         mn, mx = parquet_minmax(f"{sf_dir}/events.parquet", "event_id")
         mn, mx = int(mn), int(mx)
     return pa.table({
@@ -2043,13 +2086,30 @@ def cohort_revenue_curves(sf_dir: str, force: str | None = None) -> pa.Table:
         pdf = ensure_columns(parts.to_pandas(), {"ck": "int64", "m_p": "int64"})
         agg = pdf.groupby("ck", as_index=False)["m_p"].min()
     else:
-        from ray.data.aggregate import Min
-
         from ._util import n_reducers
 
+        # ck-hash bucket + vectorized per-group min — NOT a native
+        # groupby("ck") at full customer cardinality (CLAUDE.md trap;
+        # same pattern as the active-customer dedup below)
+        def min_bucket_tag(batch: pa.Table) -> pa.Table:
+            ck = batch["ck"].to_numpy(zero_copy_only=False)
+            b = (splitmix64(ck.astype(np.uint64))
+                 % np.uint64(n_reducers())).astype(np.int64)
+            return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+        def min_group(df: pd.DataFrame) -> pd.DataFrame:
+            ck = df["ck"].to_numpy(np.int64)
+            mp = df["m_p"].to_numpy(np.int64)
+            order = np.lexsort((mp, ck))
+            first = np.concatenate([[True], ck[order][1:] != ck[order][:-1]])
+            return pd.DataFrame({"ck": ck[order][first],
+                                 "m_p": mp[order][first]})
+
         agg = ensure_columns(
-            parts.repartition(n_reducers()).groupby("ck")
-            .aggregate(Min("m_p", alias_name="m_p")).to_pandas(),
+            parts.map_batches(min_bucket_tag, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: min_group(g.drop(columns=["bucket"])),
+                        batch_format="pandas").to_pandas(),
             {"ck": "int64", "m_p": "int64"})
     ck_arr = agg["ck"].to_numpy().astype(np.int64)
     lut = np.full(int(ck_arr.max()) + 2, -1, np.int64)

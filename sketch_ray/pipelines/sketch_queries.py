@@ -14,6 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.sketch_build import SketchSpec, build_sketches
+from ._util import round_half_away
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -660,7 +661,7 @@ def lincount_cardinalities(sf_dir: str, n_bits: int = 1 << 16) -> pa.Table:
     names = sorted(all_sk)
     return pa.table({
         "column": pa.array(names, pa.string()),
-        "est": pa.array([round(all_sk[n].estimate(), 2) for n in names],
-                        pa.float64()),
+        "est": pa.array([float(round_half_away(all_sk[n].estimate(), 2))
+                         for n in names], pa.float64()),
         "n_set_bits": pa.array([all_sk[n].n_set() for n in names], pa.int64()),
     })
