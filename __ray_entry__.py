@@ -24,8 +24,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sketch_ray.pipelines import (analytics, bpe, classifier, dedup,
-                                      exact, heavy_hitters, relational,
+    from sketch_ray.pipelines import (analytics, bpe, classifier, continuous,
+                                      dedup, exact, heavy_hitters, relational,
                                       sharding, similarity, sketch_queries,
                                       text_analysis)
     from sketch_ray.stages import multimodal
@@ -94,8 +94,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orphan_counts": relational.fk_orphan_counts,
         "corpus_checksum": exact.corpus_checksum,
         "customer_balance_ntiles": analytics.customer_balance_ntiles,
-        "copurchase_rules": analytics.copurchase_rules,
+        # incremental artifact maintenance (r5): old artifact + new-snapshot
+        # -only scan == full rebuild, byte-identical; identity + lineage
+        # verdicts are gated columns
+        "update_sketch_artifact": continuous.update_sketch_artifact,
         # ---------- end of the driver's 50-key sample window ----------
+        "copurchase_rules": analytics.copurchase_rules,
         # (previously-windowed queries move here: every r1-r4 window entry
         # has a recorded driver hash-PASS; the full surface is re-verified
         # by scripts/check_oracle.py each session)
@@ -1345,6 +1349,26 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,
         "corpus_checksum": checksum_sql,
+        # update_sketch_artifact: n_rows/n_updates are exact lineage-fold
+        # invariants (A3 grand-sum for cm/cmcu = total token occurrences);
+        # matches_rebuild / scanned_incrementally are TRUE literals, so the
+        # value hash fails if the incremental artifact ever diverges from a
+        # full rebuild or the update path rescans the old snapshot
+        "update_sketch_artifact": """
+            WITH t AS (SELECT count(*)::BIGINT AS n_docs,
+                              sum(len(string_split(text, ' ')))::BIGINT AS n_tok
+                       FROM documents)
+            SELECT s.sketch, s.kind, t.n_docs AS n_rows,
+                   (CASE WHEN s.tok THEN t.n_tok ELSE t.n_docs END)::BIGINT
+                       AS n_updates,
+                   TRUE AS matches_rebuild, TRUE AS scanned_incrementally
+            FROM t, (VALUES ('bloom_source', 'bloom', FALSE),
+                            ('cm_tokens', 'cm', TRUE),
+                            ('cmcu_tokens', 'cmcu', TRUE),
+                            ('hll_source', 'hll', FALSE))
+                     AS s(sketch, kind, tok)
+            ORDER BY s.sketch
+        """,
         "events_pivot_daily": """
             SELECT date_trunc('day', ts) AS day,
                    count(*) FILTER (event_type = 'click') AS n_click,
