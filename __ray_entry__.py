@@ -100,6 +100,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_sketch_artifact": continuous.update_sketch_artifact,
         # ---------- end of the driver's 50-key sample window ----------
         "copurchase_rules": analytics.copurchase_rules,
+        # at-scale output mode (r5): per-doc tables stream to partitioned
+        # Parquet; only an order-invariant digest reaches the driver
+        "quality_scores_digest": text_analysis.quality_scores_digest,
+        "normalize_text_digest": text_analysis.normalize_text_digest,
+        "multimodal_features_digest": multimodal.multimodal_features_digest,
         # (previously-windowed queries move here: every r1-r4 window entry
         # has a recorded driver hash-PASS; the full surface is re-verified
         # by scripts/check_oracle.py each session)
@@ -485,14 +490,20 @@ def oracle_sql() -> dict[str, str]:
     # top_return_customers: TPC-H Q10 shape, ranked on 2dp-rounded revenue
     q10 = """
         WITH r AS (
+            -- EXACT integer 1e-4-unit revenue sum: float sum order crossed
+            -- 2dp boundaries at the 10x soak scale (rev4 discipline)
             SELECT o.o_custkey AS c_custkey,
-                   sum(l.l_extendedprice * (1 - l.l_discount)) AS rev,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                       AS rev4,
                    count(*) AS n_items
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_returnflag = 'R' GROUP BY 1),
-        t AS (SELECT c_custkey, round(rev, 2) AS revenue, n_items FROM r),
-        top AS (SELECT * FROM t ORDER BY revenue DESC, c_custkey LIMIT 20)
-        SELECT CAST(row_number() OVER (ORDER BY revenue DESC, top.c_custkey)
+        t AS (SELECT c_custkey, rev4,
+                     round(CAST(rev4 AS DOUBLE) / 10000, 2) AS revenue,
+                     n_items FROM r),
+        top AS (SELECT * FROM t ORDER BY rev4 DESC, c_custkey LIMIT 20)
+        SELECT CAST(row_number() OVER (ORDER BY top.rev4 DESC, top.c_custkey)
                     AS BIGINT) AS rank,
                top.c_custkey, c.c_name, n.n_name, revenue,
                CAST(n_items AS BIGINT) AS n_items
@@ -841,6 +852,68 @@ def oracle_sql() -> dict[str, str]:
                    " % 18446744073709551616 AS UBIGINT)")} AS checksum
         FROM {ck_ch_f} c JOIN {ck_id_f} i USING (doc_id)
     """
+    # quality_scores_digest: chained splitmix row hash over (doc_id,
+    # n_tokens, sr6, ml6) where sr6/ml6 are the 6dp ratios scaled to exact
+    # integers — mirrors text_analysis.quality_scores_digest bit-for-bit
+    _QD_STOPS = "('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it')"
+    qd_src = f"""(SELECT doc_id,
+            len(string_split(text, ' '))::BIGINT AS ntok,
+            CAST(round(round(len(list_filter(string_split(text, ' '),
+                                             t -> t IN {_QD_STOPS})) * 1.0
+                 / greatest(len(string_split(text, ' ')), 1), 6)
+                 * 1000000, 0) AS BIGINT) AS sr6,
+            CAST(round(round((length(text) - (len(string_split(text, ' ')) - 1))
+                 * 1.0
+                 / greatest(len(string_split(text, ' ')), 1), 6)
+                 * 1000000, 0) AS BIGINT) AS ml6
+        FROM documents)"""
+    qd1, qd1f = splitmix64_ctes(
+        "qa", qd_src, f"xor(CAST(doc_id AS UBIGINT), {mix_constant(11)})",
+        "h1", ["doc_id", "ntok", "sr6", "ml6"])
+    qd2, qd2f = splitmix64_ctes(
+        "qb", qd1f, "xor(h1, CAST(ntok AS UBIGINT))", "h2",
+        ["doc_id", "sr6", "ml6"])
+    qd3, qd3f = splitmix64_ctes(
+        "qc", qd2f, "xor(h2, CAST(sr6 AS UBIGINT))", "h3", ["doc_id", "ml6"])
+    qd4, qd4f = splitmix64_ctes(
+        "qd", qd3f, "xor(h3, CAST(ml6 AS UBIGINT))", "h4", ["doc_id"])
+    quality_digest_sql = f"""
+        WITH {qd1},
+        {qd2},
+        {qd3},
+        {qd4}
+        SELECT count(*) AS n_docs,
+               {to_bigint_sql(
+                   "CAST(COALESCE(sum(CAST(h4 AS HUGEINT)), 0)"
+                   " % 18446744073709551616 AS UBIGINT)")} AS digest
+        FROM {qd4f}
+    """
+    # normalize_text_digest: corpus-checksum shape over the SQL-rendered
+    # normalize expression (same aug CTE as the normalize_text oracle)
+    nd_norm_src = r"""(SELECT doc_id,
+            trim(regexp_replace(lower(concat(
+                CASE WHEN doc_id % 2 = 0
+                     THEN '  The QUICK' || chr(9) ELSE 'NOISE  ' END,
+                text,
+                CASE WHEN doc_id % 3 = 0
+                     THEN ' ' || chr(9) || ' trailing MESS  ' ELSE '' END)),
+                '\s+', ' ', 'g')) AS s
+        FROM documents)"""
+    nd_ch_ctes, nd_ch_f = string_hash_ctes(
+        "nc", nd_norm_src, "s", "h", ["doc_id"], seed=1)
+    nd_id_ctes, nd_id_f = splitmix64_ctes(
+        "ni", f"(SELECT doc_id, xor(CAST(doc_id AS UBIGINT), "
+              f"{mix_constant(7)}) AS k FROM documents)",
+        "k", "idh", ["doc_id"])
+    normalize_digest_sql = f"""
+        WITH {nd_ch_ctes},
+        {nd_id_ctes}
+        SELECT count(*) AS n_docs,
+               {to_bigint_sql(
+                   "CAST(COALESCE(sum(CAST(xor(c.h, i.idh) AS HUGEINT)), 0)"
+                   " % 18446744073709551616 AS UBIGINT)")} AS digest
+        FROM {nd_ch_f} c JOIN {nd_id_f} i USING (doc_id)
+    """
     fingerprint_sql = f"""
         WITH wins AS (
             SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS g
@@ -1048,15 +1121,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize_users": """
             WITH e AS (
-                SELECT user_id, ts,
+                -- ties in ts MUST break on a unique key in BOTH windows:
+                -- otherwise the lag pass and the cumulative pass may order
+                -- a coincident group differently and split it across
+                -- sessions (caught by the 10x duplicate-heavy soak corpus)
+                SELECT user_id, ts, event_id,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS new_s
                 FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
                 SELECT user_id,
-                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
                                         ROWS UNBOUNDED PRECEDING) AS sess
                 FROM e
             ), per AS (
@@ -1349,6 +1427,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,
         "corpus_checksum": checksum_sql,
+        "quality_scores_digest": quality_digest_sql,
+        "normalize_text_digest": normalize_digest_sql,
         # update_sketch_artifact: n_rows/n_updates are exact lineage-fold
         # invariants (A3 grand-sum for cm/cmcu = total token occurrences);
         # matches_rebuild / scanned_incrementally are TRUE literals, so the

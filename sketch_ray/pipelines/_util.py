@@ -98,3 +98,37 @@ def ensure_columns(df: pd.DataFrame, schema: dict[str, str]) -> pd.DataFrame:
     if all(c in df.columns for c in schema):
         return df
     return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in schema.items()})
+
+
+def write_and_digest(per_doc_ds, sf_dir: str, name: str, digest_batch,
+                     batch_size: int = 8192) -> tuple[int, int, str]:
+    """At-scale output mode for per-document result tables (SURVEY §9 /
+    VERDICT r4 item 5): stream the table to partitioned Parquet under /tmp
+    (one file per block — a resumable, re-shardable artifact; at 100 TB
+    this replaces the gate-protocol driver pull entirely), then fold an
+    order-invariant digest over the WRITTEN files: read back, one
+    (uint64 checksum, row count) pair per batch to the driver —
+    corpus_checksum's mod-2^64 commutative sum, independent of
+    partitioning, block order and parallelism.
+
+    ``digest_batch(batch) -> pa.Table{"chk": int64[1], "n": int64[1]}``
+    defines the per-row hash; returns (n_rows, digest_int64, out_dir).
+    """
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    base = os.path.basename(os.path.abspath(sf_dir))
+    out = f"/tmp/sketch_ray_outputs/{base}/{name}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    per_doc_ds.write_parquet(out)
+    parts = ensure_columns(
+        rd.read_parquet(out)
+        .map_batches(digest_batch, batch_format="pyarrow",
+                     batch_size=batch_size)
+        .to_pandas(), {"chk": "int64", "n": "int64"})
+    total = parts["chk"].to_numpy(np.int64).view(np.uint64).sum(dtype=np.uint64)
+    return (int(parts["n"].sum()),
+            int(np.array([total], np.uint64).view(np.int64)[0]), out)

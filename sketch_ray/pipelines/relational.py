@@ -241,13 +241,25 @@ def top_return_customers(sf_dir: str, k: int = 20,
         flag = pc.equal(batch["l_returnflag"].combine_chunks(), "R") \
             .to_numpy(zero_copy_only=False)
         lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)[flag]
-        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)[flag]
-               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[flag]))
+        # EXACT integer 1e-4-unit revenue (price has 2dp, discount 2dp):
+        # float partial sums re-associated by the fold crossed 2dp
+        # boundaries at the 10x soak scale — integers cannot (the
+        # local_supplier_revenue rev4 discipline). Per-batch bincount sums
+        # stay < 2^53 (65536 items x ~1e8 units), so the float pathway
+        # inside bincount is exact before the int64 cast.
+        price100 = np.round(batch["l_extendedprice"]
+                            .to_numpy(zero_copy_only=False)[flag]
+                            * 100.0).astype(np.int64)
+        disc100 = np.round(batch["l_discount"]
+                           .to_numpy(zero_copy_only=False)[flag]
+                           * 100.0).astype(np.int64)
+        rev4 = price100 * (100 - disc100)
         uniq, inv = np.unique(lk, return_inverse=True)
         return pa.table({
             "l_orderkey": pa.array(uniq, pa.int64()),
-            "rev_p": pa.array(np.bincount(inv, weights=rev,
-                                          minlength=len(uniq)), pa.float64()),
+            "rev_p": pa.array(np.bincount(inv, weights=rev4,
+                                          minlength=len(uniq))
+                              .astype(np.int64), pa.int64()),
             "cnt_p": pa.array(np.bincount(inv, minlength=len(uniq))
                               .astype(np.int64), pa.int64()),
         })
@@ -290,9 +302,9 @@ def top_return_customers(sf_dir: str, k: int = 20,
                                            batch_size=65536)
         per_cust = ensure_columns(
             per_cust_parts.to_pandas(),
-            {"c_custkey": "int64", "rev_p": "float64", "cnt_p": "int64"}) \
+            {"c_custkey": "int64", "rev_p": "int64", "cnt_p": "int64"}) \
             .groupby("c_custkey", as_index=False) \
-            .agg(revenue=("rev_p", "sum"), n_items=("cnt_p", "sum"))
+            .agg(rev4=("rev_p", "sum"), n_items=("cnt_p", "sum"))
     else:
         # materialize: .count() + .join() are two consumers of this shuffle
         agg = parts.repartition(n_reducers()).groupby("l_orderkey").aggregate(
@@ -302,7 +314,7 @@ def top_return_customers(sf_dir: str, k: int = 20,
         n_right = agg.count()
         if n_right == 0:
             per_cust = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
-                                     "revenue": pd.Series([], dtype="float64"),
+                                     "rev4": pd.Series([], dtype="int64"),
                                      "n_items": pd.Series([], dtype="int64")})
         else:
             n_parts = max(1, min(_join_partitions(sf_dir, "lineitem", "orders"),
@@ -311,23 +323,28 @@ def top_return_customers(sf_dir: str, k: int = 20,
                                num_partitions=n_parts,
                                on=("o_orderkey",), right_on=("l_orderkey",))
             jdf = ensure_columns(joined.to_pandas(),
-                                 {"o_custkey": "int64", "rev": "float64",
+                                 {"o_custkey": "int64", "rev": "int64",
                                   "cnt": "int64"})
             per_cust = jdf.groupby("o_custkey", as_index=False) \
-                .agg(revenue=("rev", "sum"), n_items=("cnt", "sum")) \
+                .agg(rev4=("rev", "sum"), n_items=("cnt", "sum")) \
                 .rename(columns={"o_custkey": "c_custkey"})
 
-    per_cust["revenue"] = per_cust["revenue"].round(2)
-    per_cust = per_cust.sort_values(["revenue", "c_custkey"],
+    # rank on the exact INTEGER rev4 (2dp display ties cannot disagree);
+    # revenue = half-away 2dp of the exact quotient, mirrored in SQL
+    from ._util import round_half_away
+
+    per_cust = per_cust.sort_values(["rev4", "c_custkey"],
                                     ascending=[False, True],
                                     kind="stable").head(k).reset_index(drop=True)
+    per_cust["revenue"] = round_half_away(
+        per_cust["rev4"].to_numpy(np.int64) / 10000.0, 2)
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"]).to_pandas()
     out = per_cust.merge(cust, on="c_custkey").merge(
         nat, left_on="c_nationkey", right_on="n_nationkey")
-    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True],
+    out = out.sort_values(["rev4", "c_custkey"], ascending=[False, True],
                           kind="stable").reset_index(drop=True)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     out = out[["rank", "c_custkey", "c_name", "n_name", "revenue", "n_items"]]

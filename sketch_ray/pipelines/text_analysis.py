@@ -41,38 +41,42 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _quality_stats_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized per-doc quality features for one batch (shared by
+    quality_scores and its at-scale digest twin)."""
+    stop_set = pa.array(list(STOPWORDS), pa.large_string())
+    text = batch["text"].combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    nchr = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=stop_set.cast(flat.type)).to_numpy(zero_copy_only=False)
+    doc_index = np.repeat(np.arange(len(ntok)), ntok)
+    n_stop = np.zeros(len(ntok), dtype=np.int64)
+    np.add.at(n_stop, doc_index, is_stop.astype(np.int64))
+    denom = np.maximum(ntok, 1)
+    stop_ratio = round6(n_stop / denom)
+    # tokens are single-space joined => total token chars = n_chars - (n_tokens - 1)
+    mean_len = round6((nchr - (ntok - 1)) / denom)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            "mean_token_len": pa.array(mean_len, pa.float64()),
+        }
+    )
+
+
 def quality_scores(sf_dir: str) -> pa.Table:
     """Per-document quality features (exact, oracle-gated):
     n_tokens, stopword_ratio, mean_token_len — the standard cheap quality
     filters of a web-corpus pipeline, all from two vectorized kernels."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    stop_set = pa.array(list(STOPWORDS), pa.large_string())
-
-    def stats(batch: pa.Table) -> pa.Table:
-        text = batch["text"].combine_chunks()
-        toks = pc.split_pattern(text, " ")
-        ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        nchr = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks)
-        is_stop = pc.is_in(flat, value_set=stop_set.cast(flat.type)).to_numpy(zero_copy_only=False)
-        doc_index = np.repeat(np.arange(len(ntok)), ntok)
-        n_stop = np.zeros(len(ntok), dtype=np.int64)
-        np.add.at(n_stop, doc_index, is_stop.astype(np.int64))
-        denom = np.maximum(ntok, 1)
-        stop_ratio = round6(n_stop / denom)
-        # tokens are single-space joined => total token chars = n_chars - (n_tokens - 1)
-        mean_len = round6((nchr - (ntok - 1)) / denom)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(ntok, pa.int64()),
-                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
-                "mean_token_len": pa.array(mean_len, pa.float64()),
-            }
-        )
 
     df = ensure_columns(
-        ds.map_batches(stats, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        ds.map_batches(_quality_stats_batch, batch_format="pyarrow",
+                       batch_size=8192).to_pandas(),
         {"doc_id": "int64", "n_tokens": "int64", "stopword_ratio": "float64",
          "mean_token_len": "float64"})
     df = df.sort_values("doc_id").reset_index(drop=True)
@@ -1848,3 +1852,85 @@ def length_psi_drift(sf_dir: str, n_buckets: int = 16,
         "n_docs": pa.array(cs.astype(np.int64), pa.int64()),
         "psi": pa.array(psi_r, pa.float64()),
     })
+
+
+def quality_scores_digest(sf_dir: str) -> pa.Table:
+    """At-scale output mode for quality_scores (VERDICT r4 item 5): the
+    per-doc feature table streams to partitioned Parquet under /tmp and
+    ONLY an order-invariant digest reaches the driver — one (checksum,
+    count) pair per batch, so the driver pull is O(#batches), not O(docs).
+
+    Digest: mod-2^64 sum over docs of the chained splitmix
+    ``sm(sm(sm(sm(doc_id^mix(11)) ^ n_tokens) ^ sr6) ^ ml6)`` where
+    sr6/ml6 are the 6dp ratios scaled to exact integers (×10⁶) — chaining
+    makes the row hash order-sensitive in the COLUMNS (a swap between
+    columns changes it) while the sum stays order-invariant in the ROWS.
+    The oracle renders the same chain over the same integers
+    (splitmix64_ctes), so the digest is value-hash-gated end to end.
+    Returns one row (n_docs, digest)."""
+    from ._sqlgen import mix_constant
+    from ._util import write_and_digest
+
+    mix = np.uint64(mix_constant(11))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    per_doc = ds.map_batches(_quality_stats_batch, batch_format="pyarrow",
+                             batch_size=8192)
+
+    def digest_batch(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ntok = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # the written floats are round6 values: rint(f*1e6) recovers the
+        # exact integer each ratio rounded to (|err| < 1e-4 ≪ 0.5)
+        sr6 = np.rint(batch["stopword_ratio"].to_numpy(zero_copy_only=False)
+                      * 1e6).astype(np.int64).astype(np.uint64)
+        ml6 = np.rint(batch["mean_token_len"].to_numpy(zero_copy_only=False)
+                      * 1e6).astype(np.int64).astype(np.uint64)
+        h = splitmix64(splitmix64(splitmix64(splitmix64(did ^ mix) ^ ntok)
+                                  ^ sr6) ^ ml6)
+        s = h.sum(dtype=np.uint64)
+        return pa.table({
+            "chk": pa.array(np.array([s], np.uint64).view(np.int64), pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64())})
+
+    n, digest, _ = write_and_digest(per_doc, sf_dir, "quality_scores",
+                                    digest_batch)
+    return pa.table({"n_docs": pa.array([n], pa.int64()),
+                     "digest": pa.array([digest], pa.int64())})
+
+
+def normalize_text_digest(sf_dir: str) -> pa.Table:
+    """At-scale output mode for normalize_text: the normalized corpus
+    streams to partitioned Parquet; the driver receives only the
+    corpus_checksum-style digest ``Σ string_hash(text_norm,1) XOR
+    splitmix64(doc_id^mix(7)) mod 2^64`` — content bound to doc_id, so a
+    swapped/duplicated/missing normalized row changes the value. Oracle:
+    the same normalize expression + the same hash CTEs in SQL.
+    Returns one row (n_docs, digest)."""
+    from ._sqlgen import mix_constant
+    from ._util import write_and_digest
+
+    mix = np.uint64(mix_constant(7))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        batch = _augment_messy(batch)
+        text = batch["text"].combine_chunks()
+        t = pc.utf8_lower(text)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch["doc_id"], "text_norm": t})
+
+    per_doc = ds.map_batches(norm, batch_format="pyarrow", batch_size=8192)
+
+    def digest_batch(batch: pa.Table) -> pa.Table:
+        h = hash_arrow_strings(batch["text_norm"].combine_chunks(), seed=1)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = (h ^ splitmix64(ids ^ mix)).sum(dtype=np.uint64)
+        return pa.table({
+            "chk": pa.array(np.array([s], np.uint64).view(np.int64), pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64())})
+
+    n, digest, _ = write_and_digest(per_doc, sf_dir, "normalize_text",
+                                    digest_batch)
+    return pa.table({"n_docs": pa.array([n], pa.int64()),
+                     "digest": pa.array([digest], pa.int64())})

@@ -197,3 +197,48 @@ def payload_stats(sf_dir: str) -> pa.Table:
     df = ds.map_batches(stats, batch_format="pyarrow", batch_size=8192).to_pandas()
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def multimodal_features_digest(sf_dir: str) -> pa.Table:
+    """At-scale output mode for multimodal_features: the per-doc feature
+    table streams to partitioned Parquet and only an order-invariant
+    digest reaches the driver (rows-only gate, like multimodal_features
+    itself — the fake decode has no SQL twin; pytest pins the digest
+    against an independent driver recomputation and across reruns).
+    Returns one row (n_docs, digest)."""
+    import ray.data as rd
+
+    from ..kernels.hashing import splitmix64
+    from ..pipelines._sqlgen import mix_constant
+    from ..pipelines._util import write_and_digest
+    from .broadcast import cached_by_key
+
+    mix = np.uint64(mix_constant(13))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    per_doc = (
+        ds.map_batches(attach_payload, batch_format="pyarrow", batch_size=1024)
+        .map_batches(lambda b: cached_by_key("decode_fake_16",
+                                             lambda: DecodeImage("fake", 16))(b),
+                     batch_format="pyarrow", batch_size=256)
+        .map_batches(lambda b: cached_by_key("img_features",
+                                             ExtractImageFeatures)(b),
+                     batch_format="pyarrow", batch_size=4096)
+    )
+
+    def digest_batch(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(did ^ mix)
+        for col in ("feat_mean", "feat_std", "feat_edge"):
+            v6 = np.rint(batch[col].to_numpy(zero_copy_only=False)
+                         * 1e6).astype(np.int64).astype(np.uint64)
+            h = splitmix64(h ^ v6)
+        s = h.sum(dtype=np.uint64)
+        return pa.table({
+            "chk": pa.array(np.array([s], np.uint64).view(np.int64), pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64())})
+
+    n, digest, _ = write_and_digest(per_doc, sf_dir, "multimodal_features",
+                                    digest_batch)
+    return pa.table({"n_docs": pa.array([n], pa.int64()),
+                     "digest": pa.array([digest], pa.int64())})

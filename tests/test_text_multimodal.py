@@ -772,3 +772,82 @@ def test_quality_classifier_convergence_and_determinism(ray_session, tmp_path):
     b = train_quality_classifier(SF).to_pandas()
     pd.testing.assert_frame_equal(a, b)
     assert all(La[i + 1] <= La[i] + 1e-9 for i in range(len(La) - 1))
+
+
+class TestDigestOutputs:
+    """At-scale digest twins (r5): write_parquet + order-invariant digest;
+    driver pull is O(1) rows regardless of corpus size."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_quality_digest_matches_recompute(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from sketch_ray.kernels.hashing import splitmix64
+        from sketch_ray.pipelines._sqlgen import mix_constant
+        from sketch_ray.pipelines.text_analysis import (quality_scores,
+                                                        quality_scores_digest)
+
+        out = quality_scores_digest(self.SF).to_pandas()
+        per_doc = quality_scores(self.SF).to_pandas()
+        mix = np.uint64(mix_constant(11))
+        did = per_doc["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        ntok = per_doc["n_tokens"].to_numpy(np.int64).astype(np.uint64)
+        sr6 = np.rint(per_doc["stopword_ratio"].to_numpy() * 1e6) \
+            .astype(np.int64).astype(np.uint64)
+        ml6 = np.rint(per_doc["mean_token_len"].to_numpy() * 1e6) \
+            .astype(np.int64).astype(np.uint64)
+        h = splitmix64(splitmix64(splitmix64(splitmix64(did ^ mix) ^ ntok)
+                                  ^ sr6) ^ ml6)
+        want = int(np.array([h.sum(dtype=np.uint64)],
+                            np.uint64).view(np.int64)[0])
+        assert out["digest"].iloc[0] == want
+        assert out["n_docs"].iloc[0] == len(per_doc)
+        # the written artifact is the full per-doc table, re-readable
+        import glob
+
+        files = glob.glob("/tmp/sketch_ray_outputs/sf0.001/quality_scores/*")
+        assert files
+        n_written = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        assert n_written == len(per_doc)
+
+    def test_digests_stable_across_reruns(self, ray_session):
+        from sketch_ray.pipelines.text_analysis import normalize_text_digest
+        from sketch_ray.stages.multimodal import multimodal_features_digest
+
+        a = normalize_text_digest(self.SF).to_pandas()
+        b = normalize_text_digest(self.SF).to_pandas()
+        assert a.equals(b)
+        c = multimodal_features_digest(self.SF).to_pandas()
+        d = multimodal_features_digest(self.SF).to_pandas()
+        assert c.equals(d)
+        assert c["n_docs"].iloc[0] == a["n_docs"].iloc[0]
+
+    def test_normalize_digest_detects_any_row_change(self, ray_session):
+        """Moving one doc's content to another id changes the digest (the
+        content-bound-to-id property corpus_checksum guarantees)."""
+        import numpy as np
+
+        from sketch_ray.kernels.hashing import (hash_arrow_strings,
+                                                splitmix64)
+        from sketch_ray.pipelines._sqlgen import mix_constant
+        from sketch_ray.pipelines.text_analysis import normalize_text, \
+            normalize_text_digest
+
+        out = normalize_text_digest(self.SF).to_pandas()
+        per_doc = normalize_text(self.SF).to_pandas()
+        import pyarrow as pa
+
+        mix = np.uint64(mix_constant(7))
+        h = hash_arrow_strings(
+            pa.array(per_doc["text_norm"].tolist(), pa.large_string()), seed=1)
+        ids = per_doc["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        want = (h ^ splitmix64(ids ^ mix)).sum(dtype=np.uint64)
+        assert out["digest"].iloc[0] == int(
+            np.array([want], np.uint64).view(np.int64)[0])
+        # swap two ids -> digest must change
+        ids2 = ids.copy()
+        ids2[0], ids2[1] = ids[1], ids[0]
+        swapped = (h ^ splitmix64(ids2 ^ mix)).sum(dtype=np.uint64)
+        assert swapped != want
