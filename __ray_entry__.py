@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       dedup, exact, heavy_hitters, relational,
                                       sharding, similarity, sketch_queries,
                                       text_analysis)
+    from sketch_ray.sources import textio
     from sketch_ray.stages import multimodal
 
     # Key ORDER is part of the contract: the driver's correctness gate
@@ -100,6 +101,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_sketch_artifact": continuous.update_sketch_artifact,
         # ---------- end of the driver's 50-key sample window ----------
         "copurchase_rules": analytics.copurchase_rules,
+        # source-format parity (r5): the SAME aggregations over JSONL/CSV
+        # round-trips of the gate tables (sources/textio, Ray-native
+        # write_json/read_json + write_csv/read_csv) — hash-gated against
+        # the parquet-reading oracle, so the text transport must be
+        # lossless (escaping, unicode, int width)
+        "jsonl_tokens_per_lang": textio.jsonl_tokens_per_lang,
+        "csv_events_per_type": textio.csv_events_per_type,
         # at-scale output mode (r5): per-doc tables stream to partitioned
         # Parquet; only an order-invariant digest reaches the driver
         "quality_scores_digest": text_analysis.quality_scores_digest,
@@ -1626,6 +1634,18 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sources_per_lang": """
             SELECT lang, count(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # source-format parity twins: the oracle reads the PARQUET view;
+        # the Ray side reads a JSONL / CSV round-trip of the same table,
+        # so a hash match proves the text transport lossless
+        "jsonl_tokens_per_lang": """
+            SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "csv_events_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "doc_token_stats": """
             SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
