@@ -84,10 +84,20 @@ def main() -> int:
     import pandas as pd
 
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    # pin the resume cache to the exact corpus + patch set: a rerun against
+    # a different --sf/--factor must NOT report stale PASSes as verified
+    # (the write_hash_index manifest discipline, applied to this file)
+    meta = {"sf": os.path.abspath(args.sf), "factor": args.factor,
+            "soak_dir": soak_dir, "patched": patched}
     results = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
             results = json.load(f)
+        if results.get("_meta") != meta:
+            print(f"resume cache {args.out} was built for "
+                  f"{results.get('_meta')}; starting fresh for {meta}")
+            results = {}
+    results["_meta"] = meta
 
     con = duckdb.connect()
     for t in TABLES:
@@ -132,8 +142,9 @@ def main() -> int:
         print(f"{status} {name} ({dt}s)" + (f" — {err}" if err else ""),
               flush=True)
 
-    done = [r for r in results.values() if r["status"] == "PASS"]
-    print(f"\n{len(done)} PASS / {len(results)} recorded; "
+    recorded = {k: r for k, r in results.items() if k != "_meta"}
+    done = [r for r in recorded.values() if r["status"] == "PASS"]
+    print(f"\n{len(done)} PASS / {len(recorded)} recorded; "
           f"{n_fail} new failures this run")
     ray.shutdown()
     return n_fail

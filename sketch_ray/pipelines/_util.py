@@ -100,6 +100,23 @@ def ensure_columns(df: pd.DataFrame, schema: dict[str, str]) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in schema.items()})
 
 
+def tag_hash_bucket(batch, col: str, out: str = "bucket"):
+    """Append an int64 ``splitmix64(key) % n_reducers()`` bucket column —
+    the house pattern for every distributed fold over a high-cardinality
+    key (CLAUDE.md trap: a native Ray groupby over a per-row-cardinality
+    key measured 206 s where this bucket + ``map_groups`` fold took 1.9 s).
+    Keys are hashed by their int64 bit pattern (negative int64 wraps to the
+    same uint64 bits under both ``.view`` and ``.astype``). Two-key folds
+    (co-purchase) compose two splitmix64 calls instead of using this."""
+    import pyarrow as pa
+
+    from ..kernels.hashing import splitmix64
+
+    keys = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = (splitmix64(keys) % np.uint64(n_reducers())).astype(np.int64)
+    return batch.append_column(out, pa.array(b, pa.int64()))
+
+
 def write_and_digest(per_doc_ds, sf_dir: str, name: str, digest_batch,
                      batch_size: int = 8192) -> tuple[int, int, str]:
     """At-scale output mode for per-document result tables (SURVEY §9 /
@@ -114,12 +131,18 @@ def write_and_digest(per_doc_ds, sf_dir: str, name: str, digest_batch,
     ``digest_batch(batch) -> pa.Table{"chk": int64[1], "n": int64[1]}``
     defines the per-row hash; returns (n_rows, digest_int64, out_dir).
     """
+    import hashlib
     import os
     import shutil
 
     import ray.data as rd
 
-    base = os.path.basename(os.path.abspath(sf_dir))
+    # key the output dir on the FULL corpus path, not just its basename:
+    # two same-named corpus dirs (a second checkout, a synthesized fixture)
+    # must not rmtree each other's written artifact
+    apath = os.path.abspath(sf_dir)
+    base = (os.path.basename(apath) + "-"
+            + hashlib.sha256(apath.encode()).hexdigest()[:8])
     out = f"/tmp/sketch_ray_outputs/{base}/{name}"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)

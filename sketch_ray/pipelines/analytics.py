@@ -21,7 +21,7 @@ import ray
 
 from ..kernels.hashing import hash_arrow_strings, splitmix64
 from ..stages.broadcast import cached
-from ._util import ensure_columns, round6, round_half_away
+from ._util import ensure_columns, round6, round_half_away, tag_hash_bucket
 from .relational import _SMALL_ROWS, _fold_partials, _read
 
 _ATTR_SHIFT_US = np.int64(9131) * 86400 * 1_000_000  # the asof-join shift
@@ -358,11 +358,6 @@ def lang_token_overlap(sf_dir: str, seed: int = 7,
         # native groupby(["h","lang"]): Ray's aggregate over a per-row-
         # cardinality multi-column key is the 206s-vs-1.9s pathology
         # (CLAUDE.md trap, _copurchase_pair_counts discipline)
-        def bucket_tag(batch: pa.Table) -> pa.Table:
-            h = batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
-            b = (splitmix64(h) % np.uint64(n_reducers())).astype(np.int64)
-            return batch.append_column("bucket", pa.array(b, pa.int64()))
-
         def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
             h = df["h"].to_numpy(np.int64)
             lang = df["lang"].to_numpy()
@@ -376,7 +371,8 @@ def lang_token_overlap(sf_dir: str, seed: int = 7,
             return pd.DataFrame({"h": hcat, "lang": ls,
                                  "one": np.ones(len(hcat), np.int64)})
 
-        dd = (partials.map_batches(bucket_tag, batch_format="pyarrow")
+        dd = (partials.map_batches(lambda b: tag_hash_bucket(b, "h"),
+                                   batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(lambda g: dedup_group(g.drop(columns=["bucket"])),
                           batch_format="pandas"))
@@ -1873,16 +1869,12 @@ def id_gap_audit(sf_dir: str, force: str | None = None) -> pa.Table:
         # cardinality key is the measured pathology (CLAUDE.md trap —
         # key packing alone cost 12.7s on 1.2M rows).  Hash-bucket the
         # ids and sum per-group np.unique sizes instead.
-        def bucket_tag(batch: pa.Table) -> pa.Table:
-            ids = batch["id"].to_numpy(zero_copy_only=False).view(np.uint64)
-            b = (splitmix64(ids) % np.uint64(n_reducers())).astype(np.int64)
-            return batch.append_column("bucket", pa.array(b, pa.int64()))
-
         def group_distinct(df: pd.DataFrame) -> pd.DataFrame:
             n = len(np.unique(df["id"].to_numpy(np.int64)))
             return pd.DataFrame({"n": [n]})
 
-        dd = (parts.map_batches(bucket_tag, batch_format="pyarrow")
+        dd = (parts.map_batches(lambda b: tag_hash_bucket(b, "id"),
+                                batch_format="pyarrow")
               .groupby("bucket").map_groups(group_distinct,
                                             batch_format="pandas"))
         n_distinct = int(dd.to_pandas()["n"].sum())
@@ -2086,17 +2078,9 @@ def cohort_revenue_curves(sf_dir: str, force: str | None = None) -> pa.Table:
         pdf = ensure_columns(parts.to_pandas(), {"ck": "int64", "m_p": "int64"})
         agg = pdf.groupby("ck", as_index=False)["m_p"].min()
     else:
-        from ._util import n_reducers
-
         # ck-hash bucket + vectorized per-group min — NOT a native
         # groupby("ck") at full customer cardinality (CLAUDE.md trap;
         # same pattern as the active-customer dedup below)
-        def min_bucket_tag(batch: pa.Table) -> pa.Table:
-            ck = batch["ck"].to_numpy(zero_copy_only=False)
-            b = (splitmix64(ck.astype(np.uint64))
-                 % np.uint64(n_reducers())).astype(np.int64)
-            return batch.append_column("bucket", pa.array(b, pa.int64()))
-
         def min_group(df: pd.DataFrame) -> pd.DataFrame:
             ck = df["ck"].to_numpy(np.int64)
             mp = df["m_p"].to_numpy(np.int64)
@@ -2106,7 +2090,8 @@ def cohort_revenue_curves(sf_dir: str, force: str | None = None) -> pa.Table:
                                  "m_p": mp[order][first]})
 
         agg = ensure_columns(
-            parts.map_batches(min_bucket_tag, batch_format="pyarrow")
+            parts.map_batches(lambda b: tag_hash_bucket(b, "ck"),
+                              batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(lambda g: min_group(g.drop(columns=["bucket"])),
                         batch_format="pandas").to_pandas(),

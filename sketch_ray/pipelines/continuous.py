@@ -115,8 +115,9 @@ def update_sketch_artifact(sf_dir: str) -> pa.Table:
 
     # phase 1: artifact over the old snapshot only
     CheckpointedBuild([s0], _artifact_specs(), d_inc, columns=cols).run()
+    sid0 = CheckpointedBuild.shard_id(s0)
     with open(os.path.join(d_inc, "manifest.json")) as f:
-        shard0_before = json.load(f)["shards"]["000000"]
+        shard0_before = json.load(f)["shards"][sid0]
 
     # phase 2: the new snapshot arrives — extend the same artifact
     upd = CheckpointedBuild([s0, s1], _artifact_specs(), d_inc,
@@ -126,7 +127,7 @@ def update_sketch_artifact(sf_dir: str) -> pa.Table:
     # snapshot 0's lineage row must be untouched: the update scanned ONLY
     # the new snapshot (wall_s is recorded at build time, so a rescan
     # would overwrite it)
-    incremental = manifest["shards"]["000000"] == shard0_before
+    incremental = manifest["shards"][sid0] == shard0_before
 
     # phase 3: full rebuild from scratch — the byte-identity oracle
     full = CheckpointedBuild([s0, s1], _artifact_specs(), d_full,

@@ -176,9 +176,11 @@ def bigram_counts_min(sf_dir: str, min_cnt: int = 25) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def tokens_per_lang(sf_dir: str) -> pa.Table:
-    """Total token count per language (groupby over per-batch partial sums)."""
-    ds = _read(sf_dir, "documents", ["text", "lang"])
+def tokens_per_lang_over(ds) -> pa.Table:
+    """The ``tokens_per_lang`` fold over an already-open Dataset with
+    (text, lang) columns — shared by the parquet query and the
+    JSONL-round-trip twin (``sources/textio.py``), so the transport
+    parity gate exercises the SAME fold, not a copy."""
 
     def partials(batch: pa.Table) -> pa.Table:
         ntok = pc.list_value_length(pc.split_pattern(batch["text"].combine_chunks(), " "))
@@ -192,7 +194,12 @@ def tokens_per_lang(sf_dir: str) -> pa.Table:
         .aggregate(Sum("partial", alias_name="n_tokens"))
     )
     df = agg.to_pandas().sort_values("lang").reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df[["lang", "n_tokens"]], preserve_index=False)
+
+
+def tokens_per_lang(sf_dir: str) -> pa.Table:
+    """Total token count per language (groupby over per-batch partial sums)."""
+    return tokens_per_lang_over(_read(sf_dir, "documents", ["text", "lang"]))
 
 
 def distinct_sources_per_lang(sf_dir: str) -> pa.Table:
@@ -430,7 +437,14 @@ def events_per_type(sf_dir: str) -> pa.Table:
     two-level distributed groupby runs, spread to 32 blocks first (the
     measured sort-groupby-on-few-blocks pathology)."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    n = ds.count()  # parquet-metadata count: no scan
+    return events_per_type_over(ds, ds.count())  # metadata count: no scan
+
+
+def events_per_type_over(ds, n: int) -> pa.Table:
+    """The ``events_per_type`` fold over an already-open Dataset with
+    (event_type, user_id) columns and a known row count — shared by the
+    parquet query and the CSV-round-trip twin (``sources/textio.py``),
+    adaptive branch included."""
 
     def local(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])

@@ -20,9 +20,6 @@ import os
 import shutil
 
 import pyarrow as pa
-import pyarrow.compute as pc
-
-from ray.data.aggregate import Count, Sum
 
 _EXPORT_BASE = "/tmp/sketch_ray_textio"
 
@@ -77,49 +74,25 @@ def read_csv(path: str, **kwargs):
 
 def jsonl_tokens_per_lang(sf_dir: str) -> pa.Table:
     """``tokens_per_lang`` computed over a JSONL round-trip of the
-    documents table: distributed export → ``read_json`` → per-batch
-    partial token sums → one small groupby(lang). Hash-gated against the
-    parquet-reading oracle, so any JSON escaping loss (newlines, quotes,
-    unicode in ``text``) fails the gate."""
+    documents table: distributed export → ``read_json`` → the SAME shared
+    fold as the parquet query (``exact.tokens_per_lang_over``).
+    Hash-gated against the parquet-reading oracle, so any JSON escaping
+    loss (newlines, quotes, unicode in ``text``) fails the gate."""
+    from ..pipelines.exact import tokens_per_lang_over
+
     path = _export(sf_dir, "documents", ["text", "lang"], "jsonl")
-    ds = read_jsonl(path)
-
-    def partials(batch: pa.Table) -> pa.Table:
-        ntok = pc.list_value_length(
-            pc.split_pattern(batch["text"].combine_chunks(), " "))
-        t = pa.table({"lang": batch["lang"], "ntok": ntok.cast(pa.int64())})
-        g = t.group_by("lang").aggregate([("ntok", "sum")])
-        return g.rename_columns(["lang", "partial"])
-
-    agg = (ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
-             .groupby("lang")
-             .aggregate(Sum("partial", alias_name="n_tokens")))
-    df = agg.to_pandas().sort_values("lang").reset_index(drop=True)
-    return pa.Table.from_pandas(df[["lang", "n_tokens"]], preserve_index=False)
+    return tokens_per_lang_over(read_jsonl(path))
 
 
 def csv_events_per_type(sf_dir: str) -> pa.Table:
     """``events_per_type`` (counts + distinct users) computed over a CSV
     round-trip of the events table: distributed export → ``read_csv`` →
-    per-batch (type, user) pre-aggregation → two-level distributed fold.
+    the SAME shared adaptive fold as the parquet query
+    (``exact.events_per_type_over``, driver fold below _SMALL_ROWS).
     Hash-gated against the parquet-reading oracle: int width and string
     quoting must survive the text transport."""
-    from ..pipelines._util import n_reducers
+    from ..pipelines.exact import events_per_type_over
 
     path = _export(sf_dir, "events", ["event_type", "user_id"], "csv")
     ds = read_csv(path)
-
-    def local(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["event_type", "user_id"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns(["event_type", "user_id", "partial"])
-
-    pairs = ds.map_batches(local, batch_format="pyarrow", batch_size=16384)
-    per_user = (pairs.repartition(n_reducers())
-                .groupby(["event_type", "user_id"])
-                .aggregate(Sum("partial", alias_name="cnt")))
-    agg = per_user.groupby("event_type").aggregate(
-        Count(alias_name="n_users"), Sum("cnt", alias_name="n_events"))
-    df = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
-    return pa.Table.from_pandas(df[["event_type", "n_users", "n_events"]],
-                                preserve_index=False)
+    return events_per_type_over(ds, ds.count())

@@ -13,7 +13,7 @@ already on disk). Each shard runs as its own streaming Ray Data pipeline
   count, wall seconds, docs/s, status, plus the full sketch config and seeds.
 
 The final global sketch is the fold of the per-shard partials in sorted
-shard order (driver-side: shard count ≪ block count), making the artifact
+input-file order (driver-side: shard count ≪ block count), making the artifact
 byte-identical between a straight-through run and any kill/resume schedule
 for the sum/max/or-merge sketches (cm, cmcu, hll, bloom — asserted in
 tests/test_checkpoint.py).
@@ -123,17 +123,29 @@ class CheckpointedBuild:
         os.replace(tmp, self.manifest_path)
 
     # -- shards ------------------------------------------------------------
-    def _shard_id(self, i: int) -> str:
-        return f"{i:06d}"
+    @staticmethod
+    def shard_id(path: str) -> str:
+        """Stable content-address of the input file PATH. Shard identity
+        must not depend on the file's position in the sorted input list:
+        positional ids meant a late-arriving file that sorts before
+        existing shards shifted every id, failed every lineage check, and
+        silently rescanned the whole history — O(accumulated data), not
+        O(new data). Path-keyed ids keep every existing shard's partial
+        valid no matter where new files land in the sort order."""
+        import hashlib
+
+        h = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:12]
+        return f"{os.path.basename(path)}-{h}"
 
     def _partial_path(self, shard_id: str) -> str:
         return os.path.join(self.parts_dir, f"shard={shard_id}", "partial.parquet")
 
     def _shard_done(self, manifest: dict, shard_id: str, path: str) -> bool:
         info = manifest["shards"].get(shard_id)
-        # lineage check: shard ids are positional, so a reused ckpt dir with
-        # added/removed/renamed inputs must NOT silently fold a stale partial
-        # built from a different file (ADVICE r1)
+        # lineage check: a reused ckpt dir with renamed inputs must NOT
+        # silently fold a stale partial built from a different file
+        # (ADVICE r1); the path hash already pins abspath, this pins the
+        # human-readable record too
         return bool(info and info.get("status") == "done"
                     and info.get("input") == path
                     and os.path.exists(self._partial_path(shard_id)))
@@ -197,8 +209,8 @@ class CheckpointedBuild:
         _ensure_thread_safe_fs_imports()
         manifest = self._load_manifest()
         todo = []
-        for i, path in enumerate(self.files):
-            sid = self._shard_id(i)
+        for path in self.files:
+            sid = self.shard_id(path)
             if not self._shard_done(manifest, sid, path):
                 todo.append((sid, path))
         if max_shards is not None:
@@ -217,8 +229,8 @@ class CheckpointedBuild:
                 with ThreadPoolExecutor(max_workers=concurrent_shards) as ex:
                     list(ex.map(work, todo))
 
-        done = [self._shard_id(i) for i, p in enumerate(self.files)
-                if self._shard_done(manifest, self._shard_id(i), p)]
+        done = [self.shard_id(p) for p in self.files
+                if self._shard_done(manifest, self.shard_id(p), p)]
         manifest["status"] = "done" if len(done) == len(self.files) else "partial"
         manifest["n_shards"] = len(self.files)
         manifest["n_done"] = len(done)

@@ -16,6 +16,7 @@ from sketch_ray.pipelines.continuous import (_artifact_specs,
                                              _snapshot_files,
                                              update_artifact,
                                              update_sketch_artifact)
+from sketch_ray.state.checkpoint import CheckpointedBuild
 
 SF = "/root/testdata/sf0.001"
 
@@ -43,13 +44,14 @@ def test_update_scans_only_new_snapshot(artifact_run):
     out, s0, s1, base = artifact_run
     with open(os.path.join(base, "ckpt_incremental", "manifest.json")) as f:
         manifest = json.load(f)
-    assert manifest["shards"]["000000"]["input"] == s0
-    assert manifest["shards"]["000001"]["input"] == s1
+    sid0, sid1 = CheckpointedBuild.shard_id(s0), CheckpointedBuild.shard_id(s1)
+    assert manifest["shards"][sid0]["input"] == s0
+    assert manifest["shards"][sid1]["input"] == s1
     assert manifest["n_done"] == 2 and manifest["status"] == "done"
     # rows in lineage == rows in the snapshot files (nothing dropped)
-    assert (manifest["shards"]["000000"]["rows"]
+    assert (manifest["shards"][sid0]["rows"]
             == pq.ParquetFile(s0).metadata.num_rows)
-    assert (manifest["shards"]["000001"]["rows"]
+    assert (manifest["shards"][sid1]["rows"]
             == pq.ParquetFile(s1).metadata.num_rows)
 
 
@@ -103,6 +105,37 @@ def test_reupdate_is_noop(artifact_run, ray_session):
     with open(mpath) as f:
         after = json.load(f)["shards"]
     assert before == after
+
+
+def test_out_of_order_arrival_scans_only_new_file(artifact_run, ray_session,
+                                                  tmp_path):
+    """A late-arriving file that sorts BEFORE every existing shard must not
+    invalidate them: shard ids are path-keyed, not positional, so the
+    update scans only the new file (O(new data) even when sort order
+    shifts). Regression test for the positional-id rescan bug."""
+    out, s0, s1, base = artifact_run
+    ckpt = str(tmp_path / "ckpt_ooo")
+    update_artifact(ckpt, [s1], columns=["text", "source"])
+    mpath = os.path.join(ckpt, "manifest.json")
+    with open(mpath) as f:
+        row_before = json.load(f)["shards"][CheckpointedBuild.shard_id(s1)]
+    # "early.parquet" under tmp_path sorts before /tmp/...: either way the
+    # combined sorted([early, s1]) puts the new file at index 0 or 1 —
+    # assert lineage survival regardless
+    early = str(tmp_path / "aaa_early.parquet")
+    pq.write_table(pq.read_table(s0, columns=["doc_id", "text", "source"])
+                   .slice(0, 50), early)
+    upd = update_artifact(ckpt, [early, s1], columns=["text", "source"])
+    with open(mpath) as f:
+        manifest = json.load(f)
+    # s1's lineage row (incl. recorded wall_s) is bit-identical: not rescanned
+    assert manifest["shards"][CheckpointedBuild.shard_id(s1)] == row_before
+    assert manifest["n_done"] == 2 and manifest["status"] == "done"
+    # and the artifact equals a from-scratch rebuild over both files
+    full = update_artifact(str(tmp_path / "ckpt_ooo_full"), [early, s1],
+                           columns=["text", "source"])
+    for name in sorted(upd):
+        assert upd[name].to_bytes() == full[name].to_bytes(), name
 
 
 def test_snapshots_partition_corpus(artifact_run):
