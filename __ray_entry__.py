@@ -197,6 +197,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_join_size": sketch_queries.cm_join_size,
         "cs_join_size": sketch_queries.cs_join_size,
         "lincount_cardinalities": sketch_queries.lincount_cardinalities,
+        # DDSketch relative-error quantiles (exact twins value_quantiles /
+        # quantiles_exact; |err| <= alpha*x bound pinned in pytest)
+        "ddsketch_quantiles": sketch_queries.ddsketch_quantiles,
         # Bloom-prefiltered decontamination (same answer, fixed-size
         # broadcast scale path; oracle shared with decontaminate_corpus)
         "decontaminate_corpus_bloom": lambda sf: dedup.decontaminate_corpus_bloom(
@@ -1453,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t, (VALUES ('bloom_source', 'bloom', FALSE),
                             ('cm_tokens', 'cm', TRUE),
                             ('cmcu_tokens', 'cmcu', TRUE),
+                            ('dd_chars', 'dd', FALSE),
                             ('hll_source', 'hll', FALSE))
                      AS s(sketch, kind, tok)
             ORDER BY s.sketch

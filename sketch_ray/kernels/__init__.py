@@ -13,6 +13,7 @@ from .bottomk import BottomK
 from .cbloom import CountingBloom
 from .countmin import CountMin, CountMinCU
 from .countsketch import CountSketch
+from .ddsketch import DDSketch
 from .dyadic import DyadicCM
 from .ehist import ExpHistogram, ExpHistogramSum
 from .freqdirs import FrequentDirections
@@ -26,6 +27,6 @@ from .tdigest import TDigest
 
 __all__ = [
     "MergeableSketch", "SketchBase", "make_sketch", "registry", "sketch_from_bytes",
-    "CountMin", "CountMinCU", "CountSketch", "CountingBloom", "ExpHistogram", "ExpHistogramSum", "FrequentDirections", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
+    "CountMin", "CountMinCU", "CountSketch", "CountingBloom", "DDSketch", "ExpHistogram", "ExpHistogramSum", "FrequentDirections", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
     "hash_strings", "hash_arrow_strings", "hash_ints", "row_hashes", "splitmix64",
 ]

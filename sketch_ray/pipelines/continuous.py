@@ -34,6 +34,8 @@ from ..state.checkpoint import CheckpointedBuild
 # snapshots keep every lang/source stratum populated
 _SNAP_MOD = 4
 
+_SNAP_COLS = ("doc_id", "text", "source", "n_chars")
+
 _SNAP_MEMO: dict = {}
 
 
@@ -42,7 +44,11 @@ def _artifact_specs() -> list[SketchSpec]:
     frequencies (CM + CM-CU), distinct sources (HLL), membership (Bloom).
     Only order-independent-merge kinds belong in an incremental artifact;
     kll/tdigest partials are merge-order-sensitive and would break the
-    byte-identity contract (they stay in the per-day windowed_* queries)."""
+    byte-identity contract (they stay in the per-day windowed_* queries).
+    DDSketch is the one QUANTILE kernel that qualifies: its merge is sparse
+    bucket-count addition (kernels/ddsketch.py), byte-identical under any
+    partition order as long as the bin budget never collapses — n_chars
+    spans ~3 decades, ~350 bins at α=0.01, far under max_bins=4096."""
     return [
         SketchSpec("bloom_source", "bloom", "source", mode="column",
                    params={"n_bits": 1 << 16, "n_hashes": 5, "seed": 42}),
@@ -50,6 +56,8 @@ def _artifact_specs() -> list[SketchSpec]:
                    params={"depth": 4, "width": 1 << 14, "seed": 42}),
         SketchSpec("cmcu_tokens", "cmcu", "text", mode="tokens",
                    params={"depth": 4, "width": 1 << 14, "seed": 42}),
+        SketchSpec("dd_chars", "dd", "n_chars", mode="numeric",
+                   params={"alpha": 0.01, "max_bins": 4096}),
         SketchSpec("hll_source", "hll", "source", mode="column",
                    params={"p": 12, "seed": 42}),
     ]
@@ -62,7 +70,9 @@ def _snapshot_files(sf_dir: str) -> tuple[str, str, str]:
     (snap0_path, snap1_path, base_dir)."""
     path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     st = os.stat(path)
-    key = (path, st.st_size, st.st_mtime_ns)
+    # _SNAP_COLS in the key: a column-set change must mint NEW fixture
+    # files (a stale /tmp snapshot without the column would poison reads)
+    key = (path, st.st_size, st.st_mtime_ns, tuple(_SNAP_COLS))
     memo = _SNAP_MEMO.get(key)
     if memo and all(os.path.exists(p) for p in memo[:2]):
         return memo
@@ -74,7 +84,7 @@ def _snapshot_files(sf_dir: str) -> tuple[str, str, str]:
         # driver-side split is fine HERE: snapshots are an input-layout
         # fixture for the test corpus; at 100 TB the snapshots already
         # exist as per-crawl partition directories and this step vanishes
-        t = pq.read_table(path, columns=["doc_id", "text", "source"])
+        t = pq.read_table(path, columns=list(_SNAP_COLS))
         did = t.column("doc_id").to_numpy()
         new_mask = (did % _SNAP_MOD) == 0
         pq.write_table(t.filter(pa.array(~new_mask)), s0 + ".tmp")
@@ -109,7 +119,7 @@ def update_sketch_artifact(sf_dir: str) -> pa.Table:
     scanned_incrementally) — one row per sketch, ordered by name.
     """
     s0, s1, base = _snapshot_files(sf_dir)
-    cols = ["text", "source"]
+    cols = ["text", "source", "n_chars"]
     d_inc = os.path.join(base, "ckpt_incremental")
     d_full = os.path.join(base, "ckpt_full")
 

@@ -665,3 +665,25 @@ def lincount_cardinalities(sf_dir: str, n_bits: int = 1 << 16) -> pa.Table:
                          for n in names], pa.float64()),
         "n_set_bits": pa.array([all_sk[n].n_set() for n in names], pa.int64()),
     })
+
+
+def ddsketch_quantiles(sf_dir: str, alpha: float = 0.01) -> pa.Table:
+    """events.value quantiles via DDSketch (kernels/ddsketch.py) — the
+    RELATIVE-error counterpart of the rank-error KLL/t-digest twins in
+    value_quantiles, and the only quantile kernel whose merged state is
+    byte-identical under any partition order (linear over bucket space).
+    One streaming pass, shuffle-free merge fold. Rows-only gated
+    (estimates); the |x̂−x_q| ≤ α·x_q guarantee vs the exact quantiles is
+    pinned in pytest. Returns (q, value, n, n_bins)."""
+    spec = SketchSpec("dd", "dd", "value", mode="numeric",
+                      params={"alpha": float(alpha), "max_bins": 4096})
+    sk = build_sketches(_read(sf_dir, "events", ["value"]), [spec],
+                        batch_size=16384)["dd"]
+    qs = np.array([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    vals = np.asarray(sk.quantile(qs), np.float64)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array(np.round(vals, 6), pa.float64()),
+        "n": pa.array([int(sk.n)] * len(qs), pa.int64()),
+        "n_bins": pa.array([sk.n_bins()] * len(qs), pa.int64()),
+    })

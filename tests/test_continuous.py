@@ -33,7 +33,7 @@ def artifact_run(ray_session):
 def test_gated_verdicts_true(artifact_run):
     out, *_ = artifact_run
     assert sorted(out["sketch"]) == ["bloom_source", "cm_tokens",
-                                     "cmcu_tokens", "hll_source"]
+                                     "cmcu_tokens", "dd_chars", "hll_source"]
     assert out["matches_rebuild"].all()
     assert out["scanned_incrementally"].all()
 
@@ -61,9 +61,9 @@ def test_byte_identity_update_vs_rebuild(artifact_run, ray_session):
     the kernel that broke)."""
     out, s0, s1, base = artifact_run
     upd = update_artifact(os.path.join(base, "ckpt_incremental"), [s0, s1],
-                          columns=["text", "source"])
+                          columns=["text", "source", "n_chars"])
     full = update_artifact(os.path.join(base, "ckpt_full"), [s0, s1],
-                           columns=["text", "source"])
+                           columns=["text", "source", "n_chars"])
     for name in sorted(upd):
         assert upd[name].to_bytes() == full[name].to_bytes(), name
 
@@ -74,8 +74,8 @@ def test_updated_artifact_answers_queries(artifact_run, ray_session):
     Bloom has zero false negatives — all without rescanning snapshot 0."""
     out, s0, s1, base = artifact_run
     upd = update_artifact(os.path.join(base, "ckpt_incremental"), [s0, s1],
-                          columns=["text", "source"])
-    t = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source"])
+                          columns=["text", "source", "n_chars"])
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source", "n_chars"])
     toks = pc.list_flatten(pc.split_pattern(t.column("text"), " "))
     vals, counts = toks.value_counts().flatten()
     true_cnt = dict(zip(vals.to_pylist(), counts.to_pylist()))
@@ -91,6 +91,13 @@ def test_updated_artifact_answers_queries(artifact_run, ray_session):
     assert abs(est - n_src) <= 5 * upd["hll_source"].rel_error_bound() * n_src + 1
     assert upd["bloom_source"].contains(srcs.to_numpy(zero_copy_only=False)
                                         .astype(str)).all()
+    # DDSketch: relative-error bound over the UNION's n_chars distribution
+    nch = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"]) \
+        .column("n_chars").to_numpy().astype(np.float64)
+    qs = np.array([0.1, 0.5, 0.9, 0.99])
+    got = np.asarray(upd["dd_chars"].quantile(qs))
+    exact = np.quantile(nch, qs, method="lower")
+    assert (np.abs(got - exact) <= 0.01 * np.abs(exact) + 1e-9).all()
 
 
 def test_reupdate_is_noop(artifact_run, ray_session):
@@ -101,7 +108,7 @@ def test_reupdate_is_noop(artifact_run, ray_session):
     with open(mpath) as f:
         before = json.load(f)["shards"]
     update_artifact(os.path.join(base, "ckpt_incremental"), [s0, s1],
-                    columns=["text", "source"])
+                    columns=["text", "source", "n_chars"])
     with open(mpath) as f:
         after = json.load(f)["shards"]
     assert before == after
@@ -115,7 +122,7 @@ def test_out_of_order_arrival_scans_only_new_file(artifact_run, ray_session,
     shifts). Regression test for the positional-id rescan bug."""
     out, s0, s1, base = artifact_run
     ckpt = str(tmp_path / "ckpt_ooo")
-    update_artifact(ckpt, [s1], columns=["text", "source"])
+    update_artifact(ckpt, [s1], columns=["text", "source", "n_chars"])
     mpath = os.path.join(ckpt, "manifest.json")
     with open(mpath) as f:
         row_before = json.load(f)["shards"][CheckpointedBuild.shard_id(s1)]
@@ -123,9 +130,9 @@ def test_out_of_order_arrival_scans_only_new_file(artifact_run, ray_session,
     # combined sorted([early, s1]) puts the new file at index 0 or 1 —
     # assert lineage survival regardless
     early = str(tmp_path / "aaa_early.parquet")
-    pq.write_table(pq.read_table(s0, columns=["doc_id", "text", "source"])
+    pq.write_table(pq.read_table(s0, columns=["doc_id", "text", "source", "n_chars"])
                    .slice(0, 50), early)
-    upd = update_artifact(ckpt, [early, s1], columns=["text", "source"])
+    upd = update_artifact(ckpt, [early, s1], columns=["text", "source", "n_chars"])
     with open(mpath) as f:
         manifest = json.load(f)
     # s1's lineage row (incl. recorded wall_s) is bit-identical: not rescanned
@@ -133,7 +140,7 @@ def test_out_of_order_arrival_scans_only_new_file(artifact_run, ray_session,
     assert manifest["n_done"] == 2 and manifest["status"] == "done"
     # and the artifact equals a from-scratch rebuild over both files
     full = update_artifact(str(tmp_path / "ckpt_ooo_full"), [early, s1],
-                           columns=["text", "source"])
+                           columns=["text", "source", "n_chars"])
     for name in sorted(upd):
         assert upd[name].to_bytes() == full[name].to_bytes(), name
 

@@ -1019,3 +1019,122 @@ def test_lincount_query_tracks_truth(ray_session):
     for col, n in truth.items():
         est = out.loc[col, "est"]
         assert abs(est - n) <= max(0.05 * n, 3), (col, est, n)
+
+
+def test_ddsketch_relative_error_bound():
+    """DDSketch (Masson et al. 2019): every quantile estimate within
+    alpha relative error of the exact inverted-CDF quantile, across a
+    heavy-tailed mix of positives, negatives, and zeros. Exact side uses
+    method="lower" = sorted[floor(q*(n-1))], the kernel's (and the paper's)
+    rank convention — inverted_cdf picks ceil(q*n)-1, a different ITEM in a
+    heavy tail."""
+    import numpy as np
+
+    from sketch_ray.kernels import DDSketch
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.lognormal(3, 2, 40000),
+                           -rng.lognormal(1, 1.5, 8000),
+                           np.zeros(200)])
+    for alpha in (0.01, 0.05):
+        sk = DDSketch(alpha=alpha)
+        sk.update(vals)
+        qs = np.array([0.001, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999])
+        est = np.asarray(sk.quantile(qs))
+        exact = np.quantile(vals, qs, method="lower")
+        assert (np.abs(est - exact) <= alpha * np.abs(exact) + 1e-12).all(), \
+            (alpha, est, exact)
+    assert sk.n == len(vals)
+
+
+def test_ddsketch_merge_byte_identical_any_order():
+    """Linear over bucket space: merged state is byte-identical under any
+    partition ordering AND equals the single-pass build — the property
+    that admits dd into incremental artifacts (pipelines/continuous.py)."""
+    import numpy as np
+
+    from sketch_ray.kernels import DDSketch, sketch_from_bytes
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.lognormal(2, 1.5, 20000), -rng.exponential(5, 3000)])
+    chunks = np.array_split(rng.permutation(vals), 6)
+    parts = []
+    for c in chunks:
+        p = DDSketch(alpha=0.02)
+        p.update(c)
+        parts.append(p)
+    ref = None
+    for perm in ([0, 1, 2, 3, 4, 5], [5, 3, 1, 0, 4, 2], [2, 4, 0, 5, 1, 3]):
+        acc = sketch_from_bytes(parts[perm[0]].to_bytes())
+        for i in perm[1:]:
+            acc.merge(sketch_from_bytes(parts[i].to_bytes()))
+        if ref is None:
+            ref = acc.to_bytes()
+        assert acc.to_bytes() == ref
+    whole = DDSketch(alpha=0.02)
+    whole.update(vals)
+    assert whole.to_bytes() == ref
+    # serialization roundtrip preserves bytes
+    assert sketch_from_bytes(ref).to_bytes() == ref
+
+
+def test_ddsketch_weighted_update_and_insert_only():
+    import numpy as np
+    import pytest
+
+    from sketch_ray.kernels import DDSketch
+
+    a = DDSketch()
+    a.update(np.array([2.0, 3.0, 2.0, 2.0, -1.5]))
+    b = DDSketch()
+    b.update(np.array([2.0, 3.0, -1.5]), np.array([3, 1, 1]))
+    assert a.to_bytes() == b.to_bytes()
+    with pytest.raises(ValueError):
+        b.update(np.array([1.0]), np.array([-1]))
+
+
+def test_ddsketch_collapse_preserves_counts_and_upper_quantiles():
+    """Forced collapse (tiny max_bins): total count is exact, and the alpha
+    guarantee still holds for every quantile whose rank lands ABOVE the
+    collapsed accumulator bucket — the paper's eviction contract."""
+    import numpy as np
+
+    from sketch_ray.kernels import DDSketch
+
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(0, 3, 30000)
+    alpha, bins = 0.02, 64
+    sk = DDSketch(alpha=alpha, max_bins=bins)
+    sk.update(vals)
+    assert sk.n == len(vals)
+    assert sk.n_bins() <= bins + 1  # + the (empty here) zero bucket
+    # ranks strictly above the accumulator bucket keep the guarantee
+    collapsed_mass = int(sk.pos_cnt[0])
+    q_min = (collapsed_mass + 1) / (sk.n - 1)
+    for q in (0.9, 0.99, 0.999):
+        if q <= q_min:
+            continue
+        est = sk.quantile(q)
+        exact = np.quantile(vals, q, method="lower")
+        assert abs(est - exact) <= alpha * exact + 1e-12, (q, est, exact)
+
+
+def test_ddsketch_query_tracks_truth(ray_session):
+    """ddsketch_quantiles over the real corpus: every reported quantile
+    within alpha relative error of DuckDB's exact quantile_disc."""
+    import duckdb
+
+    from sketch_ray.pipelines.sketch_queries import ddsketch_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    out = ddsketch_quantiles(sf).to_pandas()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')").fetchone()[0]
+    assert (out["n"] == n).all()
+    for _, row in out.iterrows():
+        exact = duckdb.sql(
+            f"SELECT quantile_disc(value, {row['q']}) "
+            f"FROM read_parquet('{sf}/events.parquet')").fetchone()[0]
+        # 6dp output rounding adds (at most) 5e-7 on top of the alpha band
+        assert abs(row["value"] - exact) <= 0.01 * abs(exact) + 1e-6, \
+            (row["q"], row["value"], exact)
