@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_order_conversion": analytics.event_order_conversion,
         # connected components of the co-purchase graph (min-label closure)
         "copurchase_components": analytics.copurchase_components,
+        # per-node triangle counts (degree-oriented wedge enumeration)
+        "copurchase_triangles": analytics.copurchase_triangles,
         # Holt double exponential smoothing + h-step forecast
         "holt_linear_forecast": analytics.holt_linear_forecast,
         # brand-affinity lift over distinct-order brand sets
@@ -2675,6 +2677,41 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2)
             SELECT pk_a, pk_b, CAST(cnt AS BIGINT) AS cnt FROM p
             ORDER BY cnt DESC, pk_a, pk_b LIMIT 25
+        """,
+        # copurchase_triangles: the SQL mirrors the pipeline's degree
+        # orientation (src = lower-(degree, id) endpoint) so the wedge join
+        # o1xo2 is m^1.5-bounded in DuckDB too, not sum(deg^2) — required
+        # for the 10x distributed-branch verification to terminate.
+        # Triangle identity is orientation-invariant, so values match the
+        # pipeline regardless; ties under the LIMIT cut rank on unique pk.
+        "copurchase_triangles": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2),
+            deg AS (SELECT node, count(*) AS d FROM (
+                        SELECT pa AS node FROM e
+                        UNION ALL SELECT pb FROM e) GROUP BY 1),
+            o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                              THEN e.pa ELSE e.pb END AS src,
+                         CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                              THEN e.pb ELSE e.pa END AS dst
+                  FROM e JOIN deg da ON da.node = e.pa
+                         JOIN deg db ON db.node = e.pb),
+            tri AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+                    FROM o o1 JOIN o o2
+                      ON o1.src = o2.src AND o1.dst < o2.dst
+                    JOIN e ON e.pa = o1.dst AND e.pb = o2.dst),
+            nodecnt AS (SELECT node, count(*) AS tri_cnt FROM (
+                            SELECT a AS node FROM tri
+                            UNION ALL SELECT b FROM tri
+                            UNION ALL SELECT c FROM tri) GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS total_triangles FROM tri)
+            SELECT n.node AS pk, n.tri_cnt::BIGINT AS tri_cnt,
+                   tot.total_triangles
+            FROM nodecnt n, tot
+            ORDER BY tri_cnt DESC, pk LIMIT 20
         """,
         # scaled integer deviations d_i = c_i·n − T: numerator/denominator
         # exact in HUGEINT, each cast to DOUBLE before the one division

@@ -729,6 +729,70 @@ def _pair_counts_np(okey: np.ndarray, pk: np.ndarray
     return comp // stride, comp % stride, cnt.astype(np.int64)
 
 
+def _copurchase_pair_ds(sf_dir: str):
+    """The distributed co-purchase pair-count fold as a MATERIALIZED,
+    memoized Dataset of (pk_a < pk_b, cnt_p) — shared by every graph
+    operator's distributed branch (pairs / components / rules / triangles;
+    only the per-caller prune differs). The fold is a pair-hash BUCKET
+    groupby with a vectorized per-group count, NOT a native
+    groupby(["pk_a","pk_b"]): Ray's aggregate over a per-row-cardinality
+    multi-column key measured 206 s on 1.2M rows where this shape takes
+    1.9 s (see CLAUDE.md trap)."""
+    import os
+
+    from ._util import n_reducers
+
+    path = f"{sf_dir}/lineitem.parquet"
+    st = os.stat(path)
+    # job_id in the key: a materialized Dataset's object refs die with the
+    # Ray session, so a re-init in the same process must rebuild, not
+    # hand back dead refs
+    dkey = (path, st.st_size, st.st_mtime_ns,
+            ray.get_runtime_context().get_job_id())
+    folded = _PAIR_DS_MEMO.get(dkey)
+    if folded is not None:
+        return folded
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_group(df: pd.DataFrame) -> pd.DataFrame:
+        pa_, pb_, cnt = _pair_counts_np(df["okey"].to_numpy(np.int64),
+                                        df["pk"].to_numpy(np.int64))
+        return pd.DataFrame({"pk_a": pa_, "pk_b": pb_, "cnt_p": cnt})
+
+    grouped = (ds.map_batches(_copurchase_tag, batch_format="pyarrow",
+                              batch_size=65536)
+               .groupby("bucket")
+               .map_groups(lambda g: pairs_group(g.drop(columns=["bucket"])),
+                           batch_format="pandas"))
+
+    def part_tag(batch: pa.Table) -> pa.Table:
+        a = batch["pk_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["pk_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((splitmix64(a) ^ splitmix64(b + np.uint64(7)))
+                % np.uint64(n_reducers())).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["pk_a"].to_numpy(np.int64)
+        b = df["pk_b"].to_numpy(np.int64)
+        c = df["cnt_p"].to_numpy(np.int64)
+        stride = np.int64(b.max()) + 1  # partkey² pack, safe < ~3e9
+        uniq, inv = np.unique(a * stride + b, return_inverse=True)
+        cnt = np.bincount(inv, weights=c).astype(np.int64)
+        return pd.DataFrame({"pk_a": uniq // stride,
+                             "pk_b": uniq % stride, "cnt_p": cnt})
+
+    folded = (grouped.map_batches(part_tag, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(lambda g: count_group(g.drop(columns=["part"])),
+                          batch_format="pandas")
+              .materialize())
+    _PAIR_DS_MEMO.clear()
+    _PAIR_DS_MEMO[dkey] = folded
+    return folded
+
+
 def _copurchase_pair_counts(sf_dir: str, force: str | None,
                             min_cnt: int = 1,
                             topk_per_block: int | None = None) -> pd.DataFrame:
@@ -765,59 +829,7 @@ def _copurchase_pair_counts(sf_dir: str, force: str | None,
             _PAIR_COUNT_MEMO[key] = out
         return out[out["cnt_p"] >= min_cnt] if min_cnt > 1 else out
 
-    def pairs_group(df: pd.DataFrame) -> pd.DataFrame:
-        pa_, pb_, cnt = _pair_counts_np(df["okey"].to_numpy(np.int64),
-                                        df["pk"].to_numpy(np.int64))
-        return pd.DataFrame({"pk_a": pa_, "pk_b": pb_, "cnt_p": cnt})
-
-    # the folded pair-count Dataset is ALSO memoized (materialized) per
-    # corpus: pairs + components each paid the full distributed shuffle at
-    # soak scale before this — only the k/min_cnt PRUNE differs per caller.
-    # The fold itself is a pair-hash BUCKET groupby with a vectorized
-    # per-group count, NOT a native groupby(["pk_a","pk_b"]): Ray's
-    # aggregate over a per-row-cardinality multi-column key measured 206 s
-    # on 1.2M rows where this shape takes 1.9 s (see CLAUDE.md trap).
-    import os
-
-    path = f"{sf_dir}/lineitem.parquet"
-    st = os.stat(path)
-    # job_id in the key: a materialized Dataset's object refs die with the
-    # Ray session, so a re-init in the same process must rebuild, not
-    # hand back dead refs
-    dkey = (path, st.st_size, st.st_mtime_ns,
-            ray.get_runtime_context().get_job_id())
-    folded = _PAIR_DS_MEMO.get(dkey)
-    if folded is None:
-        grouped = (ds.map_batches(_copurchase_tag, batch_format="pyarrow",
-                                  batch_size=65536)
-                   .groupby("bucket")
-                   .map_groups(lambda g: pairs_group(g.drop(columns=["bucket"])),
-                               batch_format="pandas"))
-
-        def part_tag(batch: pa.Table) -> pa.Table:
-            a = batch["pk_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            b = batch["pk_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            part = ((splitmix64(a) ^ splitmix64(b + np.uint64(7)))
-                    % np.uint64(n_reducers())).astype(np.int64)
-            return batch.append_column("part", pa.array(part, pa.int64()))
-
-        def count_group(df: pd.DataFrame) -> pd.DataFrame:
-            a = df["pk_a"].to_numpy(np.int64)
-            b = df["pk_b"].to_numpy(np.int64)
-            c = df["cnt_p"].to_numpy(np.int64)
-            stride = np.int64(b.max()) + 1  # partkey² pack, safe < ~3e9
-            uniq, inv = np.unique(a * stride + b, return_inverse=True)
-            cnt = np.bincount(inv, weights=c).astype(np.int64)
-            return pd.DataFrame({"pk_a": uniq // stride,
-                                 "pk_b": uniq % stride, "cnt_p": cnt})
-
-        folded = (grouped.map_batches(part_tag, batch_format="pyarrow")
-                  .groupby("part")
-                  .map_groups(lambda g: count_group(g.drop(columns=["part"])),
-                              batch_format="pandas")
-                  .materialize())
-        _PAIR_DS_MEMO.clear()
-        _PAIR_DS_MEMO[dkey] = folded
+    folded = _copurchase_pair_ds(sf_dir)
     if min_cnt > 1:
         folded = folded.filter(expr=f"cnt_p >= {int(min_cnt)}")
     if topk_per_block is not None:
@@ -852,6 +864,124 @@ def copurchase_pairs(sf_dir: str, k: int = 25,
         "pk_a": pa.array(agg["pk_a"].to_numpy(np.int64), pa.int64()),
         "pk_b": pa.array(agg["pk_b"].to_numpy(np.int64), pa.int64()),
         "cnt": pa.array(agg["cnt_p"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def _wedge_expand(src: np.ndarray, dst: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All out-neighbor pairs per source node: (u, v, w) with v < w within
+    each u — the same repeat/offset arithmetic as `_pair_expand`, but
+    KEEPING the group key (triangle credit needs the wedge apex)."""
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    n = len(s)
+    if n == 0:
+        z = np.array([], np.int64)
+        return z, z, z
+    new = np.concatenate([[True], s[1:] != s[:-1]])
+    seg_id = np.cumsum(new) - 1
+    seg_start = np.flatnonzero(new)
+    seg_len = np.diff(np.concatenate([seg_start, [n]]))
+    seg_end = seg_start + seg_len
+    reps = seg_end[seg_id] - np.arange(n) - 1
+    a_idx = np.repeat(np.arange(n), reps)
+    c = np.concatenate([[0], np.cumsum(reps)])[:-1]
+    b_idx = np.arange(int(reps.sum())) - np.repeat(c, reps) + a_idx + 1
+    return s[a_idx], d[a_idx], d[b_idx]
+
+
+def _probe_edges(ekeys: np.ndarray, v: np.ndarray, w: np.ndarray,
+                 stride: np.int64) -> np.ndarray:
+    """Membership mask of canonical wedge-closing keys in the sorted packed
+    edge array."""
+    key = np.minimum(v, w) * stride + np.maximum(v, w)
+    pos = np.searchsorted(ekeys, key)
+    ok = pos < len(ekeys)
+    ok[ok] = ekeys[pos[ok]] == key[ok]
+    return ok
+
+
+def copurchase_triangles(sf_dir: str, top: int = 20,
+                         force: str | None = None) -> pa.Table:
+    """Triangle counting over the co-purchase graph (nodes = parts, edges =
+    part pairs co-occurring in ≥1 order): per-node triangle participation,
+    top-`top` by (tri_cnt DESC, pk), each row carrying the global triangle
+    total. Degree-oriented wedge enumeration (every edge points from its
+    lower-(degree, id) endpoint, so out-degrees are O(√m) and total wedge
+    work is Σ deg_out² ≤ m^1.5, never Σ deg² — the standard bound that
+    makes hub nodes harmless). Edges come from the shared memoized pair
+    fold (`_copurchase_pair_ds`); adaptive: driver numpy below
+    `_SMALL_ROWS` lineitem rows, else the wedge expansion + edge probe run
+    as a src-hash bucket `groupby.map_groups` over the ORIENTED edge
+    Dataset against a broadcast sorted edge-key array (8 B/edge — bounded
+    by the distinct part-pair space, a dimension² bound independent of
+    fact-table row count, same class as Q17's part-bounded threshold
+    table), emitting node-index partial counts that fold on the driver
+    (node set ≤ part dimension)."""
+    agg = _copurchase_pair_counts(sf_dir, force)
+    ea = agg["pk_a"].to_numpy().astype(np.int64)
+    eb = agg["pk_b"].to_numpy().astype(np.int64)
+
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes))
+    ia, ib = inv[:len(ea)], inv[len(ea):]
+    stride = np.int64(len(nodes))
+    ekeys = np.sort(ia * stride + ib)  # ia < ib: canonical edges, sorted ids
+    swap = (deg[ia] > deg[ib]) | ((deg[ia] == deg[ib]) & (ia > ib))
+    src = np.where(swap, ib, ia).astype(np.int64)
+    dst = np.where(swap, ia, ib).astype(np.int64)
+
+    n_rows = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+
+    if small:
+        u, v, w = _wedge_expand(src, dst)
+        ok = _probe_edges(ekeys, v, w, stride)
+        tri = np.bincount(np.concatenate([u[ok], v[ok], w[ok]]),
+                          minlength=len(nodes)).astype(np.int64)
+        total = int(ok.sum())
+    else:
+        from ..stages import broadcast
+        ref = ray.put((stride, ekeys))
+        n_buckets = 64  # orientation caps per-src wedge work at O(m), so
+        # hash-bucketing sources spreads Σ deg_out² evenly — no hub skew
+        sb = (splitmix64(src.astype(np.uint64))
+              % np.uint64(n_buckets)).astype(np.int64)
+        oriented = ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "sbucket": pa.array(sb, pa.int64()),
+        })).repartition(min(n_buckets, max(8, len(src) // 65536 + 1)))
+
+        def wedge_group(df: pd.DataFrame) -> pd.DataFrame:
+            stride_, ekeys_ = broadcast.cached(ref)
+            u, v, w = _wedge_expand(df["src"].to_numpy(np.int64),
+                                    df["dst"].to_numpy(np.int64))
+            ok = _probe_edges(ekeys_, v, w, stride_)
+            gn, gc = np.unique(np.concatenate([u[ok], v[ok], w[ok]]),
+                               return_counts=True)
+            # sentinel row node=-1 carries this bucket's triangle total
+            return pd.DataFrame({
+                "node": np.concatenate([gn, [-1]]).astype(np.int64),
+                "c": np.concatenate([gc, [int(ok.sum())]]).astype(np.int64)})
+
+        parts_df = (oriented.groupby("sbucket")
+                    .map_groups(lambda g: wedge_group(g.drop(columns=["sbucket"])),
+                                batch_format="pandas")
+                    .to_pandas())
+        pn = parts_df["node"].to_numpy(np.int64)
+        pc = parts_df["c"].to_numpy(np.int64)
+        total = int(pc[pn == -1].sum())
+        tri = np.zeros(len(nodes), np.int64)
+        np.add.at(tri, pn[pn >= 0], pc[pn >= 0])
+
+    mask = tri > 0
+    nz_nodes, nz = nodes[mask], tri[mask]
+    order = np.lexsort((nz_nodes, -nz))[:top]
+    return pa.table({
+        "pk": pa.array(nz_nodes[order], pa.int64()),
+        "tri_cnt": pa.array(nz[order], pa.int64()),
+        "total_triangles": pa.array([total] * len(order), pa.int64()),
     })
 
 

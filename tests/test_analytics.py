@@ -533,3 +533,51 @@ def test_cohort_curves_branches_and_duckdb(ray_session):
     # offset 0 cell of each cohort has every cohort member active
     first = a[a["month_offset"] == 0]
     assert (first["n_active"] >= 1).all()
+
+
+def test_wedge_expand_keeps_apex():
+    from sketch_ray.pipelines.analytics import _wedge_expand
+
+    src = np.array([1, 1, 1, 4, 4, 9], np.int64)
+    dst = np.array([7, 2, 5, 3, 8, 6], np.int64)
+    u, v, w = _wedge_expand(src, dst)
+    got = sorted(zip(u.tolist(), v.tolist(), w.tolist()))
+    assert got == [(1, 2, 5), (1, 2, 7), (1, 5, 7), (4, 3, 8)]
+    assert (v < w).all()
+    u, v, w = _wedge_expand(np.array([], np.int64), np.array([], np.int64))
+    assert len(u) == len(v) == len(w) == 0
+
+
+def test_copurchase_triangles_branches_and_oracle(ray_session):
+    """Both adaptive branches byte-equal, and the degree-oriented count
+    matches an independent brute-force triangle enumeration (adjacency
+    matrix trace) over the same edge set."""
+    from sketch_ray.pipelines.analytics import (_copurchase_pair_counts,
+                                                copurchase_triangles)
+
+    a = copurchase_triangles(SF, force="driver").to_pandas()
+    b = copurchase_triangles(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (np.diff(a["tri_cnt"].to_numpy()) <= 0).all()
+
+    edges = _copurchase_pair_counts(SF, force="driver")
+    nodes, inv = np.unique(
+        np.concatenate([edges["pk_a"].to_numpy(np.int64),
+                        edges["pk_b"].to_numpy(np.int64)]),
+        return_inverse=True)
+    n = len(nodes)
+    A = np.zeros((n, n), np.int64)
+    ia, ib = inv[:len(edges)], inv[len(edges):]
+    A[ia, ib] = 1
+    A[ib, ia] = 1
+    per_node = np.diag(A @ A @ A) // 2  # closed length-3 walks / 2
+    total = int(per_node.sum()) // 3
+    assert int(a["total_triangles"].iloc[0]) == total
+    truth = dict(zip(nodes.tolist(), per_node.tolist()))
+    for _, row in a.iterrows():
+        assert truth[int(row["pk"])] == int(row["tri_cnt"])
+    # the top-k cut is the true maximum: no excluded node beats the last row
+    kth = int(a["tri_cnt"].iloc[-1])
+    shown = set(a["pk"].tolist())
+    better = [p for p, t in truth.items() if t > kth and p not in shown]
+    assert not better
