@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_components": analytics.copurchase_components,
         # per-node triangle counts (degree-oriented wedge enumeration)
         "copurchase_triangles": analytics.copurchase_triangles,
+        # local clustering coefficients + global transitivity
+        "copurchase_clustering": analytics.copurchase_clustering,
         # Holt double exponential smoothing + h-step forecast
         "holt_linear_forecast": analytics.holt_linear_forecast,
         # brand-affinity lift over distinct-order brand sets
@@ -2712,6 +2714,45 @@ def oracle_sql() -> dict[str, str]:
                    tot.total_triangles
             FROM nodecnt n, tot
             ORDER BY tri_cnt DESC, pk LIMIT 20
+        """,
+        # copurchase_clustering: same oriented triangle CTEs; cc ratios are
+        # exact small-int IEEE double divides rounded 6dp half-away BEFORE
+        # the ORDER BY cut (BM25 discipline); global transitivity divides
+        # DOUBLE/DOUBLE (HUGEINT sum cast first — nation_market_share trap)
+        "copurchase_clustering": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2),
+            deg AS (SELECT node, count(*) AS d FROM (
+                        SELECT pa AS node FROM e
+                        UNION ALL SELECT pb FROM e) GROUP BY 1),
+            o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                              THEN e.pa ELSE e.pb END AS src,
+                         CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                              THEN e.pb ELSE e.pa END AS dst
+                  FROM e JOIN deg da ON da.node = e.pa
+                         JOIN deg db ON db.node = e.pb),
+            tri AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+                    FROM o o1 JOIN o o2
+                      ON o1.src = o2.src AND o1.dst < o2.dst
+                    JOIN e ON e.pa = o1.dst AND e.pb = o2.dst),
+            nodecnt AS (SELECT node, count(*) AS tri_cnt FROM (
+                            SELECT a AS node FROM tri
+                            UNION ALL SELECT b FROM tri
+                            UNION ALL SELECT c FROM tri) GROUP BY 1),
+            g AS (SELECT round(3.0 * (SELECT count(*) FROM tri)
+                          / CAST((SELECT sum(d*(d-1)//2) FROM deg) AS DOUBLE),
+                          6) AS global_cc)
+            SELECT d.node AS pk, d.d::BIGINT AS degree,
+                   coalesce(n.tri_cnt, 0)::BIGINT AS tri_cnt,
+                   round(CAST(coalesce(n.tri_cnt, 0) AS DOUBLE)
+                         / CAST(d.d*(d.d-1)//2 AS DOUBLE), 6) AS cc,
+                   g.global_cc
+            FROM deg d LEFT JOIN nodecnt n ON n.node = d.node, g
+            WHERE d.d >= 2
+            ORDER BY cc DESC, tri_cnt DESC, pk LIMIT 20
         """,
         # scaled integer deviations d_i = c_i·n − T: numerator/denominator
         # exact in HUGEINT, each cast to DOUBLE before the one division

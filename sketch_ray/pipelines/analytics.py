@@ -901,23 +901,22 @@ def _probe_edges(ekeys: np.ndarray, v: np.ndarray, w: np.ndarray,
     return ok
 
 
-def copurchase_triangles(sf_dir: str, top: int = 20,
-                         force: str | None = None) -> pa.Table:
-    """Triangle counting over the co-purchase graph (nodes = parts, edges =
-    part pairs co-occurring in ≥1 order): per-node triangle participation,
-    top-`top` by (tri_cnt DESC, pk), each row carrying the global triangle
-    total. Degree-oriented wedge enumeration (every edge points from its
-    lower-(degree, id) endpoint, so out-degrees are O(√m) and total wedge
-    work is Σ deg_out² ≤ m^1.5, never Σ deg² — the standard bound that
-    makes hub nodes harmless). Edges come from the shared memoized pair
-    fold (`_copurchase_pair_ds`); adaptive: driver numpy below
-    `_SMALL_ROWS` lineitem rows, else the wedge expansion + edge probe run
-    as a src-hash bucket `groupby.map_groups` over the ORIENTED edge
-    Dataset against a broadcast sorted edge-key array (8 B/edge — bounded
-    by the distinct part-pair space, a dimension² bound independent of
-    fact-table row count, same class as Q17's part-bounded threshold
-    table), emitting node-index partial counts that fold on the driver
-    (node set ≤ part dimension)."""
+def _triangle_counts(sf_dir: str, force: str | None
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Per-node triangle participation over the co-purchase graph: returns
+    (nodes, degree, tri_count, total_triangles). Degree-oriented wedge
+    enumeration (every edge points from its lower-(degree, id) endpoint,
+    so out-degrees are O(√m) and total wedge work is Σ deg_out² ≤ m^1.5,
+    never Σ deg² — the standard bound that makes hub nodes harmless).
+    Edges come from the shared memoized pair fold (`_copurchase_pair_ds`);
+    adaptive: driver numpy below `_SMALL_ROWS` lineitem rows, else the
+    wedge expansion + edge probe run as a src-hash bucket
+    `groupby.map_groups` over the ORIENTED edge Dataset against a
+    broadcast sorted edge-key array (8 B/edge — bounded by the distinct
+    part-pair space, a dimension² bound independent of fact-table row
+    count, same class as Q17's part-bounded threshold table), emitting
+    node-index partial counts that fold on the driver (node set ≤ part
+    dimension). Shared by `copurchase_triangles` / `copurchase_clustering`."""
     agg = _copurchase_pair_counts(sf_dir, force)
     ea = agg["pk_a"].to_numpy().astype(np.int64)
     eb = agg["pk_b"].to_numpy().astype(np.int64)
@@ -975,6 +974,15 @@ def copurchase_triangles(sf_dir: str, top: int = 20,
         tri = np.zeros(len(nodes), np.int64)
         np.add.at(tri, pn[pn >= 0], pc[pn >= 0])
 
+    return nodes, deg.astype(np.int64), tri, total
+
+
+def copurchase_triangles(sf_dir: str, top: int = 20,
+                         force: str | None = None) -> pa.Table:
+    """Top-`top` nodes of the co-purchase graph by triangle participation
+    (tri_cnt DESC, pk), each row carrying the global triangle total. See
+    `_triangle_counts` for the degree-oriented distributed enumeration."""
+    nodes, _, tri, total = _triangle_counts(sf_dir, force)
     mask = tri > 0
     nz_nodes, nz = nodes[mask], tri[mask]
     order = np.lexsort((nz_nodes, -nz))[:top]
@@ -982,6 +990,37 @@ def copurchase_triangles(sf_dir: str, top: int = 20,
         "pk": pa.array(nz_nodes[order], pa.int64()),
         "tri_cnt": pa.array(nz[order], pa.int64()),
         "total_triangles": pa.array([total] * len(order), pa.int64()),
+    })
+
+
+def copurchase_clustering(sf_dir: str, top: int = 20,
+                          force: str | None = None) -> pa.Table:
+    """Local clustering coefficient over the co-purchase graph:
+    cc(v) = tri(v) / C(deg(v), 2) for deg ≥ 2 nodes, top-`top` by
+    (cc DESC, tri_cnt DESC, pk), each row carrying the global (transitivity)
+    coefficient 3·triangles / Σ_v C(deg_v, 2). Reuses `_triangle_counts`
+    (degree-oriented distributed wedge enumeration); the only extra work is
+    a node-dimension-bounded driver divide. Ratios are exact small-int
+    IEEE double divides, 6dp half-away rounded BEFORE the top-k cut so the
+    cut agrees with the SQL oracle (BM25 discipline)."""
+    from ._util import round6
+
+    nodes, deg, tri, total = _triangle_counts(sf_dir, force)
+    wedges_total = int((deg.astype(np.int64) * (deg - 1) // 2).sum())
+    global_cc = float(round6(3.0 * total / wedges_total)) \
+        if wedges_total else 0.0
+
+    mask = deg >= 2
+    n_, d_, t_ = nodes[mask], deg[mask], tri[mask]
+    wed = d_ * (d_ - 1) // 2
+    cc = round6(t_.astype(np.float64) / wed.astype(np.float64))
+    order = np.lexsort((n_, -t_, -cc))[:top]
+    return pa.table({
+        "pk": pa.array(n_[order], pa.int64()),
+        "degree": pa.array(d_[order], pa.int64()),
+        "tri_cnt": pa.array(t_[order], pa.int64()),
+        "cc": pa.array(cc[order], pa.float64()),
+        "global_cc": pa.array([global_cc] * len(order), pa.float64()),
     })
 
 

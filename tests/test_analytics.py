@@ -581,3 +581,34 @@ def test_copurchase_triangles_branches_and_oracle(ray_session):
     shown = set(a["pk"].tolist())
     better = [p for p, t in truth.items() if t > kth and p not in shown]
     assert not better
+
+
+def test_copurchase_clustering_branches_and_truth(ray_session):
+    from sketch_ray.pipelines._util import round6
+    from sketch_ray.pipelines.analytics import (_copurchase_pair_counts,
+                                                _triangle_counts,
+                                                copurchase_clustering)
+
+    a = copurchase_clustering(SF, force="driver").to_pandas()
+    b = copurchase_clustering(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert ((a["cc"] >= 0) & (a["cc"] <= 1)).all()
+    assert (np.diff(a["cc"].to_numpy()) <= 0).all()
+
+    # cc(v) == tri(v) / C(deg,2) recomputed from raw edges, and the global
+    # transitivity identity 3*total / sum_wedges
+    edges = _copurchase_pair_counts(SF, force="driver")
+    ea = edges["pk_a"].to_numpy(np.int64)
+    eb = edges["pk_b"].to_numpy(np.int64)
+    nodes_, invc = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    degc = np.bincount(invc)
+    degree = dict(zip(nodes_.tolist(), degc.tolist()))
+    nodes, deg, tri, total = _triangle_counts(SF, force="driver")
+    for _, row in a.iterrows():
+        d = degree[int(row["pk"])]
+        assert d == int(row["degree"])
+        i = int(np.searchsorted(nodes, int(row["pk"])))
+        expect = round6(tri[i] / (d * (d - 1) // 2))
+        assert float(row["cc"]) == expect
+    wedges = int((degc.astype(np.int64) * (degc - 1) // 2).sum())
+    assert float(a["global_cc"].iloc[0]) == round6(3.0 * total / wedges)
