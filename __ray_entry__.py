@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": analytics.copurchase_triangles,
         # local clustering coefficients + global transitivity
         "copurchase_clustering": analytics.copurchase_clustering,
+        # truncated single-source BFS layer census from the top hub
+        "copurchase_bfs_layers": analytics.copurchase_bfs_layers,
         # Holt double exponential smoothing + h-step forecast
         "holt_linear_forecast": analytics.holt_linear_forecast,
         # brand-affinity lift over distinct-order brand sets
@@ -2753,6 +2755,44 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN nodecnt n ON n.node = d.node, g
             WHERE d.d >= 2
             ORDER BY cc DESC, tri_cnt DESC, pk LIMIT 20
+        """,
+        # copurchase_bfs_layers: the radius cap (dist < 6 in the recursive
+        # step) is shared semantics with the pipeline — an uncapped walk
+        # with a distance column never terminates on cyclic graphs (the
+        # UNION dedups (node, dist) pairs, and cycles mint new dists
+        # forever). min(dist) collapses the even/odd revisit parity.
+        "copurchase_bfs_layers": """
+            WITH RECURSIVE lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT pa AS a, pb AS b FROM e
+                UNION ALL SELECT pb, pa FROM e
+            ), deg AS (
+                SELECT a AS node, count(*) AS d FROM edges GROUP BY 1
+            ), srcn AS (
+                SELECT node FROM deg ORDER BY d DESC, node LIMIT 1
+            ), walk(node, dist) AS (
+                SELECT node, 0 FROM srcn
+                UNION
+                SELECT ed.b, w.dist + 1
+                FROM walk w JOIN edges ed ON ed.a = w.node
+                WHERE w.dist < 6
+            ), dmin AS (
+                SELECT node, min(dist) AS dist FROM walk GROUP BY node
+            ), layers AS (
+                SELECT dist AS layer, count(*) AS n_nodes FROM dmin GROUP BY 1
+                UNION ALL
+                SELECT -1, count(*) FROM deg
+                WHERE node NOT IN (SELECT node FROM dmin)
+                HAVING count(*) > 0
+            )
+            SELECT layer::BIGINT AS layer, n_nodes::BIGINT AS n_nodes
+            FROM layers ORDER BY layer
         """,
         # scaled integer deviations d_i = c_i·n − T: numerator/denominator
         # exact in HUGEINT, each cast to DOUBLE before the one division

@@ -1024,6 +1024,69 @@ def copurchase_clustering(sf_dir: str, top: int = 20,
     })
 
 
+def copurchase_bfs_layers(sf_dir: str, radius: int = 6,
+                          force: str | None = None) -> pa.Table:
+    """Truncated single-source BFS over the co-purchase graph: from the
+    max-degree node (tie-break smallest pk), count nodes at each exact
+    hop distance 0..`radius`; nodes not reached within the radius report
+    as layer −1. The radius cap is part of the SEMANTICS (both the
+    pipeline and the SQL oracle share it — an uncapped recursive
+    closure with a distance column never terminates on cyclic graphs).
+    Edges come from the shared memoized distributed pair fold
+    (`_copurchase_pair_counts`); the frontier expansion itself is a
+    vectorized CSR gather on the driver — node set ≤ part dimension,
+    edge set ≤ distinct-pair space, both dimension-bounded and
+    independent of fact-table row count (same class as the components
+    label propagation). Exact integers throughout."""
+    agg = _copurchase_pair_counts(sf_dir, force)
+    ea = agg["pk_a"].to_numpy().astype(np.int64)
+    eb = agg["pk_b"].to_numpy().astype(np.int64)
+    empty = pa.table({"layer": pa.array([], pa.int64()),
+                      "n_nodes": pa.array([], pa.int64())})
+    if not len(ea):
+        return empty
+
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    n = len(nodes)
+    ia, ib = inv[:len(ea)], inv[len(ea):]
+    heads = np.concatenate([ia, ib])
+    tails = np.concatenate([ib, ia])
+    order = np.argsort(heads, kind="stable")
+    heads, tails = heads[order], tails[order]
+    starts = np.searchsorted(heads, np.arange(n + 1))
+    deg = np.diff(starts)
+
+    src = int(np.lexsort((nodes, -deg))[0])
+    dist = np.full(n, -1, np.int64)
+    dist[src] = 0
+    frontier = np.array([src], np.int64)
+    for d in range(1, radius + 1):
+        cnt = deg[frontier]
+        base = np.repeat(starts[frontier], cnt)
+        within = np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt,
+                                                       cnt)
+        neigh = tails[base + within]
+        fresh = np.unique(neigh[dist[neigh] < 0])
+        if not len(fresh):
+            break
+        dist[fresh] = d
+        frontier = fresh
+
+    reached = dist[dist >= 0]
+    layers = np.bincount(reached)
+    rows_l = np.flatnonzero(layers)
+    out_layers = list(rows_l.astype(np.int64))
+    out_counts = [int(layers[i]) for i in rows_l]
+    n_unreached = int((dist < 0).sum())
+    if n_unreached:
+        out_layers = [np.int64(-1)] + out_layers
+        out_counts = [n_unreached] + out_counts
+    return pa.table({
+        "layer": pa.array(np.array(out_layers, np.int64), pa.int64()),
+        "n_nodes": pa.array(np.array(out_counts, np.int64), pa.int64()),
+    })
+
+
 def daily_autocorrelation(sf_dir: str, lags: tuple[int, ...] = (1, 7)) -> pa.Table:
     """Lag-k autocorrelation of the daily event count per event_type:
     r_k = Σ d_i·d_{i+k} / Σ d_i² with SCALED integer deviations

@@ -612,3 +612,42 @@ def test_copurchase_clustering_branches_and_truth(ray_session):
         assert float(row["cc"]) == expect
     wedges = int((degc.astype(np.int64) * (degc - 1) // 2).sum())
     assert float(a["global_cc"].iloc[0]) == round6(3.0 * total / wedges)
+
+
+def test_copurchase_bfs_layers_branches_and_truth(ray_session):
+    from collections import deque
+
+    from sketch_ray.pipelines.analytics import (_copurchase_pair_counts,
+                                                copurchase_bfs_layers)
+
+    a = copurchase_bfs_layers(SF, force="driver").to_pandas()
+    b = copurchase_bfs_layers(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    # independent queue BFS over an adjacency dict, same source rule
+    edges = _copurchase_pair_counts(SF, force="driver")
+    adj: dict[int, set[int]] = {}
+    for x, y in zip(edges["pk_a"].tolist(), edges["pk_b"].tolist()):
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    src = min(adj, key=lambda v: (-len(adj[v]), v))
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        v = q.popleft()
+        if dist[v] >= 6:
+            continue
+        for w in adj[v]:
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    want: dict[int, int] = {}
+    for d in dist.values():
+        want[d] = want.get(d, 0) + 1
+    unreached = len(adj) - len(dist)
+    if unreached:
+        want[-1] = unreached
+    got = dict(zip(a["layer"].tolist(), a["n_nodes"].tolist()))
+    assert got == want
+    assert got[0] == 1  # the source is its own layer
+    assert sum(got.values()) == len(adj)  # every node accounted for once
