@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_clustering": analytics.copurchase_clustering,
         # truncated single-source BFS layer census from the top hub
         "copurchase_bfs_layers": analytics.copurchase_bfs_layers,
+        # synchronous k-core peeling census (bounded rounds)
+        "copurchase_kcore_census": analytics.copurchase_kcore_census,
         # Holt double exponential smoothing + h-step forecast
         "holt_linear_forecast": analytics.holt_linear_forecast,
         # brand-affinity lift over distinct-order brand sets
@@ -2793,6 +2795,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT layer::BIGINT AS layer, n_nodes::BIGINT AS n_nodes
             FROM layers ORDER BY layer
+        """,
+        # copurchase_kcore_census: synchronous peel, bounded at 8 rounds
+        # (shared semantics with the pipeline, like the BFS radius cap).
+        # DuckDB recursive working-table semantics make BOTH references to
+        # `peel` in the recursive term bind to the previous iteration's
+        # rows — exactly the synchronous round s_i = {v ∈ s_{i-1} :
+        # deg within s_{i-1} ≥ k}; UNION ALL + iter tag terminates it.
+        "copurchase_kcore_census": """
+            WITH RECURSIVE lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT pa AS a, pb AS b FROM e
+                UNION ALL SELECT pb, pa FROM e
+            ), nodes AS (SELECT DISTINCT a AS node FROM edges),
+            peel(iter, node) AS (
+                SELECT 0, node FROM nodes
+                UNION ALL
+                SELECT s.iter + 1, s.node
+                FROM peel s
+                JOIN edges ed ON ed.a = s.node
+                WHERE s.iter < 8
+                  AND ed.b IN (SELECT node FROM peel)
+                GROUP BY s.iter, s.node
+                HAVING count(*) >= 3
+            )
+            SELECT iter::BIGINT AS iter, count(*)::BIGINT AS n_surviving
+            FROM peel GROUP BY iter ORDER BY iter
         """,
         # scaled integer deviations d_i = c_i·n − T: numerator/denominator
         # exact in HUGEINT, each cast to DOUBLE before the one division

@@ -1087,6 +1087,54 @@ def copurchase_bfs_layers(sf_dir: str, radius: int = 6,
     })
 
 
+def copurchase_kcore_census(sf_dir: str, k: int = 3, rounds: int = 8,
+                            force: str | None = None) -> pa.Table:
+    """Synchronous k-core peeling census over the co-purchase graph:
+    s_0 = all nodes; s_i = {v ∈ s_{i−1} : deg within s_{i−1} ≥ k}. Emits
+    (iter, n_surviving) for iter 0..`rounds` — the bounded round count is
+    SHARED SEMANTICS with the SQL oracle (like the BFS radius cap): both
+    sides run exactly the same synchronous rounds, so outputs agree even
+    if the fixpoint needs more rounds; on this graph family the census
+    visibly plateaus at the k-core size. Iterations that reach an empty
+    survivor set emit no row (the SQL recursion ends there too). Peeling
+    is a vectorized alive-mask × bincount pass per round over the
+    dimension-bounded CSR (O(m) per round); edges come from the shared
+    memoized distributed pair fold. Exact integers throughout. The oracle
+    exploits DuckDB's recursive working-table semantics: the recursive
+    term's two references to the CTE both bind to the PREVIOUS iteration's
+    rows (verified: a pendant chain peels in the second round, which an
+    accumulated-table binding would keep)."""
+    agg = _copurchase_pair_counts(sf_dir, force)
+    ea = agg["pk_a"].to_numpy().astype(np.int64)
+    eb = agg["pk_b"].to_numpy().astype(np.int64)
+    if not len(ea):
+        return pa.table({"iter": pa.array([], pa.int64()),
+                         "n_surviving": pa.array([], pa.int64())})
+
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    n = len(nodes)
+    ia, ib = inv[:len(ea)], inv[len(ea):]
+    heads = np.concatenate([ia, ib])
+    tails = np.concatenate([ib, ia])
+
+    alive = np.ones(n, bool)
+    iters = [np.int64(0)]
+    counts = [n]
+    for r in range(1, rounds + 1):
+        live_edge = alive[heads] & alive[tails]
+        deg_in = np.bincount(heads[live_edge], minlength=n)
+        alive = alive & (deg_in >= k)
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            break
+        iters.append(np.int64(r))
+        counts.append(n_alive)
+    return pa.table({
+        "iter": pa.array(np.array(iters, np.int64), pa.int64()),
+        "n_surviving": pa.array(np.array(counts, np.int64), pa.int64()),
+    })
+
+
 def daily_autocorrelation(sf_dir: str, lags: tuple[int, ...] = (1, 7)) -> pa.Table:
     """Lag-k autocorrelation of the daily event count per event_type:
     r_k = Σ d_i·d_{i+k} / Σ d_i² with SCALED integer deviations

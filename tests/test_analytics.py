@@ -651,3 +651,33 @@ def test_copurchase_bfs_layers_branches_and_truth(ray_session):
     assert got == want
     assert got[0] == 1  # the source is its own layer
     assert sum(got.values()) == len(adj)  # every node accounted for once
+
+
+def test_copurchase_kcore_branches_and_truth(ray_session):
+    from sketch_ray.pipelines.analytics import (_copurchase_pair_counts,
+                                                copurchase_kcore_census)
+
+    a = copurchase_kcore_census(SF, force="driver").to_pandas()
+    b = copurchase_kcore_census(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    cnt = a["n_surviving"].to_numpy(np.int64)
+    assert (np.diff(cnt) <= 0).all()  # peeling only removes
+    # once the census plateaus it stays flat (synchronous-peel fixpoint)
+    flat = np.flatnonzero(np.diff(cnt) == 0)
+    if len(flat):
+        assert (np.diff(cnt[flat[0]:]) == 0).all()
+
+    # independent set-based synchronous peel, same k and round bound
+    edges = _copurchase_pair_counts(SF, force="driver")
+    adj: dict[int, set[int]] = {}
+    for x, y in zip(edges["pk_a"].tolist(), edges["pk_b"].tolist()):
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    s = set(adj)
+    want = [(0, len(s))]
+    for r in range(1, 9):
+        s = {v for v in s if len(adj[v] & s) >= 3}
+        if not s:
+            break
+        want.append((r, len(s)))
+    assert list(zip(a["iter"].tolist(), a["n_surviving"].tolist())) == want
