@@ -2691,25 +2691,25 @@ def oracle_sql() -> dict[str, str]:
         # Triangle identity is orientation-invariant, so values match the
         # pipeline regardless; ties under the LIMIT cut rank on unique pk.
         "copurchase_triangles": """
-            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-            e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
                   FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
                    AND a.l_partkey < b.l_partkey
                   GROUP BY 1, 2),
-            deg AS (SELECT node, count(*) AS d FROM (
+            deg AS MATERIALIZED (SELECT node, count(*) AS d FROM (
                         SELECT pa AS node FROM e
                         UNION ALL SELECT pb FROM e) GROUP BY 1),
-            o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+            o AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
                               THEN e.pa ELSE e.pb END AS src,
                          CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
                               THEN e.pb ELSE e.pa END AS dst
                   FROM e JOIN deg da ON da.node = e.pa
                          JOIN deg db ON db.node = e.pb),
-            tri AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+            tri AS MATERIALIZED (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
                     FROM o o1 JOIN o o2
                       ON o1.src = o2.src AND o1.dst < o2.dst
                     JOIN e ON e.pa = o1.dst AND e.pb = o2.dst),
-            nodecnt AS (SELECT node, count(*) AS tri_cnt FROM (
+            nodecnt AS MATERIALIZED (SELECT node, count(*) AS tri_cnt FROM (
                             SELECT a AS node FROM tri
                             UNION ALL SELECT b FROM tri
                             UNION ALL SELECT c FROM tri) GROUP BY 1),
@@ -2724,25 +2724,25 @@ def oracle_sql() -> dict[str, str]:
         # the ORDER BY cut (BM25 discipline); global transitivity divides
         # DOUBLE/DOUBLE (HUGEINT sum cast first — nation_market_share trap)
         "copurchase_clustering": """
-            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-            e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
                   FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
                    AND a.l_partkey < b.l_partkey
                   GROUP BY 1, 2),
-            deg AS (SELECT node, count(*) AS d FROM (
+            deg AS MATERIALIZED (SELECT node, count(*) AS d FROM (
                         SELECT pa AS node FROM e
                         UNION ALL SELECT pb FROM e) GROUP BY 1),
-            o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+            o AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
                               THEN e.pa ELSE e.pb END AS src,
                          CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
                               THEN e.pb ELSE e.pa END AS dst
                   FROM e JOIN deg da ON da.node = e.pa
                          JOIN deg db ON db.node = e.pb),
-            tri AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+            tri AS MATERIALIZED (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
                     FROM o o1 JOIN o o2
                       ON o1.src = o2.src AND o1.dst < o2.dst
                     JOIN e ON e.pa = o1.dst AND e.pb = o2.dst),
-            nodecnt AS (SELECT node, count(*) AS tri_cnt FROM (
+            nodecnt AS MATERIALIZED (SELECT node, count(*) AS tri_cnt FROM (
                             SELECT a AS node FROM tri
                             UNION ALL SELECT b FROM tri
                             UNION ALL SELECT c FROM tri) GROUP BY 1),
@@ -2764,17 +2764,17 @@ def oracle_sql() -> dict[str, str]:
         # UNION dedups (node, dist) pairs, and cycles mint new dists
         # forever). min(dist) collapses the even/odd revisit parity.
         "copurchase_bfs_layers": """
-            WITH RECURSIVE lp AS (
+            WITH RECURSIVE lp AS MATERIALIZED (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ), e AS (
+            ), e AS MATERIALIZED (
                 SELECT a.l_partkey AS pa, b.l_partkey AS pb
                 FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
                  AND a.l_partkey < b.l_partkey
                 GROUP BY 1, 2
-            ), edges AS (
+            ), edges AS MATERIALIZED (
                 SELECT pa AS a, pb AS b FROM e
                 UNION ALL SELECT pb, pa FROM e
-            ), deg AS (
+            ), deg AS MATERIALIZED (
                 SELECT a AS node, count(*) AS d FROM edges GROUP BY 1
             ), srcn AS (
                 SELECT node FROM deg ORDER BY d DESC, node LIMIT 1
@@ -2784,7 +2784,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT ed.b, w.dist + 1
                 FROM walk w JOIN edges ed ON ed.a = w.node
                 WHERE w.dist < 6
-            ), dmin AS (
+            ), dmin AS MATERIALIZED (
                 SELECT node, min(dist) AS dist FROM walk GROUP BY node
             ), layers AS (
                 SELECT dist AS layer, count(*) AS n_nodes FROM dmin GROUP BY 1
@@ -2803,17 +2803,17 @@ def oracle_sql() -> dict[str, str]:
         # rows — exactly the synchronous round s_i = {v ∈ s_{i-1} :
         # deg within s_{i-1} ≥ k}; UNION ALL + iter tag terminates it.
         "copurchase_kcore_census": """
-            WITH RECURSIVE lp AS (
+            WITH RECURSIVE lp AS MATERIALIZED (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ), e AS (
+            ), e AS MATERIALIZED (
                 SELECT a.l_partkey AS pa, b.l_partkey AS pb
                 FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
                  AND a.l_partkey < b.l_partkey
                 GROUP BY 1, 2
-            ), edges AS (
+            ), edges AS MATERIALIZED (
                 SELECT pa AS a, pb AS b FROM e
                 UNION ALL SELECT pb, pa FROM e
-            ), nodes AS (SELECT DISTINCT a AS node FROM edges),
+            ), nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edges),
             peel(iter, node) AS (
                 SELECT 0, node FROM nodes
                 UNION ALL
