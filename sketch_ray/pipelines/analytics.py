@@ -27,6 +27,7 @@ from .relational import _SMALL_ROWS, _fold_partials, _read
 _ATTR_SHIFT_US = np.int64(9131) * 86400 * 1_000_000  # the asof-join shift
 _PAIR_COUNT_MEMO: dict = {}  # driver-branch co-purchase counts, one corpus
 _PAIR_DS_MEMO: dict = {}  # distributed-branch materialized pair counts
+_TRIANGLE_MEMO: dict = {}  # per-node triangle fold, shared tri/clustering
 _DAILY_COUNT_MEMO: dict = {}  # (event_type, day) count fold, one corpus
 
 
@@ -916,7 +917,17 @@ def _triangle_counts(sf_dir: str, force: str | None
     part-pair space, a dimension² bound independent of fact-table row
     count, same class as Q17's part-bounded threshold table), emitting
     node-index partial counts that fold on the driver (node set ≤ part
-    dimension). Shared by `copurchase_triangles` / `copurchase_clustering`."""
+    dimension). Shared by `copurchase_triangles` / `copurchase_clustering`
+    and memoized per (corpus identity, branch) — plain numpy arrays, no
+    object refs, so the memo is session-safe; the branch is IN the key so
+    the branch-identity pytest still compares two real computations."""
+    import os
+
+    st = os.stat(f"{sf_dir}/lineitem.parquet")
+    mkey = (f"{sf_dir}/lineitem.parquet", st.st_size, st.st_mtime_ns, force)
+    hit = _TRIANGLE_MEMO.get(mkey)
+    if hit is not None:
+        return hit
     agg = _copurchase_pair_counts(sf_dir, force)
     ea = agg["pk_a"].to_numpy().astype(np.int64)
     eb = agg["pk_b"].to_numpy().astype(np.int64)
@@ -974,7 +985,10 @@ def _triangle_counts(sf_dir: str, force: str | None
         tri = np.zeros(len(nodes), np.int64)
         np.add.at(tri, pn[pn >= 0], pc[pn >= 0])
 
-    return nodes, deg.astype(np.int64), tri, total
+    out = (nodes, deg.astype(np.int64), tri, total)
+    _TRIANGLE_MEMO.clear()
+    _TRIANGLE_MEMO[mkey] = out
+    return out
 
 
 def copurchase_triangles(sf_dir: str, top: int = 20,
