@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sketch_queries.cbloom_turnstile_membership,
         # conjunctive keyword search (integer-exact retrieval primitive)
         "keyword_search_topk": text_analysis.keyword_search_topk,
+        # reciprocal-rank fusion of the keyword + BM25 retrievers
+        "rrf_search_fusion": text_analysis.rrf_search_fusion,
 
         # per-source PSI drift of the doc-length distribution
         "length_psi_drift": text_analysis.length_psi_drift,
@@ -3219,6 +3221,29 @@ def oracle_sql() -> dict[str, str]:
     # the Bloom prefilter is an invisible physical optimization: identical
     # answer, identical oracle
     out["decontaminate_corpus_bloom"] = out["decontaminate_corpus"]
+    # rrf_search_fusion composes the two retriever oracles TEXTUALLY as
+    # CTE bodies (guaranteed rank consistency with their gated queries);
+    # ranks come from the same (score DESC, doc_id) total order, missing-
+    # from-a-list adds 0.0 (IEEE x + 0.0 == x for x > 0, matching the
+    # pipeline's fixed keyword-then-bm25 fold), round6 before the cut.
+    out["rrf_search_fusion"] = f"""
+        WITH kwr AS MATERIALIZED (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM ({out["keyword_search_topk"]})
+        ), bmr AS MATERIALIZED (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM ({out["bm25_search_topk"]})
+        ), fused AS (
+            SELECT coalesce(k.doc_id, b.doc_id) AS doc_id,
+                   round(coalesce(1.0 / (60 + k.r), 0.0)
+                         + coalesce(1.0 / (60 + b.r), 0.0), 6) AS rrf_score
+            FROM kwr k FULL OUTER JOIN bmr b ON k.doc_id = b.doc_id
+        )
+        SELECT doc_id, rrf_score FROM fused
+        ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """
     return out
 
 

@@ -1754,6 +1754,36 @@ def bm25_search_topk(sf_dir: str, terms: tuple[str, ...] = _SEARCH_TERMS,
     })
 
 
+def rrf_search_fusion(sf_dir: str, terms: tuple[str, ...] = _SEARCH_TERMS,
+                      k: int = 20, c: int = 60) -> pa.Table:
+    """Reciprocal-rank fusion of the two retrievers (conjunctive keyword
+    AND BM25) — the standard multi-retriever merge for dedup/decontam
+    candidate generation: rrf(d) = Σ_lists 1/(c + rank_list(d)) over the
+    truncated top-`k` lists, missing-from-a-list contributes nothing.
+    Both input rankings are already deterministic total orders
+    ((score DESC, doc_id) with BM25 scores round6'd), so ranks are
+    cross-engine stable. Contributions are summed in fixed (keyword,
+    bm25) order — never an arbitrary-order SQL SUM — and the fused score
+    is round6'd on BOTH sides before the final ORDER BY cut (BM25
+    discipline). Driver work is ≤ 2k rows; the heavy lifting is the two
+    streaming retriever scans."""
+    kw = keyword_search_topk(sf_dir, terms, k).to_pandas()
+    bm = bm25_search_topk(sf_dir, terms, k).to_pandas()
+    contrib: dict[int, float] = {}
+    for lst in (kw, bm):  # fixed fold order: keyword first, then bm25
+        for r, doc in enumerate(lst["doc_id"].tolist(), start=1):
+            doc = int(doc)
+            contrib[doc] = contrib.get(doc, 0.0) + 1.0 / (c + r)
+    docs = np.array(sorted(contrib), np.int64)
+    score = np.asarray(round6(np.array([contrib[d] for d in docs],
+                                       np.float64)), np.float64)
+    order = np.lexsort((docs, -score))[:k]
+    return pa.table({
+        "doc_id": pa.array(docs[order], pa.int64()),
+        "rrf_score": pa.array(score[order], pa.float64()),
+    })
+
+
 def phrase_search_topk(sf_dir: str, phrase: tuple[str, str] = ("table", "hash"),
                        k: int = 20) -> pa.Table:
     """Exact phrase search: top-``k`` documents by occurrence count of an

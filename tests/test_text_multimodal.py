@@ -851,3 +851,36 @@ class TestDigestOutputs:
         ids2[0], ids2[1] = ids[1], ids[0]
         swapped = (h ^ splitmix64(ids2 ^ mix)).sum(dtype=np.uint64)
         assert swapped != want
+
+
+def test_rrf_search_fusion_recompute(ray_session):
+    import numpy as np
+
+    from sketch_ray.pipelines._util import round6
+    from sketch_ray.pipelines.text_analysis import (bm25_search_topk,
+                                                    keyword_search_topk,
+                                                    rrf_search_fusion)
+
+    fused = rrf_search_fusion(SF).to_pandas()
+    kw = keyword_search_topk(SF).to_pandas()
+    bm = bm25_search_topk(SF).to_pandas()
+
+    # independent recompute from the two ranked lists, same fold order
+    want: dict[int, float] = {}
+    for lst in (kw, bm):
+        for r, doc in enumerate(lst["doc_id"].tolist(), start=1):
+            want[int(doc)] = want.get(int(doc), 0.0) + 1.0 / (60 + r)
+    ranked = sorted(want.items(), key=lambda kv: (-round6(kv[1]), kv[0]))[:20]
+    got = list(zip(fused["doc_id"].tolist(),
+                   fused["rrf_score"].tolist()))
+    assert [(d, float(round6(s))) for d, s in ranked] == \
+        [(int(d), float(s)) for d, s in got]
+
+    # bounds: max possible is rank-1 in both lists; scores sorted desc
+    assert (fused["rrf_score"] <= round6(2.0 / 61) + 1e-12).all()
+    assert (np.diff(fused["rrf_score"].to_numpy()) <= 1e-12).all()
+    # a doc present in BOTH lists must outrank a doc with one worst rank
+    both = set(kw["doc_id"]) & set(bm["doc_id"])
+    if both:
+        assert fused["doc_id"].iloc[0] in both or \
+            fused["rrf_score"].iloc[0] >= round6(1.0 / 61)
