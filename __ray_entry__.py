@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": relational.daily_active_users,
         "daily_type_deltas": relational.daily_type_deltas,
         "event_transitions": relational.event_transitions,
+        # conditional entropy of the event-type Markov chain
+        "transition_entropy": relational.transition_entropy,
         "top_return_customers": lambda sf: relational.top_return_customers(sf, k=20),
         "user_retention_cohorts": relational.user_retention_cohorts,
         "group_sample_n": lambda sf: text_analysis.group_sample_n(sf, n=8, by="lang", seed=17),
@@ -546,6 +548,37 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n AS DOUBLE)
                      / sum(n) OVER (PARTITION BY from_type), 6) AS p
         FROM c ORDER BY from_type, to_type
+    """
+    # transition_entropy: entropy sums over the same contingency CTE; the
+    # per-group float SUM order is engine-arbitrary but 6dp-safe (terms
+    # O(0.1), dozens of cells — lang_source_mi precedent); every division
+    # mirrors the pipeline's double/double shape, round6 both sides.
+    transition_entropy_sql = """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events),
+        c AS MATERIALIZED (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*) AS n
+            FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        x AS MATERIALIZED (
+            SELECT from_type, sum(n) AS n_x, count(*) AS n_next
+            FROM c GROUP BY 1),
+        tot AS (SELECT sum(n) AS n FROM c),
+        h AS (SELECT c.from_type,
+                     round(-sum((c.n / CAST(x.n_x AS DOUBLE))
+                                * ln(c.n / CAST(x.n_x AS DOUBLE))), 6) AS h_next
+              FROM c JOIN x USING (from_type) GROUP BY c.from_type),
+        g AS (SELECT round(-sum((c.n / CAST(tot.n AS DOUBLE))
+                                * ln(c.n / CAST(x.n_x AS DOUBLE))), 6)
+                     AS h_cond_global
+              FROM c JOIN x USING (from_type) CROSS JOIN tot)
+        SELECT x.from_type, x.n_x::BIGINT AS n_trans,
+               x.n_next::BIGINT AS n_next_types, h.h_next, g.h_cond_global
+        FROM x JOIN h USING (from_type) CROSS JOIN g
+        ORDER BY from_type
     """
     # robust_length_stats: median/MAD/IQR per lang, quantile_disc semantics
     robust = """
@@ -989,11 +1022,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
         """,
+        # pricing_summary: money folds as INTEGER cents / 1e-4 units and
+        # divides ONCE at the end (float SUMs re-associate differently per
+        # engine/fold and crossed 2dp boundaries at the 100x corpus);
+        # HUGEINT sums cast to DOUBLE before the division (HUGEINT/int
+        # integer-divides — nation_market_share trap)
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                              AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                              AS DOUBLE) / 100, 2) AS sum_base_price,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                              AS DOUBLE) / 10000, 2) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
@@ -1439,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "grep_corpus": grep,
         "char_class_profile": charclass,
         "event_transitions": transitions,
+        "transition_entropy": transition_entropy_sql,
         "top_return_customers": q10,
         "user_retention_cohorts": retention,
         "shard_assignments": shard_sql,

@@ -148,21 +148,30 @@ def revenue_per_nation(sf_dir: str) -> pa.Table:
 def pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1-style pricing summary over lineitem (returnflag × linestatus):
     pure per-batch partial aggregation + 4-group groupby — the canonical
-    pre-aggregate-then-tiny-shuffle scan."""
+    pre-aggregate-then-tiny-shuffle scan. Money folds as INTEGER cents /
+    1e-4 units (disc_price = round(price·100)·(100 − round(disc·100))),
+    with ONE division + half-away round at the end: float partial sums
+    re-associated by the fold crossed 2dp boundaries at the 100× corpus
+    (60M rows — the r5 DIST100X find; top_return_customers precedent),
+    while integer folds are associativity-exact at any scale."""
+    from ._util import round_half_away
+
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
 
     def partials(batch: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(
-            batch["l_extendedprice"],
-            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-        )
+        price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
+                                               pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"],
+                                              pa.scalar(100.0))), pa.int64())
+        disc_price = pc.multiply(price_c,
+                                 pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         t = pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "qty": batch["l_quantity"],
-                "price": batch["l_extendedprice"],
+                "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+                "price": price_c,
                 "disc_price": disc_price,
             }
         )
@@ -178,8 +187,12 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         ds.count(), ["l_returnflag", "l_linestatus"],
         {"sum_qty": "sum_qty_p", "sum_base_price": "sum_price_p",
          "sum_disc_price": "sum_disc_p", "count_order": "cnt_p"})
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        df[c] = df[c].round(2)
+    df["sum_qty"] = round_half_away(
+        df["sum_qty"].to_numpy(np.int64).astype(np.float64), 2)
+    df["sum_base_price"] = round_half_away(
+        df["sum_base_price"].to_numpy(np.int64).astype(np.float64) / 100.0, 2)
+    df["sum_disc_price"] = round_half_away(
+        df["sum_disc_price"].to_numpy(np.int64).astype(np.float64) / 10000.0, 2)
     df = df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
     return pa.Table.from_pandas(df[cols], preserve_index=False)
@@ -1239,6 +1252,53 @@ def event_transitions(sf_dir: str, force: str | None = None) -> pa.Table:
                             / totals.to_numpy(np.float64)))
     df = df.sort_values(["from_type", "to_type"]).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def transition_entropy(sf_dir: str, force: str | None = None) -> pa.Table:
+    """Conditional entropy of the event-type Markov chain — "how
+    predictable is the next event given the current one", the sequence-
+    predictability statistic behind session-model feature selection. Per
+    from_type: transition count, distinct successor count, successor
+    entropy H(next|from=x) = −Σ_y p(y|x)·ln p(y|x); every row also
+    carries the global H(next|from) = −Σ_cells (n_xy/N)·ln(n_xy/n_x).
+
+    Reuses the `event_transitions` fold (adaptive driver / user-bucket
+    map_groups; types²-bounded partials) — the entropy math runs on the
+    contingency table, which IS the sufficient statistic. Float term-sums
+    are safe at 6dp (terms O(0.1), |types| ≈ dozens — the lang_source_mi
+    precedent); each division mirrors the oracle's int/DOUBLE shape and
+    both sides round6 before comparison. Returns (from_type, n_trans,
+    n_next_types, h_next, h_cond_global) sorted by from_type."""
+    t = event_transitions(sf_dir, force).to_pandas()
+    n = t["n"].to_numpy(np.int64).astype(np.float64)
+    nx = t.groupby("from_type")["n"].transform("sum") \
+        .to_numpy(np.int64).astype(np.float64)
+    n_total = float(n.sum())
+    if not len(t):
+        return pa.table({
+            "from_type": pa.array([], pa.string()),
+            "n_trans": pa.array([], pa.int64()),
+            "n_next_types": pa.array([], pa.int64()),
+            "h_next": pa.array([], pa.float64()),
+            "h_cond_global": pa.array([], pa.float64())})
+    p = n / nx
+    logp = np.log(p)
+    h_cond_global = float(round6(-((n / n_total) * logp).sum()))
+    agg = pd.DataFrame({"from_type": t["from_type"].to_numpy(),
+                        "n": n.astype(np.int64), "term": p * logp}) \
+        .groupby("from_type", as_index=False) \
+        .agg(n_trans=("n", "sum"), n_next_types=("n", "size"),
+             h=("term", "sum")) \
+        .sort_values("from_type").reset_index(drop=True)
+    return pa.table({
+        "from_type": pa.array(agg["from_type"].to_numpy(), pa.string()),
+        "n_trans": pa.array(agg["n_trans"].to_numpy(np.int64), pa.int64()),
+        "n_next_types": pa.array(agg["n_next_types"].to_numpy(np.int64),
+                                 pa.int64()),
+        "h_next": pa.array(np.asarray(round6(-agg["h"].to_numpy(np.float64)),
+                                      np.float64), pa.float64()),
+        "h_cond_global": pa.array([h_cond_global] * len(agg), pa.float64()),
+    })
 
 
 def user_event_gaps(sf_dir: str, force: str | None = None) -> pa.Table:

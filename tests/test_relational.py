@@ -1074,3 +1074,28 @@ def test_revenue_gini_forced_branch_and_range(ray_session):
     i = np.arange(1, n + 1, dtype=np.float64)
     ref = (2 * float(i @ x) - (n + 1) * x.sum()) / (n * x.sum())
     assert abs(g - ref) <= 5.01e-7  # engine value is round6'd
+
+
+def test_transition_entropy_identities(ray_session):
+    import numpy as np
+
+    from sketch_ray.pipelines.relational import (event_transitions,
+                                                 transition_entropy)
+
+    a = transition_entropy(SF, force="driver").to_pandas()
+    b = transition_entropy(SF, force="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    # 0 <= H(next|x) <= ln(n successors); counts recompose from the
+    # transitions table; global = sum_x p(x) H(x) up to rounding
+    t = event_transitions(SF, force="driver").to_pandas()
+    per = t.groupby("from_type")["n"].sum()
+    assert (a["h_next"] >= 0).all()
+    assert (a["h_next"].to_numpy()
+            <= np.log(a["n_next_types"].to_numpy(np.float64)) + 5.1e-7).all()
+    for _, row in a.iterrows():
+        assert int(per[row["from_type"]]) == int(row["n_trans"])
+    n_total = float(a["n_trans"].sum())
+    mix = float((a["n_trans"].to_numpy(np.float64) / n_total
+                 * a["h_next"].to_numpy()).sum())
+    assert abs(float(a["h_cond_global"].iloc[0]) - mix) <= 1e-5
