@@ -805,9 +805,15 @@ class TestDigestOutputs:
         assert out["digest"].iloc[0] == want
         assert out["n_docs"].iloc[0] == len(per_doc)
         # the written artifact is the full per-doc table, re-readable
+        # (output dir is keyed on the full corpus path — _util.write_and_digest)
         import glob
+        import hashlib
+        import os
 
-        files = glob.glob("/tmp/sketch_ray_outputs/sf0.001/quality_scores/*")
+        apath = os.path.abspath(self.SF)
+        base = (os.path.basename(apath) + "-"
+                + hashlib.sha256(apath.encode()).hexdigest()[:8])
+        files = glob.glob(f"/tmp/sketch_ray_outputs/{base}/quality_scores/*")
         assert files
         n_written = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         assert n_written == len(per_doc)
