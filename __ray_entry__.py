@@ -101,6 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_sketch_artifact": continuous.update_sketch_artifact,
         # ---------- end of the driver's 50-key sample window ----------
         "copurchase_rules": analytics.copurchase_rules,
+        # r5: the last five TPC-H shapes (Q9/Q11/Q12/Q16/Q20), adapted to
+        # the bundled columns (no partsupp / l_shipmode — stand-ins stated
+        # in each docstring); all 22 TPC-H structures now covered
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "part_value_concentration": relational.part_value_concentration,
+        "q12_priority_class_counts": relational.q12_priority_class_counts,
+        "part_supplier_variety": relational.part_supplier_variety,
+        "bulk_part_suppliers": relational.bulk_part_suppliers,
         # source-format parity (r5): the SAME aggregations over JSONL/CSV
         # round-trips of the gate tables (sources/textio, Ray-native
         # write_json/read_json + write_csv/read_csv) — hash-gated against
@@ -3259,6 +3267,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # --- r5: the last five TPC-H shapes (see relational.py docstrings
+        # for the stand-ins replacing partsupp / l_shipmode) ---
+        "q9_profit_by_nation_year": """
+            WITH f AS (
+                SELECT s.s_nationkey AS natkey,
+                       year(o.o_orderdate) AS o_year,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       - CAST(round(p.p_retailprice * 100) AS BIGINT) * 60
+                         * CAST(round(l.l_quantity) AS BIGINT) AS amt4
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE p.p_name LIKE '%red%')
+            SELECT n.n_name AS nation, f.o_year,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(CAST(sum(f.amt4) AS DOUBLE) / 10000, 2) AS profit
+            FROM f JOIN nation n ON f.natkey = n.n_nationkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "part_value_concentration": """
+            WITH v AS (
+                SELECT l.l_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS v4
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_name = 'NATION_3' GROUP BY 1),
+            t AS (SELECT sum(v4) AS tot, count(*) AS np FROM v)
+            SELECT l_partkey,
+                   round(CAST(v4 AS DOUBLE) / 10000, 2) AS value
+            FROM v, t WHERE v4 * np > 2 * tot
+            ORDER BY v4 DESC, l_partkey
+        """,
+        "q12_priority_class_counts": """
+            SELECT l.l_returnflag,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "part_supplier_variety": """
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+              AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, 1, 2, 3 LIMIT 50
+        """,
+        "bulk_part_suppliers": """
+            WITH q AS (
+                SELECT l.l_suppkey,
+                       sum(CASE WHEN p.p_name LIKE '%red%'
+                                THEN CAST(round(l.l_quantity) AS BIGINT)
+                                ELSE 0 END) AS qm,
+                       sum(CAST(round(l.l_quantity) AS BIGINT)) AS qt
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY 1)
+            SELECT s.s_name, CAST(q.qm AS BIGINT) AS matched_qty,
+                   CAST(q.qt AS BIGINT) AS total_qty
+            FROM q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+            WHERE q.qm * 8 > q.qt * 1 ORDER BY s.s_name
         """,
     }
     # the Bloom prefilter is an invisible physical optimization: identical

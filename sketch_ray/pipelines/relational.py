@@ -4532,3 +4532,619 @@ def revenue_gini(sf_dir: str, force: str | None = None) -> pa.Table:
         "n_customers": pa.array([n], pa.int64()),
         "gini": pa.array([gini], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# r5: the five TPC-H shapes the earlier rounds left out (Q9/Q11/Q12/Q16/Q20),
+# adapted to the available columns — the bundled tables carry no partsupp
+# and no l_shipmode/l_commitdate, so each query keeps the REFERENCE SHAPE
+# (the join/aggregate/filter structure that makes the query hard) and
+# substitutes a deterministic stand-in for the missing column, stated in
+# the docstring. With these, all 22 TPC-H query structures are covered.
+# ---------------------------------------------------------------------------
+
+
+def q9_profit_by_nation_year(sf_dir: str, like: str = "red",
+                             force: str | None = None) -> pa.Table:
+    """TPC-H Q9 shape — product-type profit by (supplier nation, order
+    year): the one TPC-H query that decorates the fact with BOTH part and
+    supplier dimensions simultaneously plus an orders hop. partsupp is
+    absent, so supply cost is the deterministic stand-in
+    ``0.6 · p_retailprice`` (a pure function of the part row; the oracle
+    renders the identical expression), giving
+
+        amount4 = rev4 − round(p_retailprice·100)·60·round(l_quantity)
+
+    in exact 1e-4-currency integer units (`_rev4` discipline — prices and
+    retail prices are 2dp, quantities integral).
+
+    Plan (Q7/nation_trade_flows discipline):
+    - part (name-filtered) and supplier are dimensions → dense
+      partkey→cost-per-unit-4 and suppkey→natkey arrays broadcast once;
+    - orders is the fact-sized hop: adaptive — small → broadcast sorted
+      (orderkey → year) probed via searchsorted; large → lineitem
+      pre-aggregates (orderkey, nation, amount4) and the hash-shuffle
+      `Dataset.join` carries (orderkey, year) only;
+    - group cells pack into ONE dense ``nat·n_years + year`` code so
+      per-batch partials are a single bincount (≤ 25·n_years cells).
+
+    Returns (nation, o_year, n_items, profit) ordered by the two keys."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    from ._util import parquet_minmax
+
+    nat = pq_mod.read_table(f"{sf_dir}/nation.parquet")
+    nk = nat["n_nationkey"].to_numpy()
+    size_n = int(nk.max()) + 1
+    names = np.empty(size_n, dtype=object)
+    names[nk] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+
+    part = pq_mod.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_name",
+                                      "p_retailprice"])
+    pk = part["p_partkey"].to_numpy()
+    is_match = pc.match_substring(part["p_name"], like).to_numpy(
+        zero_copy_only=False)
+    cost4 = np.full(int(pk.max()) + 1 if len(pk) else 1, -1, np.int64)
+    cost4[pk[is_match]] = (
+        np.round(part["p_retailprice"].to_numpy()[is_match] * 100.0)
+        .astype(np.int64) * 60)
+
+    sup = pq_mod.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy()
+    snat = np.full(int(sk.max()) + 1 if len(sk) else 1, -1, np.int32)
+    snat[sk] = sup["s_nationkey"].to_numpy().astype(np.int32)
+
+    dmin, dmax = parquet_minmax(f"{sf_dir}/orders.parquet", "o_orderdate")
+    y0 = int(np.datetime64(dmin, "Y").astype(int)) + 1970
+    y1 = int(np.datetime64(dmax, "Y").astype(int)) + 1970
+    n_years = y1 - y0 + 1
+    n_cells = size_n * n_years
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def _li_amounts(batch: pa.Table, cost4_w: np.ndarray,
+                    snat_w: np.ndarray):
+        """(nation, amount4, keep) for a batch: keep = name-matched part
+        AND known supplier."""
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        p_ok = (lp >= 0) & (lp < len(cost4_w))
+        c4 = np.where(p_ok, cost4_w[np.minimum(lp, len(cost4_w) - 1)], -1)
+        s_ok = (ls >= 0) & (ls < len(snat_w))
+        s_n = np.where(s_ok, snat_w[np.minimum(ls, len(snat_w) - 1)], -1)
+        keep = (c4 >= 0) & (s_n >= 0)
+        qty = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        amt4 = _rev4(batch) - c4 * qty
+        return s_n, amt4, keep
+
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    if small:
+        ot = pq_mod.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_orderdate"])
+        okeys = ot["o_orderkey"].to_numpy()
+        oyr = (ot["o_orderdate"].to_numpy().astype("datetime64[Y]")
+               .astype(np.int64) + 1970 - y0)
+        order = np.argsort(okeys, kind="stable")
+        ref = ray.put((okeys[order], oyr[order].astype(np.int32),
+                       cost4, snat))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            okeys_s, oyr_s, cost4_w, snat_w = cached(ref)
+            s_n, amt4, keep = _li_amounts(batch, cost4_w, snat_w)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(okeys_s, lk), 0,
+                          max(len(okeys_s) - 1, 0))
+            hit = (okeys_s[pos] == lk) if len(okeys_s) else \
+                np.zeros(len(lk), bool)
+            keep = keep & hit
+            yr = oyr_s[pos] if len(okeys_s) else np.zeros(len(lk), np.int32)
+            code = s_n[keep].astype(np.int64) * n_years + yr[keep]
+            sums = np.bincount(code, weights=amt4[keep].astype(np.float64),
+                               minlength=n_cells).astype(np.int64)
+            cnts = np.bincount(code, minlength=n_cells)
+            nz = np.flatnonzero(cnts)
+            return pa.table({"code": pa.array(nz, pa.int64()),
+                             "amt4": pa.array(sums[nz], pa.int64()),
+                             "n": pa.array(cnts[nz], pa.int64())})
+
+        t = ensure_columns(
+            li.map_batches(partials, batch_format="pyarrow",
+                           batch_size=65536).to_pandas(),
+            {"code": "int64", "amt4": "int64", "n": "int64"})
+    else:
+        dims_ref = ray.put((cost4, snat))
+
+        def li_partials(batch: pa.Table) -> pa.Table:
+            cost4_w, snat_w = cached(dims_ref)
+            s_n, amt4, keep = _li_amounts(batch, cost4_w, snat_w)
+            t = pa.table({
+                "l_orderkey": pc.array_filter(
+                    batch["l_orderkey"].combine_chunks(), pa.array(keep)),
+                "nat": pa.array(s_n[keep].astype(np.int64)),
+                "amt4": pa.array(amt4[keep]),
+                "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+            g = t.group_by(["l_orderkey", "nat"]).aggregate(
+                [("amt4", "sum"), ("one", "sum")])
+            return g.rename_columns(["l_orderkey", "nat", "amt4", "n"])
+
+        li_agg = li.map_batches(li_partials, batch_format="pyarrow",
+                                batch_size=65536)
+
+        def ord_proj(batch: pa.Table) -> pa.Table:
+            yr = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+                  .astype("datetime64[Y]").astype(np.int64) + 1970 - y0)
+            return pa.table({"o_orderkey": batch["o_orderkey"],
+                             "yidx": pa.array(yr.astype(np.int64))})
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_orderdate"]) \
+            .map_batches(ord_proj, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+        n_right = orders.count()
+        if n_right == 0:
+            t = pd.DataFrame({"code": pd.Series([], dtype="int64"),
+                              "amt4": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+        else:
+            n_parts = max(1, min(
+                _join_partitions(sf_dir, "lineitem", "orders"),
+                n_right // 64 + 1))
+            joined = li_agg.join(orders, join_type="inner",
+                                 num_partitions=n_parts,
+                                 on=("l_orderkey",),
+                                 right_on=("o_orderkey",))
+
+            def cell_partials(batch: pa.Table) -> pa.Table:
+                nat_c = batch["nat"].to_numpy(zero_copy_only=False)
+                yidx = batch["yidx"].to_numpy(zero_copy_only=False)
+                code = nat_c * n_years + yidx
+                amt4 = batch["amt4"].to_numpy(zero_copy_only=False)
+                n = batch["n"].to_numpy(zero_copy_only=False)
+                sums = np.bincount(code, weights=amt4.astype(np.float64),
+                                   minlength=n_cells).astype(np.int64)
+                cnts = np.bincount(code, weights=n.astype(np.float64),
+                                   minlength=n_cells).astype(np.int64)
+                nz = np.flatnonzero(cnts)
+                return pa.table({"code": pa.array(nz, pa.int64()),
+                                 "amt4": pa.array(sums[nz], pa.int64()),
+                                 "n": pa.array(cnts[nz], pa.int64())})
+
+            t = ensure_columns(
+                joined.map_batches(cell_partials, batch_format="pyarrow",
+                                   batch_size=65536).to_pandas(),
+                {"code": "int64", "amt4": "int64", "n": "int64"})
+
+    g = t.groupby("code", as_index=False)[["amt4", "n"]].sum()
+    code = g["code"].to_numpy(np.int64)
+    g["nation"] = names[code // n_years]
+    g["o_year"] = code % n_years + y0
+    g = g.sort_values(["nation", "o_year"]).reset_index(drop=True)
+    amt4 = g["amt4"].to_numpy(np.int64)
+    return pa.table({
+        "nation": pa.array(g["nation"], pa.string()),
+        "o_year": pa.array(g["o_year"].to_numpy(np.int64), pa.int64()),
+        "n_items": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        "profit": pa.array(
+            np.asarray(round_half_away(amt4 / 10000.0, 2), np.float64),
+            pa.float64()),
+    })
+
+
+def part_value_concentration(sf_dir: str, nation: str = "NATION_3",
+                             mult: int = 2,
+                             force: str | None = None) -> pa.Table:
+    """TPC-H Q11 shape — important-stock identification: per-part value
+    restricted to ONE nation's suppliers, keeping parts whose value
+    exceeds a threshold derived from the query's own global aggregate
+    (`HAVING sum(...) > frac · SUM over everything`). partsupp is absent,
+    so "stock value" is the shipped value ``Σ rev4`` per part over
+    lineitems supplied by that nation (deterministic; oracle identical).
+
+    Q11's fixed-fraction threshold goes vacuous as the part dimension
+    grows (the same failure mode CLAUDE.md records for heavy-hitter
+    cuts), so the threshold is MEAN-RELATIVE: keep parts with
+    ``value · n_parts > mult · total`` — exact integers, compared with
+    Python bigints on the driver (value·n_parts can cross 2^63 at scale).
+
+    Plan: nation+supplier compose into one suppkey→in-nation bool array
+    broadcast once; ONE lineitem pass folds per-partkey (rev4, n)
+    partials adaptively (part-dimension-bounded); the threshold filter
+    and final rank run on the part-bounded driver table. Ordered by
+    (value4 DESC, l_partkey) — ranked on the INTEGER sum (float 2dp
+    rounding would make near-ties order-ambiguous)."""
+    import pyarrow.parquet as pq_mod
+
+    nat = pq_mod.read_table(f"{sf_dir}/nation.parquet")
+    sel = pc.equal(nat["n_name"], nation)
+    natkeys = set(pc.filter(nat["n_nationkey"], sel).to_pylist())
+
+    sup = pq_mod.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy()
+    in_nation = np.zeros(int(sk.max()) + 1 if len(sk) else 1, bool)
+    sn = sup["s_nationkey"].to_numpy()
+    in_nation[sk[np.isin(sn, list(natkeys))]] = True
+    ref = ray.put(in_nation)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    n_rows = li.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mask = cached(ref)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        keep = (ls >= 0) & (ls < len(mask)) & mask[np.minimum(
+            ls, len(mask) - 1)]
+        t = pa.table({
+            "pk": pc.array_filter(batch["l_partkey"].combine_chunks(),
+                                  pa.array(keep)),
+            "v4": pa.array(_rev4(batch)[keep])})
+        g = t.group_by("pk").aggregate([("v4", "sum")])
+        return g.rename_columns(["pk", "v4"])
+
+    parts = li.map_batches(partials, batch_format="pyarrow",
+                           batch_size=65536)
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(), {"pk": "int64",
+                                                 "v4": "int64"})
+        agg = pdf.groupby("pk", as_index=False)["v4"].sum()
+    else:
+        agg = ensure_columns(
+            parts.repartition(n_reducers()).groupby("pk")
+                 .aggregate(Sum("v4", alias_name="v4")).to_pandas(),
+            {"pk": "int64", "v4": "int64"})
+    if not len(agg):
+        return pa.table({"l_partkey": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    v4 = agg["v4"].to_numpy(np.int64)
+    n_parts = len(agg)
+    total = int(v4.sum())  # < 2^63 as int64 sum of per-part int64 sums
+    keep = np.fromiter((int(v) * n_parts > mult * total for v in v4),
+                       bool, count=n_parts)
+    g = agg[keep].sort_values(["v4", "pk"],
+                              ascending=[False, True]).reset_index(drop=True)
+    return pa.table({
+        "l_partkey": pa.array(g["pk"].to_numpy(np.int64), pa.int64()),
+        "value": pa.array(
+            np.asarray(round_half_away(
+                g["v4"].to_numpy(np.int64) / 10000.0, 2), np.float64),
+            pa.float64()),
+    })
+
+
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_class_counts(sf_dir: str, y0: int = 1996, y1: int = 1997,
+                              force: str | None = None) -> pa.Table:
+    """TPC-H Q12 shape — shipping-class × order-priority split: for each
+    lineitem class shipped inside a two-year window, how many came from
+    high-priority orders (1-URGENT / 2-HIGH) vs everything else.
+    l_shipmode is absent, so the class column is ``l_returnflag`` (the
+    same ≤3-value lineitem dimension role); the priority CASE split and
+    the lineitem⋈orders hop are the query's structure and are kept
+    exactly.
+
+    Plan: shipdate window pushed into the parquet read; orders hop
+    adaptive (broadcast sorted orderkey→is_high bitmap / pre-aggregated
+    hash-shuffle join); per-batch partials are a group_by over ≤3 flag
+    values carrying (high, low) integer counts; adaptive flag-bounded
+    fold. Returns (l_returnflag, high_count, low_count) ordered by
+    flag."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    lo = pa.scalar(np.datetime64(f"{y0}-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(f"{y1 + 1}-01-01", "us"),
+                   pa.timestamp("us"))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)))
+
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = _BCAST_JOIN_BYTES + 1
+    small = (orders_bytes < _BCAST_JOIN_BYTES) if force is None \
+        else (force == "driver")
+
+    def _flag_partials(flags: pa.ChunkedArray, high: np.ndarray,
+                       valid: np.ndarray) -> pa.Table:
+        t = pa.table({
+            "flag": pc.array_filter(flags.combine_chunks(),
+                                    pa.array(valid)),
+            "h": pa.array(high[valid].astype(np.int64)),
+            "l": pa.array((1 - high[valid]).astype(np.int64))})
+        g = t.group_by("flag").aggregate([("h", "sum"), ("l", "sum")])
+        return g.rename_columns(["flag", "h", "l"])
+
+    if small:
+        ot = pq_mod.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_orderpriority"])
+        okeys = ot["o_orderkey"].to_numpy()
+        is_high = pc.is_in(
+            ot["o_orderpriority"],
+            value_set=pa.array(_HIGH_PRIORITIES)).to_numpy(
+                zero_copy_only=False).astype(np.int8)
+        order = np.argsort(okeys, kind="stable")
+        ref = ray.put((okeys[order], is_high[order]))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            okeys_s, high_s = cached(ref)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(okeys_s, lk), 0,
+                          max(len(okeys_s) - 1, 0))
+            hit = (okeys_s[pos] == lk) if len(okeys_s) else \
+                np.zeros(len(lk), bool)
+            high = high_s[pos] if len(okeys_s) else np.zeros(len(lk),
+                                                             np.int8)
+            return _flag_partials(batch["l_returnflag"], high, hit)
+
+        parts = li.map_batches(partials, batch_format="pyarrow",
+                               batch_size=65536)
+    else:
+        def li_proj(batch: pa.Table) -> pa.Table:
+            return pa.table({"l_orderkey": batch["l_orderkey"],
+                             "flag": batch["l_returnflag"]})
+
+        def ord_proj(batch: pa.Table) -> pa.Table:
+            is_high = pc.is_in(
+                batch["o_orderpriority"].combine_chunks(),
+                value_set=pa.array(_HIGH_PRIORITIES)).to_numpy(
+                    zero_copy_only=False).astype(np.int8)
+            return pa.table({"o_orderkey": batch["o_orderkey"],
+                             "high": pa.array(is_high.astype(np.int64))})
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_orderpriority"]) \
+            .map_batches(ord_proj, batch_format="pyarrow",
+                         batch_size=65536).materialize()
+        n_right = orders.count()
+        n_parts = max(1, min(_join_partitions(sf_dir, "lineitem", "orders"),
+                             n_right // 64 + 1))
+        joined = li.map_batches(li_proj, batch_format="pyarrow",
+                                batch_size=65536) \
+            .join(orders, join_type="inner", num_partitions=n_parts,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def jpartials(batch: pa.Table) -> pa.Table:
+            high = batch["high"].to_numpy(zero_copy_only=False) \
+                .astype(np.int8)
+            return _flag_partials(batch["flag"], high,
+                                  np.ones(batch.num_rows, bool))
+
+        parts = joined.map_batches(jpartials, batch_format="pyarrow",
+                                   batch_size=65536)
+
+    g = _fold_partials(parts, li.count(), ["flag"],
+                       {"high_count": "h", "low_count": "l"})
+    g = g.sort_values("flag").reset_index(drop=True)
+    return pa.table({
+        "l_returnflag": pa.array(g["flag"].astype(str), pa.string()),
+        "high_count": pa.array(g["high_count"].to_numpy(np.int64),
+                               pa.int64()),
+        "low_count": pa.array(g["low_count"].to_numpy(np.int64),
+                              pa.int64()),
+    })
+
+
+def part_supplier_variety(sf_dir: str, excl_brand: str = "Brand#1",
+                          excl_type: str = "PROMO", k: int = 50,
+                          force: str | None = None) -> pa.Table:
+    """TPC-H Q16 shape — parts/supplier relationship: how many DISTINCT
+    suppliers ship each (brand, type, size) part class, excluding one
+    brand, one type, and a supplier blacklist (the reference's
+    "complaints" NOT-IN subquery → suppliers with negative account
+    balance — a deterministic predicate on the supplier row). partsupp is
+    absent, so the (part, supplier) relation is the distinct pairs
+    observed in lineitem.
+
+    The core is a DISTINCT over the high-cardinality (partkey, suppkey)
+    pair space — exactly the key shape CLAUDE.md forbids handing to a
+    native Ray groupby (206 s vs 1.9 s). Both branches pack the pair into
+    ONE int64 code; the distributed branch buckets codes by splitmix64
+    hash and per-bucket np.unique sizes sum globally (buckets partition
+    the code space — the copurchase fold discipline).
+
+    Returns top-k (p_brand, p_type, p_size, supplier_cnt) ordered by
+    (supplier_cnt DESC, brand, type, size)."""
+    import pyarrow.parquet as pq_mod
+
+    from ..kernels.hashing import splitmix64
+
+    part = pq_mod.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand", "p_type",
+                                      "p_size"])
+    keep_p = pc.and_(pc.not_equal(part["p_brand"], excl_brand),
+                     pc.not_equal(part["p_type"], excl_type)) \
+        .to_numpy(zero_copy_only=False)
+    pk = part["p_partkey"].to_numpy()[keep_p]
+    classes = pd.DataFrame({
+        "brand": np.asarray(part["p_brand"].to_pylist(),
+                            dtype=object)[keep_p],
+        "type": np.asarray(part["p_type"].to_pylist(),
+                           dtype=object)[keep_p],
+        "size": part["p_size"].to_numpy().astype(np.int64)[keep_p]})
+    cell_of, cells = pd.factorize(
+        classes["brand"].astype(str) + "\x00" + classes["type"].astype(str)
+        + "\x00" + classes["size"].astype(str))
+    cell_arr = np.full(int(part["p_partkey"].to_numpy().max()) + 1
+                       if part.num_rows else 1, -1, np.int64)
+    cell_arr[pk] = cell_of
+    cell_meta = classes.groupby(cell_of, as_index=True).first()
+    n_cells = len(cells)
+
+    sup = pq_mod.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_acctbal"])
+    sk = sup["s_suppkey"].to_numpy()
+    max_sk = int(sk.max()) if len(sk) else 0
+    ok_sup = np.zeros(max_sk + 1, bool)
+    ok_sup[sk[sup["s_acctbal"].to_numpy() >= 0]] = True
+    ref = ray.put((cell_arr, ok_sup))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    n_rows = li.count()
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        """Batch-unique (cell, suppkey) codes — pair-bounded output."""
+        cell_w, ok_w = cached(ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        p_ok = (lp >= 0) & (lp < len(cell_w))
+        cell = np.where(p_ok, cell_w[np.minimum(lp, len(cell_w) - 1)], -1)
+        s_ok = (ls >= 0) & (ls < len(ok_w)) & ok_w[np.minimum(
+            ls, len(ok_w) - 1)]
+        keep = (cell >= 0) & s_ok
+        code = np.unique(cell[keep] * np.int64(max_sk + 1) + ls[keep])
+        return pa.table({"code": pa.array(code, pa.int64())})
+
+    parts = li.map_batches(pair_partials, batch_format="pyarrow",
+                           batch_size=65536)
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        codes = ensure_columns(parts.to_pandas(), {"code": "int64"})
+        uniq = np.unique(codes["code"].to_numpy(np.int64))
+        cnt = np.bincount(uniq // np.int64(max_sk + 1), minlength=n_cells)
+    else:
+        def bucket(batch: pa.Table) -> pa.Table:
+            c = batch["code"].to_numpy(zero_copy_only=False)
+            b = (splitmix64(c.astype(np.uint64))
+                 % np.uint64(n_reducers())).astype(np.int64)
+            return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            u = np.unique(df["code"].to_numpy(np.int64))
+            c = np.bincount(u // np.int64(max_sk + 1), minlength=n_cells)
+            nz = np.flatnonzero(c)
+            return pd.DataFrame({"cell": nz.astype(np.int64),
+                                 "n": c[nz].astype(np.int64)})
+
+        bt = ensure_columns(
+            parts.map_batches(bucket, batch_format="pyarrow",
+                              batch_size=65536)
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas").to_pandas(),
+            {"cell": "int64", "n": "int64"})
+        g = bt.groupby("cell")["n"].sum()
+        cnt = np.zeros(n_cells, np.int64)
+        cnt[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+
+    out = pd.DataFrame({
+        "p_brand": cell_meta["brand"].astype(str),
+        "p_type": cell_meta["type"].astype(str),
+        "p_size": cell_meta["size"].to_numpy(np.int64),
+        "supplier_cnt": cnt[cell_meta.index.to_numpy()]})
+    out = out[out["supplier_cnt"] > 0].sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).head(k).reset_index(drop=True)
+    return pa.table({
+        "p_brand": pa.array(out["p_brand"], pa.string()),
+        "p_type": pa.array(out["p_type"], pa.string()),
+        "p_size": pa.array(out["p_size"].to_numpy(np.int64), pa.int64()),
+        "supplier_cnt": pa.array(out["supplier_cnt"].to_numpy(np.int64),
+                                 pa.int64()),
+    })
+
+
+def bulk_part_suppliers(sf_dir: str, like: str = "red",
+                        num: int = 1, den: int = 8,
+                        force: str | None = None) -> pa.Table:
+    """TPC-H Q20 shape — potential part promotion: suppliers for whom the
+    name-matched parts are a MAJORITY CLASS of their own shipments
+    (``matched_qty · den > total_qty · num`` — Q20's "availqty > ½ of
+    shipped qty" correlated-threshold structure with the missing partsupp
+    availability replaced by the supplier's own total, i.e. a
+    two-aggregate self-comparison per supplier; exact integers, both
+    sides rendered identically in the oracle).
+
+    ONE lineitem pass folds per-suppkey (matched_qty, total_qty) integer
+    partials (supplier-dimension-bounded) adaptively; the threshold and
+    the s_name decoration run on the supplier-bounded driver table.
+    Returns (s_name, matched_qty, total_qty) ordered by s_name."""
+    import pyarrow.parquet as pq_mod
+
+    part = pq_mod.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_name"])
+    pk = part["p_partkey"].to_numpy()
+    is_match = pc.match_substring(part["p_name"], like).to_numpy(
+        zero_copy_only=False)
+    match = np.zeros(int(pk.max()) + 1 if len(pk) else 1, bool)
+    match[pk[is_match]] = True
+    ref = ray.put(match)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+    n_rows = li.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        match_w = cached(ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        m = (lp >= 0) & (lp < len(match_w)) & match_w[np.minimum(
+            lp, len(match_w) - 1)]
+        qty = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        t = pa.table({"sk": batch["l_suppkey"],
+                      "qm": pa.array(np.where(m, qty, 0)),
+                      "qt": pa.array(qty)})
+        g = t.group_by("sk").aggregate([("qm", "sum"), ("qt", "sum")])
+        return g.rename_columns(["sk", "qm", "qt"])
+
+    parts = li.map_batches(partials, batch_format="pyarrow",
+                           batch_size=65536)
+    small = (n_rows < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        pdf = ensure_columns(parts.to_pandas(),
+                             {"sk": "int64", "qm": "int64", "qt": "int64"})
+        agg = pdf.groupby("sk", as_index=False)[["qm", "qt"]].sum()
+    else:
+        agg = ensure_columns(
+            parts.repartition(n_reducers()).groupby("sk")
+                 .aggregate(Sum("qm", alias_name="qm"),
+                            Sum("qt", alias_name="qt")).to_pandas(),
+            {"sk": "int64", "qm": "int64", "qt": "int64"})
+
+    qm = agg["qm"].to_numpy(np.int64)
+    qt = agg["qt"].to_numpy(np.int64)
+    # Python-bigint compare: qty sums × den can cross 2^63 at 100 TB
+    keep = np.fromiter(
+        (int(a) * den > int(b) * num for a, b in zip(qm, qt)),
+        bool, count=len(agg))
+    agg = agg[keep]
+
+    sup = pq_mod.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"])
+    smap = dict(zip(sup["s_suppkey"].to_numpy().tolist(),
+                    sup["s_name"].to_pylist()))
+    out = pd.DataFrame({
+        "s_name": [smap.get(int(s), "") for s in agg["sk"]],
+        "matched_qty": agg["qm"].to_numpy(np.int64),
+        "total_qty": agg["qt"].to_numpy(np.int64)})
+    out = out[out["s_name"] != ""].sort_values("s_name") \
+        .reset_index(drop=True)
+    return pa.table({
+        "s_name": pa.array(out["s_name"], pa.string()),
+        "matched_qty": pa.array(out["matched_qty"].to_numpy(np.int64),
+                                pa.int64()),
+        "total_qty": pa.array(out["total_qty"].to_numpy(np.int64),
+                              pa.int64()),
+    })

@@ -1099,3 +1099,154 @@ def test_transition_entropy_identities(ray_session):
     mix = float((a["n_trans"].to_numpy(np.float64) / n_total
                  * a["h_next"].to_numpy()).sum())
     assert abs(float(a["h_cond_global"].iloc[0]) - mix) <= 1e-5
+
+
+def test_r5_tpch_completion_forced_branches_agree(ray_session):
+    """The r5 TPC-H-completion batch (Q9/Q11/Q12/Q16/Q20 shapes): each
+    adaptive query's non-default branch must equal the driver plan
+    exactly (CLAUDE.md adaptive-plan invariant)."""
+    from sketch_ray.pipelines import relational as R
+
+    for fn in (R.q9_profit_by_nation_year, R.part_value_concentration,
+               R.q12_priority_class_counts, R.part_supplier_variety,
+               R.bulk_part_suppliers):
+        a = fn(SF, force="driver").to_pandas()
+        b = fn(SF, force="dist").to_pandas()
+        pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
+
+
+def test_q9_profit_reconciles_with_components(ray_session):
+    """Q9 profit must equal revenue − cost recomputed independently with
+    pandas over the raw joined frame (one nation×year spot cell plus the
+    global total)."""
+    from sketch_ray.pipelines.relational import q9_profit_by_nation_year
+
+    got = q9_profit_by_nation_year(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pt = pd.read_parquet(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_retailprice"])
+    sup = pd.read_parquet(f"{SF}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    j = li.merge(pt[pt["p_name"].str.contains("red")], left_on="l_partkey",
+                 right_on="p_partkey") \
+        .merge(sup, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    amt4 = ((j["l_extendedprice"] * 100).round().astype("int64")
+            * (100 - (j["l_discount"] * 100).round().astype("int64"))
+            - (j["p_retailprice"] * 100).round().astype("int64") * 60
+            * j["l_quantity"].round().astype("int64"))
+    assert int(got["n_items"].sum()) == len(j)
+    total4 = int(amt4.sum())
+    # the per-cell 2dp roundings differ from rounding the total once;
+    # compare against the exact integer total via the unrounded cells
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    j["nation"] = j["s_nationkey"].map(nmap)
+    j["o_year"] = j["o_orderdate"].dt.year
+    cell = pd.DataFrame({"nation": j["nation"], "o_year": j["o_year"],
+                         "amt4": amt4}) \
+        .groupby(["nation", "o_year"], as_index=False)["amt4"].sum()
+    assert int(cell["amt4"].sum()) == total4
+    m = got.merge(cell, on=["nation", "o_year"])
+    assert len(m) == len(got)
+    from sketch_ray.pipelines._util import round_half_away
+    assert (m["profit"]
+            == (m["amt4"] / 10000.0).map(
+                lambda x: float(round_half_away(x, 2)))).all()
+
+
+def test_part_value_concentration_threshold_and_order(ray_session):
+    """Q11 shape: every kept part beats mult× the mean share (strict),
+    every dropped part doesn't; ranking is on the integer sum."""
+    from sketch_ray.pipelines.relational import part_value_concentration
+
+    got = part_value_concentration(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    nk = set(nat[nat["n_name"] == "NATION_3"]["n_nationkey"])
+    sks = set(sup[sup["s_nationkey"].isin(nk)]["s_suppkey"])
+    sel = li[li["l_suppkey"].isin(sks)].copy()
+    v4 = ((sel["l_extendedprice"] * 100).round().astype("int64")
+          * (100 - (sel["l_discount"] * 100).round().astype("int64")))
+    per = pd.DataFrame({"pk": sel["l_partkey"], "v4": v4}) \
+        .groupby("pk")["v4"].sum()
+    tot, npts = int(per.sum()), len(per)
+    want = {int(k) for k, v in per.items() if int(v) * npts > 2 * tot}
+    assert set(got["l_partkey"]) == want
+    # descending by the integer value → descending by rounded output too
+    vals = got["value"].to_numpy()
+    assert (vals[:-1] >= vals[1:]).all()
+
+
+def test_q12_priority_counts_partition_the_join(ray_session):
+    """Q12 shape: high+low per flag == window lineitem⋈orders row count
+    per flag (the CASE split partitions the join)."""
+    from sketch_ray.pipelines.relational import q12_priority_class_counts
+
+    got = q12_priority_class_counts(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_shipdate"])
+    li = li[(li["l_shipdate"] >= "1996-01-01")
+            & (li["l_shipdate"] < "1998-01-01")]
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    per_flag = j.groupby("l_returnflag").size()
+    for _, row in got.iterrows():
+        assert (int(row["high_count"]) + int(row["low_count"])
+                == int(per_flag[row["l_returnflag"]]))
+    high = j[j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])] \
+        .groupby("l_returnflag").size()
+    for _, row in got.iterrows():
+        assert int(row["high_count"]) == int(high.get(row["l_returnflag"], 0))
+
+
+def test_part_supplier_variety_distinct_semantics(ray_session):
+    """Q16 shape: supplier_cnt is DISTINCT suppliers (a supplier shipping
+    the same part class twice counts once), exclusions apply."""
+    from sketch_ray.pipelines.relational import part_supplier_variety
+
+    got = part_supplier_variety(SF, k=10**9).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    pt = pd.read_parquet(f"{SF}/part.parquet")
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    bad_sk = set(sup[sup["s_acctbal"] < 0]["s_suppkey"])
+    pt = pt[(pt["p_brand"] != "Brand#1") & (pt["p_type"] != "PROMO")]
+    j = li[~li["l_suppkey"].isin(bad_sk)].merge(
+        pt, left_on="l_partkey", right_on="p_partkey")
+    want = j.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"] \
+        .nunique().reset_index(name="supplier_cnt")
+    m = got.merge(want, on=["p_brand", "p_type", "p_size"],
+                  suffixes=("", "_want"))
+    assert len(m) == len(got) == len(want)
+    assert (m["supplier_cnt"] == m["supplier_cnt_want"]).all()
+
+
+def test_bulk_part_suppliers_majority_rule(ray_session):
+    """Q20 shape: kept suppliers satisfy matched·8 > total strictly;
+    no supplier below the cut is kept; quantities reconcile."""
+    from sketch_ray.pipelines.relational import bulk_part_suppliers
+
+    got = bulk_part_suppliers(SF).to_pandas()
+    assert (got["matched_qty"] * 8 > got["total_qty"]).all()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+    pt = pd.read_parquet(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    sup = pd.read_parquet(f"{SF}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    red = set(pt[pt["p_name"].str.contains("red")]["p_partkey"])
+    li["q"] = li["l_quantity"].round().astype("int64")
+    li["qm"] = li["q"].where(li["l_partkey"].isin(red), 0)
+    per = li.groupby("l_suppkey", as_index=False)[["qm", "q"]].sum()
+    per = per[per["qm"] * 8 > per["q"]].merge(
+        sup, left_on="l_suppkey", right_on="s_suppkey")
+    assert set(got["s_name"]) == set(per["s_name"])
+    m = got.merge(per, on="s_name")
+    assert (m["matched_qty"] == m["qm"]).all()
+    assert (m["total_qty"] == m["q"]).all()
