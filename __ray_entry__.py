@@ -109,6 +109,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_class_counts": relational.q12_priority_class_counts,
         "part_supplier_variety": relational.part_supplier_variety,
         "bulk_part_suppliers": relational.bulk_part_suppliers,
+        # r5: forward-decay time-decayed aggregation (Cormode et al. 2009)
+        # — the continuous generalization of the reference's two-snapshot
+        # emerging-HH growth scaling; integer-quantized weights fold
+        # exactly and are SHARED with the oracle as literals
+        "decayed_type_counts": analytics.decayed_type_counts,
+        "decayed_heavy_users": analytics.decayed_heavy_users,
         # source-format parity (r5): the SAME aggregations over JSONL/CSV
         # round-trips of the gate tables (sources/textio, Ray-native
         # write_json/read_json + write_csv/read_csv) — hash-gated against
@@ -389,7 +395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from sketch_ray.pipelines._sqlgen import (mix_constant, rate_threshold,
+    from sketch_ray.pipelines._sqlgen import (decay_weight_values,
+                                              mix_constant, rate_threshold,
                                               splitmix64_ctes, string_hash_ctes)
     from sketch_ray.pipelines.text_analysis import DEFAULT_MIX_RATES
 
@@ -3342,6 +3349,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(q.qt AS BIGINT) AS total_qty
             FROM q JOIN supplier s ON q.l_suppkey = s.s_suppkey
             WHERE q.qm * 8 > q.qt * 1 ORDER BY s.s_name
+        """,
+        # --- r5: forward-decay time-decayed aggregation: the integer
+        # weight table is rendered from the SAME Python function the
+        # pipeline uses (_sqlgen.decay_weights) — cross-engine exp/pow is
+        # not bit-stable, shared literals are ---
+        "decayed_type_counts": f"""
+            WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+            dw(age, w) AS (VALUES {decay_weight_values(30)}),
+            e AS (SELECT event_type,
+                         datediff('day', CAST(ts AS DATE),
+                                  (SELECT d FROM mx)) AS age
+                  FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(COALESCE(dw.w, 0)) AS DOUBLE)
+                         / 1073741824.0, 6) AS decayed_count
+            FROM e LEFT JOIN dw ON e.age = dw.age
+            GROUP BY 1 ORDER BY 1
+        """,
+        "decayed_heavy_users": f"""
+            WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+            dw(age, w) AS (VALUES {decay_weight_values(30)}),
+            e AS (SELECT user_id,
+                         datediff('day', CAST(ts AS DATE),
+                                  (SELECT d FROM mx)) AS age
+                  FROM events),
+            peru AS (SELECT user_id, count(*) AS n_events,
+                            sum(COALESCE(dw.w, 0)) AS w
+                     FROM e LEFT JOIN dw ON e.age = dw.age GROUP BY 1),
+            t AS (SELECT sum(w) AS tot, count(*) AS nu FROM peru)
+            SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                   round(CAST(w AS DOUBLE) / 1073741824.0, 6)
+                       AS decayed_score
+            FROM peru, t WHERE w * nu * 5 > 6 * tot ORDER BY user_id
         """,
     }
     # the Bloom prefilter is an invisible physical optimization: identical

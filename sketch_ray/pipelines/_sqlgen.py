@@ -124,3 +124,36 @@ def rate_threshold(rate: float) -> int:
     if rate >= 1.0:
         return 0xFFFFFFFFFFFFFFFF
     return int(np.uint64(max(rate, 0.0) * 2.0**64))
+
+
+# --- forward-decay weights (Cormode, Shkapenyuk, Srivastava & Xu 2009) ---
+#
+# Time-decayed aggregation quantizes the exponential decay weight to an
+# INTEGER so distributed partial sums fold exactly (no float-order drift):
+#     w(age) = round(2^30 * 2^(-age_days / half_life_days))
+# The SQL oracle does not recompute the exponential (cross-engine pow/exp
+# is not bit-stable — the log10 lesson from first_digit_profile); instead
+# the weight table is rendered as SHARED LITERALS from the same Python
+# function, so both engines sum the identical integers.
+
+DECAY_SCALE = 1 << 30
+
+
+def decay_weights(half_life_days: int, max_age: int | None = None):
+    """int64 weight per integer age 0..max_age (inclusive); 0 beyond
+    ~30.5 half-lives where 2^30 * 2^(-age/hl) rounds below 1."""
+    import numpy as np
+
+    if max_age is None:
+        max_age = int(half_life_days * 31)
+    ages = np.arange(max_age + 1, dtype=np.float64)
+    return np.rint(np.exp2(-ages / float(half_life_days))
+                   * DECAY_SCALE).astype(np.int64)
+
+
+def decay_weight_values(half_life_days: int) -> str:
+    """The nonzero (age, weight) pairs as a SQL VALUES list — join target
+    for the oracle; ages beyond the table COALESCE to weight 0."""
+    w = decay_weights(half_life_days)
+    nz = [i for i, x in enumerate(w.tolist()) if x > 0]
+    return ", ".join(f"({i}, {int(w[i])})" for i in nz)

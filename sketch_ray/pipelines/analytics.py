@@ -2487,3 +2487,113 @@ def cohort_revenue_curves(sf_dir: str, force: str | None = None) -> pa.Table:
             np.array([active.get(int(x), 0) for x in cell], np.int64),
             pa.int64()),
     })
+
+
+def _decayed_partials(sf_dir: str, half_life_days: int,
+                      key_col: str) -> tuple:
+    """Shared forward-decay scaffold (Cormode et al. 2009 via
+    `_sqlgen.decay_weights`): ONE events pass emitting per-``key_col``
+    (Σ integer-weight, n) partials. The landmark is the corpus's max
+    event DAY read from parquet row-group statistics (no scan); weights
+    are integer-quantized (2^30 scale) so distributed partial sums fold
+    EXACTLY — a float exp-weight fold would re-associate and drift the
+    6dp-gated output, and cross-engine exp is not bit-stable anyway
+    (the weight table is shared with the oracle as literals).
+
+    Returns (partials_ds, n_rows). Weight lookup is a ≤ 31·hl-entry
+    int64 array shipped in the task closure — ages beyond it decay to
+    exactly 0, matching the oracle's COALESCE."""
+    from ._sqlgen import decay_weights
+    from ._util import parquet_minmax
+
+    _, tmax = parquet_minmax(f"{sf_dir}/events.parquet", "ts")
+    t_day = np.datetime64(tmax, "D")
+    weights = decay_weights(half_life_days)
+
+    ev = _read(sf_dir, "events", ["ts", key_col])
+    n_rows = ev.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        age = (t_day - day).astype(np.int64)
+        w = np.where((age >= 0) & (age < len(weights)),
+                     weights[np.clip(age, 0, len(weights) - 1)], 0)
+        t = pa.table({"k": batch[key_col],
+                      "w": pa.array(w.astype(np.int64)),
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("k").aggregate([("w", "sum"), ("one", "sum")])
+        return g.rename_columns(["k", "w", "n"])
+
+    return ev.map_batches(partials, batch_format="pyarrow",
+                          batch_size=65536), n_rows
+
+
+def decayed_type_counts(sf_dir: str, half_life_days: int = 30,
+                        force: str | None = None) -> pa.Table:
+    """Time-decayed per-type event counts (forward decay, half-life in
+    days, landmark = the corpus's newest day): the streaming-analytics
+    primitive for "recent data matters more" — the continuous
+    generalization of the reference's two-snapshot emerging-heavy-hitter
+    scheme (src/sketch.cpp:224-245 scales a FIXED control snapshot by
+    GROWTH; forward decay re-weights every event by its age instead).
+
+    decayed_count = Σ 2^(−age/hl), summed as exact 2^30-scaled integers
+    with ONE mirrored division at the end (round6 both sides). Returns
+    (event_type, n_events, decayed_count) ordered by type."""
+    parts, n_rows = _decayed_partials(sf_dir, half_life_days,
+                                      "event_type")
+    if force is not None:
+        n_rows = 0 if force == "driver" else _SMALL_ROWS + 1
+    g = _fold_partials(parts, n_rows, ["k"], {"w": "w", "n": "n"})
+    g = g.sort_values("k").reset_index(drop=True)
+    from ._sqlgen import DECAY_SCALE
+    return pa.table({
+        "event_type": pa.array(g["k"].astype(str), pa.string()),
+        "n_events": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        "decayed_count": pa.array(
+            np.asarray(round6(g["w"].to_numpy(np.int64)
+                              / float(DECAY_SCALE)), np.float64),
+            pa.float64()),
+    })
+
+
+def decayed_heavy_users(sf_dir: str, half_life_days: int = 30,
+                        mult_num: int = 6, mult_den: int = 5,
+                        force: str | None = None) -> pa.Table:
+    """Time-decayed heavy hitters (M8 threshold predicate over forward-
+    decayed weight): users whose decayed activity exceeds num/den × the
+    mean decayed activity — the MEAN-relative cut (total-share cuts go
+    vacuous as the user dimension grows, CLAUDE.md heavy-hitter rule),
+    RATIONAL so sub-integer multipliers stay exact (per-user activity
+    concentrates near the mean as the corpus grows — an integer 2× cut
+    is vacuous even at sf0.001), compared in exact integers:
+    ``Σw_u · n_users · den > num · Σw_total`` (Python bigints — the
+    products cross 2^63 at corpus scale).
+
+    One events pass, user-bounded partials, adaptive fold. Returns
+    (user_id, n_events, decayed_score) ordered by user_id."""
+    parts, n_rows = _decayed_partials(sf_dir, half_life_days, "user_id")
+    if force is not None:
+        n_rows = 0 if force == "driver" else _SMALL_ROWS + 1
+    g = _fold_partials(parts, n_rows, ["k"], {"w": "w", "n": "n"})
+    if not len(g):
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "decayed_score": pa.array([], pa.float64())})
+    w = g["w"].to_numpy(np.int64)
+    n_users = len(g)
+    total = int(w.sum())
+    keep = np.fromiter(
+        (int(x) * n_users * mult_den > mult_num * total for x in w),
+        bool, count=n_users)
+    g = g[keep].sort_values("k").reset_index(drop=True)
+    from ._sqlgen import DECAY_SCALE
+    return pa.table({
+        "user_id": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+        "n_events": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        "decayed_score": pa.array(
+            np.asarray(round6(g["w"].to_numpy(np.int64)
+                              / float(DECAY_SCALE)), np.float64),
+            pa.float64()),
+    })

@@ -681,3 +681,71 @@ def test_copurchase_kcore_branches_and_truth(ray_session):
             break
         want.append((r, len(s)))
     assert list(zip(a["iter"].tolist(), a["n_surviving"].tolist())) == want
+
+
+def test_decay_weights_exact_powers():
+    """Forward-decay weight quantization hits exact powers of two at
+    whole half-lives (2^30 · 2^-k is integral for k ≤ 30) and decays to
+    exactly 0 past ~30.5 half-lives."""
+    from sketch_ray.pipelines._sqlgen import DECAY_SCALE, decay_weights
+
+    w = decay_weights(30)
+    assert w[0] == DECAY_SCALE
+    for k in range(1, 8):
+        assert w[30 * k] == DECAY_SCALE >> k
+    assert w[-1] == 0 and (w[:-1] > 0).all()
+    # monotone nonincreasing
+    assert (np.diff(w) <= 0).all()
+
+
+def test_decayed_type_counts_forced_branches_and_recompute(ray_session):
+    """Both adaptive branches agree; decayed counts equal an independent
+    pandas recomputation from the same integer weight table; a type's
+    decayed count is ≤ its raw count and > 0."""
+    from sketch_ray.pipelines._sqlgen import DECAY_SCALE, decay_weights
+    from sketch_ray.pipelines._util import round6
+    from sketch_ray.pipelines.analytics import decayed_type_counts
+
+    a = decayed_type_counts(SF, force="driver").to_pandas()
+    b = decayed_type_counts(SF, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type"])
+    t_day = ev["ts"].dt.floor("D").max()
+    age = (t_day - ev["ts"].dt.floor("D")).dt.days.to_numpy()
+    weights = decay_weights(30)
+    w = np.where(age < len(weights),
+                 weights[np.minimum(age, len(weights) - 1)], 0)
+    want = pd.DataFrame({"event_type": ev["event_type"], "w": w}) \
+        .groupby("event_type", sort=True)["w"].sum()
+    m = dict(zip(a["event_type"], a["decayed_count"]))
+    for et, sw in want.items():
+        assert m[et] == float(round6(int(sw) / float(DECAY_SCALE)))
+    raw = ev.groupby("event_type").size()
+    for _, row in a.iterrows():
+        assert 0 < row["decayed_count"] <= raw[row["event_type"]]
+        assert int(row["n_events"]) == int(raw[row["event_type"]])
+
+
+def test_decayed_heavy_users_threshold_partition(ray_session):
+    """Both branches agree; every kept user strictly beats 6/5 × mean
+    decayed weight and every dropped user doesn't (exact integer rule)."""
+    from sketch_ray.pipelines._sqlgen import decay_weights
+    from sketch_ray.pipelines.analytics import decayed_heavy_users
+
+    a = decayed_heavy_users(SF, force="driver").to_pandas()
+    b = decayed_heavy_users(SF, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    t_day = ev["ts"].dt.floor("D").max()
+    age = (t_day - ev["ts"].dt.floor("D")).dt.days.to_numpy()
+    weights = decay_weights(30)
+    w = np.where(age < len(weights),
+                 weights[np.minimum(age, len(weights) - 1)], 0)
+    per = pd.DataFrame({"user_id": ev["user_id"], "w": w}) \
+        .groupby("user_id")["w"].sum()
+    nu, tot = len(per), int(per.sum())
+    want = {int(u) for u, x in per.items() if int(x) * nu * 5 > 6 * tot}
+    assert set(a["user_id"]) == want
