@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly and are SHARED with the oracle as literals
         "decayed_type_counts": analytics.decayed_type_counts,
         "decayed_heavy_users": analytics.decayed_heavy_users,
+        # r5: degree assortativity completes the graph-structure family
+        "copurchase_assortativity": analytics.copurchase_assortativity,
         # source-format parity (r5): the SAME aggregations over JSONL/CSV
         # round-trips of the gate tables (sources/textio, Ray-native
         # write_json/read_json + write_csv/read_csv) — hash-gated against
@@ -3382,6 +3384,38 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(w AS DOUBLE) / 1073741824.0, 6)
                        AS decayed_score
             FROM peru, t WHERE w * nu * 5 > 6 * tot ORDER BY user_id
+        """,
+        # degree assortativity: HUGEINT moment sums over both edge
+        # directions; AS MATERIALIZED pins the shared CTEs (DuckDB 1.0
+        # re-inlines multiply-referenced CTEs — the triangles lesson);
+        # both division operands DOUBLE-cast (Spearman big-int rule)
+        "copurchase_assortativity": """
+            WITH lp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS MATERIALIZED (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+            deg AS MATERIALIZED (
+                SELECT node, count(*) AS d FROM (
+                    SELECT pa AS node FROM e
+                    UNION ALL SELECT pb FROM e) GROUP BY 1),
+            m AS (SELECT CAST(da.d AS HUGEINT) AS x,
+                         CAST(db.d AS HUGEINT) AS y
+                  FROM e JOIN deg da ON da.node = e.pa
+                         JOIN deg db ON db.node = e.pb),
+            s AS (SELECT 2 * count(*) AS mm, sum(x + y) AS sx,
+                         sum(x * x + y * y) AS sxx,
+                         sum(2 * x * y) AS sxy
+                  FROM m)
+            SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   CASE WHEN mm * sxx - sx * sx = 0 THEN 0.0
+                        ELSE round(CAST(mm * sxy - sx * sx AS DOUBLE)
+                                   / CAST(mm * sxx - sx * sx AS DOUBLE), 6)
+                   END AS assortativity
+            FROM s
         """,
     }
     # the Bloom prefilter is an invisible physical optimization: identical

@@ -2597,3 +2597,57 @@ def decayed_heavy_users(sf_dir: str, half_life_days: int = 30,
                               / float(DECAY_SCALE)), np.float64),
             pa.float64()),
     })
+
+
+def copurchase_assortativity(sf_dir: str,
+                             force: str | None = None) -> pa.Table:
+    """Degree assortativity of the co-purchase graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over all directed edge
+    endpoints — do hub parts co-purchase with hubs (r > 0) or with
+    leaves (r < 0)? Completes the graph-structure family (pairs /
+    components / triangles / clustering / BFS / k-core / this).
+
+    Edges are the shared adaptive pair fold (`_copurchase_pair_counts`);
+    degrees and the three moment sums (Σx, Σx², Σxy over both edge
+    directions) are exact integers folded with CHUNKED int64 dots
+    (revenue_gini discipline — deg²-scale products summed over the
+    dimension²-bounded edge set cross 2^63 at scale, so partial dots are
+    sized to stay below it and accumulate into Python bigints). ONE
+    mirrored double division (both operands DOUBLE-cast — the Spearman
+    big-int rule), round6 both sides. Returns one row
+    (n_nodes, n_edges, assortativity); 0.0 for a degree-regular graph
+    (zero denominator), mirrored by the oracle's CASE."""
+    agg = _copurchase_pair_counts(sf_dir, force)
+    ea = agg["pk_a"].to_numpy().astype(np.int64)
+    eb = agg["pk_b"].to_numpy().astype(np.int64)
+    n_edges = len(ea)
+    if n_edges == 0:
+        return pa.table({"n_nodes": pa.array([0], pa.int64()),
+                         "n_edges": pa.array([0], pa.int64()),
+                         "assortativity": pa.array([0.0], pa.float64())})
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    ia, ib = inv[:n_edges], inv[n_edges:]
+    da, db = deg[ia], deg[ib]
+
+    def _chunked_sum(x: np.ndarray, y: np.ndarray) -> int:
+        """Exact Σ x·y via int64 partial dots kept below 2^62."""
+        out = 0
+        max_term = int(max(1, int(x.max()) * int(y.max())))
+        chunk = max(1, min(1 << 20, (1 << 62) // max_term))
+        for s0 in range(0, len(x), chunk):
+            out += int(np.dot(x[s0:s0 + chunk], y[s0:s0 + chunk]))
+        return out
+
+    mm = 2 * n_edges
+    sx = int(da.sum()) + int(db.sum())
+    sxx = _chunked_sum(da, da) + _chunked_sum(db, db)
+    sxy = 2 * _chunked_sum(da, db)
+    num = mm * sxy - sx * sx
+    den = mm * sxx - sx * sx
+    r = float(round6(float(num) / float(den))) if den != 0 else 0.0
+    return pa.table({
+        "n_nodes": pa.array([len(nodes)], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "assortativity": pa.array([r], pa.float64()),
+    })

@@ -749,3 +749,34 @@ def test_decayed_heavy_users_threshold_partition(ray_session):
     nu, tot = len(per), int(per.sum())
     want = {int(u) for u, x in per.items() if int(x) * nu * 5 > 6 * tot}
     assert set(a["user_id"]) == want
+
+
+def test_assortativity_forced_branches_and_networkx_free_recompute(ray_session):
+    """Both adaptive branches agree; r matches an independent float
+    Pearson correlation over the directed endpoint degree pairs (to 1e-9
+    — the pipeline is exact-integer, the check is reference float); and
+    r ∈ [−1, 1]."""
+    from sketch_ray.pipelines.analytics import copurchase_assortativity
+
+    a = copurchase_assortativity(SF, force="driver").to_pandas()
+    b = copurchase_assortativity(SF, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
+    r = float(a["assortativity"].iloc[0])
+    assert -1.0 <= r <= 1.0
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    lp = li.drop_duplicates()
+    j = lp.merge(lp, on="l_orderkey")
+    j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+    e = j[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+    deg = pd.concat([e["l_partkey_x"], e["l_partkey_y"]]) \
+        .value_counts().to_dict()
+    x = np.concatenate([e["l_partkey_x"].map(deg).to_numpy(float),
+                        e["l_partkey_y"].map(deg).to_numpy(float)])
+    y = np.concatenate([e["l_partkey_y"].map(deg).to_numpy(float),
+                        e["l_partkey_x"].map(deg).to_numpy(float)])
+    want = np.corrcoef(x, y)[0, 1]
+    assert abs(r - want) < 1e-6
+    assert int(a["n_edges"].iloc[0]) == len(e)
+    assert int(a["n_nodes"].iloc[0]) == len(deg)
