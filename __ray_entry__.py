@@ -117,6 +117,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_heavy_users": analytics.decayed_heavy_users,
         # r5: degree assortativity completes the graph-structure family
         "copurchase_assortativity": analytics.copurchase_assortativity,
+        # r5: priority sampling (19th kernel) — mergeable weighted sample,
+        # unbiased post-hoc subset sums; rows-only (sampling estimate),
+        # exact twin = the oracle-gated revenue_per_nation
+        "priority_sample_revenue": sketch_queries.priority_sample_revenue,
         # source-format parity (r5): the SAME aggregations over JSONL/CSV
         # round-trips of the gate tables (sources/textio, Ray-native
         # write_json/read_json + write_csv/read_csv) — hash-gated against

@@ -22,11 +22,12 @@ from .hll import HLL
 from .kll import KLL
 from .kllpm import KLLPM
 from .lincount import LinearCounter
+from .prisample import PrioritySample
 from .spacesaving import MisraGries
 from .tdigest import TDigest
 
 __all__ = [
     "MergeableSketch", "SketchBase", "make_sketch", "registry", "sketch_from_bytes",
-    "CountMin", "CountMinCU", "CountSketch", "CountingBloom", "DDSketch", "ExpHistogram", "ExpHistogramSum", "FrequentDirections", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "MisraGries", "TDigest",
+    "CountMin", "CountMinCU", "CountSketch", "CountingBloom", "DDSketch", "DyadicCM", "ExpHistogram", "ExpHistogramSum", "FrequentDirections", "HLL", "BloomFilter", "BottomK", "KLL", "KLLPM", "LinearCounter", "MisraGries", "PrioritySample", "TDigest",
     "hash_strings", "hash_arrow_strings", "hash_ints", "row_hashes", "splitmix64",
 ]

@@ -687,3 +687,85 @@ def ddsketch_quantiles(sf_dir: str, alpha: float = 0.01) -> pa.Table:
         "n": pa.array([int(sk.n)] * len(qs), pa.int64()),
         "n_bins": pa.array([sk.n_bins()] * len(qs), pa.int64()),
     })
+
+
+def priority_sample_revenue(sf_dir: str, k: int = 512,
+                            seed: int = 42) -> pa.Table:
+    """Unbiased per-nation revenue estimates from ONE fixed-size priority
+    sample of the orders stream (Duffield–Lund–Thorup; kernels/prisample).
+    The sketch answer to "estimate any group's total from a bounded
+    sample": one streaming pass folds per-batch k+1-item partials whose
+    merge is byte-identical in any order (hash-deterministic priorities),
+    then EVERY post-hoc subset sum — here revenue per customer nation —
+    comes from the same ≤k-row sample; the twin exact query is the
+    oracle-gated revenue_per_nation.
+
+    The sample-bounded decoration reads ONLY the sampled orders back via
+    predicate pushdown (knn_label_vote discipline). Estimates are exact
+    (tau = 0) while the table holds ≤ k orders — pinned in pytest.
+    Returns (nation, n_sampled, est_revenue) ordered by nation."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    from ..kernels.prisample import PrioritySample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = PrioritySample(k=k, seed=seed)
+        cents = np.round(batch["o_totalprice"]
+                         .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        sk.update(batch["o_orderkey"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64), cents)
+        return pa.table({"partial": pa.array([sk.to_bytes()],
+                                             pa.large_binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    sk = PrioritySample(k=k, seed=seed)
+    for raw in parts["partial"]:
+        sk.merge(PrioritySample.from_bytes(bytes(raw)))
+
+    keys, _, est_w = sk.sample()
+    okeys = np.array([int(x) for x in keys], np.int64)
+    if len(okeys) == 0:
+        return pa.table({"nation": pa.array([], pa.string()),
+                         "n_sampled": pa.array([], pa.int64()),
+                         "est_revenue": pa.array([], pa.float64())})
+
+    # sample-bounded decoration: only the ≤k sampled orders leave storage
+    ot = pq_mod.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filters=pads.field("o_orderkey").isin(pa.array(okeys)))
+    cust = pq_mod.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    nat = pq_mod.read_table(f"{sf_dir}/nation.parquet")
+    ck = cust["c_custkey"].to_numpy()
+    cn = np.full(int(ck.max()) + 1 if len(ck) else 1, -1, np.int32)
+    cn[ck] = cust["c_nationkey"].to_numpy().astype(np.int32)
+    nmap = dict(zip(nat["n_nationkey"].to_numpy().tolist(),
+                    nat["n_name"].to_pylist()))
+
+    ok_s = ot["o_orderkey"].to_numpy()
+    oc_s = ot["o_custkey"].to_numpy()
+    order = np.argsort(ok_s, kind="stable")
+    pos = np.searchsorted(ok_s[order], okeys)
+    custkey = oc_s[order][pos]
+    natkey = cn[custkey]
+
+    df = pd.DataFrame({
+        "nation": [nmap.get(int(x), "?") for x in natkey],
+        "est": est_w})
+    g = df.groupby("nation", as_index=False).agg(
+        n_sampled=("est", "size"), est_cents=("est", "sum"))
+    g = g.sort_values("nation").reset_index(drop=True)
+    return pa.table({
+        "nation": pa.array(g["nation"], pa.string()),
+        "n_sampled": pa.array(g["n_sampled"].to_numpy(np.int64),
+                              pa.int64()),
+        "est_revenue": pa.array(
+            np.asarray(round_half_away(
+                g["est_cents"].to_numpy(np.float64) / 100.0, 2),
+                np.float64), pa.float64()),
+    })

@@ -1138,3 +1138,120 @@ def test_ddsketch_query_tracks_truth(ray_session):
         # 6dp output rounding adds (at most) 5e-7 on top of the alpha band
         assert abs(row["value"] - exact) <= 0.01 * abs(exact) + 1e-6, \
             (row["q"], row["value"], exact)
+
+
+class TestPrioritySample:
+    """Priority sampling (Duffield-Lund-Thorup): mergeable weighted sample
+    with unbiased subset sums and hash-deterministic byte-identical merge."""
+
+    def _stream(self, n=2000, seed=0):
+        rng = np.random.default_rng(seed)
+        keys = np.arange(n, dtype=np.int64)
+        w = rng.integers(1, 1000, n).astype(np.int64)
+        return keys, w
+
+    def test_exact_below_capacity(self):
+        from sketch_ray.kernels import PrioritySample
+
+        keys, w = self._stream(500)
+        sk = PrioritySample(k=512, seed=1)
+        sk.update(keys, w)
+        assert sk.tau() == 0.0
+        assert abs(sk.estimate() - int(w.sum())) < 1e-9
+        _, sw, est = sk.sample()
+        assert (est == sw).all()
+
+    def test_unbiased_total_and_subset(self):
+        from sketch_ray.kernels import PrioritySample
+
+        keys, w = self._stream()
+        W = int(w.sum())
+        sub = keys % 3 == 0
+        Ws = int(w[sub].sum())
+        tot, ss = [], []
+        for s in range(60):
+            sk = PrioritySample(k=64, seed=s)
+            sk.update(keys, w)
+            ks, _, _ = sk.sample()
+            member = np.array([int(x) % 3 == 0 for x in ks])
+            tot.append(sk.estimate())
+            ss.append(sk.subset_sum(member))
+        # se of the mean over 60 runs ≈ W/sqrt(60·(k−1)) — 5σ bounds
+        assert abs(np.mean(tot) - W) < 5 * W / np.sqrt(60 * 63)
+        assert abs(np.mean(ss) - Ws) < 5 * W / np.sqrt(60 * 63)
+
+    def test_merge_byte_identical_any_split_any_order(self):
+        from sketch_ray.kernels import PrioritySample
+
+        keys, w = self._stream()
+        one = PrioritySample(k=64, seed=7)
+        one.update(keys, w)
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            perm = rng.permutation(len(keys))
+            cuts = np.sort(rng.choice(np.arange(1, len(keys)), 5,
+                                      replace=False))
+            acc = PrioritySample(k=64, seed=7)
+            for part in rng.permutation(len(cuts) + 1):
+                idx = np.split(perm, cuts)[part]
+                p = PrioritySample(k=64, seed=7)
+                p.update(keys[idx], w[idx])
+                acc.merge(p)
+            assert acc.to_bytes() == one.to_bytes()
+
+    def test_estimated_weights_dominate_and_partition(self):
+        from sketch_ray.kernels import PrioritySample
+
+        keys, w = self._stream()
+        sk = PrioritySample(k=64, seed=11)
+        sk.update(keys, w)
+        ks, sw, est = sk.sample()
+        assert (est >= sw).all() and sk.tau() > 0
+        grp = np.array([int(x) % 4 for x in ks])
+        parts = sum(sk.subset_sum(grp == g) for g in range(4))
+        assert abs(parts - sk.estimate()) < 1e-6
+
+    def test_roundtrip_and_config_guard(self):
+        from sketch_ray.kernels import PrioritySample, sketch_from_bytes
+
+        keys, w = self._stream(100)
+        sk = PrioritySample(k=16, seed=5)
+        sk.update(keys, w)
+        rt = sketch_from_bytes(sk.to_bytes())
+        assert rt == sk
+        other = PrioritySample(k=16, seed=6)
+        with pytest.raises(AssertionError):
+            sk.merge(other)
+        with pytest.raises(ValueError):
+            PrioritySample(k=0)
+        with pytest.raises(ValueError):
+            bad = PrioritySample(k=4)
+            bad.update(keys[:3], np.array([1, -2, 3]))
+
+    def test_pipeline_exact_when_unsaturated_and_bounded(self, ray_session):
+        import pandas as pd
+
+        from sketch_ray.pipelines.sketch_queries import priority_sample_revenue
+
+        sf = "/root/testdata/sf0.001"
+        got = priority_sample_revenue(sf, k=10 ** 6).to_pandas()
+        orders = pd.read_parquet(f"{sf}/orders.parquet")
+        cust = pd.read_parquet(f"{sf}/customer.parquet")
+        nat = pd.read_parquet(f"{sf}/nation.parquet")
+        j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+            .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        j["cents"] = (j["o_totalprice"] * 100).round().astype("int64")
+        want = (j.groupby("n_name")["cents"].sum() / 100.0).round(2)
+        m = dict(zip(got["nation"], got["est_revenue"]))
+        assert set(m) == set(want.index)
+        for nm, v in want.items():
+            assert abs(m[nm] - v) < 0.011
+        # saturated: total within 5·W/sqrt(k−1) (priority-sampling variance
+        # bound), deterministic across reruns
+        est = priority_sample_revenue(sf, k=256).to_pandas()
+        est2 = priority_sample_revenue(sf, k=256).to_pandas()
+        pd.testing.assert_frame_equal(est, est2)
+        W = float(want.sum())
+        assert abs(float(est["est_revenue"].sum()) - W) \
+            < 5 * W / np.sqrt(255)
+        assert int(est["n_sampled"].sum()) == 256
