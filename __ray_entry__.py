@@ -1531,7 +1531,8 @@ def oracle_sql() -> dict[str, str]:
                             ('cm_tokens', 'cm', TRUE),
                             ('cmcu_tokens', 'cmcu', TRUE),
                             ('dd_chars', 'dd', FALSE),
-                            ('hll_source', 'hll', FALSE))
+                            ('hll_source', 'hll', FALSE),
+                            ('ps_docs', 'prisample', FALSE))
                      AS s(sketch, kind, tok)
             ORDER BY s.sketch
         """,

@@ -79,9 +79,13 @@ class PrioritySample(SketchBase):
         all_h = np.concatenate([self.hashes, h])
         all_w = np.concatenate([self.weights, w])
         all_k = self.keys + ks
-        # dedup by item hash, KEEP-FIRST (an item's weight is a fixed
-        # attribute; re-seeing it is a repeat, not an increment)
-        uh, idx = np.unique(all_h, return_index=True)
+        # dedup by item hash, KEEP-MAX-WEIGHT: an item's weight is a fixed
+        # attribute, so duplicates normally tie — keep-max makes the
+        # resolution ORDER-INDEPENDENT even if they don't (keep-first would
+        # let merge order pick the survivor and break byte-identity)
+        sort0 = np.lexsort((-all_w, all_h))
+        uh, start = np.unique(all_h[sort0], return_index=True)
+        idx = sort0[start]
         uw = all_w[idx]
         q = self._priority(uw, uh)
         order = np.lexsort((uh, -q))[: self.k + 1]
@@ -108,7 +112,9 @@ class PrioritySample(SketchBase):
                 if hasattr(counts, "to_numpy") else counts, np.int64)
         if (w < 0).any():
             raise ValueError("priority sampling needs nonnegative weights")
-        uh, idx = np.unique(h, return_index=True)
+        sort0 = np.lexsort((-w, h))  # keep-max dedup (see _absorb)
+        uh, start = np.unique(h[sort0], return_index=True)
+        idx = sort0[start]
         uw = w[idx]
         q = self._priority(uw, uh)
         top = np.lexsort((uh, -q))[: self.k + 1]

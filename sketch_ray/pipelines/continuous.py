@@ -60,7 +60,28 @@ def _artifact_specs() -> list[SketchSpec]:
                    params={"alpha": 0.01, "max_bins": 4096}),
         SketchSpec("hll_source", "hll", "source", mode="column",
                    params={"p": 12, "seed": 42}),
+        # priority sampling qualifies too: hash-deterministic priorities
+        # make the merge union+dedup+re-trim — byte-identical in any
+        # partition order (kernels/prisample.py); keyed by the unique
+        # doc_id, weighted by n_chars, so the artifact can answer post-hoc
+        # subset char-volume sums without any rescan
+        SketchSpec("ps_docs", "prisample", "doc_id", mode="weighted",
+                   weight_col="n_chars", params={"k": 512, "seed": 42}),
     ]
+
+
+def artifact_dirs(base: str) -> tuple[str, str]:
+    """Spec-fingerprinted checkpoint dirs (incremental, full-rebuild):
+    changing the artifact family mints FRESH dirs instead of tripping the
+    resume guard on a stale /tmp artifact built with the old spec set
+    (the write_hash_index pin-and-rebuild discipline)."""
+    from ..state.checkpoint import _spec_lineage
+
+    spec_fp = hashlib.sha256(
+        json.dumps([_spec_lineage(s) for s in _artifact_specs()],
+                   sort_keys=True).encode()).hexdigest()[:8]
+    return (os.path.join(base, f"ckpt_incremental_{spec_fp}"),
+            os.path.join(base, f"ckpt_full_{spec_fp}"))
 
 
 def _snapshot_files(sf_dir: str) -> tuple[str, str, str]:
@@ -119,9 +140,8 @@ def update_sketch_artifact(sf_dir: str) -> pa.Table:
     scanned_incrementally) — one row per sketch, ordered by name.
     """
     s0, s1, base = _snapshot_files(sf_dir)
-    cols = ["text", "source", "n_chars"]
-    d_inc = os.path.join(base, "ckpt_incremental")
-    d_full = os.path.join(base, "ckpt_full")
+    cols = ["doc_id", "text", "source", "n_chars"]
+    d_inc, d_full = artifact_dirs(base)
 
     # phase 1: artifact over the old snapshot only
     CheckpointedBuild([s0], _artifact_specs(), d_inc, columns=cols).run()

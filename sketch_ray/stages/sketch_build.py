@@ -53,6 +53,9 @@ class SketchSpec:
       - "vectors": list<float> embedding column → (n, d) float rows
                    (for the Frequent Directions matrix sketch; d from
                    ``params["d"]``)
+      - "weighted": raw column values as UNIQUE item keys, integer weights
+                   from ``weight_col`` (for priority sampling — weight is a
+                   fixed per-item attribute, not an occurrence count)
     """
 
     name: str
@@ -62,6 +65,7 @@ class SketchSpec:
     lengths: tuple[int, ...] = (2,)
     lowercase: bool = False
     params: dict[str, Any] = field(default_factory=dict)
+    weight_col: str | None = None  # for mode="weighted"
     # turnstile retraction (delete-capable kinds, e.g. "kllpm"): every row
     # inserts +1; rows where ``batch[delete_eq[0]] == delete_eq[1]`` emit an
     # ADDITIONAL −1, so each delete retracts a value that was inserted (the
@@ -96,6 +100,12 @@ class SketchSpec:
             return vals, None
         if self.mode == "column":
             return col, None
+        if self.mode == "weighted":
+            wc = batch[self.weight_col]
+            if isinstance(wc, pa.ChunkedArray):
+                wc = wc.combine_chunks()
+            return (col.to_numpy(zero_copy_only=False).astype(np.int64),
+                    wc.to_numpy(zero_copy_only=False).astype(np.int64))
         if self.mode == "vectors":
             flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
             return flat.astype(np.float64).reshape(-1, int(self.params["d"])), None

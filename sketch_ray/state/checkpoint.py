@@ -45,6 +45,7 @@ def _spec_lineage(spec: SketchSpec) -> dict[str, Any]:
         "mode": spec.mode,
         "lengths": list(spec.lengths),
         "params": dict(spec.params),
+        "weight_col": spec.weight_col,
     }
 
 

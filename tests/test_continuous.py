@@ -13,6 +13,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from sketch_ray.pipelines.continuous import (_artifact_specs,
+                                             artifact_dirs,
                                              _snapshot_files,
                                              update_artifact,
                                              update_sketch_artifact)
@@ -33,7 +34,8 @@ def artifact_run(ray_session):
 def test_gated_verdicts_true(artifact_run):
     out, *_ = artifact_run
     assert sorted(out["sketch"]) == ["bloom_source", "cm_tokens",
-                                     "cmcu_tokens", "dd_chars", "hll_source"]
+                                     "cmcu_tokens", "dd_chars",
+                                     "hll_source", "ps_docs"]
     assert out["matches_rebuild"].all()
     assert out["scanned_incrementally"].all()
 
@@ -42,7 +44,7 @@ def test_update_scans_only_new_snapshot(artifact_run):
     """Snapshot 0's lineage row AND partial file are bit-identical across
     the update — the update's cost is O(new snapshot) by construction."""
     out, s0, s1, base = artifact_run
-    with open(os.path.join(base, "ckpt_incremental", "manifest.json")) as f:
+    with open(os.path.join(artifact_dirs(base)[0], "manifest.json")) as f:
         manifest = json.load(f)
     sid0, sid1 = CheckpointedBuild.shard_id(s0), CheckpointedBuild.shard_id(s1)
     assert manifest["shards"][sid0]["input"] == s0
@@ -60,10 +62,10 @@ def test_byte_identity_update_vs_rebuild(artifact_run, ray_session):
     boolean; here each kind is asserted separately so a regression names
     the kernel that broke)."""
     out, s0, s1, base = artifact_run
-    upd = update_artifact(os.path.join(base, "ckpt_incremental"), [s0, s1],
-                          columns=["text", "source", "n_chars"])
-    full = update_artifact(os.path.join(base, "ckpt_full"), [s0, s1],
-                           columns=["text", "source", "n_chars"])
+    upd = update_artifact(artifact_dirs(base)[0], [s0, s1],
+                          columns=["doc_id", "text", "source", "n_chars"])
+    full = update_artifact(artifact_dirs(base)[1], [s0, s1],
+                           columns=["doc_id", "text", "source", "n_chars"])
     for name in sorted(upd):
         assert upd[name].to_bytes() == full[name].to_bytes(), name
 
@@ -73,9 +75,9 @@ def test_updated_artifact_answers_queries(artifact_run, ray_session):
     CM/CM-CU never undercount, CU <= CM, HLL within its published bound,
     Bloom has zero false negatives — all without rescanning snapshot 0."""
     out, s0, s1, base = artifact_run
-    upd = update_artifact(os.path.join(base, "ckpt_incremental"), [s0, s1],
-                          columns=["text", "source", "n_chars"])
-    t = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source", "n_chars"])
+    upd = update_artifact(artifact_dirs(base)[0], [s0, s1],
+                          columns=["doc_id", "text", "source", "n_chars"])
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "source", "n_chars"])
     toks = pc.list_flatten(pc.split_pattern(t.column("text"), " "))
     vals, counts = toks.value_counts().flatten()
     true_cnt = dict(zip(vals.to_pylist(), counts.to_pylist()))
@@ -98,17 +100,22 @@ def test_updated_artifact_answers_queries(artifact_run, ray_session):
     got = np.asarray(upd["dd_chars"].quantile(qs))
     exact = np.quantile(nch, qs, method="lower")
     assert (np.abs(got - exact) <= 0.01 * np.abs(exact) + 1e-9).all()
+    # priority sample: the union holds 500 docs ≤ k=512, so tau = 0 and
+    # the total char-volume estimate is EXACT over the updated artifact
+    ps = upd["ps_docs"]
+    assert ps.tau() == 0.0
+    assert abs(ps.estimate() - float(nch.sum())) < 1e-9
 
 
 def test_reupdate_is_noop(artifact_run, ray_session):
     """Calling update again with the same snapshot list rescans nothing:
     every lineage row (incl. recorded wall seconds) is unchanged."""
     out, s0, s1, base = artifact_run
-    mpath = os.path.join(base, "ckpt_incremental", "manifest.json")
+    mpath = os.path.join(artifact_dirs(base)[0], "manifest.json")
     with open(mpath) as f:
         before = json.load(f)["shards"]
-    update_artifact(os.path.join(base, "ckpt_incremental"), [s0, s1],
-                    columns=["text", "source", "n_chars"])
+    update_artifact(artifact_dirs(base)[0], [s0, s1],
+                    columns=["doc_id", "text", "source", "n_chars"])
     with open(mpath) as f:
         after = json.load(f)["shards"]
     assert before == after
@@ -122,7 +129,7 @@ def test_out_of_order_arrival_scans_only_new_file(artifact_run, ray_session,
     shifts). Regression test for the positional-id rescan bug."""
     out, s0, s1, base = artifact_run
     ckpt = str(tmp_path / "ckpt_ooo")
-    update_artifact(ckpt, [s1], columns=["text", "source", "n_chars"])
+    update_artifact(ckpt, [s1], columns=["doc_id", "text", "source", "n_chars"])
     mpath = os.path.join(ckpt, "manifest.json")
     with open(mpath) as f:
         row_before = json.load(f)["shards"][CheckpointedBuild.shard_id(s1)]
@@ -132,7 +139,7 @@ def test_out_of_order_arrival_scans_only_new_file(artifact_run, ray_session,
     early = str(tmp_path / "aaa_early.parquet")
     pq.write_table(pq.read_table(s0, columns=["doc_id", "text", "source", "n_chars"])
                    .slice(0, 50), early)
-    upd = update_artifact(ckpt, [early, s1], columns=["text", "source", "n_chars"])
+    upd = update_artifact(ckpt, [early, s1], columns=["doc_id", "text", "source", "n_chars"])
     with open(mpath) as f:
         manifest = json.load(f)
     # s1's lineage row (incl. recorded wall_s) is bit-identical: not rescanned
@@ -140,7 +147,7 @@ def test_out_of_order_arrival_scans_only_new_file(artifact_run, ray_session,
     assert manifest["n_done"] == 2 and manifest["status"] == "done"
     # and the artifact equals a from-scratch rebuild over both files
     full = update_artifact(str(tmp_path / "ckpt_ooo_full"), [early, s1],
-                           columns=["text", "source", "n_chars"])
+                           columns=["doc_id", "text", "source", "n_chars"])
     for name in sorted(upd):
         assert upd[name].to_bytes() == full[name].to_bytes(), name
 
