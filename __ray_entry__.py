@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unbiased post-hoc subset sums; rows-only (sampling estimate),
         # exact twin = the oracle-gated revenue_per_nation
         "priority_sample_revenue": sketch_queries.priority_sample_revenue,
+        # r5: the reference's core CM-CU operator maintained over
+        # forward-decayed weights; rows-only (estimate), exact twin =
+        # the oracle-gated decayed_heavy_users
+        "decayed_cmcu_user_estimates":
+            sketch_queries.decayed_cmcu_user_estimates,
         # source-format parity (r5): the SAME aggregations over JSONL/CSV
         # round-trips of the gate tables (sources/textio, Ray-native
         # write_json/read_json + write_csv/read_csv) — hash-gated against

@@ -769,3 +769,66 @@ def priority_sample_revenue(sf_dir: str, k: int = 512,
                 g["est_cents"].to_numpy(np.float64) / 100.0, 2),
                 np.float64), pa.float64()),
     })
+
+
+def decayed_cmcu_user_estimates(sf_dir: str, half_life_days: int = 30,
+                                width: int = 1 << 14) -> pa.Table:
+    """Time-decayed CM-CU: the reference's core operator (weighted
+    conservative-update point estimates, src/sketch.cpp:136-161)
+    maintained over FORWARD-DECAYED integer weights instead of raw counts
+    — the sketch-native realization of "recent activity matters more"
+    (the weight quantization and landmark rule are shared with the exact
+    `analytics.decayed_heavy_users`, which is this query's oracle-gated
+    twin).
+
+    ONE events pass: each batch pre-aggregates (user, Σ integer decayed
+    weight) and feeds a weighted CU partial; partials merge shuffle-free.
+    Weighted CU never undercounts, so every estimate ≥ the exact decayed
+    weight (pinned in pytest). Probes the exact twin's heavy users plus
+    known-absent keys. Returns (user_id, est_decayed, decayed_score)."""
+    from ..kernels.countmin import CountMinCU
+    from ..pipelines._sqlgen import DECAY_SCALE, decay_weights
+    from ..pipelines._util import parquet_minmax
+    from ..pipelines.analytics import decayed_heavy_users
+
+    _, tmax = parquet_minmax(f"{sf_dir}/events.parquet", "ts")
+    t_day = np.datetime64(tmax, "D")
+    weights = decay_weights(half_life_days)
+    seed = 42
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = CountMinCU(depth=4, width=width, seed=seed)
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        age = (t_day - day).astype(np.int64)
+        w = np.where((age >= 0) & (age < len(weights)),
+                     weights[np.clip(age, 0, len(weights) - 1)], 0)
+        t = pa.table({"u": batch["user_id"],
+                      "w": pa.array(w.astype(np.int64))})
+        g = t.group_by("u").aggregate([("w", "sum")]) \
+            .rename_columns(["u", "ws"])
+        sk.update(g["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+                  g["ws"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"partial": pa.array([sk.to_bytes()],
+                                             pa.large_binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    sk = CountMinCU(depth=4, width=width, seed=seed)
+    for raw in parts["partial"]:
+        sk.merge(CountMinCU.from_bytes(bytes(raw)))
+
+    heavy = decayed_heavy_users(sf_dir, half_life_days).to_pandas()
+    probes = heavy["user_id"].to_numpy(np.int64)
+    est = sk.query(probes) if len(probes) else np.array([], np.int64)
+    return pa.table({
+        "user_id": pa.array(probes, pa.int64()),
+        "est_decayed": pa.array(
+            np.asarray(round_half_away(
+                np.asarray(est, np.float64) / float(DECAY_SCALE), 6),
+                np.float64), pa.float64()),
+        "decayed_score": pa.array(heavy["decayed_score"].to_numpy(np.float64),
+                                  pa.float64()),
+    })

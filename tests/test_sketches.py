@@ -1255,3 +1255,17 @@ class TestPrioritySample:
         assert abs(float(est["est_revenue"].sum()) - W) \
             < 5 * W / np.sqrt(255)
         assert int(est["n_sampled"].sum()) == 256
+
+
+def test_decayed_cmcu_never_undercounts(ray_session):
+    """Time-decayed CM-CU: weighted CU over integer forward-decay weights
+    never undercounts the exact decayed score (twin: decayed_heavy_users),
+    and at a narrow width still upper-bounds it."""
+    from sketch_ray.pipelines.sketch_queries import decayed_cmcu_user_estimates
+
+    sf = "/root/testdata/sf0.001"
+    out = decayed_cmcu_user_estimates(sf).to_pandas()
+    assert len(out) > 0
+    assert (out["est_decayed"] >= out["decayed_score"] - 1e-9).all()
+    narrow = decayed_cmcu_user_estimates(sf, width=1 << 6).to_pandas()
+    assert (narrow["est_decayed"] >= narrow["decayed_score"] - 1e-9).all()
