@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the oracle-gated decayed_heavy_users
         "decayed_cmcu_user_estimates":
             sketch_queries.decayed_cmcu_user_estimates,
+        # r5: grouped theta set-ops — per-lang bottom-k states, pairwise
+        # overlap estimates; exact twin = the oracle-gated
+        # lang_token_overlap
+        "lang_overlap_estimates": sketch_queries.lang_overlap_estimates,
         # source-format parity (r5): the SAME aggregations over JSONL/CSV
         # round-trips of the gate tables (sources/textio, Ray-native
         # write_json/read_json + write_csv/read_csv) — hash-gated against

@@ -832,3 +832,50 @@ def decayed_cmcu_user_estimates(sf_dir: str, half_life_days: int = 30,
         "decayed_score": pa.array(heavy["decayed_score"].to_numpy(np.float64),
                                   pa.float64()),
     })
+
+
+def lang_overlap_estimates(sf_dir: str, k: int = 4096) -> pa.Table:
+    """Per-language vocabulary overlap from GROUPED theta sketches: one
+    ``groupby(lang).aggregate(SketchAgg(bottomk))`` pass builds a KB-sized
+    coordinated bottom-k state per language; every pairwise
+    union/intersection/Jaccard estimate then comes from theta set ops on
+    the driver (Dasgupta et al. 2016) — the sketch answer to the exact
+    oracle-gated twin `analytics.lang_token_overlap`, which shuffles the
+    full distinct (token, lang) relation. At 10^12 docs the exact path's
+    vocab-bounded fold still moves the whole vocabulary; this one moves
+    L×k hashes. Exact whenever both sides are unsaturated (theta = 1).
+    Returns (lang_a, lang_b, est_common, est_union, est_jaccard) ordered
+    by the pair."""
+    from ..kernels.base import sketch_from_bytes
+    from ..kernels.bottomk import theta_set_ops
+    from ..stages.agg import SketchAgg
+    from ..stages.sketch_build import SketchSpec
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    spec = SketchSpec("v", "bottomk", "text", mode="tokens",
+                      params={"k": int(k), "seed": 42})
+    rows = (ds.groupby("lang")
+            .aggregate(SketchAgg(spec, alias_name="state",
+                                 finalize="bytes"))).to_pandas()
+    rows = rows.sort_values("lang").reset_index(drop=True)
+    langs = rows["lang"].astype(str).tolist()
+    sks = [sketch_from_bytes(b) for b in rows["state"]]
+
+    la, lb, common, union, jac = [], [], [], [], []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            ops = theta_set_ops(sks[i], sks[j])
+            la.append(langs[i])
+            lb.append(langs[j])
+            common.append(float(round_half_away(ops["est_intersect"], 2)))
+            union.append(float(round_half_away(ops["est_union"], 2)))
+            jac.append(float(round_half_away(
+                ops["est_intersect"] / ops["est_union"], 6))
+                if ops["est_union"] > 0 else 0.0)
+    return pa.table({
+        "lang_a": pa.array(la, pa.string()),
+        "lang_b": pa.array(lb, pa.string()),
+        "est_common": pa.array(common, pa.float64()),
+        "est_union": pa.array(union, pa.float64()),
+        "est_jaccard": pa.array(jac, pa.float64()),
+    })

@@ -162,3 +162,31 @@ def test_windowed_value_quantiles_accuracy(ray_session):
             r = np.searchsorted(vals, row["est_value"], side="right")
             assert abs(r - row["q"] * n) <= max(0.12 * n, 3), \
                 (day, row["q"], r, n)
+
+
+def test_lang_overlap_estimates_vs_exact(ray_session):
+    """Grouped theta set ops: unsaturated k ⇒ exact equality with the
+    oracle-gated lang_token_overlap; saturated k stays within the
+    ~1/sqrt(k) theta envelope on jaccard."""
+    import numpy as np
+    import pandas as pd
+
+    from sketch_ray.pipelines.analytics import lang_token_overlap
+    from sketch_ray.pipelines.sketch_queries import lang_overlap_estimates
+
+    sf = "/root/testdata/sf0.001"
+    ex = lang_token_overlap(sf).to_pandas()
+    big = lang_overlap_estimates(sf, k=1_000_000).to_pandas()
+    m = big.merge(ex, on=["lang_a", "lang_b"])
+    assert len(m) == len(ex) == len(big)
+    assert np.allclose(m["est_common"], m["n_common"])
+    assert np.allclose(m["est_union"], m["n_union"])
+    assert np.allclose(m["est_jaccard"], m["jaccard"], atol=1e-6)
+
+    small = lang_overlap_estimates(sf, k=256).to_pandas()
+    ms = small.merge(ex, on=["lang_a", "lang_b"])
+    assert (np.abs(ms["est_jaccard"] - ms["jaccard"])
+            <= 5.0 / np.sqrt(256) + 1e-9).all()
+    # deterministic across reruns
+    again = lang_overlap_estimates(sf, k=256).to_pandas()
+    pd.testing.assert_frame_equal(small, again)
