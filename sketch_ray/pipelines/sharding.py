@@ -416,3 +416,124 @@ def train_val_test_split(sf_dir: str, seed: int = 23,
     return pa.table({"lang": pa.array(g["lang"], pa.string()),
                      "split": pa.array(g["split"], pa.string()),
                      "n_docs": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+
+def compact_parquet_dir(in_dir: str, out_dir: str,
+                        rows_per_file: int = 100_000,
+                        resume: bool = False) -> dict:
+    """Small-files compaction: rewrite a (possibly thousand-file) parquet
+    directory into bounded-row output files — the janitor operator every
+    long-lived 100 TB corpus needs after incremental appends / per-shard
+    writers leave it fragmented. Streaming, content-preserving and
+    verifiable:
+
+    - ONE ``read_parquet(dir)`` stream re-batched to ``rows_per_file``
+      rows per output file (Ray's streaming executor coalesces the small
+      inputs; nothing materializes);
+    - files land atomically (tmp + rename) as ``part-NNNNN.parquet`` with
+      a ``_DONE.json`` manifest (input fingerprint, row/file counts)
+      written LAST — ``resume=True`` returns immediately when the marker
+      matches the current input fingerprint (file names + sizes + mtimes:
+      a changed input re-compacts);
+    - the manifest carries an ORDER-INVARIANT content digest
+      (mod-2^64 sum of row hashes over ALL columns via the stable row
+      fingerprint of `_row_digest`) computed on the WRITTEN files, and
+      `verify_compaction` recomputes the same digest over the input —
+      byte-level proof the rewrite lost and changed nothing, independent
+      of row order and file boundaries.
+
+    Returns the manifest dict (n_rows, n_files_in, n_files_out, digest).
+    """
+    import glob as _glob
+    import json as _json
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    files = sorted(_glob.glob(os.path.join(in_dir, "**", "*.parquet"),
+                              recursive=True))
+    if not files:
+        raise ValueError(f"no parquet files under {in_dir}")
+    fp = [(os.path.relpath(f, in_dir), os.path.getsize(f),
+           os.stat(f).st_mtime_ns) for f in files]
+    marker = os.path.join(out_dir, "_DONE.json")
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            m = _json.load(f)
+        if m.get("input_fingerprint") == [list(x) for x in fp] \
+                and m.get("rows_per_file") == rows_per_file:
+            return m
+    os.makedirs(out_dir, exist_ok=True)
+    for old in _glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        os.remove(old)
+
+    ds = rd.read_parquet(files)
+    n_rows = 0
+    n_out = 0
+    digest = 0  # python int, reduced mod 2^64 per batch
+    # iter_batches streams: one bounded-row file at a time is in memory
+    for batch in ds.iter_batches(batch_size=rows_per_file,
+                                 batch_format="pyarrow"):
+        tmp = os.path.join(out_dir, f".part-{n_out:05d}.tmp")
+        dst = os.path.join(out_dir, f"part-{n_out:05d}.parquet")
+        _pq.write_table(batch, tmp)
+        os.replace(tmp, dst)
+        digest = (digest + int(_row_digest(batch))) % (1 << 64)
+        n_rows += batch.num_rows
+        n_out += 1
+    manifest = {
+        "n_rows": int(n_rows),
+        "n_files_in": len(files),
+        "n_files_out": int(n_out),
+        "rows_per_file": int(rows_per_file),
+        "digest": int(digest),  # unsigned 0..2^64-1; JSON bigint
+        "input_fingerprint": [list(x) for x in fp],
+    }
+    tmp = os.path.join(out_dir, "._DONE.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, indent=1)
+    os.replace(tmp, marker)
+    return manifest
+
+
+def _row_digest(batch: "pa.Table") -> np.uint64:
+    """Order-invariant content digest of a batch: mod-2^64 sum of per-row
+    fingerprints, each the splitmix64-chained hash of EVERY column's
+    string rendering (stable across file boundaries and row order — the
+    corpus_checksum discipline generalized to arbitrary schemas)."""
+    from ..kernels.hashing import hash_arrow_strings, splitmix64
+
+    acc = np.zeros(batch.num_rows, np.uint64)
+    for i, name in enumerate(sorted(batch.column_names)):
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hash_arrow_strings(col.cast(pa.string()), seed=i + 1)
+        acc = splitmix64(acc ^ h)
+    return acc.sum(dtype=np.uint64)
+
+
+def verify_compaction(in_dir: str, out_dir: str) -> bool:
+    """Recompute the order-invariant digest over the INPUT directory and
+    compare with the compaction manifest — True iff the rewrite preserved
+    every row exactly (any dropped/duplicated/altered row changes the
+    mod-2^64 sum)."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "_DONE.json")) as f:
+        manifest = _json.load(f)
+    files = sorted(_glob.glob(os.path.join(in_dir, "**", "*.parquet"),
+                              recursive=True))
+    digest = 0
+    n = 0
+    for batch in rd.read_parquet(files).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        digest = (digest + int(_row_digest(batch))) % (1 << 64)
+        n += batch.num_rows
+    return bool(n == manifest["n_rows"]
+                and int(digest) == int(manifest["digest"]))

@@ -244,3 +244,75 @@ def test_train_val_test_split_determinism_and_branches(ray_session):
     # different seed -> different assignment (with overwhelming probability)
     d = train_val_test_split(sf, seed=99).to_pandas()
     assert not a.equals(d)
+
+
+class TestCompaction:
+    """compact_parquet_dir: the small-files janitor — bounded-row rewrite,
+    atomic + resumable, digest-verified lossless."""
+
+    def _shards(self, tmp_path, ray_session):
+        import glob
+
+        from sketch_ray.pipelines.sharding import write_training_shards
+
+        d = str(tmp_path / "shards")
+        write_training_shards(SF, d, n_shards=16, rows_per_file=20)
+        return d, sorted(glob.glob(f"{d}/**/*.parquet", recursive=True))
+
+    def test_lossless_bounded_and_verified(self, tmp_path, ray_session):
+        import pyarrow.parquet as pq
+
+        from sketch_ray.pipelines.sharding import (compact_parquet_dir,
+                                                   verify_compaction)
+
+        d, files = self._shards(tmp_path, ray_session)
+        out = str(tmp_path / "out")
+        m = compact_parquet_dir(d, out, rows_per_file=200)
+        assert m["n_files_in"] == len(files) > m["n_files_out"]
+        n_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        assert m["n_rows"] == n_in
+        import glob
+
+        outs = sorted(glob.glob(f"{out}/part-*.parquet"))
+        assert len(outs) == m["n_files_out"]
+        assert all(pq.ParquetFile(f).metadata.num_rows <= 200 for f in outs)
+        assert verify_compaction(d, out)
+
+    def test_resume_skips_and_tamper_recompacts(self, tmp_path, ray_session):
+        import json
+        import os
+
+        from sketch_ray.pipelines.sharding import compact_parquet_dir
+
+        d, files = self._shards(tmp_path, ray_session)
+        out = str(tmp_path / "out")
+        m1 = compact_parquet_dir(d, out, rows_per_file=200)
+        mtime = os.stat(f"{out}/_DONE.json").st_mtime_ns
+        m2 = compact_parquet_dir(d, out, rows_per_file=200, resume=True)
+        assert m2 == m1
+        assert os.stat(f"{out}/_DONE.json").st_mtime_ns == mtime
+        # touching an input invalidates the fingerprint -> recompaction
+        os.utime(files[0])
+        m3 = compact_parquet_dir(d, out, rows_per_file=200, resume=True)
+        assert os.stat(f"{out}/_DONE.json").st_mtime_ns != mtime
+        assert m3["digest"] == m1["digest"]  # content unchanged
+
+    def test_digest_detects_row_change(self, tmp_path, ray_session):
+        import pyarrow.parquet as pq
+
+        from sketch_ray.pipelines.sharding import (compact_parquet_dir,
+                                                   verify_compaction)
+
+        d, files = self._shards(tmp_path, ray_session)
+        out = str(tmp_path / "out")
+        compact_parquet_dir(d, out, rows_per_file=200)
+        # corrupt one INPUT row after compaction: verification must fail
+        t = pq.read_table(files[0])
+        col = t.column_names.index("doc_id")
+        import pyarrow as pa_
+
+        ids = t["doc_id"].to_pylist()
+        ids[0] = ids[0] + 10 ** 9
+        t = t.set_column(col, "doc_id", pa_.array(ids, t.schema[col].type))
+        pq.write_table(t, files[0])
+        assert not verify_compaction(d, out)
