@@ -818,6 +818,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(e, (q + 1) * 512) - greatest(s, q * 512) AS BIGINT) AS n_toks
         FROM x ORDER BY seq_id, seq_start
     """
+    # lang_overlap_estimates: the FULL grouped theta-sketch computation
+    # rendered in SQL (kmv/simhash tradition): engine token hash (seed 42)
+    # -> per-lang distinct hashes -> per-lang threshold T (k-th smallest,
+    # or 2^64 unsaturated; HUGEINT — float64 can't hold u64 hashes, the
+    # theta-cut house rule) -> per-pair cut at least(Ta, Tb) -> counts /
+    # theta with the IDENTICAL double-division order as
+    # kernels/bottomk.theta_set_ops. AS MATERIALIZED pins the shared CTEs
+    # (DuckDB 1.0 re-inlines per reference — the triangles lesson).
+    _LO_K = 4096
+    _TWO64 = "18446744073709551616"
+    lo_ctes, lo_f = string_hash_ctes(
+        "lo", "(SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS s"
+              " FROM documents)", "s", "h", ["lang"], seed=42)
+    lang_overlap_est_sql = f"""
+        WITH {lo_ctes},
+        lh AS MATERIALIZED (SELECT DISTINCT lang, h FROM {lo_f}),
+        ranked AS MATERIALIZED (
+            SELECT lang, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
+                   count(*) OVER (PARTITION BY lang) AS nd
+            FROM lh),
+        th AS MATERIALIZED (
+            SELECT lang,
+                   CASE WHEN max(nd) < {_LO_K}
+                        THEN CAST({_TWO64} AS HUGEINT)
+                        ELSE CAST(max(CASE WHEN r = {_LO_K} THEN h END)
+                                  AS HUGEINT) END AS t
+            FROM ranked GROUP BY lang),
+        pairs AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b, least(ta.t, tb.t) AS t
+            FROM th ta JOIN (SELECT DISTINCT lang FROM lh) a
+                   ON ta.lang = a.lang
+            JOIN (SELECT DISTINCT lang FROM lh) b ON a.lang < b.lang
+            JOIN th tb ON tb.lang = b.lang),
+        counts AS (
+            SELECT p.lang_a, p.lang_b, p.t,
+                   (SELECT count(*) FROM lh x WHERE x.lang = p.lang_a
+                      AND CAST(x.h AS HUGEINT) < p.t) AS na,
+                   (SELECT count(*) FROM lh x WHERE x.lang = p.lang_b
+                      AND CAST(x.h AS HUGEINT) < p.t) AS nb,
+                   (SELECT count(*) FROM lh x JOIN lh y ON x.h = y.h
+                     WHERE x.lang = p.lang_a AND y.lang = p.lang_b
+                       AND CAST(x.h AS HUGEINT) < p.t) AS ni
+            FROM pairs p),
+        est AS (
+            SELECT lang_a, lang_b,
+                   CAST(ni AS DOUBLE)
+                       / (CAST(t AS DOUBLE) / {_TWO64}.0) AS ei,
+                   CAST(na + nb - ni AS DOUBLE)
+                       / (CAST(t AS DOUBLE) / {_TWO64}.0) AS eu
+            FROM counts)
+        SELECT lang_a, lang_b,
+               round(ei, 2) AS est_common, round(eu, 2) AS est_union,
+               CASE WHEN eu > 0 THEN round(ei / eu, 6) ELSE 0.0 END
+                   AS est_jaccard
+        FROM est ORDER BY lang_a, lang_b
+    """
     # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
     # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
     # (string hash via _sqlgen.string_hash_ctes; same double arithmetic)
@@ -1517,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_assignments": shard_sql,
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,
+        "lang_overlap_estimates": lang_overlap_est_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,
