@@ -875,6 +875,47 @@ def oracle_sql() -> dict[str, str]:
                    AS est_jaccard
         FROM est ORDER BY lang_a, lang_b
     """
+    # priority_sample_revenue: the FULL priority-sampling computation
+    # rendered in SQL — hash_ints(o_orderkey, 42) via splitmix64_ctes with
+    # the _seed_basis literal, priority q = w/((h+1)/2^64) in the
+    # identical double-operation order as kernels/prisample._priority,
+    # (q DESC, h) cut at k, tau = q_(k+1), per-item integer-cents
+    # quantization, integer per-nation fold, ONE mirrored division
+    _PS_K = 512
+    from sketch_ray.kernels.hashing import _seed_basis as _psb
+    _ps_basis = int(_psb(42))
+    ps_ctes, ps_f = splitmix64_ctes(
+        "ps", "(SELECT o_orderkey,"
+              " CAST(round(o_totalprice * 100) AS BIGINT) AS w,"
+              f" xor(CAST(o_orderkey AS UBIGINT), {_ps_basis}) AS k"
+              " FROM orders)", "k", "h", ["o_orderkey", "w"])
+    priority_sample_sql = f"""
+        WITH {ps_ctes},
+        pri AS MATERIALIZED (
+            SELECT o_orderkey, w, h,
+                   CAST(w AS DOUBLE)
+                       / ((CAST(h AS DOUBLE) + 1.0) / {_TWO64}.0) AS q
+            FROM {ps_f}),
+        ranked AS MATERIALIZED (
+            SELECT *, row_number() OVER (ORDER BY q DESC, h) AS r
+            FROM pri),
+        tau AS (SELECT COALESCE(max(CASE WHEN r = {_PS_K + 1} THEN q END),
+                                0.0) AS t FROM ranked),
+        samp AS (
+            SELECT o_orderkey,
+                   CAST(round(greatest(CAST(w AS DOUBLE),
+                                       (SELECT t FROM tau))) AS BIGINT)
+                       AS ec
+            FROM ranked WHERE r <= {_PS_K}),
+        dec AS (
+            SELECT n.n_name AS nation, s.ec
+            FROM samp s JOIN orders o ON s.o_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        SELECT nation, CAST(count(*) AS BIGINT) AS n_sampled,
+               round(CAST(sum(ec) AS DOUBLE) / 100.0, 2) AS est_revenue
+        FROM dec GROUP BY 1 ORDER BY 1
+    """
     # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
     # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
     # (string hash via _sqlgen.string_hash_ctes; same double arithmetic)
@@ -1575,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": pack_sql,
         "kmv_sample_sources": kmv_sql,
         "lang_overlap_estimates": lang_overlap_est_sql,
+        "priority_sample_revenue": priority_sample_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,

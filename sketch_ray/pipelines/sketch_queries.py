@@ -703,6 +703,13 @@ def priority_sample_revenue(sf_dir: str, k: int = 512,
     The sample-bounded decoration reads ONLY the sampled orders back via
     predicate pushdown (knn_label_vote discipline). Estimates are exact
     (tau = 0) while the table holds ≤ k orders — pinned in pytest.
+
+    Per-item estimates are QUANTIZED to integer cents
+    (``round_half_away(max(w, tau), 0)``) before the per-nation sum, so
+    the fold is exact integers with ONE mirrored division at the end
+    (house float discipline) — which makes the whole sampling query
+    exact-ORACLE-gatable: the SQL renders the identical hash, priority
+    double-arithmetic, (q DESC, h) cut, tau and quantization.
     Returns (nation, n_sampled, est_revenue) ordered by nation."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq_mod
@@ -754,11 +761,13 @@ def priority_sample_revenue(sf_dir: str, k: int = 512,
     custkey = oc_s[order][pos]
     natkey = cn[custkey]
 
+    est_c = np.asarray(round_half_away(est_w, 0), np.float64) \
+        .astype(np.int64)  # integer-cents quantization: exact fold
     df = pd.DataFrame({
         "nation": [nmap.get(int(x), "?") for x in natkey],
-        "est": est_w})
+        "est_c": est_c})
     g = df.groupby("nation", as_index=False).agg(
-        n_sampled=("est", "size"), est_cents=("est", "sum"))
+        n_sampled=("est_c", "size"), est_cents=("est_c", "sum"))
     g = g.sort_values("nation").reset_index(drop=True)
     return pa.table({
         "nation": pa.array(g["nation"], pa.string()),
@@ -766,7 +775,7 @@ def priority_sample_revenue(sf_dir: str, k: int = 512,
                               pa.int64()),
         "est_revenue": pa.array(
             np.asarray(round_half_away(
-                g["est_cents"].to_numpy(np.float64) / 100.0, 2),
+                g["est_cents"].to_numpy(np.int64) / 100.0, 2),
                 np.float64), pa.float64()),
     })
 
