@@ -916,6 +916,71 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(ec) AS DOUBLE) / 100.0, 2) AS est_revenue
         FROM dec GROUP BY 1 ORDER BY 1
     """
+    # lincount_cardinalities: the bitmap estimator rendered in SQL — the
+    # set-bit count is count(DISTINCT engine_hash % m) over each column's
+    # distinct values (Arrow int columns hash through the STRING cast —
+    # the mode="column" probe rule), the -m·ln(V) estimator mirrored with
+    # the identical float ops and 2dp half-away rounding
+    _LC_M = 1 << 16
+    _lc_parts = []
+    _lc_ctes = []
+    for _i, (_colname, _src) in enumerate([
+            ("documents.source",
+             "(SELECT DISTINCT CAST(source AS VARCHAR) AS s FROM documents)"),
+            ("events.event_type",
+             "(SELECT DISTINCT CAST(event_type AS VARCHAR) AS s FROM events)"),
+            ("events.user_id",
+             "(SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events)")]):
+        _c, _f = string_hash_ctes(f"lc{_i}", _src, "s", "h", ["s"], seed=42)
+        _lc_ctes.append(_c)
+        _lc_parts.append(
+            f"SELECT '{_colname}' AS col,"
+            f" count(DISTINCT h % {_LC_M}) AS ns FROM {_f}")
+    lincount_sql = f"""
+        WITH {", ".join(_lc_ctes)},
+        sel AS ({" UNION ALL ".join(_lc_parts)})
+        SELECT col AS "column",
+               CASE WHEN {_LC_M} - ns <= 0
+                    THEN round({_LC_M}.0 * ln({_LC_M}.0), 2)
+                    ELSE round(-{_LC_M}.0
+                               * ln(({_LC_M}.0 - ns) / {_LC_M}.0), 2)
+               END AS est,
+               CAST(ns AS BIGINT) AS n_set_bits
+        FROM sel ORDER BY "column"
+    """
+    # bloom_membership: the FULL Bloom filter rendered in SQL — corpus bit
+    # positions are the Kirsch–Mitzenmacher double-hash family
+    # pos_j = (h1 + j·(splitmix64(h1)|1)) mod 2^64 mod n_bits over every
+    # distinct token; a probe is maybe-present iff ALL its k positions
+    # exist in that set (bit-for-bit the kernel's contains())
+    _BM_BITS = 1 << 20
+    _bm_probes = ["the", "data", "join", "absent_key_1", "absent_key_2",
+                  "zz_never"]
+    bm_c1, bm_f1 = string_hash_ctes(
+        "bm", "(SELECT DISTINCT unnest(string_split(text, ' ')) AS s"
+              " FROM documents)", "s", "h1", ["s"], seed=42)
+    bm_c2, bm_f2 = splitmix64_ctes("bmx", bm_f1, "h1", "h2", ["s", "h1"])
+    _probe_rows = " UNION ALL ".join(f"SELECT '{p}' AS s"
+                                     for p in _bm_probes)
+    bp_c1, bp_f1 = string_hash_ctes("bp", f"({_probe_rows})", "s", "h1",
+                                    ["s"], seed=42)
+    bp_c2, bp_f2 = splitmix64_ctes("bpx", bp_f1, "h1", "h2", ["s", "h1"])
+    _bm_pos = ("CAST(((CAST(h1 AS HUGEINT)"
+               " + j * CAST((h2 | CAST(1 AS UBIGINT)) AS HUGEINT))"
+               f" % {_TWO64}) % {_BM_BITS} AS BIGINT)")
+    bloom_membership_sql = f"""
+        WITH {bm_c1}, {bm_c2}, {bp_c1}, {bp_c2},
+        cpos AS MATERIALIZED (
+            SELECT DISTINCT {_bm_pos} AS pos
+            FROM {bm_f2}, range(0, 7) t(j)),
+        ppos AS (
+            SELECT s, j, {_bm_pos} AS pos
+            FROM {bp_f2}, range(0, 7) t(j))
+        SELECT p.s AS key,
+               bool_and(EXISTS (SELECT 1 FROM cpos c WHERE c.pos = p.pos))
+                   AS maybe_present
+        FROM ppos p GROUP BY 1 ORDER BY 1
+    """
     # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
     # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
     # (string hash via _sqlgen.string_hash_ctes; same double arithmetic)
@@ -1617,6 +1682,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_sample_sources": kmv_sql,
         "lang_overlap_estimates": lang_overlap_est_sql,
         "priority_sample_revenue": priority_sample_sql,
+        "lincount_cardinalities": lincount_sql,
+        "bloom_membership": bloom_membership_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,
