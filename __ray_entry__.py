@@ -981,6 +981,92 @@ def oracle_sql() -> dict[str, str]:
                    AS maybe_present
         FROM ppos p GROUP BY 1 ORDER BY 1
     """
+    # cm_join_size: BOTH vanilla CM sketches rendered in SQL — per-side
+    # per-key counts → Kirsch–Mitzenmacher cells (h1 + j·(splitmix64(h1)|1)
+    # mod 2^64 masked to the power-of-2 width) → per-(width, row) dot
+    # products → min over rows. All integers: the join-size estimate is
+    # value-hash-exact (Cormode–Muthukrishnan §4.2)
+    cj_a1, cj_af = string_hash_ctes(
+        "cja", "(SELECT CAST(user_id AS VARCHAR) AS s, count(*) AS c"
+               " FROM events GROUP BY 1)", "s", "h1", ["c"], seed=42)
+    cj_a2, cj_af2 = splitmix64_ctes("cjax", cj_af, "h1", "h2", ["c", "h1"])
+    cj_b1, cj_bf = string_hash_ctes(
+        "cjb", "(SELECT CAST(o_custkey AS VARCHAR) AS s, count(*) AS c"
+               " FROM orders GROUP BY 1)", "s", "h1", ["c"], seed=42)
+    cj_b2, cj_bf2 = splitmix64_ctes("cjbx", cj_bf, "h1", "h2", ["c", "h1"])
+    _cj_cell = ("((CAST(h1 AS HUGEINT)"
+                " + t.j * CAST((h2 | CAST(1 AS UBIGINT)) AS HUGEINT))"
+                f" % {_TWO64}) % w.width")
+    cm_join_size_sql = f"""
+        WITH {cj_a1}, {cj_a2}, {cj_b1}, {cj_b2},
+        widths(width) AS (VALUES (4096), (65536)),
+        cella AS MATERIALIZED (
+            SELECT w.width, t.j, {_cj_cell} AS cell, sum(c) AS v
+            FROM {cj_af2}, range(0, 4) t(j), widths w
+            GROUP BY 1, 2, 3),
+        cellb AS MATERIALIZED (
+            SELECT w.width, t.j, {_cj_cell} AS cell, sum(c) AS v
+            FROM {cj_bf2}, range(0, 4) t(j), widths w
+            GROUP BY 1, 2, 3),
+        dots AS (
+            SELECT a.width, a.j, sum(a.v * b.v) AS d
+            FROM cella a JOIN cellb b
+              ON a.width = b.width AND a.j = b.j AND a.cell = b.cell
+            GROUP BY 1, 2)
+        SELECT CAST(width AS BIGINT) AS width,
+               CAST(min(d) AS BIGINT) AS est_pairs
+        FROM dots GROUP BY 1 ORDER BY 1
+    """
+    # kmv_set_ops: the two-stream theta-sketch set algebra rendered in SQL
+    # (same machinery as lang_overlap_estimates, over events.user_id vs
+    # orders.o_custkey with k=2048) — the estimates themselves value-hash
+    _KS_K = 2048
+    ks_a1, ks_af = string_hash_ctes(
+        "ksa", "(SELECT DISTINCT CAST(user_id AS VARCHAR) AS s"
+               " FROM events)", "s", "h", ["s"], seed=42)
+    ks_b1, ks_bf = string_hash_ctes(
+        "ksb", "(SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS s"
+               " FROM orders)", "s", "h", ["s"], seed=42)
+    kmv_set_ops_sql = f"""
+        WITH {ks_a1}, {ks_b1},
+        da AS MATERIALIZED (SELECT DISTINCT h FROM {ks_af}),
+        db AS MATERIALIZED (SELECT DISTINCT h FROM {ks_bf}),
+        ra AS (SELECT h, row_number() OVER (ORDER BY h) AS r,
+                      count(*) OVER () AS nd FROM da),
+        rb AS (SELECT h, row_number() OVER (ORDER BY h) AS r,
+                      count(*) OVER () AS nd FROM db),
+        tt AS MATERIALIZED (SELECT least(
+            (SELECT CASE WHEN max(nd) < {_KS_K}
+                         THEN CAST({_TWO64} AS HUGEINT)
+                         ELSE CAST(max(CASE WHEN r = {_KS_K} THEN h END)
+                                   AS HUGEINT) END FROM ra),
+            (SELECT CASE WHEN max(nd) < {_KS_K}
+                         THEN CAST({_TWO64} AS HUGEINT)
+                         ELSE CAST(max(CASE WHEN r = {_KS_K} THEN h END)
+                                   AS HUGEINT) END FROM rb)) AS t),
+        counts AS (SELECT
+            (SELECT count(*) FROM da
+              WHERE CAST(h AS HUGEINT) < (SELECT t FROM tt)) AS na,
+            (SELECT count(*) FROM db
+              WHERE CAST(h AS HUGEINT) < (SELECT t FROM tt)) AS nb,
+            (SELECT count(*) FROM da x JOIN db y ON x.h = y.h
+              WHERE CAST(x.h AS HUGEINT) < (SELECT t FROM tt)) AS ni),
+        est AS (SELECT na, nb, ni, na + nb - ni AS nu,
+                       CAST((SELECT t FROM tt) AS DOUBLE) / {_TWO64}.0
+                           AS theta
+                FROM counts)
+        SELECT round(CAST(na AS DOUBLE) / theta, 6) AS est_a,
+               round(CAST(nb AS DOUBLE) / theta, 6) AS est_b,
+               round(CAST(nu AS DOUBLE) / theta, 6) AS est_union,
+               round(CAST(ni AS DOUBLE) / theta, 6) AS est_intersect,
+               round(CAST(na - ni AS DOUBLE) / theta, 6) AS est_only_a,
+               round(CAST(nb - ni AS DOUBLE) / theta, 6) AS est_only_b,
+               round(CASE WHEN nu > 0
+                          THEN CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE)
+                          ELSE 0.0 END, 6) AS jaccard,
+               round(theta, 6) AS theta
+        FROM est
+    """
     # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
     # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
     # (string hash via _sqlgen.string_hash_ctes; same double arithmetic)
@@ -1684,6 +1770,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_revenue": priority_sample_sql,
         "lincount_cardinalities": lincount_sql,
         "bloom_membership": bloom_membership_sql,
+        "cm_join_size": cm_join_size_sql,
+        "kmv_set_ops": kmv_set_ops_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,

@@ -261,10 +261,15 @@ def kmv_set_ops(sf_dir: str, k: int = 2048) -> pa.Table:
                        [SketchSpec("b", "bottomk", "o_custkey", mode="column",
                                    params={"k": int(k), "seed": 42})],
                        batch_size=16384)["b"]
+    from ._util import round6
+
     r = theta_set_ops(a, b)
     cols = ["est_a", "est_b", "est_union", "est_intersect",
             "est_only_a", "est_only_b", "jaccard", "theta"]
-    return pa.table({c: pa.array([round(float(r[c]), 6)], pa.float64()) for c in cols})
+    # round6 (half-away), not Python round (half-even): this query is
+    # value-hash-gated against a DuckDB rendering of the same theta cut
+    return pa.table({c: pa.array([float(round6(float(r[c])))], pa.float64())
+                     for c in cols})
 
 
 def hll_set_ops(sf_dir: str, p: int = 14) -> pa.Table:
