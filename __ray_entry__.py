@@ -1067,6 +1067,66 @@ def oracle_sql() -> dict[str, str]:
                round(theta, 6) AS theta
         FROM est
     """
+    # hll_cardinalities: the FULL HyperLogLog rendered in SQL — register =
+    # max rank per 14-bit bucket (rank from bin()-string leading-zero
+    # count of h<<p), the harmonic denominator as the EXACT integer
+    # rational Σ 2^(51−reg) (the kernel computes the identical bigint —
+    # float sums of 2^-reg would be register-order-dependent), alpha·m²
+    # as a shared literal, the small-range linear-counting branch mirrored
+    _HLL_P, _HLL_M, _HLL_MAXR = 14, 1 << 14, 64 - 14 + 1
+    _hll_alpha_m2 = repr((0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M)
+    _hll_pow_rows = ", ".join(f"({r}, {1 << (_HLL_MAXR - r)})"
+                              for r in range(1, _HLL_MAXR + 1))
+    _hll_parts, _hll_ctes = [], []
+    for _i, (_scope, _src) in enumerate([
+            ("documents.source",
+             "(SELECT DISTINCT CAST(source AS VARCHAR) AS s FROM documents)"),
+            ("documents.text",
+             "(SELECT DISTINCT CAST(text AS VARCHAR) AS s FROM documents)"),
+            ("events.event_type",
+             "(SELECT DISTINCT CAST(event_type AS VARCHAR) AS s FROM events)"),
+            ("events.user_id",
+             "(SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events)")]):
+        _c, _f = string_hash_ctes(f"hc{_i}", _src, "s", "h", ["s"], seed=42)
+        _hll_ctes.append(_c)
+        _hll_parts.append(f"""
+            SELECT '{_scope}' AS scope, idx, max(rank) AS reg FROM (
+                SELECT CAST(h // {1 << (64 - _HLL_P)} AS BIGINT) AS idx,
+                       least(64 - (CASE WHEN rest = 0 THEN 0
+                                        ELSE strlen(bin(rest)) END) + 1,
+                             {_HLL_MAXR}) AS rank
+                FROM (SELECT h,
+                             CAST((CAST(h AS HUGEINT) * {_HLL_M})
+                                  % {_TWO64} AS UBIGINT) AS rest
+                      FROM {_f})
+            ) GROUP BY 1, 2""")
+    hll_cardinalities_sql = f"""
+        WITH {", ".join(_hll_ctes)},
+        powt(r, pw) AS (VALUES {_hll_pow_rows}),
+        regs AS MATERIALIZED ({" UNION ALL ".join(_hll_parts)}),
+        agg AS (
+            SELECT scope,
+                   sum(CAST(p.pw AS HUGEINT)) AS num_cells,
+                   count(*) AS n_cells
+            FROM regs JOIN powt p ON p.r = regs.reg
+            GROUP BY 1),
+        est AS (
+            SELECT scope,
+                   {_HLL_M} - n_cells AS zeros,
+                   {_hll_alpha_m2}
+                       / (CAST(num_cells
+                               + ({_HLL_M} - n_cells)
+                                 * CAST({1 << _HLL_MAXR} AS HUGEINT)
+                               AS DOUBLE)
+                          / {float(1 << _HLL_MAXR)!r}) AS e
+            FROM agg)
+        SELECT scope,
+               CAST(round(CASE WHEN e <= {2.5 * _HLL_M!r} AND zeros > 0
+                               THEN {_HLL_M} * ln({float(_HLL_M)!r}
+                                                  / CAST(zeros AS DOUBLE))
+                               ELSE e END) AS BIGINT) AS estimate
+        FROM est ORDER BY scope
+    """
     # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
     # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
     # (string hash via _sqlgen.string_hash_ctes; same double arithmetic)
@@ -1772,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": bloom_membership_sql,
         "cm_join_size": cm_join_size_sql,
         "kmv_set_ops": kmv_set_ops_sql,
+        "hll_cardinalities": hll_cardinalities_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,

@@ -70,8 +70,17 @@ class HLL(SketchBase):
 
     def estimate(self) -> float:
         m = self.m
-        reg = self.registers.astype(np.float64)
-        e = self._alpha() * m * m / np.sum(np.exp2(-reg))
+        # the harmonic denominator Σ 2^-reg as an EXACT integer rational:
+        # num = Σ 2^(maxr − reg) (Python bigints via a rank bincount, ≤ 52
+        # terms), denom = num / 2^maxr — one correctly-rounded float64
+        # conversion instead of an order-dependent float sum. Exact,
+        # register-order-independent, and renderable in SQL value-for-value
+        # (the hll_cardinalities oracle recomputes the identical num)
+        maxr = 64 - self.p + 1
+        cnt = np.bincount(self.registers, minlength=maxr + 1)
+        num = sum(int(c) << (maxr - r)
+                  for r, c in enumerate(cnt.tolist()) if c)
+        e = self._alpha() * m * m / (float(num) / float(1 << maxr))
         if e <= 2.5 * m:
             zeros = int(np.count_nonzero(self.registers == 0))
             if zeros:

@@ -66,7 +66,11 @@ def hll_cardinalities(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "scope": pa.array(names, pa.string()),
-            "estimate": pa.array([round(all_sk[n].estimate()) for n in names], pa.int64()),
+            # half-away rounding (not Python round's half-even): this
+            # query is value-hash-gated against the SQL rendering
+            "estimate": pa.array(
+                [int(round_half_away(all_sk[n].estimate(), 0))
+                 for n in names], pa.int64()),
         }
     )
 
