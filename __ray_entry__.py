@@ -1127,6 +1127,70 @@ def oracle_sql() -> dict[str, str]:
                                ELSE e END) AS BIGINT) AS estimate
         FROM est ORDER BY scope
     """
+    # hll_set_ops: the same HLL rendering over two coordinated sides plus
+    # their register-max union; inclusion–exclusion floats mirrored
+    # left-assoc with the kernel's max(0.0, ...) clamps
+    _hso_ctes, _hso_regs = [], {}
+    for _side, _src in [
+            ("a", "(SELECT DISTINCT CAST(user_id AS VARCHAR) AS s"
+                  " FROM events)"),
+            ("b", "(SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS s"
+                  " FROM orders)")]:
+        _c, _f = string_hash_ctes(f"ho{_side}", _src, "s", "h", ["s"],
+                                  seed=42)
+        _hso_ctes.append(_c)
+        _hso_regs[_side] = f"""
+            regs{_side} AS MATERIALIZED (
+                SELECT idx, max(rank) AS reg FROM (
+                    SELECT CAST(h // {1 << (64 - _HLL_P)} AS BIGINT) AS idx,
+                           least(64 - (CASE WHEN rest = 0 THEN 0
+                                            ELSE strlen(bin(rest)) END) + 1,
+                                 {_HLL_MAXR}) AS rank
+                    FROM (SELECT h,
+                                 CAST((CAST(h AS HUGEINT) * {_HLL_M})
+                                      % {_TWO64} AS UBIGINT) AS rest
+                          FROM {_f})
+                ) GROUP BY 1)"""
+
+    def _hll_est(agg: str) -> str:
+        return f"""(SELECT CASE WHEN e <= {2.5 * _HLL_M!r} AND zeros > 0
+                         THEN {_HLL_M} * ln({float(_HLL_M)!r}
+                                            / CAST(zeros AS DOUBLE))
+                         ELSE e END
+            FROM (SELECT {_HLL_M} - nc AS zeros,
+                         {_hll_alpha_m2}
+                             / (CAST(num + ({_HLL_M} - nc)
+                                     * CAST({1 << _HLL_MAXR} AS HUGEINT)
+                                     AS DOUBLE)
+                                / {float(1 << _HLL_MAXR)!r}) AS e
+                  FROM {agg}))"""
+
+    hll_set_ops_sql = f"""
+        WITH {", ".join(_hso_ctes)},
+        powt(r, pw) AS (VALUES {_hll_pow_rows}),
+        {_hso_regs["a"]}, {_hso_regs["b"]},
+        regsu AS MATERIALIZED (
+            SELECT idx, max(reg) AS reg FROM (
+                SELECT * FROM regsa UNION ALL SELECT * FROM regsb)
+            GROUP BY 1),
+        agga AS (SELECT sum(CAST(p.pw AS HUGEINT)) AS num, count(*) AS nc
+                 FROM regsa JOIN powt p ON p.r = regsa.reg),
+        aggb AS (SELECT sum(CAST(p.pw AS HUGEINT)) AS num, count(*) AS nc
+                 FROM regsb JOIN powt p ON p.r = regsb.reg),
+        aggu AS (SELECT sum(CAST(p.pw AS HUGEINT)) AS num, count(*) AS nc
+                 FROM regsu JOIN powt p ON p.r = regsu.reg),
+        vals AS (SELECT {_hll_est("agga")} AS ea,
+                        {_hll_est("aggb")} AS eb,
+                        {_hll_est("aggu")} AS eu)
+        SELECT round(ea, 6) AS est_a, round(eb, 6) AS est_b,
+               round(eu, 6) AS est_union,
+               round(greatest(0.0, ea + eb - eu), 6) AS est_intersect,
+               round(greatest(0.0, ea - greatest(0.0, ea + eb - eu)), 6)
+                   AS est_only_a,
+               round(greatest(0.0, eb - greatest(0.0, ea + eb - eu)), 6)
+                   AS est_only_b
+        FROM vals
+    """
     # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
     # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
     # (string hash via _sqlgen.string_hash_ctes; same double arithmetic)
@@ -1833,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "cm_join_size": cm_join_size_sql,
         "kmv_set_ops": kmv_set_ops_sql,
         "hll_cardinalities": hll_cardinalities_sql,
+        "hll_set_ops": hll_set_ops_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,

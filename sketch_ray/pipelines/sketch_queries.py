@@ -295,16 +295,21 @@ def hll_set_ops(sf_dir: str, p: int = 14) -> pa.Table:
                        [SketchSpec("b", "hll", "o_custkey", mode="column",
                                    params={"p": int(p), "seed": 42})],
                        batch_size=16384)["b"]
+    from ._util import round6
+
     est_a, est_b = a.estimate(), b.estimate()
     est_union = a.merge(b).estimate()   # register-wise max; a is consumed
     est_inter = max(0.0, est_a + est_b - est_union)
+    # round6 (half-away): value-hash-gated against the SQL HLL rendering
     return pa.table({
-        "est_a": pa.array([round(est_a, 6)], pa.float64()),
-        "est_b": pa.array([round(est_b, 6)], pa.float64()),
-        "est_union": pa.array([round(est_union, 6)], pa.float64()),
-        "est_intersect": pa.array([round(est_inter, 6)], pa.float64()),
-        "est_only_a": pa.array([round(max(0.0, est_a - est_inter), 6)], pa.float64()),
-        "est_only_b": pa.array([round(max(0.0, est_b - est_inter), 6)], pa.float64()),
+        "est_a": pa.array([float(round6(est_a))], pa.float64()),
+        "est_b": pa.array([float(round6(est_b))], pa.float64()),
+        "est_union": pa.array([float(round6(est_union))], pa.float64()),
+        "est_intersect": pa.array([float(round6(est_inter))], pa.float64()),
+        "est_only_a": pa.array([float(round6(max(0.0, est_a - est_inter)))],
+                               pa.float64()),
+        "est_only_b": pa.array([float(round6(max(0.0, est_b - est_inter)))],
+                               pa.float64()),
     })
 
 
