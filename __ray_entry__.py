@@ -1191,6 +1191,71 @@ def oracle_sql() -> dict[str, str]:
                    AS est_only_b
         FROM vals
     """
+    # cs_moments / cs_join_size: CountSketch rendered in SQL — signed
+    # cells (sign = top bit of splitmix64(row_hash), cell = row_hash
+    # masked to the power-of-2 width), per-row Σv² / dot products, MEDIAN
+    # over the 5 (odd ⇒ integer-exact) rows via quantile_disc(0.5).
+    # All integers: both AMS estimates value-hash exactly.
+    def _cs_chain(prefix: str, src_counts: str) -> tuple[str, str]:
+        c1, f1 = string_hash_ctes(f"{prefix}s", src_counts, "s", "h1",
+                                  ["c"], seed=42)
+        c2, f2_ = splitmix64_ctes(f"{prefix}m", f1, "h1", "sm",
+                                  ["c", "h1"])
+        rh = (f"{prefix}r AS (SELECT c, j,"
+              f" CAST((CAST(h1 AS HUGEINT)"
+              f" + j * CAST((sm | CAST(1 AS UBIGINT)) AS HUGEINT))"
+              f" % {_TWO64} AS UBIGINT) AS rh"
+              f" FROM {f2_}, range(0, 5) t(j))")
+        c3, f3 = splitmix64_ctes(f"{prefix}g", f"{prefix}r", "rh", "s2",
+                                 ["c", "j", "rh"])
+        return f"{c1}, {c2}, {rh}, {c3}", f3
+
+    _cs_sign = "(1 - 2 * CAST(s2 // 9223372036854775808 AS BIGINT))"
+    csm_c, csm_f = _cs_chain(
+        "csm", "(SELECT CAST(user_id AS VARCHAR) AS s, count(*) AS c"
+               " FROM events GROUP BY 1)")
+    cs_moments_sql = f"""
+        WITH {csm_c},
+        widths(width) AS (VALUES (4096), (16384)),
+        cells AS MATERIALIZED (
+            SELECT w.width, j, rh % w.width AS cell,
+                   sum({_cs_sign} * c) AS v
+            FROM {csm_f}, widths w GROUP BY 1, 2, 3),
+        rows_ AS (SELECT width, j, sum(v * v) AS sq
+                  FROM cells GROUP BY 1, 2)
+        SELECT CAST(width AS BIGINT) AS width,
+               CAST(quantile_disc(sq, 0.5) AS BIGINT) AS f2_est
+        FROM rows_ GROUP BY 1 ORDER BY 1
+    """
+    csa_c, csa_f = _cs_chain(
+        "csa", "(SELECT CAST(user_id AS VARCHAR) AS s, count(*) AS c"
+               " FROM events GROUP BY 1)")
+    csb_c, csb_f = _cs_chain(
+        "csb", "(SELECT CAST(o_custkey AS VARCHAR) AS s, count(*) AS c"
+               " FROM orders GROUP BY 1)")
+    cs_join_size_sql = f"""
+        WITH {csa_c}, {csb_c},
+        widths(width) AS (VALUES (4096), (65536)),
+        cella AS MATERIALIZED (
+            SELECT w.width, j, rh % w.width AS cell,
+                   sum({_cs_sign} * c) AS v
+            FROM {csa_f}, widths w GROUP BY 1, 2, 3),
+        cellb AS MATERIALIZED (
+            SELECT w.width, j, rh % w.width AS cell,
+                   sum({_cs_sign} * c) AS v
+            FROM {csb_f}, widths w GROUP BY 1, 2, 3),
+        grid AS (SELECT w.width, t.j FROM widths w, range(0, 5) t(j)),
+        dots AS (
+            SELECT g.width, g.j, COALESCE(sum(a.v * b.v), 0) AS d
+            FROM grid g
+            LEFT JOIN cella a ON a.width = g.width AND a.j = g.j
+            LEFT JOIN cellb b ON b.width = a.width AND b.j = a.j
+                             AND b.cell = a.cell
+            GROUP BY 1, 2)
+        SELECT CAST(width AS BIGINT) AS width,
+               CAST(quantile_disc(d, 0.5) AS BIGINT) AS est_pairs
+        FROM dots GROUP BY 1 ORDER BY 1
+    """
     # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
     # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
     # (string hash via _sqlgen.string_hash_ctes; same double arithmetic)
@@ -1898,6 +1963,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_ops": kmv_set_ops_sql,
         "hll_cardinalities": hll_cardinalities_sql,
         "hll_set_ops": hll_set_ops_sql,
+        "cs_moments": cs_moments_sql,
+        "cs_join_size": cs_join_size_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,
