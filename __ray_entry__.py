@@ -1256,6 +1256,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(quantile_disc(d, 0.5) AS BIGINT) AS est_pairs
         FROM dots GROUP BY 1 ORDER BY 1
     """
+    # cbloom_turnstile_membership: the counting Bloom rendered in SQL —
+    # per-user NET count (every event +1, error events −1), counters =
+    # sums over the 4 KM positions, membership = all counters ≥ 1,
+    # est_count = min counter. mode="numeric" hashes the INT values
+    # (hash_ints = splitmix64(x ^ seed_basis)), not strings.
+    _CB_W, _CB_NP = 1 << 16, 200
+    cb_c1, cb_f1 = splitmix64_ctes(
+        "cbn", "(SELECT user_id,"
+               " count(*) - count(*) FILTER (event_type = 'error') AS c,"
+               f" xor(CAST(user_id AS UBIGINT), {_ps_basis}) AS k"
+               " FROM events GROUP BY user_id)", "k", "h1",
+        ["user_id", "c"])
+    cb_c2, cb_f2 = splitmix64_ctes("cbm", cb_f1, "h1", "sm",
+                                   ["user_id", "c", "h1"])
+    cb_p1, cb_pf1 = splitmix64_ctes(
+        "cbp", f"(SELECT t.user_id,"
+               f" xor(CAST(t.user_id AS UBIGINT), {_ps_basis}) AS k"
+               f" FROM range(0, {_CB_NP}) t(user_id))", "k", "h1",
+        ["user_id"])
+    cb_p2, cb_pf2 = splitmix64_ctes("cbq", cb_pf1, "h1", "sm",
+                                    ["user_id", "h1"])
+    _cb_pos = ("CAST(((CAST(h1 AS HUGEINT)"
+               " + j * CAST((sm | CAST(1 AS UBIGINT)) AS HUGEINT))"
+               f" % {_TWO64}) % {_CB_W} AS BIGINT)")
+    cbloom_sql = f"""
+        WITH {cb_c1}, {cb_c2}, {cb_p1}, {cb_p2},
+        counters AS MATERIALIZED (
+            SELECT {_cb_pos} AS pos, sum(c) AS v
+            FROM {cb_f2}, range(0, 4) t(j) GROUP BY 1),
+        ppos AS (SELECT user_id, j, {_cb_pos} AS pos
+                 FROM {cb_pf2}, range(0, 4) t(j))
+        SELECT p.user_id,
+               bool_and(COALESCE(c.v, 0) >= 1) AS member,
+               CAST(min(COALESCE(c.v, 0)) AS BIGINT) AS est_count
+        FROM ppos p LEFT JOIN counters c ON c.pos = p.pos
+        GROUP BY 1 ORDER BY 1
+    """
     # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
     # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
     # (string hash via _sqlgen.string_hash_ctes; same double arithmetic)
@@ -1965,6 +2002,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_set_ops": hll_set_ops_sql,
         "cs_moments": cs_moments_sql,
         "cs_join_size": cs_join_size_sql,
+        "cbloom_turnstile_membership": cbloom_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,
