@@ -1293,6 +1293,66 @@ def oracle_sql() -> dict[str, str]:
         FROM ppos p LEFT JOIN counters c ON c.pos = p.pos
         GROUP BY 1 ORDER BY 1
     """
+    # windowed_hll_users: sliding-window sketch maintenance rendered in
+    # SQL — per-day HLL registers (p=12) from the engine hash, trailing
+    # 7-day register-max unions per present day, the exact-rational
+    # estimate + linear-counting branch per window, exact windowed
+    # distinct in-row
+    _WH_P, _WH_M, _WH_MAXR = 12, 1 << 12, 64 - 12 + 1
+    _wh_alpha_m2 = repr((0.7213 / (1 + 1.079 / _WH_M)) * _WH_M * _WH_M)
+    _wh_pow_rows = ", ".join(f"({r}, {1 << (_WH_MAXR - r)})"
+                             for r in range(1, _WH_MAXR + 1))
+    wh_c, wh_f = string_hash_ctes(
+        "wh", "(SELECT DISTINCT date_trunc('day', ts) AS day,"
+              " CAST(user_id AS VARCHAR) AS s FROM events)",
+        "s", "h", ["day"], seed=42)
+    windowed_hll_sql = f"""
+        WITH {wh_c},
+        powt(r, pw) AS (VALUES {_wh_pow_rows}),
+        regs AS MATERIALIZED (
+            SELECT day, idx, max(rank) AS reg FROM (
+                SELECT day, CAST(h // {1 << (64 - _WH_P)} AS BIGINT) AS idx,
+                       least(64 - (CASE WHEN rest = 0 THEN 0
+                                        ELSE strlen(bin(rest)) END) + 1,
+                             {_WH_MAXR}) AS rank
+                FROM (SELECT day, h,
+                             CAST((CAST(h AS HUGEINT) * {_WH_M})
+                                  % {_TWO64} AS UBIGINT) AS rest
+                      FROM {wh_f})
+            ) GROUP BY 1, 2),
+        days AS (SELECT DISTINCT day FROM regs),
+        wregs AS MATERIALIZED (
+            SELECT d.day, r.idx, max(r.reg) AS reg
+            FROM days d JOIN regs r
+              ON r.day <= d.day AND r.day >= d.day - INTERVAL 6 DAY
+            GROUP BY 1, 2),
+        agg AS (
+            SELECT w.day, sum(CAST(p.pw AS HUGEINT)) AS num,
+                   count(*) AS nc
+            FROM wregs w JOIN powt p ON p.r = w.reg GROUP BY 1),
+        est AS (
+            SELECT day, {_WH_M} - nc AS zeros,
+                   {_wh_alpha_m2}
+                       / (CAST(num + ({_WH_M} - nc)
+                               * CAST({1 << _WH_MAXR} AS HUGEINT)
+                               AS DOUBLE)
+                          / {float(1 << _WH_MAXR)!r}) AS e
+            FROM agg),
+        exact AS (
+            SELECT d.day, count(DISTINCT e.user_id) AS exact_users
+            FROM days d JOIN events e
+              ON date_trunc('day', e.ts) <= d.day
+             AND date_trunc('day', e.ts) >= d.day - INTERVAL 6 DAY
+            GROUP BY 1)
+        SELECT est.day,
+               CAST(round(CASE WHEN e <= {2.5 * _WH_M!r} AND zeros > 0
+                               THEN {_WH_M} * ln({float(_WH_M)!r}
+                                                 / CAST(zeros AS DOUBLE))
+                               ELSE e END) AS BIGINT) AS est_users,
+               CAST(exact.exact_users AS BIGINT) AS exact_users
+        FROM est JOIN exact ON est.day = exact.day
+        ORDER BY est.day
+    """
     # kmv_sample_sources: the bottom-16 engine-hash sample over DISTINCT
     # sources + the Bar-Yossef (k-1)/h_(k) estimate, both rendered exactly
     # (string hash via _sqlgen.string_hash_ctes; same double arithmetic)
@@ -2003,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "cs_moments": cs_moments_sql,
         "cs_join_size": cs_join_size_sql,
         "cbloom_turnstile_membership": cbloom_sql,
+        "windowed_hll_users": windowed_hll_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,
         "doc_fingerprints": fingerprint_sql,

@@ -409,7 +409,8 @@ def windowed_hll_users(sf_dir: str, window: int = 7, p: int = 12) -> pa.Table:
         u = sketches[lo].copy()
         for j in range(lo + 1, i + 1):
             u.merge(sketches[j])
-        ests[i] = int(round(u.estimate()))
+        # half-away (matches the SQL rendering's round), not Python round
+        ests[i] = int(round_half_away(u.estimate(), 0))
 
     exact = rolling_distinct_users(sf_dir, window=W).to_pandas()
     out = pd.DataFrame({"day": days, "est_users": ests}).merge(
