@@ -443,6 +443,13 @@ def compact_parquet_dir(in_dir: str, out_dir: str,
       of row order and file boundaries.
 
     Returns the manifest dict (n_rows, n_files_in, n_files_out, digest).
+
+    Scale shape: the READ is distributed; the bounded-row rewrite loop is
+    deliberately driver-side (file numbering needs a total order). At
+    100 TB you parallelize ACROSS partition directories — one
+    compact_parquet_dir call per `shard=NNNNN/` dir, each with its own
+    manifest — not within one; the per-dir manifests make that trivially
+    resumable and the digests still verify per dir.
     """
     import glob as _glob
     import json as _json
