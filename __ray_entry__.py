@@ -280,8 +280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ell=128, k=8),
         # robust per-lang location estimate (quantile-banded mean)
         "trimmed_mean_lengths": exact.trimmed_mean_lengths,
-        # dyadic-CM ad-hoc range counts + quantile (exact counts in-row)
-        "cm_range_counts": sketch_queries.cm_range_counts,
+        # dyadic-CM ad-hoc range counts + quantile (exact counts in-row;
+        # bits pinned so the full-SQL dyadic oracle shares the domain)
+        "cm_range_counts": lambda sf: sketch_queries.cm_range_counts(sf, bits=16),
 
         # sliding-window exact distinct (trailing 7-day DAU)
         "rolling_distinct_users": relational.rolling_distinct_users,
@@ -1578,6 +1579,17 @@ def oracle_sql() -> dict[str, str]:
     """
     cos = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
     stop_list = ", ".join(f"'{w}'" for w in ("the", "a", "and", "of", "to", "in", "is", "it"))
+    # cm_range_counts: the ENTIRE dyadic-CM query rendered in SQL — 16
+    # stacked vanilla-CM levels rebuilt from documents, probe-node cell
+    # indices as shared literals from the kernel itself, and the q=0.5
+    # descent unrolled over 16 LATERAL-chain steps with integer-doubled
+    # targets (every estimate is an integer min over depth cells, so the
+    # whole query is value-hash exact; _sqlgen.dyadic_cm_range_sql)
+    from sketch_ray.pipelines._sqlgen import dyadic_cm_range_sql
+    cm_range_sql = dyadic_cm_range_sql(
+        "documents", "n_chars",
+        [(0, 100), (100, 200), (200, 400), (400, 1 << 16)],
+        bits=16, width=2048, depth=4, seed=42)
     out = {
         "revenue_per_nation": """
             SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
@@ -2063,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "cs_moments": cs_moments_sql,
         "cs_join_size": cs_join_size_sql,
         "cbloom_turnstile_membership": cbloom_sql,
+        "cm_range_counts": cm_range_sql,
         "windowed_hll_users": windowed_hll_sql,
         "lang_id": lang_id_sql,
         "simhash_near_dups": simhash_sql,

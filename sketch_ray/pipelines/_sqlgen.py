@@ -106,6 +106,126 @@ def string_hash_ctes(prefix: str, src: str, str_col: str, out_col: str,
     return f"{pre},\n{ctes}", final
 
 
+def splitmix64_lateral_chain(prefix: str, in_expr: str, out_col: str) -> str:
+    """Chained LATERAL joins computing ``out_col = splitmix64(in_expr)``
+    correlated on the preceding FROM items — for contexts where a CTE chain
+    can't carry the state (e.g. each step of an unrolled tree descent).
+    Returns a join fragment starting with a comma; the result is exposed as
+    ``{prefix}f.{out_col}``. Text stays linear in the number of steps (each
+    LATERAL references the previous alias, never re-expanding it)."""
+    p = prefix
+    return (
+        f", LATERAL (SELECT CAST((CAST({in_expr} AS HUGEINT) + {_C1}) % {_M}"
+        f" AS UBIGINT) AS v) {p}0"
+        f", LATERAL (SELECT xor({p}0.v, {p}0.v >> 30) AS v) {p}1"
+        f", LATERAL (SELECT {_mul64(f'{p}1.v', _C2)} AS v) {p}2"
+        f", LATERAL (SELECT xor({p}2.v, {p}2.v >> 27) AS v) {p}3"
+        f", LATERAL (SELECT {_mul64(f'{p}3.v', _C3)} AS v) {p}4"
+        f", LATERAL (SELECT xor({p}4.v, {p}4.v >> 31) AS {out_col}) {p}f"
+    )
+
+
+def dyadic_cm_range_sql(table: str, val_col: str, ranges, bits: int,
+                        width: int, depth: int, seed: int) -> str:
+    """Full SQL rendering of the DyadicCM range-count + median query
+    (kernels/dyadic.py): ``bits`` stacked vanilla-CM levels, every estimate
+    an integer min over depth cells — value-hash exact.
+
+    - cells are built IN SQL: one splitmix64 chain over ``table`` × levels
+      (level l hashes ``val_col >> l`` with seed ``seed+l``), then
+      Kirsch–Mitzenmacher buckets ``(h1 + j·(splitmix64(h1)|1)) & (width-1)``;
+    - probe-node cell indices are SHARED LITERALS from the very kernel
+      (decay-weight discipline): the dyadic decomposition and its hashes are
+      pure functions of config constants, computed by DyadicCM itself;
+    - the q=0.5 quantile descent is unrolled over ``bits`` CTE steps with an
+      INTEGER-DOUBLED target (t2 = 2·target, compare 2·c_left ≥ t2): the
+      kernel's float ``target = 0.5·n`` arithmetic is exact below 2^53, so
+      the integer mirror is bit-identical.
+    """
+    import numpy as np
+
+    from ..kernels.dyadic import DyadicCM
+    from ..kernels.hashing import _seed_basis, hash_ints, row_hashes
+
+    mask = width - 1
+    lv_vals = ", ".join(
+        f"({l}, CAST('{int(_seed_basis(seed + l))}' AS UBIGINT))"
+        for l in range(bits))
+    sk = DyadicCM(bits=bits, depth=depth, width=width, seed=seed)
+    probe_rows = []
+    for rid, (lo, hi) in enumerate(ranges):
+        for nid, (l, k) in enumerate(sk._decompose(max(lo, 0),
+                                                   min(hi, 1 << bits))):
+            assert l < bits, "range decomposition reached the root node"
+            h = hash_ints(np.array([k], dtype=np.uint64), seed + l)
+            cells = (row_hashes(h, depth) & np.uint64(mask)).astype(np.int64)
+            probe_rows.extend(
+                f"({rid}, {nid}, {l}, {j}, {int(cells[j, 0])})"
+                for j in range(depth))
+    probes = ", ".join(probe_rows)
+    rngs = ", ".join(f"({rid}, {lo}, {hi})"
+                     for rid, (lo, hi) in enumerate(ranges))
+
+    dya, dyaf = splitmix64_ctes("dya", "dk", "k", "h1", ["l"])
+    dyb, dybf = splitmix64_ctes("dyb", dyaf, "h1", "h2", ["l", "h1"])
+    cell_expr = (f"CAST(((CAST(h1 AS HUGEINT) + t.j * "
+                 f"CAST((h2 | CAST(1 AS UBIGINT)) AS HUGEINT))"
+                 f" % {_M}) % {width} AS BIGINT)")
+
+    qsteps = [f"q{bits} AS (SELECT CAST(0 AS HUGEINT) AS node, "
+              f"CAST((SELECT count(*) FROM {table}) AS HUGEINT) AS t2)"]
+    for l in range(bits - 1, -1, -1):
+        basis = int(_seed_basis(seed + l))
+        hA = splitmix64_lateral_chain(
+            f"a{l}_", f"xor(CAST(2 * p.node AS UBIGINT), "
+                      f"CAST('{basis}' AS UBIGINT))", "h1")
+        hB = splitmix64_lateral_chain(f"b{l}_", f"a{l}_f.h1", "h2")
+        lookups = ", ".join(
+            f"coalesce((SELECT c.v FROM cells c WHERE c.l = {l} AND "
+            f"c.j = {j} AND c.cell = CAST(((CAST(a{l}_f.h1 AS HUGEINT) + {j} "
+            f"* CAST((b{l}_f.h2 | CAST(1 AS UBIGINT)) AS HUGEINT)) % {_M}) "
+            f"% {width} AS BIGINT)), 0)"
+            for j in range(depth))
+        qsteps.append(
+            f"q{l} AS (SELECT CASE WHEN 2 * e.cl >= p.t2 THEN 2 * p.node "
+            f"ELSE 2 * p.node + 1 END AS node, "
+            f"CASE WHEN 2 * e.cl >= p.t2 THEN p.t2 ELSE p.t2 - 2 * e.cl END"
+            f" AS t2 FROM q{l + 1} p{hA}{hB}, LATERAL ("
+            f"SELECT least({lookups}) AS cl) e)")
+    qchain = ",\n".join(qsteps)
+
+    return f"""
+        WITH lv(l, basis) AS (VALUES {lv_vals}),
+        dk AS (SELECT lv.l, xor(CAST(d.{val_col} >> lv.l AS UBIGINT), lv.basis) AS k
+               FROM {table} d, lv),
+        {dya}, {dyb},
+        cells AS MATERIALIZED (
+            SELECT l, t.j, {cell_expr} AS cell, count(*) AS v
+            FROM {dybf}, range(0, {depth}) t(j) GROUP BY 1, 2, 3),
+        probes(rid, nid, l, j, cell) AS (VALUES {probes}),
+        node_est AS (
+            SELECT p.rid, p.nid, min(coalesce(c.v, 0)) AS e
+            FROM probes p LEFT JOIN cells c
+              ON c.l = p.l AND c.j = p.j AND c.cell = p.cell
+            GROUP BY 1, 2),
+        range_est AS (SELECT rid, sum(e) AS est FROM node_est GROUP BY 1),
+        rngs(rid, lo, hi) AS (VALUES {rngs}),
+        exact AS (
+            SELECT r.rid,
+                   (SELECT count(*) FROM {table} d
+                     WHERE d.{val_col} >= r.lo AND d.{val_col} < r.hi) AS cnt
+            FROM rngs r),
+        {qchain}
+        SELECT CAST(r.lo AS BIGINT) AS lo, CAST(r.hi AS BIGINT) AS hi,
+               CAST(e.est AS BIGINT) AS est_n_docs,
+               CAST(x.cnt AS BIGINT) AS exact_n_docs,
+               (SELECT CAST(node AS BIGINT) FROM q0) AS est_q50
+        FROM rngs r JOIN range_est e ON e.rid = r.rid
+        JOIN exact x ON x.rid = r.rid
+        ORDER BY lo
+    """
+
+
 def mix_constant(seed: int) -> int:
     """The Python-side ``splitmix64(seed)`` constant, for inlining into SQL
     (matches stratified_sample / shard_assignments exactly)."""

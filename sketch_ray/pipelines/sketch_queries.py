@@ -326,7 +326,10 @@ def cm_range_counts(sf_dir: str, bits: int | None = None,
     nodes. Estimates NEVER undercount and overcount ≤ 2·bits·(e/width)·N
     w.h.p.; the in-row ``exact_n_docs`` (one pyarrow pass, the
     embedding_spectrum discipline) plus est_q50's true-rank pytest pin
-    the bound. Rows-only gated — estimates are not SQL-expressible.
+    the bound. With ``bits`` pinned (the gate uses 16) the WHOLE query is
+    value-hash exact against ``_sqlgen.dyadic_cm_range_sql``: every
+    estimate is an integer min over depth cells and the quantile descent
+    compares integer-doubled targets, so DuckDB can mirror it bit-for-bit.
     Returns (lo, hi, est_n_docs, exact_n_docs) plus a quantile row."""
     if bits is None:
         # size the domain from parquet statistics (free) with one bit of

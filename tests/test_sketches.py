@@ -745,6 +745,45 @@ def test_cm_range_counts_pipeline(ray_session):
     assert ((t["est_n_docs"] - t["exact_n_docs"]) <= slack).all()
 
 
+def test_dyadic_cm_range_sql_parity():
+    """The full-SQL dyadic-CM rendering (_sqlgen.dyadic_cm_range_sql) is
+    bit-identical to the kernel — with a width tiny enough that CM
+    collisions are REAL, so the SQL min-over-cells and the unrolled
+    quantile descent are exercised on overcounting cells, not on a
+    collision-free sketch like the sf gate corpora."""
+    import duckdb
+    import pandas as pd
+
+    from sketch_ray.kernels.dyadic import DyadicCM
+    from sketch_ray.pipelines._sqlgen import dyadic_cm_range_sql
+
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.4, size=800)
+    vals = vals[vals < 256].astype(np.int64)
+    bits, width, depth, seed = 8, 16, 3, 5
+    ranges = [(0, 4), (3, 57), (10, 200), (2, 256)]
+    sk = DyadicCM(bits=bits, depth=depth, width=width, seed=seed)
+    sk.update(vals)
+    want = pd.DataFrame({
+        "lo": np.array([r[0] for r in ranges], np.int64),
+        "hi": np.array([r[1] for r in ranges], np.int64),
+        "est_n_docs": np.array(
+            [sk.range_count(lo, hi) for lo, hi in ranges], np.int64),
+        "exact_n_docs": np.array(
+            [int(((vals >= lo) & (vals < hi)).sum()) for lo, hi in ranges],
+            np.int64),
+        "est_q50": np.array([sk.quantile(0.5)] * len(ranges), np.int64),
+    }).sort_values("lo").reset_index(drop=True)
+    assert (want["est_n_docs"] > want["exact_n_docs"]).any(), \
+        "test setup must force collisions"
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    got = con.execute(
+        dyadic_cm_range_sql("t", "v", ranges, bits, width, depth, seed)).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=True, check_exact=True)
+
+
 def test_cbloom_turnstile_guarantees():
     """Counting Bloom: no false negatives, min-counter never undercounts,
     deletes retract exactly, merge is order-independent byte-identical."""
