@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_heavy_users": analytics.decayed_heavy_users,
         # r5: degree assortativity completes the graph-structure family
         "copurchase_assortativity": analytics.copurchase_assortativity,
+        # r5: fixed-point PageRank — integer floor-div propagation makes
+        # the iterative centrality exactly SQL-renderable (recursive CTE)
+        "copurchase_pagerank": analytics.copurchase_pagerank,
         # r5: priority sampling (19th kernel) — mergeable weighted sample,
         # unbiased post-hoc subset sums; rows-only (sampling estimate),
         # exact twin = the oracle-gated revenue_per_nation
@@ -3990,6 +3993,46 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(mm * sxx - sx * sx AS DOUBLE), 6)
                    END AS assortativity
             FROM s
+        """,
+        # fixed-point PageRank: every pipeline op is an integer floor
+        # division / integer sum, so the recursive CTE repeats the
+        # IDENTICAL expression (pr*17) // (20*deg) per synchronous round —
+        # exact by construction, no float recurrence. Nodes derive from
+        # edges (isolated parts are outside the graph on both sides);
+        # the one double division is mirrored + round6.
+        "copurchase_pagerank": """
+            WITH RECURSIVE lp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS MATERIALIZED (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ), edges AS MATERIALIZED (
+                SELECT pa AS src, pb AS dst FROM e
+                UNION ALL SELECT pb, pa FROM e
+            ), deg AS MATERIALIZED (
+                SELECT src AS node, count(*)::BIGINT AS d
+                FROM edges GROUP BY 1
+            ), nn AS MATERIALIZED (
+                SELECT count(*)::BIGINT AS n FROM deg
+            ), pr(iter, node, score) AS (
+                SELECT 0, node, (1000000000000 // nn.n)::BIGINT
+                FROM deg, nn
+                UNION ALL
+                SELECT pr.iter + 1, edges.dst,
+                       ((SELECT (3 * 1000000000000) // (20 * n) FROM nn)
+                        + SUM((pr.score * 17) // (20 * deg.d)))::BIGINT
+                FROM pr
+                JOIN edges ON edges.src = pr.node
+                JOIN deg ON deg.node = pr.node
+                WHERE pr.iter < 8
+                GROUP BY pr.iter + 1, edges.dst
+            )
+            SELECT node AS pk, score AS pr_fp,
+                   round(CAST(score AS DOUBLE) / 1000000000000.0, 6) AS pr
+            FROM pr WHERE iter = 8
+            ORDER BY pr_fp DESC, pk LIMIT 25
         """,
     }
     # the Bloom prefilter is an invisible physical optimization: identical

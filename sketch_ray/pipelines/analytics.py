@@ -2651,3 +2651,61 @@ def copurchase_assortativity(sf_dir: str,
         "n_edges": pa.array([n_edges], pa.int64()),
         "assortativity": pa.array([r], pa.float64()),
     })
+
+
+def copurchase_pagerank(sf_dir: str, iters: int = 8, k: int = 25,
+                        force: str | None = None) -> pa.Table:
+    """Fixed-point PageRank over the co-purchase graph (Page et al. 1999;
+    damping 0.85 = 17/20, teleport mass 0.15 = 3/20): which parts sit at
+    the center of the basket graph once hub mass is propagated, not just
+    counted (degree != centrality — a part co-bought with two hubs can
+    outrank a part co-bought with twenty leaves).
+
+    Every quantity is an INTEGER: scores live in fixed-point 1e12 units,
+    the per-edge contribution is ONE floor division
+    ``(pr[u]*17) // (20*deg[u])`` and the per-node fold is an integer sum
+    (order-independent), so `iters` synchronous rounds are exactly
+    SQL-renderable as a recursive CTE with the identical expression —
+    no float recurrence to mirror (the EWMA discipline, but exact by
+    construction). pr*17 <= total mass 1e12 * 17 << 2^63: no overflow.
+
+    Edges are the shared adaptive pair fold (`_copurchase_pair_counts` —
+    driver numpy / bucketed distributed); the iteration itself runs on
+    the driver over the catalog^2-bounded distinct-pair edge set (the
+    assortativity/triangles discipline: the corpus-sized work is the
+    pair fold, the graph is dimension-bounded). Isolated parts (never
+    co-purchased) have no edges and are outside the graph, mirrored by
+    the oracle deriving nodes from edges. Returns the top-k
+    (pk, pr_fp, pr) by (pr_fp DESC, pk) — deterministic tie-break;
+    `pr` is the one mirrored double division pr_fp / 1e12, round6."""
+    agg = _copurchase_pair_counts(sf_dir, force)
+    ea = agg["pk_a"].to_numpy().astype(np.int64)
+    eb = agg["pk_b"].to_numpy().astype(np.int64)
+    if len(ea) == 0:
+        return pa.table({"pk": pa.array([], pa.int64()),
+                         "pr_fp": pa.array([], pa.int64()),
+                         "pr": pa.array([], pa.float64())})
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    ia, ib = inv[:len(ea)], inv[len(ea):]
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    n = len(nodes)
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+
+    scale = 10 ** 12
+    pr = np.full(n, scale // n, np.int64)
+    base = (3 * scale) // (20 * n)
+    for _ in range(int(iters)):
+        contrib = (pr[src] * 17) // (20 * deg[src])
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, dst, contrib)
+        pr = base + acc
+
+    order = np.lexsort((nodes, -pr))[:int(k)]
+    pr_k = pr[order]
+    return pa.table({
+        "pk": pa.array(nodes[order], pa.int64()),
+        "pr_fp": pa.array(pr_k, pa.int64()),
+        "pr": pa.array([float(round6(float(v) / float(scale)))
+                        for v in pr_k], pa.float64()),
+    })

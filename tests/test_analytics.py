@@ -780,3 +780,45 @@ def test_assortativity_forced_branches_and_networkx_free_recompute(ray_session):
     assert abs(r - want) < 1e-6
     assert int(a["n_edges"].iloc[0]) == len(e)
     assert int(a["n_nodes"].iloc[0]) == len(deg)
+
+
+def test_pagerank_forced_branches_and_float_recompute(ray_session):
+    """Both adaptive branches agree exactly (integer fixed-point scores);
+    the fixed-point result tracks an independent FLOAT power iteration on
+    the same edge set to ~1e-9 relative (1e12 quantization + floor-loss
+    envelope); top ranks are deterministic under the (pr_fp DESC, pk)
+    tie-break; teleport-only lower bound holds for every node."""
+    from sketch_ray.pipelines.analytics import copurchase_pagerank
+
+    a = copurchase_pagerank(SF, force="driver").to_pandas()
+    b = copurchase_pagerank(SF, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
+    assert len(a) == 25
+    assert (a["pr_fp"].to_numpy()[:-1] >= a["pr_fp"].to_numpy()[1:]).all()
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    lp = li.drop_duplicates()
+    j = lp.merge(lp, on="l_orderkey")
+    j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+    e = j[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+    nodes, inv = np.unique(
+        np.concatenate([e["l_partkey_x"].to_numpy(np.int64),
+                        e["l_partkey_y"].to_numpy(np.int64)]),
+        return_inverse=True)
+    ia, ib = inv[:len(e)], inv[len(e):]
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    n = len(nodes)
+    deg = np.bincount(src, minlength=n).astype(float)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(8):
+        contrib = 0.85 * pr[src] / deg[src]
+        acc = np.zeros(n)
+        np.add.at(acc, dst, contrib)
+        pr = 0.15 / n + acc
+    ref = dict(zip(nodes.tolist(), pr.tolist()))
+    for pk, fp in zip(a["pk"], a["pr_fp"]):
+        # fixed-point floors lose at most iters * (1 ulp per edge fold)
+        assert abs(fp / 1e12 - ref[int(pk)]) < 1e-6
+        assert fp >= (3 * 10 ** 12) // (20 * n)  # teleport lower bound
