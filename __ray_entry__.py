@@ -224,6 +224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, tau=0.4, n_bits=4, n_tables=16),
         "embedding_dedup_clusters": lambda sf: similarity.embedding_dedup_clusters(sf, tau=0.4),
         "ann_topk": lambda sf: similarity.ann_topk(sf, k=5, n_queries=8),
+        # r5: reciprocal-nearest-neighbor graph — the symmetric
+        # neighborhood edges curation pipelines build before RNN
+        # clustering; exact brute-force anchor, adaptive mutual fold
+        "mutual_knn_pairs": lambda sf: similarity.mutual_knn_pairs(sf, k=5),
         "knn_label_vote": lambda sf: similarity.knn_label_vote(sf, k=5, n_queries=8),
         "lsh_ann_topk": lambda sf: similarity.lsh_ann_topk(sf, k=5, n_queries=64),
         "ivf_ann_topk": lambda sf: similarity.ivf_ann_topk(sf, k=5, n_queries=64),
@@ -2176,6 +2180,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
             QUALIFY "rank" <= 5 ORDER BY query_id, "rank"
+        """,
+        # mutual_knn_pairs: the directed kNN lists materialize once
+        # (window over the all-pairs cross product — the exact brute-force
+        # anchor, same cost class as embedding_near_dups); reciprocity is
+        # a self-join on the flipped pair; the kept cosine is the a<b
+        # direction's, ranked round6 BEFORE the cut (BM25 discipline)
+        "mutual_knn_pairs": f"""
+            WITH r AS MATERIALIZED (
+                SELECT a.vec_id AS qa, b.vec_id AS qb, {cos} AS c,
+                       row_number() OVER (PARTITION BY a.vec_id
+                                          ORDER BY {cos} DESC, b.vec_id) AS rk
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id != b.vec_id),
+            knn AS MATERIALIZED (SELECT qa, qb, c FROM r WHERE rk <= 5),
+            m AS MATERIALIZED (
+                SELECT x.qa AS vec_a, x.qb AS vec_b, round(x.c, 6) AS cosine
+                FROM knn x JOIN knn y ON y.qa = x.qb AND y.qb = x.qa
+                WHERE x.qa < x.qb),
+            tot AS (SELECT count(*)::BIGINT AS n_mutual FROM m)
+            SELECT vec_a, vec_b, cosine, tot.n_mutual
+            FROM m, tot ORDER BY cosine DESC, vec_a, vec_b LIMIT 25
         """,
         "knn_label_vote": f"""
             WITH r AS (

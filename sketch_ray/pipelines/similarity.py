@@ -27,6 +27,8 @@ import ray
 
 from ..kernels.hashing import splitmix64
 from ..stages.broadcast import cached
+from ._util import n_reducers, round6
+from .relational import _SMALL_ROWS
 
 _U64 = np.uint64
 
@@ -934,3 +936,129 @@ def pq_ann_topk(
         .map_batches(pq_topk, batch_format="pyarrow",
                      batch_size=4096).to_pandas()
     return _merge_topk(partials, k)
+
+
+def mutual_knn_pairs(sf_dir: str, k: int = 5, topn: int = 25,
+                     force: str | None = None) -> pa.Table:
+    """Reciprocal-nearest-neighbor (mutual-kNN) pairs: (a, b) such that b
+    is in a's exact cosine top-k AND a is in b's — the symmetric
+    neighborhood graph curation pipelines build before RNN clustering /
+    diversity pruning (a much stronger tie than one-directional kNN:
+    hubs collect thousands of in-edges but reciprocate only k).
+
+    Exact brute-force anchor (the ann_topk discipline): the unit matrix
+    broadcasts once via ``ray.put`` (documented ~10 GB cap — at 10^9
+    vectors the LSH/IVF variants bound the scanned set instead); each
+    batch ranks ITS OWN rows against the full matrix, so a batch emits
+    exactly k rows per vector (n×k directed edges total, never a
+    per-batch × per-query product). Ranking is (cosine DESC, vec_id ASC)
+    via ONE stable argsort over columns pre-sorted by vec_id — duplicate
+    vectors tie at cosine 1.0 and the tie-break must match the oracle's
+    window ORDER BY exactly.
+
+    The mutual fold is adaptive: below `_SMALL_ROWS` edges the n×k edge
+    table folds on the driver (one packed-key np.unique, count==2 keeps
+    reciprocated pairs); above, the house bucket pattern — canonical-key
+    hash bucket + the same vectorized fold per group (NEVER a native
+    high-cardinality pair groupby, CLAUDE.md trap), per-block top-n
+    prune (counts are final after the fold), driver merges ≤ topn rows
+    per block. Returns the top-n pairs by (round6(cosine) DESC, vec_a,
+    vec_b) — round6 BEFORE the ORDER BY cut, BM25 discipline — plus the
+    total reciprocated-pair count as a column (the aggregate a 100 TB
+    run would keep even when the pair list goes to a digest sink)."""
+    ids_all, mat_all = _full_matrix(sf_dir)
+    order = np.argsort(ids_all, kind="stable")
+    ids_s, mat_s = ids_all[order], np.ascontiguousarray(mat_all[order])
+    ref = ray.put((ids_s, mat_s))
+    kk = int(k)
+
+    def knn_edges(batch: pa.Table) -> pa.Table:
+        ids_r, mat_r = cached(ref)
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"qa": pa.array([], pa.int64()),
+                             "qb": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.float64())})
+        sims = mat @ mat_r.T
+        pos = np.searchsorted(ids_r, ids)
+        has = pos < len(ids_r)
+        has &= ids_r[np.minimum(pos, len(ids_r) - 1)] == ids
+        sims[np.flatnonzero(has), pos[has]] = -2.0  # self never ranks
+        # columns ascend by vec_id, so a STABLE sort on -cosine breaks
+        # ties toward the lower vec_id — the oracle's (c DESC, vec_id)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        nk = top.shape[1]
+        return pa.table({
+            "qa": pa.array(np.repeat(ids, nk), pa.int64()),
+            "qb": pa.array(ids_r[top.reshape(-1)], pa.int64()),
+            "c": pa.array(np.take_along_axis(sims, top, axis=1).reshape(-1),
+                          pa.float64()),
+        })
+
+    edges = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        knn_edges, batch_format="pyarrow", batch_size=1024)
+
+    def mutual_np(qa: np.ndarray, qb: np.ndarray, c: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """count==2 on canonical packed keys -> reciprocated (a<b, cos)."""
+        lo, hi = np.minimum(qa, qb), np.maximum(qa, qb)
+        stride = np.int64(hi.max()) + 1 if len(hi) else np.int64(1)
+        key = lo * stride + hi
+        uniq, inv, cnt = np.unique(key, return_inverse=True,
+                                   return_counts=True)
+        keep = (cnt == 2)[inv] & (qa < qb)  # the a->b direction's cosine
+        return qa[keep], qb[keep], c[keep]
+
+    n = len(ids_all)
+    small = (n * kk < _SMALL_ROWS) if force is None else (force == "driver")
+    if small:
+        df = edges.to_pandas()
+        va, vb, vc = mutual_np(df["qa"].to_numpy(np.int64),
+                               df["qb"].to_numpy(np.int64),
+                               df["c"].to_numpy(np.float64))
+    else:
+        nr = n_reducers()
+
+        def tag(batch: pa.Table) -> pa.Table:
+            qa = batch["qa"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            qb = batch["qb"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = ((splitmix64(np.minimum(qa, qb))
+                  ^ splitmix64(np.maximum(qa, qb) + np.uint64(11)))
+                 % np.uint64(nr)).astype(np.int64)
+            return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+        def group(df: pd.DataFrame) -> pd.DataFrame:
+            va, vb, vc = mutual_np(df["qa"].to_numpy(np.int64),
+                                   df["qb"].to_numpy(np.int64),
+                                   df["c"].to_numpy(np.float64))
+            return pd.DataFrame({"qa": va, "qb": vb, "c": vc})
+
+        folded = (edges.map_batches(tag, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(lambda g: group(g.drop(columns=["bucket"])),
+                              batch_format="pandas")
+                  .materialize())  # 2 consumers: count + top-n pull
+        n_mutual_dist = folded.count()
+
+        def local_topn(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            c6 = np.round(df["c"].to_numpy(), 6)
+            o = np.lexsort((df["qb"].to_numpy(), df["qa"].to_numpy(),
+                            -c6))[:int(topn)]
+            return pa.Table.from_pandas(df.iloc[o], preserve_index=False)
+
+        df = folded.map_batches(local_topn,
+                                batch_format="pyarrow").to_pandas()
+        va = df["qa"].to_numpy(np.int64)
+        vb = df["qb"].to_numpy(np.int64)
+        vc = df["c"].to_numpy(np.float64)
+
+    n_mutual = int(n_mutual_dist) if not small else len(va)
+    c6 = np.array([round6(float(x)) for x in vc], np.float64)
+    o = np.lexsort((vb, va, -c6))[:int(topn)]
+    return pa.table({
+        "vec_a": pa.array(va[o], pa.int64()),
+        "vec_b": pa.array(vb[o], pa.int64()),
+        "cosine": pa.array(c6[o], pa.float64()),
+        "n_mutual": pa.array([n_mutual] * len(o), pa.int64()),
+    })

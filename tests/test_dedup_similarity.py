@@ -908,3 +908,39 @@ def test_pq_ann_recall_vs_bruteforce(ray_session):
     merged = got.merge(exact, on=["query_id", "vec_id"],
                        suffixes=("_pq", "_bf"))
     assert (merged["cosine_pq"] == merged["cosine_bf"]).all()
+
+
+def test_mutual_knn_pairs_branches_and_reciprocity(ray_session):
+    """Both adaptive mutual-fold branches agree; every returned pair is
+    reciprocal under an independent numpy full-sort kNN with the
+    (cosine DESC, vec_id) tie-break; n_mutual equals the recomputed
+    reciprocated-pair count; ranking is (round6 cosine DESC, a, b)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.similarity import mutual_knn_pairs
+
+    a = mutual_knn_pairs(SF, k=5, force="driver").to_pandas()
+    b = mutual_knn_pairs(SF, k=5, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    c6 = a["cosine"].to_numpy()
+    assert (c6[:-1] >= c6[1:]).all()
+    assert (a["vec_a"] < a["vec_b"]).all()
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    ids = t["vec_id"].to_numpy(np.int64)
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    o = np.argsort(ids, kind="stable")
+    ids, mat = ids[o], mat[o]
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -2.0)
+    top = np.argsort(-sims, axis=1, kind="stable")[:, :5]
+    knn = {(int(ids[i]), int(ids[j])) for i in range(len(ids))
+           for j in top[i]}
+    mutual = {(x, y) for (x, y) in knn if (y, x) in knn and x < y}
+    assert int(a["n_mutual"].iloc[0]) == len(mutual)
+    for pa_, pb_ in zip(a["vec_a"], a["vec_b"]):
+        assert (int(pa_), int(pb_)) in mutual
