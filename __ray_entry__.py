@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5: fixed-point PageRank — integer floor-div propagation makes
         # the iterative centrality exactly SQL-renderable (recursive CTE)
         "copurchase_pagerank": analytics.copurchase_pagerank,
+        # r5: deterministic hash-driven walks (DeepWalk corpus input) —
+        # every hop replayed exactly by the oracle's recursive CTE
+        "copurchase_random_walks": analytics.copurchase_random_walks,
         # r5: priority sampling (19th kernel) — mergeable weighted sample,
         # unbiased post-hoc subset sums; rows-only (sampling estimate),
         # exact twin = the oracle-gated revenue_per_nation
@@ -420,8 +423,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from sketch_ray.pipelines._sqlgen import (decay_weight_values,
                                               mix_constant, rate_threshold,
-                                              splitmix64_ctes, string_hash_ctes)
+                                              splitmix64_ctes,
+                                              splitmix64_lateral_chain,
+                                              string_hash_ctes)
     from sketch_ray.pipelines.text_analysis import DEFAULT_MIX_RATES
+
+    # copurchase_random_walks: the 8 fixed hops UNROLL as plain chained
+    # CTEs (w0..w8), each computing the hop hash with the LATERAL
+    # splitmix64 chain. NOT a recursive CTE: DuckDB 1.0's multi-threaded
+    # executor silently drops every recursive-term row when the recursive
+    # CTE contains LATERAL joins and the input is large (reproduced at
+    # the 10x corpus: 16 rows vs the correct 144; SET threads=1 returns
+    # 144 — a concurrency bug, so the oracle avoids the construct).
+    rw_steps = []
+    for i in range(1, 9):
+        lat = splitmix64_lateral_chain(
+            f"rw{i}", "w.node * 1000003 + w.walk_id * 7919 + w.step", "hv")
+        rw_steps.append(f"""
+            w{i} AS (
+                SELECT w.walk_id, w.step + 1 AS step, adj.dst AS node
+                FROM w{i - 1} w JOIN deg ON deg.node = w.node
+                {lat}
+                JOIN adj ON adj.src = w.node
+                 AND adj.rk = CAST(rw{i}f.hv % CAST(deg.d AS UBIGINT)
+                                   AS BIGINT)
+            )""")
+    rw_sql = f"""
+            WITH lp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS MATERIALIZED (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ), edges AS MATERIALIZED (
+                SELECT pa AS src, pb AS dst FROM e
+                UNION ALL SELECT pb, pa FROM e
+            ), deg AS MATERIALIZED (
+                SELECT src AS node, count(*)::BIGINT AS d
+                FROM edges GROUP BY 1
+            ), adj AS MATERIALIZED (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY dst) - 1 AS rk
+                FROM edges
+            ), w0 AS (
+                SELECT node, 0 AS step,
+                       row_number() OVER (ORDER BY d DESC, node) - 1
+                           AS walk_id
+                FROM deg ORDER BY d DESC, node LIMIT 16
+            ),{",".join(rw_steps)}
+            SELECT walk_id::BIGINT AS walk_id, step::BIGINT AS step,
+                   node::BIGINT AS node
+            FROM ({" UNION ALL ".join(f"SELECT walk_id, step, node FROM w{i}"
+                                      for i in range(9))})
+            ORDER BY walk_id, step
+        """
 
     # stratified_sample: keep iff splitmix64(doc_id ^ mix(42)) < rate*2^64,
     # rendered as the exact same splitmix64 in mod-2^64 SQL arithmetic
@@ -4019,6 +4076,13 @@ def oracle_sql() -> dict[str, str]:
                    END AS assortativity
             FROM s
         """,
+        # deterministic random walks: each hop's neighbor index is the
+        # rendered engine hash mod degree, replayed hop-for-hop by the
+        # unrolled CTE chain built above (rw_sql; see the comment there
+        # for why it is NOT a recursive CTE); adjacency rank =
+        # dst-ascending row_number-1 (the pipeline's CSR order), starts =
+        # top-n_walks by (degree DESC, node)
+        "copurchase_random_walks": rw_sql,
         # fixed-point PageRank: every pipeline op is an integer floor
         # division / integer sum, so the recursive CTE repeats the
         # IDENTICAL expression (pr*17) // (20*deg) per synchronous round —

@@ -2709,3 +2709,59 @@ def copurchase_pagerank(sf_dir: str, iters: int = 8, k: int = 25,
         "pr": pa.array([float(round6(float(v) / float(scale)))
                         for v in pr_k], pa.float64()),
     })
+
+
+def copurchase_random_walks(sf_dir: str, n_walks: int = 16, length: int = 8,
+                            force: str | None = None) -> pa.Table:
+    """Deterministic random walks over the co-purchase graph — the walk
+    corpus a DeepWalk/node2vec embedding stage consumes (Perozzi et al.
+    2014). Each step picks neighbor rank ``splitmix64(node·1000003 +
+    walk_id·7919 + step) % deg`` over the node's dst-ascending adjacency
+    list: a pure function of (node, walk_id, step), so walks are
+    identical across runs/parallelism AND exactly SQL-renderable — the
+    oracle replays every hop in a recursive CTE with the engine hash
+    rendered by `_sqlgen.splitmix64_lateral_chain` (the stratified-
+    sampling determinism discipline applied to an iterative traversal).
+
+    Walks start from the top-`n_walks` nodes by (degree DESC, node).
+    Edges come from the shared adaptive pair fold; the walk itself runs
+    on the driver over the catalog²-bounded CSR (graph-family
+    discipline — the corpus-sized work is the fold). Output is
+    walk-bounded: (walk_id, step, node), n_walks × (length+1) rows."""
+    agg = _copurchase_pair_counts(sf_dir, force)
+    ea = agg["pk_a"].to_numpy().astype(np.int64)
+    eb = agg["pk_b"].to_numpy().astype(np.int64)
+    if len(ea) == 0:
+        return pa.table({"walk_id": pa.array([], pa.int64()),
+                         "step": pa.array([], pa.int64()),
+                         "node": pa.array([], pa.int64())})
+    src = np.concatenate([ea, eb])
+    dst = np.concatenate([eb, ea])
+    order = np.lexsort((dst, src))  # CSR with dst-ascending neighbors
+    src, dst = src[order], dst[order]
+    nodes, counts = np.unique(src, return_counts=True)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    node_pos = {int(v): i for i, v in enumerate(nodes)}
+
+    start_order = np.lexsort((nodes, -counts))[:int(n_walks)]
+    cur = nodes[start_order].astype(np.int64)
+    wid = np.arange(len(cur), dtype=np.int64)
+
+    out_w = [wid.copy()]
+    out_s = [np.zeros(len(cur), np.int64)]
+    out_n = [cur.copy()]
+    for step in range(int(length)):
+        pos = np.array([node_pos[int(v)] for v in cur], np.int64)
+        deg = counts[pos].astype(np.uint64)
+        h = splitmix64((cur * 1000003 + wid * 7919 + step).astype(np.uint64))
+        cur = dst[offs[pos] + (h % deg).astype(np.int64)]
+        out_w.append(wid.copy())
+        out_s.append(np.full(len(cur), step + 1, np.int64))
+        out_n.append(cur.copy())
+    w = np.concatenate(out_w)
+    s = np.concatenate(out_s)
+    nd = np.concatenate(out_n)
+    o = np.lexsort((s, w))
+    return pa.table({"walk_id": pa.array(w[o], pa.int64()),
+                     "step": pa.array(s[o], pa.int64()),
+                     "node": pa.array(nd[o], pa.int64())})

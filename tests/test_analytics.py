@@ -822,3 +822,41 @@ def test_pagerank_forced_branches_and_float_recompute(ray_session):
         # fixed-point floors lose at most iters * (1 ulp per edge fold)
         assert abs(fp / 1e12 - ref[int(pk)]) < 1e-6
         assert fp >= (3 * 10 ** 12) // (20 * n)  # teleport lower bound
+
+
+def test_random_walks_validity_and_branches(ray_session):
+    """Walks are valid paths (every hop is a graph edge), start at the
+    top-degree nodes, have exactly length+1 steps each, are identical
+    across the two pair-fold branches, and replay the documented hash
+    rule hop-for-hop."""
+    from sketch_ray.kernels.hashing import splitmix64
+    from sketch_ray.pipelines.analytics import copurchase_random_walks
+
+    a = copurchase_random_walks(SF, force="driver").to_pandas()
+    b = copurchase_random_walks(SF, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 16 * 9
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    lp = li.drop_duplicates()
+    j = lp.merge(lp, on="l_orderkey")
+    j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+    e = j[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+    edges = set(zip(e["l_partkey_x"], e["l_partkey_y"])) \
+        | set(zip(e["l_partkey_y"], e["l_partkey_x"]))
+    adj: dict = {}
+    for x, y in edges:
+        adj.setdefault(int(x), []).append(int(y))
+    for v in adj.values():
+        v.sort()
+
+    starts = sorted(adj, key=lambda v: (-len(adj[v]), v))[:16]
+    for wid in range(16):
+        w = a[a["walk_id"] == wid].sort_values("step")
+        nodes = w["node"].tolist()
+        assert nodes[0] == starts[wid]
+        for step, (u, v) in enumerate(zip(nodes, nodes[1:])):
+            assert (u, v) in edges
+            h = int(splitmix64(np.uint64(u * 1000003 + wid * 7919 + step)))
+            assert v == adj[u][h % len(adj[u])]
