@@ -123,6 +123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5: deterministic hash-driven walks (DeepWalk corpus input) —
         # every hop replayed exactly by the oracle's recursive CTE
         "copurchase_random_walks": analytics.copurchase_random_walks,
+        # r5: per-source KL divergence from the corpus token distribution
+        # (domain-shift signal for mixture tuning) — floor-quantized
+        # integer information-term fold, exactly oracle-gated
+        "source_kl_profile": exact.source_kl_profile,
         # r5: priority sampling (19th kernel) — mergeable weighted sample,
         # unbiased post-hoc subset sums; rows-only (sampling estimate),
         # exact twin = the oracle-gated revenue_per_nation
@@ -4075,6 +4079,38 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(mm * sxx - sx * sx AS DOUBLE), 6)
                    END AS assortativity
             FROM s
+        """,
+        # source_kl_profile: per-(source,token) information terms are a
+        # fixed float op sequence from integers (ln bit-parity: the
+        # tfidf/PMI precedent), floor-quantized to 1e-12 units and summed
+        # as BIGINT — order-independent on both engines; ONE mirrored
+        # double division at the end (HUGEINT sum cast first)
+        "source_kl_profile": """
+            WITH t AS MATERIALIZED (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), st AS MATERIALIZED (
+                SELECT source, token, count(*)::BIGINT AS c
+                FROM t GROUP BY 1, 2
+            ), s AS MATERIALIZED (
+                SELECT source, sum(c)::BIGINT AS ts FROM st GROUP BY 1
+            ), g AS MATERIALIZED (
+                SELECT token, sum(c)::BIGINT AS cg FROM st GROUP BY 1
+            ), tot AS (SELECT sum(c)::BIGINT AS tt FROM st),
+            terms AS (
+                SELECT st.source, s.ts,
+                       CAST(floor(
+                           (CAST(st.c AS DOUBLE) / CAST(s.ts AS DOUBLE))
+                           * ln((CAST(st.c AS DOUBLE) / CAST(s.ts AS DOUBLE))
+                                / (CAST(g.cg AS DOUBLE)
+                                   / CAST(tot.tt AS DOUBLE)))
+                           * 1000000000000.0) AS BIGINT) AS qt
+                FROM st JOIN s USING (source) JOIN g USING (token), tot
+            )
+            SELECT source, min(ts)::BIGINT AS n_tokens,
+                   sum(qt)::BIGINT AS kl_fp,
+                   round(CAST(sum(qt) AS DOUBLE) / 1e12, 6) AS kl
+            FROM terms GROUP BY source ORDER BY source
         """,
         # deterministic random walks: each hop's neighbor index is the
         # rendered engine hash mod degree, replayed hop-for-hop by the

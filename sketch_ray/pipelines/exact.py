@@ -1442,3 +1442,60 @@ def lang_token_divergence(sf_dir: str, lang: str = "en", k: int = 20,
         "cnt_b": pa.array(agg["cb"].to_numpy(np.int64), pa.int64()),
         "js": pa.array(agg["js"].to_numpy(np.float64), pa.float64()),
     })
+
+
+def source_kl_profile(sf_dir: str) -> pa.Table:
+    """Per-source KL divergence from the corpus token distribution —
+    KL(p_source ‖ p_corpus) = Σ_tok p·ln(p/q) — the domain-shift signal
+    mixture tuning reads before reweighting sources (a source whose
+    unigram distribution sits far from the blend is under-assimilated).
+
+    Exactly oracle-gated despite the ln float path: each (source, token)
+    TERM is a fixed op sequence from integers (p = c/t_s, q = c_g/T,
+    term = p·ln(p/q) — ln bit-parity with DuckDB holds on this corpus,
+    the tfidf/PMI precedent), then FLOOR-QUANTIZED to 1e-12 units and
+    summed as int64 — an order-independent integer fold, so neither
+    engine's summation order matters (the money-cents discipline applied
+    to information terms). One distributed (source, token) count fold
+    (per-batch Arrow pre-agg → vocab×sources-bounded groupby, the
+    top_token_per_lang shape); the KL itself runs on the vocab-sized
+    driver table. Returns (source, n_tokens, kl_fp, kl), kl = ONE
+    mirrored double division round6."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        src = batch["source"].combine_chunks()
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        rep = src.take(pa.array(np.repeat(np.arange(len(src)), ntok)))
+        t = pa.table({"source": rep, "token": flat})
+        g = t.group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "partial"])
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby(["source", "token"])
+        .aggregate(Sum("partial", alias_name="c"))
+    ).to_pandas()
+
+    c = agg["c"].to_numpy(np.int64)
+    ts = agg.groupby("source")["c"].transform("sum").to_numpy(np.int64)
+    cg = agg.groupby("token")["c"].transform("sum").to_numpy(np.int64)
+    tt = int(c.sum())
+    p = c.astype(np.float64) / ts.astype(np.float64)
+    q = cg.astype(np.float64) / np.float64(tt)
+    term = p * np.log(p / q)
+    qt = np.floor(term * 1e12).astype(np.int64)
+
+    out = pd.DataFrame({"source": agg["source"], "ts": ts, "qt": qt}) \
+        .groupby("source", as_index=False).agg(n_tokens=("ts", "first"),
+                                               kl_fp=("qt", "sum")) \
+        .sort_values("source").reset_index(drop=True)
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64), pa.int64()),
+        "kl_fp": pa.array(out["kl_fp"].to_numpy(np.int64), pa.int64()),
+        "kl": pa.array([float(round6(float(v) / 1e12))
+                        for v in out["kl_fp"]], pa.float64()),
+    })

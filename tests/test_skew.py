@@ -562,3 +562,41 @@ def test_windowed_heavy_users_huge_ids(ray_session, tmp_path):
         GROUP BY 1, 2 HAVING sum(u.n) >= 24
         ORDER BY day, user_id""").df()
     pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+
+
+def test_source_kl_profile_recompute_and_invariants(ray_session):
+    """kl matches an independent pandas recompute of Σ p·ln(p/q) per
+    source to the quantization envelope (#terms × 1e-12 floor loss);
+    KL is non-negative up to that envelope; per-source token totals
+    partition the corpus total; output is deterministic."""
+    from sketch_ray.pipelines.exact import source_kl_profile
+
+    SF = "/root/testdata/sf0.001"
+    a = source_kl_profile(SF).to_pandas()
+    b = source_kl_profile(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    rows = []
+    for src, txt in zip(docs["source"], docs["text"]):
+        for tok in txt.split(" "):
+            rows.append((src, tok))
+    df = pd.DataFrame(rows, columns=["source", "token"])
+    st = df.groupby(["source", "token"]).size().rename("c").reset_index()
+    ts = st.groupby("source")["c"].transform("sum")
+    cg = st.groupby("token")["c"].transform("sum")
+    tt = st["c"].sum()
+    p = st["c"] / ts
+    q = cg / tt
+    st["term"] = p * np.log(p / q)
+    want = st.groupby("source")["term"].sum()
+    n_terms = st.groupby("source").size()
+
+    assert len(a) == docs["source"].nunique()
+    assert int(a["n_tokens"].sum()) == int(tt)
+    for _, r in a.iterrows():
+        env = n_terms[r["source"]] * 1e-12 + 1e-9
+        assert abs(r["kl_fp"] / 1e12 - want[r["source"]]) < env
+        assert r["kl_fp"] >= -n_terms[r["source"]]
+        assert r["kl"] >= 0.0
