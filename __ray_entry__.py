@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (domain-shift signal for mixture tuning) — floor-quantized
         # integer information-term fold, exactly oracle-gated
         "source_kl_profile": exact.source_kl_profile,
+        # r5: synchronous label-propagation communities over the
+        # support-thresholded co-purchase graph; unrolled-round oracle
+        "copurchase_communities": analytics.copurchase_communities,
         # r5: priority sampling (19th kernel) — mergeable weighted sample,
         # unbiased post-hoc subset sums; rows-only (sampling estimate),
         # exact twin = the oracle-gated revenue_per_nation
@@ -482,6 +485,44 @@ def oracle_sql() -> dict[str, str]:
             FROM ({" UNION ALL ".join(f"SELECT walk_id, step, node FROM w{i}"
                                       for i in range(9))})
             ORDER BY walk_id, step
+        """
+
+    # copurchase_communities: 4 synchronous LPA rounds unroll as plain
+    # chained CTEs (the random-walks discipline — never recursive+LATERAL
+    # in DuckDB 1.0); each round is an integer count + QUALIFY
+    # row_number(ORDER BY c DESC, lab) pick, fully deterministic
+    lpa_rounds = []
+    for i in range(1, 5):
+        lpa_rounds.append(f"""
+            r{i} AS (
+                SELECT e.dst AS node, l.lab, count(*) AS c
+                FROM edges e JOIN lab{i - 1} l ON l.node = e.src
+                GROUP BY 1, 2
+            ), lab{i} AS MATERIALIZED (
+                SELECT node, lab FROM r{i}
+                QUALIFY row_number() OVER (PARTITION BY node
+                                           ORDER BY c DESC, lab) = 1
+            )""")
+    lpa_sql = f"""
+            WITH lp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), ec AS MATERIALIZED (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), edges AS MATERIALIZED (
+                SELECT pa AS src, pb AS dst FROM ec
+                UNION ALL SELECT pb, pa FROM ec
+            ), lab0 AS MATERIALIZED (
+                SELECT src AS node, src AS lab
+                FROM (SELECT DISTINCT src FROM edges)
+            ),{",".join(lpa_rounds)}
+            SELECT lab::BIGINT AS community, count(*)::BIGINT AS size,
+                   (SELECT count(DISTINCT lab) FROM lab4)::BIGINT
+                       AS n_communities
+            FROM lab4 GROUP BY lab
+            ORDER BY size DESC, community LIMIT 20
         """
 
     # stratified_sample: keep iff splitmix64(doc_id ^ mix(42)) < rate*2^64,
@@ -4119,6 +4160,8 @@ def oracle_sql() -> dict[str, str]:
         # dst-ascending row_number-1 (the pipeline's CSR order), starts =
         # top-n_walks by (degree DESC, node)
         "copurchase_random_walks": rw_sql,
+        # synchronous LPA communities: see lpa_sql above
+        "copurchase_communities": lpa_sql,
         # fixed-point PageRank: every pipeline op is an integer floor
         # division / integer sum, so the recursive CTE repeats the
         # IDENTICAL expression (pr*17) // (20*deg) per synchronous round —

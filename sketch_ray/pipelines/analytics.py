@@ -2765,3 +2765,66 @@ def copurchase_random_walks(sf_dir: str, n_walks: int = 16, length: int = 8,
     return pa.table({"walk_id": pa.array(w[o], pa.int64()),
                      "step": pa.array(s[o], pa.int64()),
                      "node": pa.array(nd[o], pa.int64())})
+
+
+def copurchase_communities(sf_dir: str, rounds: int = 4, k: int = 20,
+                           min_cnt: int = 2,
+                           force: str | None = None) -> pa.Table:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    co-purchase graph: labels start as node ids; each round every node
+    adopts the most frequent label among its neighbors' PREVIOUS-round
+    labels, ties broken toward the smallest label — all-integer and
+    fully deterministic, so `rounds` synchronous rounds render exactly
+    in SQL as an unrolled CTE chain (GROUP BY count + QUALIFY
+    row_number ORDER BY c DESC, lab per round; unrolled, not recursive —
+    the random-walks DuckDB-1.0 multithreading trap).
+
+    The bounded round count is shared semantics with the oracle (the
+    BFS radius-cap discipline): LPA on this graph is used as a census
+    snapshot after a fixed number of rounds, not run to oscillating
+    convergence. Edges are the pairs co-purchased in >= `min_cnt`
+    orders (the raw distinct-pair graph is near-complete and LPA
+    degenerates to one community — the filter is the standard
+    support-threshold sparsification). Edges from the shared adaptive
+    pair fold; rounds
+    iterate on the driver over the catalog²-bounded edge set (graph-
+    family discipline). Returns the top-k communities by (size DESC,
+    community) plus the total community count as a column."""
+    agg = _copurchase_pair_counts(sf_dir, force, min_cnt=int(min_cnt))
+    ea = agg["pk_a"].to_numpy().astype(np.int64)
+    eb = agg["pk_b"].to_numpy().astype(np.int64)
+    if len(ea) == 0:
+        return pa.table({"community": pa.array([], pa.int64()),
+                         "size": pa.array([], pa.int64()),
+                         "n_communities": pa.array([], pa.int64())})
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    ia, ib = inv[:len(ea)], inv[len(ea):]
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    n = len(nodes)
+
+    lab = nodes.copy()  # labels are NODE IDS (mirrors the SQL exactly)
+    for _ in range(int(rounds)):
+        nl = lab[src]  # neighbor's previous-round label, per directed edge
+        key = dst.astype(np.int64) * (np.int64(nl.max()) + 1) + nl
+        uniq, uinv, cnt = np.unique(key, return_inverse=True,
+                                    return_counts=True)
+        u_dst = uniq // (np.int64(nl.max()) + 1)
+        u_lab = uniq % (np.int64(nl.max()) + 1)
+        # per dst: max count, then min label — lexsort then first-per-group
+        order = np.lexsort((u_lab, -cnt, u_dst))
+        first = np.concatenate([[True],
+                                u_dst[order][1:] != u_dst[order][:-1]])
+        winners_dst = u_dst[order][first]
+        winners_lab = u_lab[order][first]
+        new_lab = lab.copy()
+        new_lab[winners_dst] = winners_lab
+        lab = new_lab
+
+    comm, sizes = np.unique(lab, return_counts=True)
+    o = np.lexsort((comm, -sizes))[:int(k)]
+    return pa.table({
+        "community": pa.array(comm[o], pa.int64()),
+        "size": pa.array(sizes[o].astype(np.int64), pa.int64()),
+        "n_communities": pa.array([len(comm)] * len(o), pa.int64()),
+    })

@@ -860,3 +860,42 @@ def test_random_walks_validity_and_branches(ray_session):
             assert (u, v) in edges
             h = int(splitmix64(np.uint64(u * 1000003 + wid * 7919 + step)))
             assert v == adj[u][h % len(adj[u])]
+
+
+def test_lpa_communities_branches_and_recompute(ray_session):
+    """Both pair-fold branches agree; the labeling matches an
+    independent per-node Counter-based synchronous LPA with the
+    (count DESC, label ASC) tie-break; sizes partition the node set."""
+    from collections import Counter
+
+    from sketch_ray.pipelines.analytics import copurchase_communities
+
+    a = copurchase_communities(SF, force="driver").to_pandas()
+    b = copurchase_communities(SF, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    lp = li.drop_duplicates()
+    j = lp.merge(lp, on="l_orderkey")
+    j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+    ec = j.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    ec = ec[ec >= 2].reset_index()
+    adj: dict = {}
+    for x, y in zip(ec["l_partkey_x"], ec["l_partkey_y"]):
+        adj.setdefault(int(x), []).append(int(y))
+        adj.setdefault(int(y), []).append(int(x))
+    lab = {v: v for v in adj}
+    for _ in range(4):
+        new = {}
+        for v in adj:
+            cnt = Counter(lab[u] for u in adj[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    sizes = Counter(lab.values())
+    want = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = list(zip(a["community"].astype(int), a["size"].astype(int)))
+    assert got == want
+    assert int(a["n_communities"].iloc[0]) == len(sizes)
+    assert sum(sizes.values()) == len(adj)
