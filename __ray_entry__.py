@@ -127,6 +127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (domain-shift signal for mixture tuning) — floor-quantized
         # integer information-term fold, exactly oracle-gated
         "source_kl_profile": exact.source_kl_profile,
+        # r5: corpus-statistics profiles — Zipf rank-frequency fit
+        # (quantized-moment least squares) and Heaps vocabulary growth
+        "zipf_profile": exact.zipf_profile,
+        "vocab_growth_curve": exact.vocab_growth_curve,
         # r5: synchronous label-propagation communities over the
         # support-thresholded co-purchase graph; unrolled-round oracle
         "copurchase_communities": analytics.copurchase_communities,
@@ -4120,6 +4124,71 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(mm * sxx - sx * sx AS DOUBLE), 6)
                    END AS assortativity
             FROM s
+        """,
+        # zipf_profile: ranked (rank, cnt) integer pairs; per-rank moment
+        # terms floor-quantized to 1e-12 units and int-summed
+        # (order-independent); slope/intercept are mirrored double paths
+        # from exact big-int moment products (scale-matched by the 10^12
+        # factor), round6
+        "zipf_profile": f"""
+            WITH t AS MATERIALIZED ({{tok}}),
+            c AS MATERIALIZED (
+                SELECT token, count(*)::BIGINT AS cnt FROM t GROUP BY 1
+            ), r AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt DESC, token)
+                           AS "rank"
+                FROM c QUALIFY "rank" <= 1000
+            ), m AS (
+                SELECT
+                  CAST(floor(ln(CAST("rank" AS DOUBLE))
+                             * 1000000000000.0) AS BIGINT) AS qx,
+                  CAST(floor(ln(CAST(cnt AS DOUBLE))
+                             * 1000000000000.0) AS BIGINT) AS qy,
+                  CAST(floor(ln(CAST("rank" AS DOUBLE))
+                             * ln(CAST("rank" AS DOUBLE))
+                             * 1000000000000.0) AS BIGINT) AS qxx,
+                  CAST(floor(ln(CAST("rank" AS DOUBLE))
+                             * ln(CAST(cnt AS DOUBLE))
+                             * 1000000000000.0) AS BIGINT) AS qxy
+                FROM r
+            ), s AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(qx)::HUGEINT AS sx, sum(qy)::HUGEINT AS sy,
+                       sum(qxx)::HUGEINT AS sxx, sum(qxy)::HUGEINT AS sxy
+                FROM m
+            )
+            SELECT n AS n_ranks,
+                   round(CAST(n * sxy * 1000000000000 - sx * sy AS DOUBLE)
+                         / CAST(n * sxx * 1000000000000 - sx * sx
+                                AS DOUBLE), 6) AS zipf_slope,
+                   round((CAST(sy AS DOUBLE) / 1e12
+                          - (CAST(n * sxy * 1000000000000 - sx * sy
+                                  AS DOUBLE)
+                             / CAST(n * sxx * 1000000000000 - sx * sx
+                                    AS DOUBLE))
+                            * (CAST(sx AS DOUBLE) / 1e12))
+                         / CAST(n AS DOUBLE), 6) AS intercept
+            FROM s
+        """.replace("{tok}", tok),
+        # vocab_growth_curve: all-integer — (token -> min doc_id) fold +
+        # strictly-less cutoff counts (searchsorted side='left')
+        "vocab_growth_curve": """
+            WITH t AS MATERIALIZED (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), f AS MATERIALIZED (
+                SELECT token, min(doc_id) AS m FROM t GROUP BY 1
+            ), nd AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            cuts AS (
+                SELECT i AS decile, (nd.n * i) // 10 AS docs_cutoff
+                FROM range(1, 11) r(i), nd
+            )
+            SELECT decile::BIGINT AS decile,
+                   docs_cutoff::BIGINT AS docs_cutoff,
+                   (SELECT count(*) FROM f
+                    WHERE f.m < c.docs_cutoff)::BIGINT AS vocab_size
+            FROM cuts c ORDER BY decile
         """,
         # source_kl_profile: per-(source,token) information terms are a
         # fixed float op sequence from integers (ln bit-parity: the

@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..stages.tokenize import flat_tokens, ngram_counts, token_counts
 from ._util import ensure_columns, n_reducers, round6
@@ -1498,4 +1498,85 @@ def source_kl_profile(sf_dir: str) -> pa.Table:
         "kl_fp": pa.array(out["kl_fp"].to_numpy(np.int64), pa.int64()),
         "kl": pa.array([float(round6(float(v) / 1e12))
                         for v in out["kl_fp"]], pa.float64()),
+    })
+
+
+def zipf_profile(sf_dir: str, v: int = 1000) -> pa.Table:
+    """Zipf rank–frequency fit over the top-`v` tokens: the least-squares
+    slope of ln(freq) on ln(rank) — the corpus-statistics sanity signal
+    (natural text sits near −1; a slope collapsing toward 0 means
+    boilerplate/duplication, a cliff means template spam).
+
+    Exactly oracle-gated despite the regression float path: the ranked
+    (rank, cnt) pairs are integers, each per-rank moment term
+    (x=ln(rank), y=ln(cnt): x, y, x·x, x·y) is a fixed float op sequence
+    floor-quantized to 1e-12 units, and the four moment sums fold as
+    int64 — order-independent (the source_kl_profile discipline). Slope
+    and intercept each take ONE mirrored double path from the integer
+    sums (scale-matched: n·Σxy·10^12 − Σx·Σy in exact big-int), round6.
+    Counting reuses the salted distributed fold (`token_counts_ds`);
+    the regression runs on the v-bounded driver table. Returns one row
+    (n_ranks, zipf_slope, intercept)."""
+    df = token_counts_ds(sf_dir).to_pandas()
+    o = np.lexsort((df["token"].to_numpy(), -df["cnt"].to_numpy()))[:int(v)]
+    cnt = df["cnt"].to_numpy(np.int64)[o]
+    n = len(cnt)
+    rank = np.arange(1, n + 1, dtype=np.int64)
+    x = np.log(rank.astype(np.float64))
+    y = np.log(cnt.astype(np.float64))
+    qx = np.floor(x * 1e12).astype(np.int64)
+    qy = np.floor(y * 1e12).astype(np.int64)
+    qxx = np.floor(x * x * 1e12).astype(np.int64)
+    qxy = np.floor(x * y * 1e12).astype(np.int64)
+    sx, sy = int(qx.sum()), int(qy.sum())
+    sxx, sxy = int(qxx.sum()), int(qxy.sum())
+    num = n * sxy * 10 ** 12 - sx * sy     # exact big-int, 1e24 scale
+    den = n * sxx * 10 ** 12 - sx * sx
+    slope = float(num) / float(den)
+    intercept = (float(sy) / 1e12 - slope * (float(sx) / 1e12)) / float(n)
+    return pa.table({
+        "n_ranks": pa.array([n], pa.int64()),
+        "zipf_slope": pa.array([float(round6(slope))], pa.float64()),
+        "intercept": pa.array([float(round6(intercept))], pa.float64()),
+    })
+
+
+def vocab_growth_curve(sf_dir: str, n_cuts: int = 10) -> pa.Table:
+    """Heaps'-law vocabulary growth: distinct tokens seen within the
+    first i/n_cuts of the doc-id range, per decile — the dedup/diversity
+    trajectory signal (a flattening curve means new documents stop
+    contributing vocabulary). ONE distributed (token → min doc_id) fold
+    (per-batch Arrow pre-agg → vocab-bounded groupby-min, the
+    top_token_per_lang shape); the curve is a searchsorted over the
+    vocab-sized min-ids on the driver. All-integer, exactly oracle-gated.
+    Returns (decile, docs_cutoff, vocab_size)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        rep = pa.array(np.repeat(ids, ntok), pa.int64())
+        t = pa.table({"token": flat, "doc_id": rep})
+        g = t.group_by("token").aggregate([("doc_id", "min")])
+        return g.rename_columns(["token", "m"])
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("token")
+        .aggregate(Min("m", alias_name="first_doc"))
+    ).to_pandas()
+    first = np.sort(agg["first_doc"].to_numpy(np.int64))
+
+    from ._util import parquet_minmax
+    _, max_id = parquet_minmax(f"{sf_dir}/documents.parquet", "doc_id")
+    n_docs = int(max_id) + 1
+    cuts = np.array([(n_docs * i) // int(n_cuts)
+                     for i in range(1, int(n_cuts) + 1)], np.int64)
+    vocab = np.searchsorted(first, cuts, side="left")
+    return pa.table({
+        "decile": pa.array(np.arange(1, int(n_cuts) + 1), pa.int64()),
+        "docs_cutoff": pa.array(cuts, pa.int64()),
+        "vocab_size": pa.array(vocab.astype(np.int64), pa.int64()),
     })

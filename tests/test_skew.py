@@ -600,3 +600,37 @@ def test_source_kl_profile_recompute_and_invariants(ray_session):
         assert abs(r["kl_fp"] / 1e12 - want[r["source"]]) < env
         assert r["kl_fp"] >= -n_terms[r["source"]]
         assert r["kl"] >= 0.0
+
+
+def test_zipf_and_vocab_growth_recompute(ray_session):
+    """zipf_slope matches an independent float least-squares fit on the
+    same ranked pairs within the quantization envelope; the vocabulary
+    growth curve is non-decreasing, ends at the full vocab size, and
+    matches a direct pandas recompute of first-occurrence cutoffs."""
+    from sketch_ray.pipelines.exact import vocab_growth_curve, zipf_profile
+
+    SF = "/root/testdata/sf0.001"
+    z = zipf_profile(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = docs["text"].str.split(" ")
+    flat = pd.DataFrame({
+        "doc_id": np.repeat(docs["doc_id"].to_numpy(), toks.str.len()),
+        "token": np.concatenate(toks.to_numpy()),
+    })
+    cnt = flat["token"].value_counts().sort_index() \
+        .sort_values(ascending=False, kind="stable")
+    c = cnt.to_numpy()[:1000]
+    x, y = np.log(np.arange(1, len(c) + 1)), np.log(c.astype(float))
+    slope = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    assert int(z["n_ranks"].iloc[0]) == len(c)
+    assert abs(z["zipf_slope"].iloc[0] - slope) < 1e-5
+
+    v = vocab_growth_curve(SF).to_pandas()
+    first = flat.groupby("token")["doc_id"].min()
+    n_docs = int(docs["doc_id"].max()) + 1
+    assert (np.diff(v["vocab_size"].to_numpy()) >= 0).all()
+    assert int(v["vocab_size"].iloc[-1]) == flat["token"].nunique()
+    for _, r in v.iterrows():
+        assert int(r["vocab_size"]) == int((first < r["docs_cutoff"]).sum())
