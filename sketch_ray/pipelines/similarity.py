@@ -984,9 +984,30 @@ def mutual_knn_pairs(sf_dir: str, k: int = 5, topn: int = 25,
         has = pos < len(ids_r)
         has &= ids_r[np.minimum(pos, len(ids_r) - 1)] == ids
         sims[np.flatnonzero(has), pos[has]] = -2.0  # self never ranks
-        # columns ascend by vec_id, so a STABLE sort on -cosine breaks
-        # ties toward the lower vec_id — the oracle's (c DESC, vec_id)
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        # columns ascend by vec_id and every sort below is STABLE on
+        # vec_id-ordered input, so ties break toward the lower vec_id —
+        # the oracle's (c DESC, vec_id). Ranking is O(n) argpartition to
+        # a k+64 slice + in-slice sort (full argsort is O(n log n) per
+        # row and dominates at 10^5+ columns); a cosine tie that crosses
+        # the slice boundary (c[k-1] == slice minimum — duplicate-heavy
+        # data) falls back to the exact full-row sort for those rows.
+        n_cols = sims.shape[1]
+        m = min(kk + 64, n_cols)
+        if m == n_cols:
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        else:
+            part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+            o1 = np.argsort(part, axis=1, kind="stable")  # vec_id order
+            part = np.take_along_axis(part, o1, axis=1)
+            cs = np.take_along_axis(sims, part, axis=1)
+            o2 = np.argsort(-cs, axis=1, kind="stable")
+            part = np.take_along_axis(part, o2, axis=1)
+            cs = np.take_along_axis(cs, o2, axis=1)
+            top = part[:, :kk]
+            bad = np.flatnonzero(cs[:, min(kk, m) - 1] <= cs[:, m - 1])
+            if len(bad):
+                full = np.argsort(-sims[bad], axis=1, kind="stable")[:, :kk]
+                top[bad] = full
         nk = top.shape[1]
         return pa.table({
             "qa": pa.array(np.repeat(ids, nk), pa.int64()),

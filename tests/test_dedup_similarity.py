@@ -944,3 +944,46 @@ def test_mutual_knn_pairs_branches_and_reciprocity(ray_session):
     assert int(a["n_mutual"].iloc[0]) == len(mutual)
     for pa_, pb_ in zip(a["vec_a"], a["vec_b"]):
         assert (int(pa_), int(pb_)) in mutual
+
+
+def test_mutual_knn_tie_fallback_exactness(ray_session, tmp_path):
+    """Force the argpartition boundary-tie fallback: 80 byte-identical
+    vectors tie at cosine 1.0, which floods past the k+64 slice — the
+    per-row full-sort fallback must reproduce the exact (cosine DESC,
+    vec_id) ranking, so the mutual set equals a brute-force recompute."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.similarity import mutual_knn_pairs
+
+    rng = np.random.default_rng(7)
+    dup = np.tile(rng.normal(size=(1, 16)), (80, 1))
+    distinct = rng.normal(size=(40, 16))
+    mat = np.vstack([dup, distinct])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32).tolist()
+                               for row in mat],
+                              pa.list_(pa.float32())),
+    })
+    d = str(tmp_path / "sfdup"); import os; os.makedirs(d)
+    pq.write_table(t, f"{d}/embeddings.parquet")
+
+    a = mutual_knn_pairs(d, k=5, force="driver").to_pandas()
+    b = mutual_knn_pairs(d, k=5, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    m64 = mat.astype(np.float64)
+    m64 /= np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = m64 @ m64.T
+    np.fill_diagonal(sims, -2.0)
+    top = np.argsort(-sims, axis=1, kind="stable")[:, :5]
+    knn = {(i, int(j)) for i in range(len(m64)) for j in top[i]}
+    mutual = {(x, y) for (x, y) in knn if (y, x) in knn and x < y}
+    assert int(a["n_mutual"].iloc[0]) == len(mutual)
+    # the dup block's mutual pairs are the lowest-id reciprocal cliques:
+    # every returned pair must be in the recomputed set
+    for x, y in zip(a["vec_a"], a["vec_b"]):
+        assert (int(x), int(y)) in mutual
