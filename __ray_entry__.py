@@ -131,6 +131,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (quantized-moment least squares) and Heaps vocabulary growth
         "zipf_profile": exact.zipf_profile,
         "vocab_growth_curve": exact.vocab_growth_curve,
+        # r5: incremental cross-snapshot NEAR-dup detection against the
+        # persisted MinHash band index (write_minhash_index) — prior text
+        # is read only for verified candidates; oracle-gated via the
+        # shuffle (both-sides-large) plan, broadcast pinned in pytest
+        "incremental_near_dups": lambda sf: dedup.incremental_near_dups(
+            sf, n_old=250, force="shuffle"),
         # r5: synchronous label-propagation communities over the
         # support-thresholded co-purchase graph; unrolled-round oracle
         "copurchase_communities": analytics.copurchase_communities,
@@ -2149,6 +2155,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id >= 20 ORDER BY d.doc_id
         """,
         "minhash_lsh_near_dups": jaccard.format(tau=0.8),
+        # incremental_near_dups: the SAME exact-Jaccard ground truth,
+        # restricted to old x new cross-snapshot pairs (derived textually
+        # from the jaccard template so the two stay in sync); the LSH
+        # banding's miss probability at tau=0.8/r=4/b=32 is < 1e-7, the
+        # minhash_lsh_near_dups oracle discipline
+        "incremental_near_dups": jaccard.format(tau=0.8).replace(
+            "a.doc_id < b.doc_id", "a.doc_id < 250 AND b.doc_id >= 250"),
         "stratified_sample": stratified,
         "train_val_test_split": tvt,
         "upsample_mix": upsample,

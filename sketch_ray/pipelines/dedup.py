@@ -1322,3 +1322,185 @@ def near_dup_edit_distances(sf_dir: str, k: int = 3, tau: float = 0.5,
 
 
 _EDIT_DRIVER_PAIRS = 2_000  # above this the DP fans out over Ray tasks
+
+
+def write_minhash_index(sf_dir: str, index_dir: str, n_old: int,
+                        snapshot: str = "s0", k: int = 3,
+                        num_perm: int = 128, bands: int = 32,
+                        seed: int = 42) -> int:
+    """Persist the MinHash BAND index of a crawl snapshot (docs with
+    ``doc_id < n_old``): (doc_id, bucket) rows, 16 B × bands per doc, as
+    ``index_dir/snapshot=<id>/part-*.parquet`` — the near-dup analogue of
+    `write_hash_index`. A later snapshot probes these buckets to find its
+    near-duplicates against the whole prior corpus WITHOUT re-reading or
+    re-signing any prior text: signature cost is paid once per doc,
+    forever. Append-only by snapshot directory; the manifest pins every
+    parameter the band hash depends on (k, num_perm, bands, seed) plus
+    (sf_dir, n_old) so a reader can detect a stale index. Returns rows
+    written."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr=f"doc_id < {int(n_old)}")
+    out = os.path.join(index_dir, f"snapshot={snapshot}")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    band_ds = ds.map_batches(
+        lambda b: _band_rows(b, k, num_perm, bands, seed),
+        batch_format="pyarrow", batch_size=512,
+    ).select_columns(["doc_id", "bucket"])
+    band_ds.write_parquet(out)
+    n_rows = rd.read_parquet(out).count()
+    with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
+        json.dump({"sf_dir": sf_dir, "n_old": int(n_old), "rows": int(n_rows),
+                   "k": int(k), "num_perm": int(num_perm),
+                   "bands": int(bands), "seed": int(seed)}, f)
+    return n_rows
+
+
+def incremental_near_dups(sf_dir: str, n_old: int = 250,
+                          index_dir: str | None = None, k: int = 3,
+                          tau: float = 0.8, num_perm: int = 128,
+                          bands: int = 32, seed: int = 42,
+                          max_bucket: int = 1000,
+                          force: str | None = None) -> pa.Table:
+    """Cross-snapshot incremental NEAR-dup detection — the production
+    shape for fuzzy dedup at corpus scale: the new snapshot (doc_id >=
+    n_old) is LSH-probed against the persisted band index of the prior
+    corpus (`write_minhash_index`), then candidate pairs are verified
+    with exact Jaccard — prior text is read ONLY for candidate docs
+    (a predicate-bounded gather), never rescanned. At tau=0.8 with
+    r=4 × 32 bands the banding miss probability is < 1e-7, so the output
+    equals the exact old×new Jaccard answer (the minhash_lsh_near_dups
+    oracle discipline — the oracle is the semantic ground truth, not the
+    mechanism). Returns (doc_a=old, doc_b=new, jaccard >= tau) sorted.
+
+    Adaptive candidate generation (both branches pinned equal in
+    pytest):
+
+    - index < `_SMALL_ROWS` band rows (``force="broadcast"``): the old
+      (bucket, doc_id) rows pull once (16 B each), sort by bucket, and
+      broadcast; each new-snapshot batch probes by searchsorted and
+      emits its (old, new) candidates — no shuffle.
+    - above (``force="shuffle"``): old and new band rows union into ONE
+      groupby(bucket) (via `_shared_group_rows`'s df-filter + the
+      vectorized `_pairs_by_key` expansion), keeping only cross-side
+      pairs — every row moves once, 16 B each.
+    """
+    import ray
+
+    from ..stages.broadcast import cached
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    new_ds = ds.filter(expr=f"doc_id >= {int(n_old)}")
+    new_bands = new_ds.map_batches(
+        lambda b: _band_rows(b, k, num_perm, bands, seed),
+        batch_format="pyarrow", batch_size=512,
+    ).select_columns(["doc_id", "bucket"]).materialize()
+
+    if index_dir is not None:
+        import glob as _glob
+        import json
+        import os
+
+        import ray.data as rd
+
+        manifest_path = f"{index_dir}/snapshot=s0/_MANIFEST.json"
+        stale = True
+        if (_glob.glob(f"{index_dir}/snapshot=s0/*.parquet")
+                and os.path.exists(manifest_path)):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            stale = (m.get("n_old") != int(n_old) or m.get("sf_dir") != sf_dir
+                     or m.get("k") != int(k) or m.get("num_perm") != int(num_perm)
+                     or m.get("bands") != int(bands) or m.get("seed") != int(seed))
+        if stale:
+            write_minhash_index(sf_dir, index_dir, n_old, "s0", k,
+                                num_perm, bands, seed)
+        old_bands = rd.read_parquet(
+            sorted(_glob.glob(f"{index_dir}/snapshot=*/*.parquet")))
+    else:
+        old_bands = ds.filter(expr=f"doc_id < {int(n_old)}").map_batches(
+            lambda b: _band_rows(b, k, num_perm, bands, seed),
+            batch_format="pyarrow", batch_size=512,
+        ).select_columns(["doc_id", "bucket"]).materialize()
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
+    small = ((old_bands.count() < _SMALL_ROWS) if force is None
+             else (force == "broadcast"))
+    if small:
+        old_df = ensure_columns(old_bands.to_pandas(),
+                                {"doc_id": "int64", "bucket": "int64"})
+        order = np.argsort(old_df["bucket"].to_numpy(), kind="stable")
+        ob = old_df["bucket"].to_numpy()[order]
+        od = old_df["doc_id"].to_numpy()[order]
+        ref = ray.put((ob, od))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            obb, odd = cached(ref)
+            nb = batch["bucket"].to_numpy(zero_copy_only=False)
+            nd = batch["doc_id"].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(obb, nb, side="left")
+            hi = np.searchsorted(obb, nb, side="right")
+            reps = hi - lo
+            na = np.repeat(nd, reps)
+            pos = np.arange(int(reps.sum())) \
+                - np.repeat(np.cumsum(reps) - reps, reps) + np.repeat(lo, reps)
+            return pa.table({"doc_a": pa.array(odd[pos], pa.int64()),
+                             "doc_b": pa.array(na, pa.int64())})
+
+        cand_df = new_bands.map_batches(probe, batch_format="pyarrow") \
+            .to_pandas()
+        cand_df = ensure_columns(cand_df, {"doc_a": "int64", "doc_b": "int64"}) \
+            .drop_duplicates(["doc_a", "doc_b"])
+    else:
+        import ray.data as rd
+
+        union = old_bands.union(new_bands).materialize()
+        shared = _shared_group_rows(union, "bucket", max_bucket)
+        pairs = _pairs_by_key(shared, "bucket").drop_duplicates(["doc_a", "doc_b"])
+        # doc ids order old < n_old <= new, so cross-side pairs are exactly
+        # (doc_a < n_old AND doc_b >= n_old) under the a<b canonical order
+        cand_df = pairs[(pairs["doc_a"] < int(n_old))
+                        & (pairs["doc_b"] >= int(n_old))]
+
+    if len(cand_df) == 0:
+        return empty
+
+    cand_docs = np.unique(np.concatenate(
+        [cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy()]))
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["doc_id"],
+                        value_set=pa.array(cand_docs, pa.int64()))
+        return _shingle_rows(batch.filter(mask), k)
+
+    rows = ds.map_batches(cand_shingles, batch_format="pyarrow",
+                          batch_size=4096).to_pandas()
+    rows = ensure_columns(rows, {"doc_id": "int64", "shingle": "int64"})
+    sizes = rows.groupby("doc_id").size()
+    n_inter = _pair_counts(rows, "shingle")
+    if not len(n_inter):
+        return empty
+    verified = cand_df.merge(n_inter, on=["doc_a", "doc_b"], how="inner")
+    if not len(verified):
+        return empty
+    na = sizes.reindex(verified["doc_a"]).to_numpy()
+    nb = sizes.reindex(verified["doc_b"]).to_numpy()
+    ni = verified["n_inter"].to_numpy()
+    jac = round6(ni / (na + nb - ni))
+    out = verified.assign(jaccard=jac)[["doc_a", "doc_b", "jaccard"]]
+    out = out[out["jaccard"] >= tau].sort_values(["doc_a", "doc_b"]) \
+        .reset_index(drop=True)
+    if not len(out):
+        return empty
+    return pa.Table.from_pandas(
+        out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}),
+        preserve_index=False)

@@ -987,3 +987,40 @@ def test_mutual_knn_tie_fallback_exactness(ray_session, tmp_path):
     # every returned pair must be in the recomputed set
     for x, y in zip(a["vec_a"], a["vec_b"]):
         assert (int(x), int(y)) in mutual
+
+
+def test_incremental_near_dups_index_and_branches(ray_session, tmp_path):
+    """Both candidate branches agree; probing the PERSISTED band index
+    gives the identical answer to the inline computation; a manifest
+    mismatch (different n_old) rebuilds rather than silently reusing;
+    every returned pair crosses the snapshot boundary at jaccard>=tau."""
+    import json
+    import os
+
+    from sketch_ray.pipelines.dedup import (incremental_near_dups,
+                                            write_minhash_index)
+
+    a = incremental_near_dups(SF, n_old=250, force="broadcast").to_pandas()
+    b = incremental_near_dups(SF, n_old=250, force="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["doc_a"] < 250).all() and (a["doc_b"] >= 250).all()
+    assert (a["jaccard"] >= 0.8).all()
+    assert len(a) > 0  # the corpus plants cross-boundary near-dups
+
+    idx = str(tmp_path / "mh_index")
+    n_rows = write_minhash_index(SF, idx, n_old=250)
+    assert n_rows == 250 * 32  # bands rows per indexed doc
+    c = incremental_near_dups(SF, n_old=250, index_dir=idx).to_pandas()
+    pd.testing.assert_frame_equal(c, a)
+
+    # stale manifest (wrong n_old) must trigger a rebuild, not reuse
+    mpath = os.path.join(idx, "snapshot=s0", "_MANIFEST.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["n_old"] = 99
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    d = incremental_near_dups(SF, n_old=250, index_dir=idx).to_pandas()
+    pd.testing.assert_frame_equal(d, a)
+    with open(mpath) as f:
+        assert json.load(f)["n_old"] == 250  # rebuilt
