@@ -1441,6 +1441,22 @@ def incremental_near_dups(sf_dir: str, n_old: int = 250,
         order = np.argsort(old_df["bucket"].to_numpy(), kind="stable")
         ob = old_df["bucket"].to_numpy()[order]
         od = old_df["doc_id"].to_numpy()[order]
+        # the SAME boilerplate cap as the shuffle branch's
+        # _shared_group_rows(max_bucket): buckets whose TOTAL row count
+        # (old + new) exceeds max_bucket are dropped whole — without this
+        # the two adaptive branches diverge on boilerplate-heavy corpora
+        nbk = np.sort(ensure_columns(
+            new_bands.select_columns(["bucket"]).to_pandas(),
+            {"bucket": "int64"})["bucket"].to_numpy(np.int64))
+        ub, oc = np.unique(ob, return_counts=True)
+        nc = (np.searchsorted(nbk, ub, side="right")
+              - np.searchsorted(nbk, ub, side="left"))
+        hot = ub[oc + nc > int(max_bucket)]
+        if len(hot):
+            print(f"[dedup] dropped {len(hot)} bucket groups with "
+                  f"df > {max_bucket} (boilerplate cap)")
+            keep = ~np.isin(ob, hot)
+            ob, od = ob[keep], od[keep]
         ref = ray.put((ob, od))
 
         def probe(batch: pa.Table) -> pa.Table:

@@ -1007,6 +1007,16 @@ def test_incremental_near_dups_index_and_branches(ray_session, tmp_path):
     assert (a["jaccard"] >= 0.8).all()
     assert len(a) > 0  # the corpus plants cross-boundary near-dups
 
+    # boilerplate cap fires identically on BOTH branches (a tiny
+    # max_bucket forces hot-bucket drops; without the broadcast-side cap
+    # the branches diverge on boilerplate-heavy corpora)
+    ac = incremental_near_dups(SF, n_old=250, max_bucket=2,
+                               force="broadcast").to_pandas()
+    bc = incremental_near_dups(SF, n_old=250, max_bucket=2,
+                               force="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(ac, bc)
+    assert len(ac) < len(a)  # the cap actually dropped hot buckets
+
     idx = str(tmp_path / "mh_index")
     n_rows = write_minhash_index(SF, idx, n_old=250)
     assert n_rows == 250 * 32  # bands rows per indexed doc
