@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5: synchronous label-propagation communities over the
         # support-thresholded co-purchase graph; unrolled-round oracle
         "copurchase_communities": analytics.copurchase_communities,
+        # r5: synchronous k-truss peel census — the edge-cohesion
+        # complement of the k-core peel; unrolled-round oracle
+        "copurchase_ktruss_census": analytics.copurchase_ktruss_census,
         # r5: priority sampling (19th kernel) — mergeable weighted sample,
         # unbiased post-hoc subset sums; rows-only (sampling estimate),
         # exact twin = the oracle-gated revenue_per_nation
@@ -533,6 +536,59 @@ def oracle_sql() -> dict[str, str]:
                        AS n_communities
             FROM lab4 GROUP BY lab
             ORDER BY size DESC, community LIMIT 20
+        """
+
+    # copurchase_ktruss_census: 4 synchronous peel rounds unroll as
+    # chained CTEs, each the oriented triangle-counting shape of the
+    # gated triangles oracle restricted to the surviving edge set;
+    # support threshold k-2 with k=12
+    kt_rounds = []
+    for i in range(1, 5):
+        kt_rounds.append(f"""
+            deg{i} AS MATERIALIZED (
+                SELECT node, count(*) AS d FROM (
+                    SELECT pa AS node FROM e{i - 1}
+                    UNION ALL SELECT pb FROM e{i - 1}) GROUP BY 1
+            ), o{i} AS MATERIALIZED (
+                SELECT CASE WHEN da.d < db.d
+                                 OR (da.d = db.d AND e.pa < e.pb)
+                            THEN e.pa ELSE e.pb END AS src,
+                       CASE WHEN da.d < db.d
+                                 OR (da.d = db.d AND e.pa < e.pb)
+                            THEN e.pb ELSE e.pa END AS dst
+                FROM e{i - 1} e JOIN deg{i} da ON da.node = e.pa
+                                JOIN deg{i} db ON db.node = e.pb
+            ), tri{i} AS MATERIALIZED (
+                SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+                FROM o{i} o1 JOIN o{i} o2
+                  ON o1.src = o2.src AND o1.dst < o2.dst
+                JOIN e{i - 1} e ON e.pa = o1.dst AND e.pb = o2.dst
+            ), supp{i} AS MATERIALIZED (
+                SELECT pa, pb, count(*) AS c FROM (
+                    SELECT least(a, b) AS pa, greatest(a, b) AS pb
+                    FROM tri{i}
+                    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri{i}
+                    UNION ALL SELECT b, c FROM tri{i}) GROUP BY 1, 2
+            ), e{i} AS MATERIALIZED (
+                SELECT e.pa, e.pb FROM e{i - 1} e
+                LEFT JOIN supp{i} s ON s.pa = e.pa AND s.pb = e.pb
+                WHERE coalesce(s.c, 0) >= 10
+            )""")
+    kt_sql = f"""
+            WITH lp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e0 AS MATERIALIZED (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ),{",".join(kt_rounds)}
+            SELECT * FROM (
+                {" UNION ALL ".join(
+                    f"SELECT {i}::BIGINT AS round, "
+                    f"(SELECT count(*) FROM e{i})::BIGINT AS n_edges"
+                    for i in range(5))}
+            ) ORDER BY round
         """
 
     # stratified_sample: keep iff splitmix64(doc_id ^ mix(42)) < rate*2^64,
@@ -4244,6 +4300,8 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_random_walks": rw_sql,
         # synchronous LPA communities: see lpa_sql above
         "copurchase_communities": lpa_sql,
+        # synchronous k-truss peel: see kt_sql above
+        "copurchase_ktruss_census": kt_sql,
         # fixed-point PageRank: every pipeline op is an integer floor
         # division / integer sum, so the recursive CTE repeats the
         # IDENTICAL expression (pr*17) // (20*deg) per synchronous round —

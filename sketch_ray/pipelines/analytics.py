@@ -2828,3 +2828,64 @@ def copurchase_communities(sf_dir: str, rounds: int = 4, k: int = 20,
         "size": pa.array(sizes[o].astype(np.int64), pa.int64()),
         "n_communities": pa.array([len(comm)] * len(o), pa.int64()),
     })
+
+
+def _edge_supports(ia: np.ndarray, ib: np.ndarray, n_nodes: int
+                   ) -> np.ndarray:
+    """Per-edge triangle support over canonical (ia < ib) edge index
+    pairs: degree-oriented wedge expansion (`_wedge_expand`, m^1.5 work)
+    + sorted-key closure probe, then each triangle credits its 3 edges.
+    Returns support aligned with the input edge order."""
+    if len(ia) == 0:
+        return np.array([], np.int64)
+    deg = np.bincount(np.concatenate([ia, ib]), minlength=n_nodes)
+    swap = (deg[ib] < deg[ia]) | ((deg[ib] == deg[ia]) & (ib < ia))
+    src = np.where(swap, ib, ia)
+    dst = np.where(swap, ia, ib)
+    stride = np.int64(n_nodes)
+    edge_key = ia * stride + ib  # canonical, unique
+    ekeys = np.sort(edge_key)
+    u, v, w = _wedge_expand(src, dst)
+    key_vw = np.minimum(v, w) * stride + np.maximum(v, w)
+    pos = np.searchsorted(ekeys, key_vw)
+    ok = (pos < len(ekeys)) & (ekeys[np.minimum(pos, len(ekeys) - 1)]
+                               == key_vw)
+    u, v, w, key_vw = u[ok], v[ok], w[ok], key_vw[ok]
+    e1 = np.minimum(u, v) * stride + np.maximum(u, v)
+    e2 = np.minimum(u, w) * stride + np.maximum(u, w)
+    cnt = np.zeros(len(ekeys), np.int64)
+    np.add.at(cnt, np.searchsorted(ekeys, np.concatenate([e1, e2, key_vw])), 1)
+    return cnt[np.searchsorted(ekeys, edge_key)]
+
+
+def copurchase_ktruss_census(sf_dir: str, k: int = 12, rounds: int = 4,
+                             force: str | None = None) -> pa.Table:
+    """Synchronous k-truss peel census (Cohen 2008): each round removes
+    every edge whose triangle SUPPORT within the surviving subgraph is
+    below k−2, and the census records the surviving edge count per round
+    — the EDGE-cohesion complement of the node-based k-core peel
+    (`copurchase_kcore_census`). The bounded round count is shared
+    semantics with the oracle (the kcore/BFS discipline); the oracle
+    unrolls the rounds as plain chained CTEs, each one the oriented
+    triangle-counting shape of the gated triangles query restricted to
+    the surviving edges. Support counting is the degree-oriented wedge
+    expansion (m^1.5), exact integers throughout. Edges from the shared
+    adaptive pair fold. Returns (round, n_edges): round 0 = the initial
+    graph, rounds 1..`rounds` after each synchronous peel."""
+    agg = _copurchase_pair_counts(sf_dir, force)
+    ea = agg["pk_a"].to_numpy().astype(np.int64)
+    eb = agg["pk_b"].to_numpy().astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    ia, ib = inv[:len(ea)], inv[len(ea):]
+    out_r = [0]
+    out_n = [len(ia)]
+    for r in range(1, int(rounds) + 1):
+        sup = _edge_supports(ia, ib, len(nodes))
+        keep = sup >= int(k) - 2
+        ia, ib = ia[keep], ib[keep]
+        out_r.append(r)
+        out_n.append(len(ia))
+    return pa.table({
+        "round": pa.array(out_r, pa.int64()),
+        "n_edges": pa.array(out_n, pa.int64()),
+    })

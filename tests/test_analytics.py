@@ -899,3 +899,54 @@ def test_lpa_communities_branches_and_recompute(ray_session):
     assert got == want
     assert int(a["n_communities"].iloc[0]) == len(sizes)
     assert sum(sizes.values()) == len(adj)
+
+
+def test_pagerank_mass_conservation(ray_session):
+    """Total fixed-point mass stays within the floor-loss envelope of the
+    initial 1e12: each round loses < 1 unit per directed edge plus the
+    teleport floor per node — a global invariant the recompute test
+    doesn't pin."""
+    from sketch_ray.pipelines.analytics import (_copurchase_pair_counts,
+                                                copurchase_pagerank)
+
+    full = copurchase_pagerank(SF, k=10 ** 9).to_pandas()  # all nodes
+    agg = _copurchase_pair_counts(SF, None)
+    n_edges_directed = 2 * len(agg)
+    n = full["pk"].nunique()
+    total = int(full["pr_fp"].sum())
+    scale = 10 ** 12
+    max_floor_loss = 8 * (n_edges_directed + n + 1)
+    assert scale - max_floor_loss <= total <= scale
+
+
+def test_ktruss_census_recompute_and_invariants(ray_session):
+    """The census matches an independent per-round recompute using a
+    brute-force per-edge triangle-support count (dict-of-sets closure);
+    counts are non-increasing; surviving edges after round r all have
+    support >= k-2 within the round-(r-1) graph."""
+    from sketch_ray.pipelines.analytics import copurchase_ktruss_census
+
+    k = 12
+    a = copurchase_ktruss_census(SF, k=k, force="driver").to_pandas()
+    b = copurchase_ktruss_census(SF, k=k, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    n = a["n_edges"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    lp = li.drop_duplicates()
+    j = lp.merge(lp, on="l_orderkey")
+    j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+    e = {(int(x), int(y)) for x, y in
+         zip(j["l_partkey_x"], j["l_partkey_y"])}
+    want = [len(e)]
+    for _ in range(4):
+        adj: dict = {}
+        for x, y in e:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        e = {(x, y) for (x, y) in e
+             if len(adj[x] & adj[y]) >= k - 2}
+        want.append(len(e))
+    assert a["n_edges"].tolist() == want

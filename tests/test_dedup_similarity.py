@@ -6,6 +6,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -1034,3 +1035,46 @@ def test_incremental_near_dups_index_and_branches(ray_session, tmp_path):
     pd.testing.assert_frame_equal(d, a)
     with open(mpath) as f:
         assert json.load(f)["n_old"] == 250  # rebuilt
+
+
+@pytest.mark.parametrize("seed,n_dup,k", [(1, 10, 3), (2, 70, 5), (3, 4, 7)])
+def test_mutual_knn_fastpath_matches_fullsort(ray_session, tmp_path,
+                                              seed, n_dup, k):
+    """The argpartition fast path reproduces the full-argsort ranking on
+    structured corpora spanning the boundary cases: dup class smaller
+    than k, flooding past the k+64 slice, and k above the class size."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_ray.pipelines.similarity import mutual_knn_pairs
+
+    rng = np.random.default_rng(seed)
+    dup = np.tile(rng.normal(size=(1, 8)), (n_dup, 1))
+    rest = rng.normal(size=(90, 8))
+    mat = np.vstack([dup, rest])
+    perm = rng.permutation(len(mat))  # ids not aligned with structure
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32).tolist()
+                               for row in mat[perm]],
+                              pa.list_(pa.float32())),
+    })
+    d = str(tmp_path / "sfm"); os.makedirs(d)
+    pq.write_table(t, f"{d}/embeddings.parquet")
+
+    got = mutual_knn_pairs(d, k=k, topn=10 ** 9).to_pandas()
+
+    m64 = mat[perm].astype(np.float64)
+    m64 /= np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = m64 @ m64.T
+    np.fill_diagonal(sims, -2.0)
+    top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    knn = {(i, int(j)) for i in range(len(m64)) for j in top[i]}
+    mutual = sorted({(x, y) for (x, y) in knn
+                     if (y, x) in knn and x < y})
+    assert sorted(zip(got["vec_a"].astype(int),
+                      got["vec_b"].astype(int))) == mutual
