@@ -120,6 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5: fixed-point PageRank — integer floor-div propagation makes
         # the iterative centrality exactly SQL-renderable (recursive CTE)
         "copurchase_pagerank": analytics.copurchase_pagerank,
+        # r5: strength-weighted variant — surfer follows edges
+        # proportionally to co-purchase count
+        "copurchase_pagerank_weighted":
+            analytics.copurchase_pagerank_weighted,
         # r5: deterministic hash-driven walks (DeepWalk corpus input) —
         # every hop replayed exactly by the oracle's recursive CTE
         "copurchase_random_walks": analytics.copurchase_random_walks,
@@ -4290,6 +4294,46 @@ def oracle_sql() -> dict[str, str]:
                    sum(qt)::BIGINT AS kl_fp,
                    round(CAST(sum(qt) AS DOUBLE) / 1e12, 6) AS kl
             FROM terms GROUP BY source ORDER BY source
+        """,
+        # weighted PageRank: same recursive-CTE shape as
+        # copurchase_pagerank, with the surfer following an edge with
+        # probability proportional to its co-purchase count; the floor
+        # division (score·17·w) // (20·strength) is mirrored exactly
+        "copurchase_pagerank_weighted": """
+            WITH RECURSIVE lp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS MATERIALIZED (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                       count(*)::BIGINT AS w
+                FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ), edges AS MATERIALIZED (
+                SELECT pa AS src, pb AS dst, w FROM e
+                UNION ALL SELECT pb, pa, w FROM e
+            ), st AS MATERIALIZED (
+                SELECT src AS node, sum(w)::BIGINT AS s
+                FROM edges GROUP BY 1
+            ), nn AS MATERIALIZED (
+                SELECT count(*)::BIGINT AS n FROM st
+            ), pr(iter, node, score) AS (
+                SELECT 0, node, (1000000000000 // nn.n)::BIGINT
+                FROM st, nn
+                UNION ALL
+                SELECT pr.iter + 1, edges.dst,
+                       ((SELECT (3 * 1000000000000) // (20 * n) FROM nn)
+                        + SUM((pr.score * 17 * edges.w) // (20 * st.s))
+                       )::BIGINT
+                FROM pr
+                JOIN edges ON edges.src = pr.node
+                JOIN st ON st.node = pr.node
+                WHERE pr.iter < 8
+                GROUP BY pr.iter + 1, edges.dst
+            )
+            SELECT node AS pk, score AS pr_fp,
+                   round(CAST(score AS DOUBLE) / 1000000000000.0, 6) AS pr
+            FROM pr WHERE iter = 8
+            ORDER BY pr_fp DESC, pk LIMIT 25
         """,
         # deterministic random walks: each hop's neighbor index is the
         # rendered engine hash mod degree, replayed hop-for-hop by the

@@ -2889,3 +2889,51 @@ def copurchase_ktruss_census(sf_dir: str, k: int = 12, rounds: int = 4,
         "round": pa.array(out_r, pa.int64()),
         "n_edges": pa.array(out_n, pa.int64()),
     })
+
+
+def copurchase_pagerank_weighted(sf_dir: str, iters: int = 8, k: int = 25,
+                                 force: str | None = None) -> pa.Table:
+    """Strength-weighted fixed-point PageRank: the random surfer follows
+    an edge with probability proportional to its CO-PURCHASE COUNT, not
+    uniformly — a hub connected by many weak baskets ranks below a part
+    with few but strong ties (the weighted-graph counterpart of
+    `copurchase_pagerank`; same integer 1e12 fixed point, same recursive
+    -CTE-renderable shape). Per-edge contribution is ONE floor division
+    ``(pr[u]·17·w_uv) // (20·W_u)`` with W_u = Σ_v w_uv the node
+    strength — integer throughout (pr ≤ total mass 1e12, ×17×w stays
+    far below 2^63 for any realistic co-purchase count). Returns the
+    top-k (pk, pr_fp, pr) by (pr_fp DESC, pk)."""
+    agg = _copurchase_pair_counts(sf_dir, force)
+    ea = agg["pk_a"].to_numpy().astype(np.int64)
+    eb = agg["pk_b"].to_numpy().astype(np.int64)
+    w2 = agg["cnt_p"].to_numpy().astype(np.int64)
+    if len(ea) == 0:
+        return pa.table({"pk": pa.array([], pa.int64()),
+                         "pr_fp": pa.array([], pa.int64()),
+                         "pr": pa.array([], pa.float64())})
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    ia, ib = inv[:len(ea)], inv[len(ea):]
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    w = np.concatenate([w2, w2])
+    n = len(nodes)
+    strength = np.zeros(n, np.int64)
+    np.add.at(strength, src, w)
+
+    scale = 10 ** 12
+    pr = np.full(n, scale // n, np.int64)
+    base = (3 * scale) // (20 * n)
+    for _ in range(int(iters)):
+        contrib = (pr[src] * 17 * w) // (20 * strength[src])
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, dst, contrib)
+        pr = base + acc
+
+    order = np.lexsort((nodes, -pr))[:int(k)]
+    pr_k = pr[order]
+    return pa.table({
+        "pk": pa.array(nodes[order], pa.int64()),
+        "pr_fp": pa.array(pr_k, pa.int64()),
+        "pr": pa.array([float(round6(float(v) / float(scale)))
+                        for v in pr_k], pa.float64()),
+    })

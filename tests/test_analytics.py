@@ -950,3 +950,42 @@ def test_ktruss_census_recompute_and_invariants(ray_session):
              if len(adj[x] & adj[y]) >= k - 2}
         want.append(len(e))
     assert a["n_edges"].tolist() == want
+
+
+def test_weighted_pagerank_branches_and_recompute(ray_session):
+    """Both branches agree; the weighted fixed-point result tracks an
+    independent float weighted power iteration to the quantization
+    envelope; weighting actually changes the ranking vs the unweighted
+    query on this corpus."""
+    from sketch_ray.pipelines.analytics import (copurchase_pagerank,
+                                                copurchase_pagerank_weighted)
+
+    a = copurchase_pagerank_weighted(SF, force="driver").to_pandas()
+    b = copurchase_pagerank_weighted(SF, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(b, a.astype(b.dtypes.to_dict()))
+    u = copurchase_pagerank(SF).to_pandas()
+    assert a["pk"].tolist() != u["pk"].tolist()
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    lp = li.drop_duplicates()
+    j = lp.merge(lp, on="l_orderkey")
+    j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+    ec = j.groupby(["l_partkey_x", "l_partkey_y"]).size().reset_index(name="w")
+    nodes, inv = np.unique(
+        np.concatenate([ec["l_partkey_x"].to_numpy(np.int64),
+                        ec["l_partkey_y"].to_numpy(np.int64)]),
+        return_inverse=True)
+    ia, ib = inv[:len(ec)], inv[len(ec):]
+    src = np.concatenate([ia, ib]); dst = np.concatenate([ib, ia])
+    w = np.concatenate([ec["w"].to_numpy(float)] * 2)
+    n = len(nodes)
+    strength = np.zeros(n); np.add.at(strength, src, w)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(8):
+        contrib = 0.85 * pr[src] * w / strength[src]
+        acc = np.zeros(n); np.add.at(acc, dst, contrib)
+        pr = 0.15 / n + acc
+    ref = dict(zip(nodes.tolist(), pr.tolist()))
+    for pk, fp in zip(a["pk"], a["pr_fp"]):
+        assert abs(fp / 1e12 - ref[int(pk)]) < 1e-6
