@@ -124,6 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # proportionally to co-purchase count
         "copurchase_pagerank_weighted":
             analytics.copurchase_pagerank_weighted,
+        # r5: multi-seed radius-capped eccentricity census (distance
+        # structure from the hubs; one recursive CTE for all seeds)
+        "copurchase_seed_eccentricity":
+            analytics.copurchase_seed_eccentricity,
         # r5: deterministic hash-driven walks (DeepWalk corpus input) —
         # every hop replayed exactly by the oracle's recursive CTE
         "copurchase_random_walks": analytics.copurchase_random_walks,
@@ -4294,6 +4298,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(qt)::BIGINT AS kl_fp,
                    round(CAST(sum(qt) AS DOUBLE) / 1e12, 6) AS kl
             FROM terms GROUP BY source ORDER BY source
+        """,
+        # seed-eccentricity census: all seeds propagate in ONE recursive
+        # CTE carrying the seed column (UNION dedups (seed,node,dist);
+        # the radius cap bounds cyclic re-minting — the BFS discipline;
+        # no LATERAL, so multithread-safe in DuckDB 1.0)
+        "copurchase_seed_eccentricity": """
+            WITH RECURSIVE lp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS MATERIALIZED (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ), edges AS MATERIALIZED (
+                SELECT pa AS src, pb AS dst FROM e
+                UNION ALL SELECT pb, pa FROM e
+            ), deg AS MATERIALIZED (
+                SELECT src AS node, count(*) AS d FROM edges GROUP BY 1
+            ), seeds AS (
+                SELECT node FROM deg ORDER BY d DESC, node LIMIT 16
+            ), walk(seed, node, dist) AS (
+                SELECT node, node, 0 FROM seeds
+                UNION
+                SELECT w.seed, ed.dst, w.dist + 1
+                FROM walk w JOIN edges ed ON ed.src = w.node
+                WHERE w.dist < 6
+            ), dmin AS MATERIALIZED (
+                SELECT seed, node, min(dist) AS dist
+                FROM walk GROUP BY 1, 2
+            )
+            SELECT seed::BIGINT AS seed,
+                   max(dist)::BIGINT AS eccentricity,
+                   count(*)::BIGINT AS n_reached
+            FROM dmin GROUP BY seed ORDER BY seed
         """,
         # weighted PageRank: same recursive-CTE shape as
         # copurchase_pagerank, with the surfer following an edge with

@@ -2937,3 +2937,64 @@ def copurchase_pagerank_weighted(sf_dir: str, iters: int = 8, k: int = 25,
         "pr": pa.array([float(round6(float(v) / float(scale)))
                         for v in pr_k], pa.float64()),
     })
+
+
+def copurchase_seed_eccentricity(sf_dir: str, n_seeds: int = 16,
+                                 radius: int = 6,
+                                 force: str | None = None) -> pa.Table:
+    """Radius-capped eccentricity census from the top-`n_seeds` highest-
+    degree parts: per seed, the max BFS distance among nodes reached
+    within `radius` hops and the reached-node count — the multi-source
+    distance-structure complement of the single-source
+    `copurchase_bfs_layers` (how far does influence propagate from each
+    hub, and how much of the graph does it cover?). The radius cap is
+    shared semantics with the oracle (the BFS discipline — an uncapped
+    closure never terminates on cyclic graphs). Exact integers; one CSR
+    BFS per seed over the catalog²-bounded edge set on the driver; the
+    oracle runs ALL seeds in ONE recursive CTE carrying the seed column
+    (no LATERAL — multithread-safe, the BFS oracle pattern). Returns
+    (seed, eccentricity, n_reached) ordered by seed."""
+    agg = _copurchase_pair_counts(sf_dir, force)
+    ea = agg["pk_a"].to_numpy().astype(np.int64)
+    eb = agg["pk_b"].to_numpy().astype(np.int64)
+    if len(ea) == 0:
+        return pa.table({"seed": pa.array([], pa.int64()),
+                         "eccentricity": pa.array([], pa.int64()),
+                         "n_reached": pa.array([], pa.int64())})
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    n = len(nodes)
+    ia, ib = inv[:len(ea)], inv[len(ea):]
+    heads = np.concatenate([ia, ib])
+    tails = np.concatenate([ib, ia])
+    order = np.argsort(heads, kind="stable")
+    heads, tails = heads[order], tails[order]
+    starts = np.searchsorted(heads, np.arange(n + 1))
+    deg = np.diff(starts)
+
+    seed_idx = np.lexsort((nodes, -deg))[:int(n_seeds)]
+    out_s, out_e, out_r = [], [], []
+    for si in seed_idx:
+        dist = np.full(n, -1, np.int64)
+        dist[si] = 0
+        frontier = np.array([int(si)], np.int64)
+        for d in range(1, int(radius) + 1):
+            cnt = deg[frontier]
+            base = np.repeat(starts[frontier], cnt)
+            within = np.arange(int(cnt.sum())) \
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            neigh = tails[base + within]
+            fresh = np.unique(neigh[dist[neigh] < 0])
+            if not len(fresh):
+                break
+            dist[fresh] = d
+            frontier = fresh
+        reached = dist[dist >= 0]
+        out_s.append(int(nodes[si]))
+        out_e.append(int(reached.max()))
+        out_r.append(int(len(reached)))
+    o = np.argsort(np.array(out_s))
+    return pa.table({
+        "seed": pa.array(np.array(out_s, np.int64)[o], pa.int64()),
+        "eccentricity": pa.array(np.array(out_e, np.int64)[o], pa.int64()),
+        "n_reached": pa.array(np.array(out_r, np.int64)[o], pa.int64()),
+    })

@@ -989,3 +989,43 @@ def test_weighted_pagerank_branches_and_recompute(ray_session):
     ref = dict(zip(nodes.tolist(), pr.tolist()))
     for pk, fp in zip(a["pk"], a["pr_fp"]):
         assert abs(fp / 1e12 - ref[int(pk)]) < 1e-6
+
+
+def test_seed_eccentricity_recompute(ray_session):
+    """Matches an independent dict-BFS recompute per seed; seeds are
+    exactly the top-degree nodes; eccentricity <= radius; n_reached
+    includes the seed itself; branch identity."""
+    from collections import deque
+
+    from sketch_ray.pipelines.analytics import copurchase_seed_eccentricity
+
+    a = copurchase_seed_eccentricity(SF, force="driver").to_pandas()
+    b = copurchase_seed_eccentricity(SF, force="dist").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["eccentricity"] <= 6).all() and (a["n_reached"] >= 1).all()
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    lp = li.drop_duplicates()
+    j = lp.merge(lp, on="l_orderkey")
+    j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+    e = j[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+    adj: dict = {}
+    for x, y in zip(e["l_partkey_x"], e["l_partkey_y"]):
+        adj.setdefault(int(x), set()).add(int(y))
+        adj.setdefault(int(y), set()).add(int(x))
+    seeds = sorted(sorted(adj), key=lambda v: (-len(adj[v]), v))[:16]
+    assert sorted(a["seed"]) == sorted(seeds)
+    for _, r in a.iterrows():
+        dist = {int(r["seed"]): 0}
+        q = deque([int(r["seed"])])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 6:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        assert int(r["eccentricity"]) == max(dist.values())
+        assert int(r["n_reached"]) == len(dist)
