@@ -4330,7 +4330,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT seed::BIGINT AS seed,
                    max(dist)::BIGINT AS eccentricity,
-                   count(*)::BIGINT AS n_reached
+                   count(*)::BIGINT AS n_reached,
+                   sum(CASE WHEN dist >= 1 THEN 60 // dist
+                            ELSE 0 END)::BIGINT AS harmonic_fp,
+                   round(CAST(sum(CASE WHEN dist >= 1 THEN 60 // dist
+                                       ELSE 0 END) AS DOUBLE) / 60.0
+                         / CAST((SELECT count(*) FROM deg) - 1 AS DOUBLE),
+                         6) AS harmonic
             FROM dmin GROUP BY seed ORDER BY seed
         """,
         # weighted PageRank: same recursive-CTE shape as

@@ -2952,8 +2952,13 @@ def copurchase_seed_eccentricity(sf_dir: str, n_seeds: int = 16,
     closure never terminates on cyclic graphs). Exact integers; one CSR
     BFS per seed over the catalog²-bounded edge set on the driver; the
     oracle runs ALL seeds in ONE recursive CTE carrying the seed column
-    (no LATERAL — multithread-safe, the BFS oracle pattern). Returns
-    (seed, eccentricity, n_reached) ordered by seed."""
+    (no LATERAL — multithread-safe, the BFS oracle pattern).
+
+    Also reports radius-capped HARMONIC centrality — Σ_{v reached, d≥1}
+    1/d — in EXACT integer LCM-60 units (60//d is an integer for every
+    d ≤ 6, so the fold is order-independent; `harmonic` is the ONE
+    mirrored double normalization /60/(n_graph−1), round6). Returns
+    (seed, eccentricity, n_reached, harmonic_fp, harmonic) by seed."""
     agg = _copurchase_pair_counts(sf_dir, force)
     ea = agg["pk_a"].to_numpy().astype(np.int64)
     eb = agg["pk_b"].to_numpy().astype(np.int64)
@@ -2972,7 +2977,7 @@ def copurchase_seed_eccentricity(sf_dir: str, n_seeds: int = 16,
     deg = np.diff(starts)
 
     seed_idx = np.lexsort((nodes, -deg))[:int(n_seeds)]
-    out_s, out_e, out_r = [], [], []
+    out_s, out_e, out_r, out_h = [], [], [], []
     for si in seed_idx:
         dist = np.full(n, -1, np.int64)
         dist[si] = 0
@@ -2989,12 +2994,20 @@ def copurchase_seed_eccentricity(sf_dir: str, n_seeds: int = 16,
             dist[fresh] = d
             frontier = fresh
         reached = dist[dist >= 0]
+        pos = reached[reached >= 1]
         out_s.append(int(nodes[si]))
         out_e.append(int(reached.max()))
         out_r.append(int(len(reached)))
+        out_h.append(int((60 // pos).sum()) if len(pos) else 0)
     o = np.argsort(np.array(out_s))
+    hfp = np.array(out_h, np.int64)[o]
+    harm = np.array([float(round6(float(v) / 60.0 / float(n - 1)))
+                     for v in hfp], np.float64) if n > 1 \
+        else np.zeros(len(hfp))
     return pa.table({
         "seed": pa.array(np.array(out_s, np.int64)[o], pa.int64()),
         "eccentricity": pa.array(np.array(out_e, np.int64)[o], pa.int64()),
         "n_reached": pa.array(np.array(out_r, np.int64)[o], pa.int64()),
+        "harmonic_fp": pa.array(hfp, pa.int64()),
+        "harmonic": pa.array(harm, pa.float64()),
     })

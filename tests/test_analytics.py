@@ -1029,3 +1029,7 @@ def test_seed_eccentricity_recompute(ray_session):
                     q.append(v)
         assert int(r["eccentricity"]) == max(dist.values())
         assert int(r["n_reached"]) == len(dist)
+        want_h = sum(60 // d for d in dist.values() if d >= 1)
+        assert int(r["harmonic_fp"]) == want_h
+        assert abs(r["harmonic"]
+                   - want_h / 60.0 / (len(adj) - 1)) < 1e-6
